@@ -1,0 +1,243 @@
+"""Scalar function library — SURVEY.md §2.9 (F1-F22).
+
+Every function here returns a ``Column`` built from Spark built-ins, so
+expressions stay inside whole-stage codegen (JVM, vectorized) — no
+Python UDFs. The reference implements each of these as row-at-a-time
+Python (citations inline); at 100 TB that is the difference between a
+codegen'd projection and 10^11 Python interpreter round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# F1/F2: unit-of-measure maps (reference: backend/utility.py:21-48,93-106).
+# Expressed as map literals -> `element_at` lookup; fallback lower()/upper().
+# At scale these could equally be a broadcast dimension table; a map literal
+# is constant-folded by Catalyst and never shuffles.
+# ---------------------------------------------------------------------------
+
+JDE_TO_LAKE_UNITS = {
+    "KG": "kg",
+    "EA": "each",
+    "LT": "L",
+    "GR": "g",
+    "ML": "mL",
+    "CS": "case",
+    "BX": "box",
+    "LB": "lb",
+    "OZ": "oz",
+}
+LAKE_TO_JDE_UNITS = {v.upper(): k for k, v in JDE_TO_LAKE_UNITS.items()}
+
+RATE_UNITS = {"KG": "g/L", "GR": "g/L", "LT": "mL/L", "ML": "mL/L", "EA": "each/L"}
+
+# (src, tgt) -> multiplier (reference backend/utility.py:109-127)
+UNIT_QTY_FACTORS = {
+    ("KG", "G"): 1000.0,
+    ("G", "KG"): 0.001,
+    ("L", "ML"): 1000.0,
+    ("ML", "L"): 0.001,
+    ("KG", "L"): 1.0,
+    ("L", "KG"): 1.0,
+}
+
+
+def _map_literal(d: dict) -> Column:
+    pairs = []
+    for k, v in d.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def convert_unit(unit: Column, direction: str = "to_lake") -> Column:
+    """F1: dict-map UoM conversion with case-normalizing fallback.
+
+    Reference: backend/utility.py:21-35 (to lake), :93-99 (to JDE).
+    """
+    if direction == "to_lake":
+        return F.coalesce(
+            F.element_at(_map_literal(JDE_TO_LAKE_UNITS), F.upper(unit)), F.lower(unit)
+        )
+    return F.coalesce(
+        F.element_at(_map_literal(LAKE_TO_JDE_UNITS), F.upper(unit)), F.upper(unit)
+    )
+
+
+def convert_rate_unit(unit: Column) -> Column:
+    """F2: rate-unit map (backend/utility.py:38-48)."""
+    return F.coalesce(
+        F.element_at(_map_literal(RATE_UNITS), F.upper(unit)), F.lower(unit)
+    )
+
+
+def convert_unit_quantity(src: Column, tgt: Column, qty: Column) -> Column:
+    """F4: (src,tgt) multiplier lookup, default x1.0, null-safe qty.
+
+    Reference: backend/utility.py:77-91,109-127. Key is the concatenated
+    upper-cased pair; non-numeric qty -> NULL (pandas `coerce` parity).
+    """
+    factors = {f"{k[0]}|{k[1]}": v for k, v in UNIT_QTY_FACTORS.items()}
+    factor = F.coalesce(
+        F.element_at(
+            _map_literal(factors), F.concat_ws("|", F.upper(src), F.upper(tgt))
+        ),
+        F.lit(1.0),
+    )
+    return qty.try_cast("double") * factor
+
+
+def preserve_quantity_precision(qty: Column) -> Column:
+    """F5: quantize to 9 dp ROUND_HALF_UP (backend/utility.py:776-807).
+
+    Spark's ``round`` is HALF_UP — same convention as the reference's
+    ``Decimal.quantize(ROUND_HALF_UP)``.
+    """
+    return F.round(qty.cast("decimal(38,9)"), 9)
+
+
+def normalize_quantity_string(qty: Column) -> Column:
+    """F6: 9-dp string with trailing zeros (and bare dot) stripped.
+
+    Reference: backend/utility.py:749-773. '12.300000000' -> '12.3',
+    '5.000000000' -> '5'.
+    """
+    fixed = F.format_number(qty.cast("decimal(38,9)"), 9)
+    no_commas = F.regexp_replace(fixed, ",", "")
+    return F.regexp_replace(F.regexp_replace(no_commas, "0+$", ""), "\\.$", "")
+
+
+def unique_transaction_id(
+    name: Column, lot: Column, vessel: Column, qty: Column
+) -> Column:
+    """F7: `{name}_{lot}_{vessel}_{normalized_qty}` idempotency key.
+
+    Reference: backend/jde_helper.py:853-855, backend/bakery_helper.py:535.
+    """
+    return F.concat_ws("_", name, lot, vessel, normalize_quantity_string(qty))
+
+
+def batch_name(name: Column, lot: Column) -> Column:
+    """F8: `name` or `name_lot` (backend/jde_helper.py:636-638)."""
+    return F.when(lot.isNull() | (lot == ""), name).otherwise(
+        F.concat_ws("_", name, lot)
+    )
+
+
+def lot_from_batch_number(batch_number: Column, name: Column) -> Column:
+    """F9: strip leading `{name}_` prefix from batchNumber.
+
+    Reference: backend/jde_helper.py:888-897. Uses a literal (quoted)
+    prefix match, not regex, to mirror ``str.replace(prefix, '', 1)``.
+    """
+    prefix = F.concat(name, F.lit("_"))
+    return F.when(
+        batch_number.startswith(prefix),
+        batch_number.substr(F.length(name) + F.lit(2), F.lit(2147483647)),
+    ).otherwise(batch_number)
+
+
+def business_unit(name: Column) -> Column:
+    """F10: prefix map B_->1110, P_->1130, M_->1120, default 1110.
+
+    Reference: backend/jde_helper.py:876-886.
+    """
+    return (
+        F.when(name.startswith("B_"), F.lit("1110"))
+        .when(name.startswith("P_"), F.lit("1130"))
+        .when(name.startswith("M_"), F.lit("1120"))
+        .otherwise(F.lit("1110"))
+    )
+
+
+def status_ladder(
+    product_found: Column, dispatched: Column, qty_on_hand: Column
+) -> Column:
+    """F11: cardex-vs-bakery status ladder (backend/main.py:499-511)."""
+    return (
+        F.when(~product_found, F.lit("Product Not Found"))
+        .when(dispatched, F.lit("Dispatched"))
+        .when(qty_on_hand > 0, F.lit("Partial Match"))
+        .otherwise(F.lit("Missing in Bakery Ops"))
+    )
+
+
+def determine_status(a: Column, b: Column) -> Column:
+    """F12: pivot-report status via canonical-string equality.
+
+    Reference: backend/main.py:394-409 compares ``str(a) == str(b)``;
+    we reproduce that through a canonical 2-dp decimal string so both
+    Spark and the oracle agree on the textual form.
+    """
+    sa = a.cast("decimal(38,2)").cast("string")
+    sb = b.cast("decimal(38,2)").cast("string")
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit("Missing Data"))
+        .when(sa == sb, F.lit("Match"))
+        .otherwise(F.lit("Mismatch"))
+    )
+
+
+def match_status(a: Column, b: Column) -> Column:
+    """F13: numeric match status, NaN -> Unknown (LiveDataComparison.js:208-214)."""
+    return (
+        F.when(F.isnan(a) | F.isnan(b), F.lit("Unknown"))
+        .when(a == b, F.lit("Match"))
+        .otherwise(F.lit("Mismatch"))
+    )
+
+
+def date_window_start(days_back: int) -> Column:
+    """F14: `today - days_back` as dd/MM/yyyy (backend/main.py:430-432)."""
+    return F.date_format(F.date_sub(F.current_date(), days_back), "dd/MM/yyyy")
+
+
+def iso_timestamp(s: Column) -> Column:
+    """F15: tolerant ISO-8601 parse, Z-stripped (backend/main.py:1829-1832)."""
+    return F.try_to_timestamp(F.regexp_replace(s, "Z$", ""))
+
+
+def truncate_status(s: Column, n: int = 699) -> Column:
+    """F16: status text cap (backend/jde_helper.py:1000)."""
+    return F.substring(s, 1, n)
+
+
+def sha256_cache_key(*cols: Column) -> Column:
+    """F17: SHA-256 request-cache key (backend/utility.py:428-494).
+
+    The reference canonicalizes by sorting dict keys; callers must pass
+    columns in a fixed documented order to get the same canonical form.
+    """
+    return F.sha2(F.concat_ws("||", *cols), 256)
+
+
+def surrogate_id(c: Column, modulus: int = 1_000_000) -> Column:
+    """F18: deterministic surrogate id hash (backend/main.py:1995-1997).
+
+    xxhash64 instead of Python ``hash`` — deterministic across runs and
+    executors (the reference's version is not; intentional improvement).
+    """
+    return F.pmod(F.abs(F.xxhash64(c)), F.lit(modulus))
+
+
+def note_transaction_id(text: Column) -> Column:
+    """F20: extract `JDE_Transaction_Id: X` from note text.
+
+    Reference: backend/jde_helper.py:446-451.
+    """
+    return F.regexp_extract(text, "JDE_Transaction_Id:\\s*(\\S+)", 1)
+
+
+def clamp_nonneg(c: Column) -> Column:
+    """F21: max(0, x) clamp (backend/main.py:1775)."""
+    return F.greatest(F.lit(0.0), c)
+
+
+def nan_inf_to_null(c: Column) -> Column:
+    """F22: NaN/±Inf -> NULL cleanup (backend/main.py:313-317)."""
+    return F.when(
+        F.isnan(c) | (c == float("inf")) | (c == float("-inf")), F.lit(None)
+    ).otherwise(c)

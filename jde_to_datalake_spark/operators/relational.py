@@ -1,0 +1,203 @@
+"""Relational operator library — SURVEY.md §2.2-§2.7.
+
+Composable DataFrame -> DataFrame functions. Everything is lazy and
+declarative: Catalyst chooses physical strategies (broadcast vs
+sort-merge, pushdown, pruning) and AQE re-plans at runtime. The
+reference hand-rolls each of these as pandas/dict loops (citations
+inline); none of them needs custom physical code in Spark.
+
+Scale notes per operator are in the docstrings — the design target is
+a 1000-executor cluster over ~100 TB, not the local[32] test harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,9)"  # exact-arithmetic staging type; products stay <= 38 digits
+
+
+def coerce_numeric(df: DataFrame, cols: list[str], typ: str = "double") -> DataFrame:
+    """P1: `pd.to_numeric(errors='coerce')` parity — invalid -> NULL.
+
+    Reference: backend/main.py:196-197. ``try_cast`` keeps the whole
+    projection inside codegen.
+    """
+    return df.withColumns({c: F.col(c).try_cast(typ) for c in cols})
+
+
+def drop_null_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """P2: dropna(subset=keys) (backend/main.py:201)."""
+    return df.na.drop(subset=keys)
+
+
+def sum_by_normalized_key(
+    df: DataFrame, key: Column, qty: Column, key_name: str, out_name: str
+) -> DataFrame:
+    """A2/A3: Σ qty per lower(key), 9-dp exact decimal arithmetic.
+
+    Reference builds a Python dict accumulator (backend/main.py:459-476);
+    here it is a hash aggregate with map-side partial aggregation — the
+    shuffle moves one row per distinct key per task, not the fact table.
+    Decimal staging keeps the sum exact (and thus deterministic across
+    partition orders, which float sums are not).
+    """
+    return df.groupBy(F.lower(key).alias(key_name)).agg(
+        F.sum(qty.cast(DEC)).cast("decimal(38,2)").cast("double").alias(out_name)
+    )
+
+
+def first_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: Column,
+    right_key: Column,
+    order_col: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """J4 + W2: left join taking the *first* right-side match.
+
+    The reference's ``.iloc[0]`` after a name filter
+    (backend/main.py:485-503) is source-order-dependent; we impose a
+    deterministic tie-break (min ``order_col``) via row_number() before
+    the join, as SURVEY §7 requires. The deduped right side is small
+    (one row per key) so AQE typically broadcasts it.
+    """
+    w = Window.partitionBy(F.lower(right_key)).orderBy(F.col(order_col))
+    right_first = (
+        right.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.lower(right_key).alias("__jk"), *right_cols)
+    )
+    return left.join(
+        right_first, F.lower(left_key) == F.col("__jk"), "left"
+    ).drop("__jk")
+
+
+def exists_flag_join(
+    left: DataFrame, right: DataFrame, left_key: Column, right_key: Column,
+    flag_name: str = "exists_in_right",
+) -> DataFrame:
+    """J5: existence map -> boolean flag column.
+
+    Reference probes a dict (backend/main.py:810-819,846-867); here a
+    left join against the distinct key set + isNotNull flag. Pure
+    membership filters should use left_semi/left_anti instead (no
+    payload moves across the shuffle).
+    """
+    keys = right.select(F.lower(right_key).alias("__jk")).distinct()
+    return (
+        left.join(keys, F.lower(left_key) == F.col("__jk"), "left")
+        .withColumn(flag_name, F.col("__jk").isNotNull())
+        .drop("__jk")
+    )
+
+
+def anti_join_ledger(
+    batch: DataFrame, ledger: DataFrame, key: str, status_col: str = "status",
+    done_value: str = "done",
+) -> DataFrame:
+    """J6: drop rows whose idempotency key is already marked done.
+
+    Reference: per-row `SELECT status WHERE unique_transaction_id=%s`
+    (backend/jde_helper.py:857-867) — an N-round-trip probe; here one
+    left_anti join that AQE turns into a broadcast when the done-set is
+    small. MUST run before any side-effecting sink (SURVEY §4).
+    """
+    done = ledger.filter(F.col(status_col) == done_value).select(key)
+    return batch.join(done, key, "left_anti")
+
+
+def argmax_per_group(
+    df: DataFrame, group: Column, order: Column, group_name: str
+) -> DataFrame:
+    """A5/W1: keep the max-`order` row per group, deterministic.
+
+    Reference: client-side loop (ui CompareData.js:26-43). row_number
+    over (group, order desc) — a single shuffle on the group key; at
+    scale prefer this over sort-based top-k since the window frame is
+    row_number-only (no full-frame buffering).
+    """
+    w = Window.partitionBy(group).orderBy(order.desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def conditional_counts(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
+    """A4: matches/mismatches/... counters in ONE pass.
+
+    Reference and UI each re-scan per counter (LiveDataComparison.js:
+    432-456); one aggregate with count_if avoids N scans of 100 TB.
+    """
+    aggs = [F.count(F.lit(1)).alias("total_records")]
+    aggs += [F.count_if(c).alias(name) for name, c in conds.items()]
+    return df.agg(*aggs)
+
+
+def running_inventory_batch(
+    movements: DataFrame,
+    product_key: str,
+    qty: Column,
+    is_usage: Column,
+    clamp: bool = True,
+) -> DataFrame:
+    """A10 (batch form): signed-sum of movements per product, clamped >= 0.
+
+    Reference mutates ``onHand.amount`` row-by-row with a clamp at each
+    step (backend/main.py:1770-1789) — order-dependent. The batch
+    signed-sum below is the associative (scale-friendly) semantics; the
+    faithful order-dependent version lives in streaming/stateful.py.
+    """
+    signed = F.when(is_usage, -qty).otherwise(qty).cast(DEC)
+    out = movements.groupBy(product_key).agg(
+        F.sum(signed).cast("decimal(38,2)").cast("double").alias("on_hand")
+    )
+    if clamp:
+        out = out.withColumn("on_hand", F.greatest(F.lit(0.0), F.col("on_hand")))
+    return out
+
+
+def distinct_keys(df: DataFrame, key: Column, name: str) -> DataFrame:
+    """A11: distinct-set aggregation (backend/bakery_helper.py:430-438)."""
+    return df.select(key.alias(name)).distinct()
+
+
+def dedup_by_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """A12 (read-side): one row per key, deterministic keeper (min order_col).
+
+    ``dropDuplicates`` keeps an arbitrary row; for oracle-comparable
+    results we keep the row_number()==1 row under an explicit ordering.
+    Write-side idempotency (ON CONFLICT upsert) is plans/ledger.py.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def paginate(df: DataFrame, order: list[Column], offset: int, size: int) -> DataFrame:
+    """O6: deterministic OFFSET+LIMIT pagination (backend/main.py:1695-1696).
+
+    Requires a total order (callers must include a unique key in
+    ``order``). Spark >= 3.4 supports offset() natively.
+    """
+    return df.orderBy(*order).offset(offset).limit(size)
+
+
+def collect_group_array(
+    df: DataFrame, group: list[str], item: Column, out_name: str
+) -> DataFrame:
+    """A8: per-group array collect, deterministically sorted.
+
+    Reference appends to a list per product (backend/main.py:1780-1788).
+    ``sort_array(collect_list(...))`` makes the result order-insensitive
+    to partitioning — required both for oracle parity and for stable
+    results under AQE.
+    """
+    return df.groupBy(*group).agg(F.sort_array(F.collect_list(item)).alias(out_name))

@@ -1,0 +1,101 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM); the conf below is chosen so the *same logical plans* scale
+to a 1000-executor cluster:
+
+- AQE on (runtime join selection, skew-join splitting, partition
+  coalescing) so small-SF tests and 100 TB runs share one code path.
+- Broadcast threshold raised: every dimension table in the model
+  (region/nation/supplier/part, UoM conversion dim) is far below it,
+  so star joins never shuffle the fact side.
+- ``spark.sql.shuffle.partitions`` sized from env; at cluster scale
+  AQE coalesces, locally we keep it near core count.
+- Arrow enabled for the few pandas-UDF extension operators (text/vector
+  ops) — everything relational stays JVM-side in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "jde_to_datalake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # deterministic parquet reads regardless of file count
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # match DuckDB/pandas naive-timestamp semantics for parity
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); read as long, convert below
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one testdata table, normalizing nano-timestamps to NTZ.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark has no native
+    type for; with ``nanosAsLong`` it arrives as bigint nanoseconds and
+    is converted here (integer div — no double round-trip) to
+    timestamp_ntz, matching DuckDB/pandas naive semantics.
+    """
+    from pyspark.sql import functions as F
+
+    try:  # driver-owned sessions may not have the conf yet
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register each parquet table under ``sf_dir`` as a temp view and
+    return a dict of DataFrames.
+
+    Mirrors the reference's ``read_table`` scan (SURVEY S1,
+    backend/main.py:116-126) but lazily: nothing is fetched until an
+    action; Catalyst pushes filters/projections into the parquet scan.
+    """
+    from jde_to_datalake_spark import TABLES
+
+    out = {}
+    for name in names or TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
