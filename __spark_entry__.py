@@ -722,6 +722,71 @@ FROM orders WHERE o_orderkey < 1000
 """
 
 
+def q_action_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2+R4+J9+F7+F9+P9: nested action documents round-trip.
+
+    Builds 4-level-nested bakery action docs from orders+lineitem
+    (struct/array/map packing — R4), then flattens them back with the
+    explode-chain + intra-document join (R2). The oracle computes the
+    expected flat rows directly from the base tables, so the whole
+    nested construction AND deconstruction is value-checked.
+    """
+    from jde_to_datalake_spark.operators.flatten import (
+        flatten_actions,
+        synthesize_actions,
+    )
+
+    actions = synthesize_actions(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return flatten_actions(actions)
+
+
+ORACLE_ACTION_FLATTEN = """
+WITH li AS (
+  SELECT l_orderkey,
+    'ing_' || CAST(l_partkey AS VARCHAR) AS ingredient_id,
+    'item_' || CAST(l_partkey AS VARCHAR) AS product_name,
+    'kg' AS addition_unit,
+    'b_' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS batch_id,
+    'item_' || CAST(l_partkey AS VARCHAR) || '_LOT' || CAST(l_linenumber % 3 AS VARCHAR) AS batch_number,
+    l_quantity < 5 AS depleted,
+    'LOT' || CAST(l_suppkey % 3 AS VARCHAR) AS lot_code,
+    'V' || CAST(l_suppkey % 10 AS VARCHAR) AS vessel_code,
+    l_quantity AS qty
+  FROM lineitem
+), acts AS (
+  SELECT o_orderkey, 'act_' || CAST(o_orderkey AS VARCHAR) AS action_id,
+         o_orderdate AS effective_at
+  FROM orders WHERE o_orderkey % 3 <> 0
+), adds AS (
+  SELECT l_orderkey, lot_code, vessel_code, ingredient_id, SUM(qty) AS quantity
+  FROM li GROUP BY 1,2,3,4
+), batches AS (
+  -- no DISTINCT: the reference appends one batch entry per record, so
+  -- duplicate (orderkey, linenumber) rows legitimately repeat
+  SELECT l_orderkey, ingredient_id, product_name, addition_unit,
+         batch_id, batch_number, depleted
+  FROM li
+)
+SELECT a.action_id, a.effective_at, b.ingredient_id, b.product_name,
+       b.addition_unit, ad.lot_code, 'fermentation' AS stage, ad.vessel_code,
+       ad.quantity, b.batch_id, b.batch_number,
+       substr(b.batch_number, length(b.product_name) + 2) AS lot_number,
+       b.depleted,
+       concat_ws('_', b.product_name,
+                 substr(b.batch_number, length(b.product_name) + 2),
+                 ad.vessel_code,
+                 regexp_replace(regexp_replace(
+                   CAST(CAST(ad.quantity AS DECIMAL(38,9)) AS VARCHAR),
+                   '0+$', ''), '\\.$', '')) AS unique_transaction_id
+FROM acts a
+JOIN adds ad ON ad.l_orderkey = a.o_orderkey
+JOIN batches b ON b.l_orderkey = a.o_orderkey AND b.ingredient_id = ad.ingredient_id
+WHERE ad.quantity IS NOT NULL AND ad.quantity <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -748,6 +813,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setops_union": q_setops_union,
     "setops_except": q_setops_except,
     "expand_json": q_expand_json,
+    "action_flatten": q_action_flatten,
     "unit_conversion": q_unit_conversion,
     "transaction_ids": q_transaction_ids,
     "sha256_keys": q_sha256_keys,
@@ -775,6 +841,7 @@ _ORACLES: dict[str, str] = {
     "setops_union": ORACLE_UNION,
     "setops_except": ORACLE_EXCEPT,
     "expand_json": ORACLE_EXPAND_JSON,
+    "action_flatten": ORACLE_ACTION_FLATTEN,
     "unit_conversion": ORACLE_UNIT_CONV,
     "transaction_ids": ORACLE_TXN_IDS,
     "sha256_keys": ORACLE_SHA,
@@ -787,8 +854,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    from jde_to_datalake_spark.registry import llm_ops
+
+    out = dict(_QUERIES)
+    out.update(llm_ops.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    from jde_to_datalake_spark.registry import llm_ops
+
+    out = dict(_ORACLES)
+    out.update(llm_ops.ORACLES)
+    return out

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Timing methodology: each query is materialized with the `noop` sink
+(full distributed execution, no driver collect) — measures the plan,
+not the Arrow transfer. A small warmup query first to exclude one-time
+JVM/codegen startup from per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jde_to_datalake_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as E  # noqa: E402
+
+# Headline set: the flagship reconciliation + the heaviest operator
+# classes (agg, join, window, flatten, dedup, similarity, text).
+HEADLINE = [
+    "pivot_report",
+    "live_comparison",
+    "pricing_summary",
+    "window_suite",
+    "collect_group_array",
+    "transaction_ids",
+    "expand_json",
+    "running_inventory",
+]
+# extension operators are appended dynamically when present
+for _name in (
+    "action_flatten",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_topk",
+):
+    HEADLINE.append(_name)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+
+    spark = get_spark("bench")
+    qs = E.queries()
+
+    # warmup: touch the JVM + parquet footer paths once
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Nested/JSON restructuring operators — SURVEY.md §2.8 (R1-R5).
+
+The reference's most distinctive computation is the 4-level "action
+document" flatten (backend/bakery_helper.py:379-570 and
+dags/dag_bakery_system_to_jde.py:122-207):
+
+    actions -> filter actionType=='ADDITION'
+            -> explode actionData.ingredients[].batches[]
+            -> explode actionData.lots[].vessels[].additions{map}
+            -> join additions x batches on (action_id, ingredient_id)
+            -> unique_transaction_id / lot extraction / zero-skip
+
+Here it is a pure explode-chain + one equi-join: no UDFs, no driver
+loops. ``synthesize_actions`` builds the same nested shape from the
+flat testdata tables (struct/array/map construction, R4's inverse
+packing), so flatten(synthesize(x)) is oracle-checkable against SQL
+computed directly on the flat inputs.
+
+Scale: each groupBy level shuffles on the same leading key
+(order/action id), so Catalyst reuses one exchange; the final
+intra-document join is keyed on (action_id, ingredient_id) — skew-safe
+because documents are bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.functions.scalars import (
+    lot_from_batch_number,
+    unique_transaction_id,
+)
+
+
+def expand_json_columns(
+    df: DataFrame, cols: dict[str, object], drop: bool = True
+) -> DataFrame:
+    """R1: generic `expand_json_columns` (backend/main.py:128-150).
+
+    For each (column -> StructType schema): parse the JSON text and
+    project nested fields as `{col}_{field}` top-level columns —
+    `pd.json_normalize` parity, but lazy/columnar via ``from_json``.
+    """
+    out = df
+    for c, schema in cols.items():
+        parsed = F.from_json(F.col(c), schema)
+        tmp = f"__{c}_parsed"
+        out = out.withColumn(tmp, parsed)
+        for field in schema.fieldNames():  # type: ignore[attr-defined]
+            out = out.withColumn(f"{c}_{field}", F.col(f"{tmp}.{field}"))
+        out = out.drop(tmp)
+        if drop:
+            out = out.drop(c)
+    return out
+
+
+def synthesize_actions(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Build nested bakery-action documents from flat testdata (R4 packing).
+
+    One action per order; ingredients keyed by part; batches per
+    lineitem; lots/vessels derived from supplier keys; additions as a
+    map ingredient_id -> Σ quantity. Shape mirrors
+    backend/bakery_helper.py:453-563 / README.org:624-657.
+    """
+    li = lineitem.select(
+        "l_orderkey",
+        F.concat(F.lit("ing_"), F.col("l_partkey").cast("string")).alias("ingredient_id"),
+        F.concat(F.lit("item_"), F.col("l_partkey").cast("string")).alias("product_name"),
+        F.lit("kg").alias("addition_unit"),
+        F.concat(
+            F.lit("b_"), F.col("l_orderkey").cast("string"),
+            F.lit("_"), F.col("l_linenumber").cast("string"),
+        ).alias("batch_id"),
+        F.concat(
+            F.lit("item_"), F.col("l_partkey").cast("string"),
+            F.lit("_LOT"), (F.col("l_linenumber") % 3).cast("string"),
+        ).alias("batch_number"),
+        (F.col("l_quantity") < 5).alias("depleted"),
+        F.concat(F.lit("LOT"), (F.col("l_suppkey") % 3).cast("string")).alias("lot_code"),
+        F.concat(F.lit("V"), (F.col("l_suppkey") % 10).cast("string")).alias("vessel_code"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+    # ingredients[].batches[]
+    ingredients = (
+        li.groupBy("l_orderkey", "ingredient_id", "product_name", "addition_unit")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.struct(
+                            F.col("batch_id").alias("_id"),
+                            F.col("batch_number").alias("batchNumber"),
+                            F.col("depleted").alias("depleted"),
+                        ).alias("batch")
+                    )
+                )
+            ).alias("batches")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.struct(
+                            F.col("ingredient_id").alias("_id"),
+                            F.col("product_name").alias("productName"),
+                            F.col("addition_unit").alias("additionUnit"),
+                        ).alias("Ingredient"),
+                        F.col("batches").alias("batches"),
+                    )
+                )
+            ).alias("ingredients")
+        )
+    )
+
+    # lots[].vessels[].additions{ingredient_id -> qty}
+    additions = (
+        li.groupBy("l_orderkey", "lot_code", "vessel_code", "ingredient_id")
+        .agg(F.sum("qty").alias("qty"))
+    )
+    vessels = (
+        additions.groupBy("l_orderkey", "lot_code", "vessel_code")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("ingredient_id"), F.col("qty")))
+            ).alias("additions")
+        )
+    )
+    lots = (
+        vessels.groupBy("l_orderkey", "lot_code")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("vessel_code").alias("vesselCode"), F.col("additions"))
+            ).alias("vessels")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("lot_code").alias("lotCode"),
+                    F.lit("fermentation").alias("stage"),
+                    F.col("vessels").alias("vessels"),
+                )
+            ).alias("lots")
+        )
+    )
+
+    return (
+        orders.select(
+            F.concat(F.lit("act_"), F.col("o_orderkey").cast("string")).alias("_id"),
+            F.when(F.col("o_orderkey") % 3 != 0, F.lit("ADDITION"))
+            .otherwise(F.lit("TRANSFER")).alias("actionType"),
+            F.col("o_orderdate").alias("effectiveAt"),
+            F.col("o_orderkey"),
+        )
+        .join(ingredients, F.col("o_orderkey") == ingredients.l_orderkey, "inner")
+        .drop(ingredients.l_orderkey)
+        .join(lots, F.col("o_orderkey") == lots.l_orderkey, "inner")
+        .drop(lots.l_orderkey)
+        .select(
+            "_id", "actionType", "effectiveAt",
+            F.struct(F.col("ingredients"), F.col("lots")).alias("actionData"),
+        )
+    )
+
+
+def flatten_actions(actions: DataFrame) -> DataFrame:
+    """R2: the 4-level unnest + intra-document join (J9) + F7/F9/P9.
+
+    Emits one row per (action, ingredient, vessel-addition, batch) —
+    the exact output contract of the reference's streamlined parse
+    (backend/bakery_helper.py:379-570).
+    """
+    additions_side = (
+        actions.filter(F.col("actionType") == "ADDITION")
+        .select(
+            F.col("_id").alias("action_id"),
+            F.col("effectiveAt").alias("effective_at"),
+            F.explode("actionData.lots").alias("lot"),
+        )
+        .select(
+            "action_id", "effective_at",
+            F.col("lot.lotCode").alias("lot_code"),
+            F.col("lot.stage").alias("stage"),
+            F.explode("lot.vessels").alias("vessel"),
+        )
+        .select(
+            "action_id", "effective_at", "lot_code", "stage",
+            F.col("vessel.vesselCode").alias("vessel_code"),
+            F.explode("vessel.additions").alias("ingredient_id", "quantity"),
+        )
+    )
+
+    batches_side = (
+        actions.filter(F.col("actionType") == "ADDITION")
+        .select(F.col("_id").alias("action_id"), F.explode("actionData.ingredients").alias("ing"))
+        .select(
+            "action_id",
+            F.col("ing.Ingredient._id").alias("ingredient_id"),
+            F.col("ing.Ingredient.productName").alias("product_name"),
+            F.col("ing.Ingredient.additionUnit").alias("addition_unit"),
+            F.explode("ing.batches").alias("b"),
+        )
+        .select(
+            "action_id", "ingredient_id", "product_name", "addition_unit",
+            F.col("b.batch._id").alias("batch_id"),
+            F.col("b.batch.batchNumber").alias("batch_number"),
+            F.col("b.batch.depleted").alias("depleted"),
+        )
+    )
+
+    joined = additions_side.join(
+        batches_side, ["action_id", "ingredient_id"], "inner"
+    ).filter(F.col("quantity").isNotNull() & (F.col("quantity") != 0))  # P9 zero-skip
+
+    lot_number = lot_from_batch_number(F.col("batch_number"), F.col("product_name"))
+    return joined.select(
+        "action_id", "effective_at", "ingredient_id", "product_name",
+        "addition_unit", "lot_code", "stage", "vessel_code", "quantity",
+        "batch_id", "batch_number",
+        lot_number.alias("lot_number"),
+        "depleted",
+        unique_transaction_id(
+            F.col("product_name"), lot_number, F.col("vessel_code"), F.col("quantity")
+        ).alias("unique_transaction_id"),
+    )

@@ -1,0 +1,359 @@
+"""Query registry: LLM-training-data pipeline operators.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding
+similarity (brute-force + LSH-bucketed ANN), and text analysis
+(quality, lang-ID, tokens, fingerprints) over the `documents` and
+`embeddings` tables — the beyond-reference tier required by
+BASELINE.json's north star. Every query has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.functions import text as T
+from jde_to_datalake_spark.operators import dedup as D
+from jde_to_datalake_spark.operators import similarity as SIM
+from jde_to_datalake_spark.session import load_table
+
+# shared SQL fragments -------------------------------------------------------
+
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_SQL_SHINGLES = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+_SQL_JACCARD_FROM_SH = """
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM shr a JOIN shr b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, n_common,
+         n_common / (sa.sz + sb.sz - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+"""
+
+
+# text analysis --------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+        T.avg_token_len(t).alias("avg_token_len"),
+        T.stopword_ratio(t).alias("stop_ratio"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.quality_score(t).alias("quality_score"),
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+    list_sum(list_transform(toks, x -> length(x))) / len(toks) AS avg_token_len,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+      / len(toks) AS stop_ratio,
+    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+      / length(text) AS punct_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, punct_ratio,
+  least(1.0, n_tokens / 100.0) * 0.4 + (1.0 - stop_ratio) * 0.3
+    + least(1.0, avg_token_len / 8.0) * 0.3 AS quality_score
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = T.lang_scores(t)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+        T.lang_guess(t).alias("lang_guess"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, markers in T.LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        parts.append(
+            f"len(list_filter(toks, x -> x IN ({inlist}))) AS score_{lang}"
+        )
+    return ",\n    ".join(parts)
+
+
+ORACLE_LANG_ID = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    {_lang_scores_sql()}
+  FROM t
+)
+SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+  CASE
+    WHEN score_en > 0 AND score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+    WHEN score_es > 0 AND score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+    WHEN score_fr > 0 AND score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+    WHEN score_de > 0 AND score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
+    ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# dedup ----------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2, max_df=1000
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+{_SQL_JACCARD_FROM_SH}
+SELECT id_a, id_b, n_common, jaccard FROM jac WHERE jaccard >= 0.2
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.minhash_signatures(load_table(spark, sf_dir, "documents"), num_hashes=8)
+    return sig.withColumn("hash_idx", F.col("hash_idx").cast("bigint"))
+
+
+ORACLE_MINHASH_SIG = f"""
+WITH {_SQL_SHINGLES},
+hashed AS (
+  SELECT doc_id, i AS hash_idx,
+         md5(CAST(i AS VARCHAR) || '|' || shingle) AS h
+  FROM sh, UNNEST(generate_series(0, 7)) AS g(i)
+)
+SELECT doc_id, hash_idx, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8, band_size=2, n=3, threshold=0.2,
+    )
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_SQL_SHINGLES},
+hashed AS (
+  SELECT doc_id, i AS hash_idx,
+         md5(CAST(i AS VARCHAR) || '|' || shingle) AS h
+  FROM sh, UNNEST(generate_series(0, 7)) AS g(i)
+),
+sig AS (SELECT doc_id, hash_idx, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, hash_idx // 2 AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+  FROM sig GROUP BY doc_id, hash_idx // 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+shr AS (SELECT doc_id, shingle FROM sh),
+{_SQL_JACCARD_FROM_SH}
+SELECT c.id_a, c.id_b, j.jaccard
+FROM candidates c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok
+),
+v AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+"""
+
+
+# similarity -----------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+_SQL_ELEMS = """
+elem AS (
+  SELECT vec_id, i,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+norms AS (
+  SELECT vec_id, SUM(CAST(x * x AS DECIMAL(38,18))) AS n2
+  FROM elem GROUP BY vec_id
+)
+"""
+
+ORACLE_ANN_TOPK = f"""
+WITH {_SQL_ELEMS},
+q AS (SELECT * FROM elem WHERE vec_id < 5),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         SUM(CAST(q.x * c.x AS DECIMAL(38,18))) AS dot
+  FROM q JOIN elem c ON q.i = c.i AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, candidate_id,
+         CAST(round(dot, 9) AS DOUBLE)
+           / sqrt(CAST(round(nq.n2, 9) AS DOUBLE))
+           / sqrt(CAST(round(nc.n2, 9) AS DOUBLE)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = candidate_id
+)
+SELECT query_id, candidate_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 20), k=5, n_bits=4)
+
+
+ORACLE_ANN_LSH = f"""
+WITH {_SQL_ELEMS},
+buckets AS (
+  SELECT vec_id,
+    (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 20),
+c AS (SELECT vec_id AS candidate_id, bucket FROM buckets),
+pairs AS (
+  SELECT q.query_id, q.bucket, c.candidate_id
+  FROM q JOIN c USING (bucket) WHERE c.candidate_id <> q.query_id
+),
+dots AS (
+  SELECT p.query_id, p.bucket, p.candidate_id,
+         SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS dot
+  FROM pairs p
+  JOIN elem a ON a.vec_id = p.query_id
+  JOIN elem b ON b.vec_id = p.candidate_id AND b.i = a.i
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT query_id, bucket, candidate_id,
+         CAST(round(dot, 9) AS DOUBLE)
+           / sqrt(CAST(round(nq.n2, 9) AS DOUBLE))
+           / sqrt(CAST(round(nc.n2, 9) AS DOUBLE)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = candidate_id
+)
+SELECT query_id, bucket, candidate_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES = {
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+}
+
+ORACLES = {
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_sig": ORACLE_MINHASH_SIG,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": _simhash_oracle(),
+    "ann_topk": ORACLE_ANN_TOPK,
+    "ann_lsh_bucketed": ORACLE_ANN_LSH,
+}
