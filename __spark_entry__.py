@@ -854,16 +854,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from jde_to_datalake_spark.registry import llm_ops
+    from jde_to_datalake_spark.registry import llm_ops, windows
 
     out = dict(_QUERIES)
     out.update(llm_ops.QUERIES)
+    out.update(windows.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from jde_to_datalake_spark.registry import llm_ops
+    from jde_to_datalake_spark.registry import llm_ops, windows
 
     out = dict(_ORACLES)
     out.update(llm_ops.ORACLES)
+    out.update(windows.ORACLES)
     return out

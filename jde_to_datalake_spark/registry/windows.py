@@ -1,0 +1,132 @@
+"""Query registry: event-time window aggregations (SURVEY §2.10).
+
+The reference has no event-time windows (T1-T6 are poll-loop
+micro-batches); these cover the streaming checklist on the `events`
+table using Spark's window()/session_window() built-ins — the same
+expressions run unchanged under readStream with a watermark (see
+streaming/pipelines.py).
+
+Oracles: tumbling = date_trunc; sliding = union of shifted tumbling
+buckets; session = gaps-and-islands (lag + cumulative boundary sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.session import load_table
+
+DEC = "decimal(18,9)"
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+ORACLE_SLIDING = """
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) - k * (INTERVAL 1 HOUR) AS window_start, value
+  FROM events, UNNEST([0, 1]) AS t(k)
+)
+SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+ORACLE_SESSION = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS boundary
+  FROM ordered
+),
+sessions AS (
+  SELECT *, SUM(boundary) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
+}
+
+ORACLES = {
+    "tumbling_window": ORACLE_TUMBLING,
+    "sliding_window": ORACLE_SLIDING,
+    "session_window": ORACLE_SESSION,
+}

@@ -1,0 +1,123 @@
+"""Structured Streaming pipelines — SURVEY.md §2.10 (T1-T6).
+
+The reference's Airflow DAGs poll every 5/10/30 min with a
+``days_back`` re-scan window and rely on an ON CONFLICT ledger for
+idempotency (T1-T3). Here each pattern is the canonical Spark
+construct:
+
+- T1 poll micro-batch  -> ``trigger(availableNow=True)`` per run (or
+  ``processingTime`` for a resident stream)
+- T2 lookback + dedup  -> ``withWatermark`` + ``dropDuplicates`` on
+  the idempotency key
+- T3 at-least-once + idempotent sink -> ``foreachBatch`` + ledger
+  MERGE (plans/ledger.py) — the exactly-once-effective sink
+- T6 backpressure      -> ``maxFilesPerTrigger`` source option
+
+At scale: state size for dropDuplicates is bounded by the watermark
+horizon; the ledger MERGE joins only the micro-batch against the
+ledger (broadcast when the batch is small).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_event_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based micro-batch source (the lake landing zone pattern).
+
+    Mirrors the reference's 'fetch since days_back' REST poll
+    (dag_bakery_system_to_jde.py:107-109): new files appearing under
+    ``directory`` are the incremental slices.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def with_late_data_dedup(
+    stream: DataFrame,
+    event_time_col: str,
+    key_cols: list[str],
+    watermark: str = "5 days",
+) -> DataFrame:
+    """T2: lookback-window reprocessing made idempotent.
+
+    The reference re-reads up to 5 days and dedups via the unique
+    transaction id (main.py:423-432 + A12); the streaming-native form
+    is a watermark bounding state + dropDuplicates on the key.
+    """
+    # watermarks require TIMESTAMP (with zone); NTZ event times are cast
+    # (session tz is UTC, so the wall clock is unchanged)
+    stream = stream.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    return stream.withWatermark(event_time_col, watermark).dropDuplicates(
+        key_cols + [event_time_col]
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    event_time_col: str = "ts",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (same expression as the
+    batch query registry.windows.q_tumbling_window — one code path)."""
+    stream = stream.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_len).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,9)"))
+            .cast("decimal(38,2)").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def run_available_now_to_memory(
+    stream: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain all available input in one run (T1's per-DAG-run analog)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_available_now(
+    stream: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """T3: the idempotent side-effecting sink harness.
+
+    ``batch_fn`` must (1) anti-join the ledger, (2) perform the side
+    effect, (3) MERGE results back — in that order, inside the batch
+    (outside Catalyst's reach, per SURVEY §4 side-effect ordering).
+    """
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

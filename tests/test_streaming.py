@@ -1,0 +1,159 @@
+"""Streaming (T1-T3), stateful A10, and window pipelines."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.session import load_table
+from jde_to_datalake_spark.streaming import pipelines as P
+from jde_to_datalake_spark.streaming.stateful import running_inventory_ordered
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Stage events as a streaming source directory (2 files = 2 slices)."""
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_stream")
+    ev.repartition(2).write.parquet(out)
+    return out, ev
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir):
+    """One code path: the streamed tumbling agg == the batch result."""
+    directory, ev = events_dir
+    schema = ev.schema
+    stream = P.read_event_stream(spark, directory, schema)
+    assert stream.isStreaming
+    agg = P.windowed_counts(stream)
+    P.run_available_now_to_memory(agg, "win_counts", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    exp_df = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,9)"))
+            .cast("decimal(38,2)").cast("double").alias("s"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    exp = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in exp_df.collect()}
+    assert got == exp
+
+
+def test_watermark_dedup_drops_duplicates(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    doubled = ev.union(ev)  # simulate lookback re-scan (T2)
+    src = str(tmp_path / "dup_events")
+    doubled.write.parquet(src)
+    stream = P.read_event_stream(spark, src, ev.schema)
+    deduped = P.with_late_data_dedup(stream, "ts", ["event_id"])
+    P.run_available_now_to_memory(deduped, "dedup_out")
+    assert spark.table("dedup_out").count() == ev.count()
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """T3: dedup-probe -> side effect -> ledger MERGE, replay-safe."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    ev = load_table(spark, SF_DIR, "events").limit(100).select(
+        F.concat(F.lit("utid_"), F.col("event_id").cast("string"))
+        .alias("unique_transaction_id"),
+        "value", "ts",
+    )
+    src = str(tmp_path / "sink_events")
+    ev.write.parquet(src)
+    ledger = IdempotencyLedger(str(tmp_path / "ledger"))
+    sent: list[int] = []
+
+    def batch_fn(batch_df, batch_id):
+        pending = ledger.pending_only(batch_df.sparkSession, batch_df)
+        n = pending.count()
+        sent.append(n)  # the "POST" side effect
+        ledger.mark_done(batch_df.sparkSession, pending)
+
+    stream = P.read_event_stream(spark, src, ev.schema)
+    P.run_foreach_batch_available_now(stream, batch_fn, str(tmp_path / "cp1"))
+    assert sum(sent) == 100
+
+    # replay the same data with a fresh checkpoint: ledger absorbs it
+    stream2 = P.read_event_stream(spark, src, ev.schema)
+    P.run_foreach_batch_available_now(stream2, batch_fn, str(tmp_path / "cp2"))
+    assert sum(sent) == 100  # nothing re-sent
+    done = ledger.load(spark).filter(F.col("status") == "done").count()
+    assert done == 100
+
+
+def test_running_inventory_ordered_clamp(spark):
+    """Order-dependent clamp != batch signed-sum when balance dips < 0."""
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "click", 10.0),   # -10 -> clamp 0
+        (1, 2, "2024-01-01 00:01:00", "purchase", 5.0),  # +5 -> 5
+        (2, 3, "2024-01-01 00:00:00", "purchase", 7.0),  # +7
+        (2, 4, "2024-01-01 00:01:00", "click", 3.0),     # -3 -> 4
+    ]
+    df = spark.createDataFrame(
+        rows, "product_id long, event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["product_id"]: r["on_hand"]
+        for r in running_inventory_ordered(df).collect()
+    }
+    assert got == {1: 5.0, 2: 4.0}
+    # batch signed-sum would say product 1 == max(0, -5) = 0 at the END
+    # only; the ordered fold clamps at each step -> 5.0. Assert they
+    # really differ on this input:
+    from jde_to_datalake_spark.operators.relational import running_inventory_batch
+
+    batch = {
+        r["product_id"]: r["on_hand"]
+        for r in running_inventory_batch(
+            df, "product_id", F.col("value"),
+            F.col("event_type").isin("click", "view"),
+        ).collect()
+    }
+    assert batch[1] == 0.0 and got[1] == 5.0
+
+
+def test_running_inventory_stream_matches_ordered(spark, tmp_path):
+    """Stream (applyInPandasWithState) == batch ordered fold on one batch."""
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .limit(500)
+        .select(
+            F.col("user_id").alias("product_id"),
+            F.col("event_id").alias("__id"),
+            F.col("ts").alias("__ts"),
+            F.when(
+                F.col("event_type").isin("click", "view"), -F.col("value")
+            ).otherwise(F.col("value")).alias("__signed"),
+            "event_type", "value", "event_id", "ts",
+        )
+    )
+    src = str(tmp_path / "inv_events")
+    ev.write.parquet(src)
+
+    from jde_to_datalake_spark.streaming.stateful import running_inventory_stream
+
+    stream = P.read_event_stream(spark, src, ev.schema)
+    out = running_inventory_stream(
+        stream.select("product_id", "__ts", "__id", "__signed")
+    )
+    P.run_available_now_to_memory(out, "inv_stream", output_mode="update")
+    got = {
+        r["product_id"]: (r["on_hand"], r["n_movements"])
+        for r in spark.table("inv_stream").collect()
+    }
+    exp = {
+        r["product_id"]: (r["on_hand"], r["n_movements"])
+        for r in running_inventory_ordered(
+            ev, "product_id", "ts", "event_id", "value"
+        ).collect()
+    }
+    assert got == exp
