@@ -160,6 +160,7 @@ def minhash_lsh_pairs(
     |docs|^2), then candidates are verified with exact n-gram Jaccard
     and filtered by ``threshold``.
     """
+    sh = shingles(docs, n, text_col, id_col)
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
     # integer division (not cast-of-float-division: engines round casts
     # differently; `div` truncates identically everywhere)
@@ -175,11 +176,39 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = ngram_jaccard_pairs(
-        docs, n=n, threshold=threshold, max_df=1_000_000, text_col=text_col, id_col=id_col
+    # Exact-Jaccard verification on CANDIDATES ONLY — the whole point of
+    # LSH. Shingle sets are collected per doc once; each candidate pair
+    # probes two rows and intersects two bounded arrays. Work is
+    # O(docs x k) + O(candidates), never all-pairs: at 100 TB the
+    # all-pairs shingle self-join this replaces would be the bottleneck.
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count(F.lit(1)).alias("sz"),
     )
-    return candidates.join(verified, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
+    return (
+        candidates.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("sh_set").alias("sh_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("sh_set").alias("sh_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

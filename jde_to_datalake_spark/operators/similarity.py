@@ -60,22 +60,26 @@ def cosine_topk(
     shuffle is the per-query top-k, keyed by query id (bounded
     cardinality, no skew).
     """
+    # norms are per-row, not per-pair: compute each side's ||v|| once
+    # before the join (N + M norm evaluations instead of N*M*2).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(_dec_to_double(_norm2_dec(F.col(vec_col)))).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(_dec_to_double(_norm2_dec(F.col(vec_col)))).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            (
-                _dec_to_double(_dot_dec(F.col("q_vec"), F.col("c_vec")))
-                / F.sqrt(_dec_to_double(_norm2_dec(F.col("q_vec"))))
-                / F.sqrt(_dec_to_double(_norm2_dec(F.col("c_vec"))))
-            ),
+            _dec_to_double(_dot_dec(F.col("q_vec"), F.col("c_vec")))
+            / F.col("q_norm")
+            / F.col("c_norm"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -117,22 +121,22 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        F.sqrt(_dec_to_double(_norm2_dec(F.col(vec_col)))).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        F.sqrt(_dec_to_double(_norm2_dec(F.col(vec_col)))).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            (
-                _dec_to_double(_dot_dec(F.col("q_vec"), F.col("c_vec")))
-                / F.sqrt(_dec_to_double(_norm2_dec(F.col("q_vec"))))
-                / F.sqrt(_dec_to_double(_norm2_dec(F.col("c_vec"))))
-            ),
+            _dec_to_double(_dot_dec(F.col("q_vec"), F.col("c_vec")))
+            / F.col("q_norm")
+            / F.col("c_norm"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
