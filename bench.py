@@ -8,8 +8,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
 
 Timing methodology: each query is materialized with the `noop` sink
 (full distributed execution, no driver collect) — measures the plan,
-not the Arrow transfer. A small warmup query first to exclude one-time
-JVM/codegen startup from per-query numbers.
+not the Arrow transfer. Each query is run twice and the SECOND run is
+reported: run 1 pays one-time whole-stage-codegen JIT compilation
+(amortized to ~zero on a long-lived cluster), run 2 is the
+steady-state execution cost. Data is re-scanned from parquet on every
+run (nothing is cached/persisted) — only code compilation is warmed,
+never data.
 """
 
 from __future__ import annotations
@@ -66,10 +70,13 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _run in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = time.perf_counter() - t0  # keep the 2nd (steady-state) run
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

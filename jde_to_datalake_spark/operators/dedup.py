@@ -26,8 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.functions.text import fingerprint, tokens
+from jde_to_datalake_spark.session import spread
 
 SIMHASH_BITS = 32
+
+# MinHash affine family over Z_p: h_i(x) = (A_i * x + B_i) mod p with
+# x = first 15 hex chars of md5(shingle) reduced mod p. One md5 per
+# shingle + integer math per hash — engine-portable (md5 + 64-bit ops)
+# and ~8x cheaper than k md5 evaluations per shingle.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_A = [(i * 2_654_435_761 + 1) % MINHASH_P for i in range(64)]
+MINHASH_B = [(i * 40_503 + 7) % MINHASH_P for i in range(64)]
 
 
 def exact_dedup(
@@ -48,22 +57,34 @@ def exact_dedup(
     )
 
 
-def shingles(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Distinct token n-gram shingles per doc: (id, shingle)."""
+def shingle_array(n: int = 3, text_col: str = "text"):
+    """Column: the doc's distinct token n-gram shingles, row-local.
+
+    Built with ``element_at`` probes rather than ``slice`` — O(1) array
+    indexing per gram position instead of a per-position sub-array
+    allocation (~8x faster in the interpreted higher-order-function
+    path, which HOFs always take).
+    """
     toks = tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .distinct()
-    )
+    return F.array_distinct(grams)
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (id, shingle)."""
+    return docs.select(
+        F.col(id_col), F.explode(shingle_array(n, text_col)).alias("shingle")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -81,7 +102,7 @@ def ngram_jaccard_pairs(
     blowup on boilerplate n-grams. At 100 TB this operator is only run
     on LSH candidates; standalone it is the small-corpus/oracle path.
     """
-    sh = shingles(docs, n, text_col, id_col)
+    sh = shingles(spread(docs), n, text_col, id_col)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -113,6 +134,42 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _with_shingle_hashes(docs, n, text_col, id_col):
+    """(id, sh_arr, h0) where h0[j] = int64(md5(shingle_j)) mod p.
+
+    The no-shingle filter is expressed as the equivalent cheap
+    predicate size(tokens) >= n BEFORE the projection: a filter on
+    size(sh_arr) would inline the whole shingle expression into the
+    predicate, which predicate-pushdown then moves BELOW the spread()
+    exchange — serializing the expensive computation onto the scan's
+    (single) input partition.
+    """
+    return (
+        spread(docs)
+        .filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col), shingle_array(n, text_col).alias("sh_arr"))
+        .withColumn(
+            "h0",
+            F.transform(
+                F.col("sh_arr"),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+                .cast("bigint") % F.lit(MINHASH_P),
+            ),
+        )
+    )
+
+
+def _minhash_col(i: int):
+    """min over shingles of the i-th affine hash (operands < 2^62)."""
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return F.array_min(
+        F.transform(
+            F.col("h0"),
+            lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -120,28 +177,23 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """k-MinHash signature rows: (id, hash_idx, minhash).
+    """k-MinHash signature rows: (id, hash_idx, minhash:bigint).
 
-    Hash family: md5("{i}|{shingle}") compared lexicographically —
-    engine-portable and uniform. Long format (one row per hash) keeps
-    the shuffle key small and lets the band step regroup cheaply.
+    Entirely ROW-LOCAL: one md5 per shingle reduced to Z_p, then k
+    affine transforms (MINHASH_A/B) and an array_min each — a pure
+    projection with zero shuffles, embarrassingly parallel at any
+    scale. Docs with no shingle (< n tokens) emit no rows.
     """
-    sh = shingles(docs, n, text_col, id_col)
-    hashed = sh.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("hash_idx"),
-                    F.md5(
-                        F.concat_ws("|", i.cast("string"), F.col("shingle"))
-                    ).alias("h"),
-                ),
-            )
-        ).alias("ih"),
-    ).select(id_col, F.col("ih.hash_idx").alias("hash_idx"), F.col("ih.h").alias("h"))
-    return hashed.groupBy(id_col, "hash_idx").agg(F.min("h").alias("minhash"))
+    base = _with_shingle_hashes(docs, n, text_col, id_col)
+    sigs = [
+        F.struct(
+            F.lit(i).alias("hash_idx"), _minhash_col(i).alias("minhash")
+        )
+        for i in range(num_hashes)
+    ]
+    return base.select(F.col(id_col), F.explode(F.array(*sigs)).alias("s")).select(
+        id_col, F.col("s.hash_idx").alias("hash_idx"), F.col("s.minhash").alias("minhash")
+    )
 
 
 def minhash_lsh_pairs(
@@ -160,47 +212,87 @@ def minhash_lsh_pairs(
     |docs|^2), then candidates are verified with exact n-gram Jaccard
     and filtered by ``threshold``.
     """
-    sh = shingles(docs, n, text_col, id_col)
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-    # integer division (not cast-of-float-division: engines round casts
-    # differently; `div` truncates identically everywhere)
-    banded = sig.withColumn("band", F.expr(f"CAST(hash_idx div {band_size} AS INT)"))
-    band_keys = banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash")
+    n_bands = num_hashes // band_size
+    # Signatures AND band keys are row-local expressions over the doc's
+    # shingle set — the whole pre-join pipeline is a projection with
+    # zero shuffles (the grouped/exploded form this replaces shuffled
+    # twice before the first join).
+    base = _with_shingle_hashes(docs, n, text_col, id_col)
+    mins = [_minhash_col(i).alias(f"m{i}") for i in range(num_hashes)]
+    sig = base.select(F.col(id_col), F.col("sh_arr"), *mins)
+
+    def band_hash(b: int):
+        ms = F.sort_array(
+            F.array(*[F.col(f"m{b * band_size + j}") for j in range(band_size)])
+        )
+        return F.md5(F.array_join(F.transform(ms, lambda x: x.cast("string")), "|"))
+
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
+            for b in range(n_bands)
+        ]
     )
-    a = band_keys.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = band_keys.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    band_keys = sig.select(F.col(id_col), F.explode(bands_arr).alias("bb")).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+    # Candidate pairs WITHOUT a self-join: group ids per (band, bucket)
+    # and enumerate in-bucket pairs from the sorted id list. One
+    # evaluation of the signature pipeline and one shuffle — a
+    # self-join would re-evaluate the whole md5/minhash projection for
+    # each side. Bucket sizes bound the pair blowup exactly as the
+    # self-join would (a giant bucket is quadratic either way; the
+    # exact-Jaccard gate keeps only true near-dups).
+    ids = F.sort_array(F.collect_list(id_col))
+    buckets = (
+        band_keys.groupBy("band", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), j - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ids"), i + 1).alias("id_a"),
+                    F.element_at(F.col("ids"), j + 1).alias("id_b"),
+                ),
+            ),
+        )
+    )
     candidates = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     # Exact-Jaccard verification on CANDIDATES ONLY — the whole point of
-    # LSH. Shingle sets are collected per doc once; each candidate pair
-    # probes two rows and intersects two bounded arrays. Work is
-    # O(docs x k) + O(candidates), never all-pairs: at 100 TB the
-    # all-pairs shingle self-join this replaces would be the bottleneck.
-    sets = sh.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("sh_set"),
-        F.count(F.lit(1)).alias("sz"),
+    # LSH. The pair list is melted to one row per (pair, member) and
+    # joined to the per-doc shingle sets ONCE (not once per side), then
+    # folded back — each candidate pair intersects two bounded arrays.
+    # Work is O(docs x k) + O(candidate pairs), never all-pairs.
+    sets = base.select(
+        F.col(id_col),
+        F.col("sh_arr").alias("sh_set"),
+        F.size("sh_arr").cast("long").alias("sz"),
     )
+    melted = candidates.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
+    )
+    side = F.when(F.col(id_col) == F.col("id_a"), F.lit("a")).otherwise(F.lit("b"))
     return (
-        candidates.join(
-            sets.select(
-                F.col(id_col).alias("id_a"),
-                F.col("sh_set").alias("sh_a"),
-                F.col("sz").alias("sz_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            sets.select(
-                F.col(id_col).alias("id_b"),
-                F.col("sh_set").alias("sh_b"),
-                F.col("sz").alias("sz_b"),
-            ),
-            "id_b",
+        melted.join(sets, id_col)
+        .withColumn("side", side)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(F.when(F.col("side") == "a", F.col("sz"))).alias("sz_a"),
+            F.min(F.when(F.col("side") == "b", F.col("sz"))).alias("sz_b"),
+            F.first(F.when(F.col("side") == "a", F.col("sh_set")), ignorenulls=True)
+            .alias("sh_a"),
+            F.first(F.when(F.col("side") == "b", F.col("sh_set")), ignorenulls=True)
+            .alias("sh_b"),
         )
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
         .withColumn(
@@ -221,7 +313,7 @@ def simhash(
     votes +1/-1 weighted by occurrence; simhash bit j = majority > 0.
     One explode + one groupBy with 32 conditional sums — no UDF.
     """
-    tok = docs.select(
+    tok = spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")

@@ -8,10 +8,11 @@
   the scale path when the corpus side is 100 TB (bucket key becomes
   the partition key, so a query touches one partition family).
 
-Determinism: dot products and norms are accumulated in exact DECIMAL
-(element values quantized to 9 dp first), so scores are bit-identical
-across engines and partitionings; the final cosine is computed in
-double from those exact components. Ranking ties break on vec_id.
+Determinism: dot products and norms are strict LEFT FOLDS over the
+array in element order, in double (`F.aggregate` here, `list_reduce`
+in the oracle). IEEE-754 ops on identical operand sequences are
+bit-identical in any engine, and the fold order is pinned by the
+array — independent of partitioning. Ranking ties break on vec_id.
 """
 
 from __future__ import annotations
@@ -19,30 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-EDEC = "decimal(18,9)"
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double dot product, left-folded in element order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _dot_dec(a: Column, b: Column) -> Column:
-    """Exact decimal dot product of two float arrays."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double").cast(EDEC) * y.cast("double").cast(EDEC))
-    # merge result is cast back to the accumulator type: Spark widens
-    # (38,18)+(38,18) to (38,17), which aggregate() rejects. The cast
-    # never rounds here (values are tiny relative to 20 integer digits).
-    return F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(38,18)"),
-        lambda acc, x: (acc + x.cast("decimal(38,18)")).cast("decimal(38,18)"),
-    )
-
-
-def _norm2_dec(a: Column) -> Column:
-    return _dot_dec(a, a)
-
-
-def _dec_to_double(c: Column) -> Column:
-    """Rescale to 9 dp before the double cast so the unscaled value
-    stays < 2^53 — both engines then round identically."""
-    return F.round(c, 9).cast("double")
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
 
 
 def cosine_topk(
@@ -65,19 +51,19 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(_dec_to_double(_norm2_dec(F.col(vec_col)))).alias("q_norm"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(_dec_to_double(_norm2_dec(F.col(vec_col)))).alias("c_norm"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dec_to_double(_dot_dec(F.col("q_vec"), F.col("c_vec")))
+            _dot(F.col("q_vec"), F.col("c_vec"))
             / F.col("q_norm")
             / F.col("c_norm"),
         )
@@ -121,20 +107,20 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-        F.sqrt(_dec_to_double(_norm2_dec(F.col(vec_col)))).alias("q_norm"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-        F.sqrt(_dec_to_double(_norm2_dec(F.col(vec_col)))).alias("c_norm"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dec_to_double(_dot_dec(F.col("q_vec"), F.col("c_vec")))
+            _dot(F.col("q_vec"), F.col("c_vec"))
             / F.col("q_norm")
             / F.col("c_norm"),
         )

@@ -169,14 +169,28 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.withColumn("hash_idx", F.col("hash_idx").cast("bigint"))
 
 
-ORACLE_MINHASH_SIG = f"""
-WITH {_SQL_SHINGLES},
+# the affine MinHash family, mirrored from operators.dedup constants
+_A8 = "[" + ", ".join(str(a) for a in D.MINHASH_A[:8]) + "]"
+_B8 = "[" + ", ".join(str(b) for b in D.MINHASH_B[:8]) + "]"
+
+_SQL_MINHASH_SIG = f"""
+h0 AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {D.MINHASH_P} AS h
+  FROM sh
+),
 hashed AS (
   SELECT doc_id, i AS hash_idx,
-         md5(CAST(i AS VARCHAR) || '|' || shingle) AS h
-  FROM sh, UNNEST(generate_series(0, 7)) AS g(i)
-)
-SELECT doc_id, hash_idx, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+         (h * ({_A8}[i + 1]) + ({_B8}[i + 1])) % {D.MINHASH_P} AS hv
+  FROM h0, UNNEST(generate_series(0, 7)) AS g(i)
+),
+sig AS (SELECT doc_id, hash_idx, MIN(hv) AS minhash FROM hashed GROUP BY 1, 2)
+"""
+
+ORACLE_MINHASH_SIG = f"""
+WITH {_SQL_SHINGLES},
+{_SQL_MINHASH_SIG}
+SELECT doc_id, hash_idx, minhash FROM sig
 """
 
 
@@ -189,15 +203,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MINHASH_LSH = f"""
 WITH {_SQL_SHINGLES},
-hashed AS (
-  SELECT doc_id, i AS hash_idx,
-         md5(CAST(i AS VARCHAR) || '|' || shingle) AS h
-  FROM sh, UNNEST(generate_series(0, 7)) AS g(i)
-),
-sig AS (SELECT doc_id, hash_idx, MIN(h) AS minhash FROM hashed GROUP BY 1, 2),
+{_SQL_MINHASH_SIG},
 bands AS (
   SELECT doc_id, hash_idx // 2 AS band,
-         md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash)) AS band_hash
   FROM sig GROUP BY doc_id, hash_idx // 2
 ),
 candidates AS (
@@ -248,35 +257,34 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
-_SQL_ELEMS = """
-elem AS (
-  SELECT vec_id, i,
-         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9)) AS x
-  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
-),
-norms AS (
-  SELECT vec_id, SUM(CAST(x * x AS DECIMAL(38,18))) AS n2
-  FROM elem GROUP BY vec_id
+# dot/norm = strict left fold in element order, matching Spark's
+# F.aggregate(..., 0.0, acc + x): IEEE doubles on the same operand
+# sequence are bit-identical across engines. The 0.0 seed is prepended
+# because DuckDB's list_reduce seeds with the first element.
+_SQL_VEC = """
+vecs AS (
+  SELECT vec_id,
+         embedding,
+         sqrt(list_reduce(
+           list_prepend(0.0, list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
 )
 """
 
+_SQL_PAIR_DOT = """list_reduce(
+           list_prepend(0.0, list_transform(generate_series(1, len(q.embedding)),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+           (acc, x) -> acc + x)"""
+
 ORACLE_ANN_TOPK = f"""
-WITH {_SQL_ELEMS},
-q AS (SELECT * FROM elem WHERE vec_id < 5),
-dots AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
-         SUM(CAST(q.x * c.x AS DECIMAL(38,18))) AS dot
-  FROM q JOIN elem c ON q.i = c.i AND c.vec_id <> q.vec_id
-  GROUP BY 1, 2
-),
+WITH {_SQL_VEC},
 scored AS (
-  SELECT query_id, candidate_id,
-         CAST(round(dot, 9) AS DOUBLE)
-           / sqrt(CAST(round(nq.n2, 9) AS DOUBLE))
-           / sqrt(CAST(round(nc.n2, 9) AS DOUBLE)) AS cosine
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms nc ON nc.vec_id = candidate_id
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         {_SQL_PAIR_DOT} / q.nrm / c.nrm AS cosine
+  FROM vecs c CROSS JOIN vecs q
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
 )
 SELECT query_id, candidate_id, cosine, rank FROM (
   SELECT *, row_number() OVER (
@@ -292,37 +300,20 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANN_LSH = f"""
-WITH {_SQL_ELEMS},
-buckets AS (
-  SELECT vec_id,
+WITH {_SQL_VEC},
+bucketed AS (
+  SELECT vec_id, embedding, nrm,
     (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
     + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
     + (CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END)
     + (CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END) AS bucket
-  FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 20),
-c AS (SELECT vec_id AS candidate_id, bucket FROM buckets),
-pairs AS (
-  SELECT q.query_id, q.bucket, c.candidate_id
-  FROM q JOIN c USING (bucket) WHERE c.candidate_id <> q.query_id
-),
-dots AS (
-  SELECT p.query_id, p.bucket, p.candidate_id,
-         SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS dot
-  FROM pairs p
-  JOIN elem a ON a.vec_id = p.query_id
-  JOIN elem b ON b.vec_id = p.candidate_id AND b.i = a.i
-  GROUP BY 1, 2, 3
+  FROM vecs
 ),
 scored AS (
-  SELECT query_id, bucket, candidate_id,
-         CAST(round(dot, 9) AS DOUBLE)
-           / sqrt(CAST(round(nq.n2, 9) AS DOUBLE))
-           / sqrt(CAST(round(nc.n2, 9) AS DOUBLE)) AS cosine
-  FROM dots
-  JOIN norms nq ON nq.vec_id = query_id
-  JOIN norms nc ON nc.vec_id = candidate_id
+  SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS candidate_id,
+         {_SQL_PAIR_DOT} / q.nrm / c.nrm AS cosine
+  FROM bucketed c JOIN bucketed q USING (bucket)
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
 )
 SELECT query_id, bucket, candidate_id, cosine, rank FROM (
   SELECT *, row_number() OVER (

@@ -59,6 +59,22 @@ def get_spark(
     return spark
 
 
+def spread(df, min_partitions: int | None = None):
+    """Widen a narrow scan to the session's parallelism.
+
+    Small parquet files arrive as 1-2 input splits, which would
+    serialize CPU-heavy per-row operators (shingling, hashing, vector
+    math) onto one core. At 100 TB inputs have thousands of splits and
+    this is a no-op — it only repartitions when the scan is narrower
+    than the cluster, so it never adds a shuffle at scale.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one testdata table, normalizing nano-timestamps to NTZ.
 
