@@ -63,7 +63,12 @@ def synthesize_actions(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     map ingredient_id -> Σ quantity. Shape mirrors
     backend/bakery_helper.py:453-563 / README.org:624-657.
     """
-    li = lineitem.select(
+    # One hash exchange on the document key up front: every groupBy
+    # level below clusters on a superset of (l_orderkey,), so Spark
+    # satisfies their distribution from this single partitioning
+    # (identical subtrees become a ReusedExchange) instead of
+    # re-shuffling per aggregation level.
+    li = lineitem.repartition("l_orderkey").select(
         "l_orderkey",
         F.concat(F.lit("ing_"), F.col("l_partkey").cast("string")).alias("ingredient_id"),
         F.concat(F.lit("item_"), F.col("l_partkey").cast("string")).alias("product_name"),
@@ -172,57 +177,75 @@ def flatten_actions(actions: DataFrame) -> DataFrame:
     Emits one row per (action, ingredient, vessel-addition, batch) —
     the exact output contract of the reference's streamlined parse
     (backend/bakery_helper.py:379-570).
+
+    The ingredient-batches x vessel-additions join is INTRA-document
+    (J9), so it is evaluated row-locally: each exploded addition row
+    probes the action's own ingredients[] array with `filter` and
+    expands the matching entries' batches with `transform`+`explode`.
+    The whole operator is explode/project chains — ZERO shuffles at
+    any scale (the equivalent shuffle-join formulation moves every
+    exploded row through two exchanges).
     """
-    additions_side = (
+    additions = (
         actions.filter(F.col("actionType") == "ADDITION")
         .select(
             F.col("_id").alias("action_id"),
             F.col("effectiveAt").alias("effective_at"),
+            F.col("actionData.ingredients").alias("ingredients"),
             F.explode("actionData.lots").alias("lot"),
         )
         .select(
-            "action_id", "effective_at",
+            "action_id", "effective_at", "ingredients",
             F.col("lot.lotCode").alias("lot_code"),
             F.col("lot.stage").alias("stage"),
             F.explode("lot.vessels").alias("vessel"),
         )
         .select(
-            "action_id", "effective_at", "lot_code", "stage",
+            "action_id", "effective_at", "ingredients", "lot_code", "stage",
             F.col("vessel.vesselCode").alias("vessel_code"),
             F.explode("vessel.additions").alias("ingredient_id", "quantity"),
         )
+        .filter(F.col("quantity").isNotNull() & (F.col("quantity") != 0))  # P9
     )
 
-    batches_side = (
-        actions.filter(F.col("actionType") == "ADDITION")
-        .select(F.col("_id").alias("action_id"), F.explode("actionData.ingredients").alias("ing"))
-        .select(
-            "action_id",
-            F.col("ing.Ingredient._id").alias("ingredient_id"),
-            F.col("ing.Ingredient.productName").alias("product_name"),
-            F.col("ing.Ingredient.additionUnit").alias("addition_unit"),
-            F.explode("ing.batches").alias("b"),
-        )
-        .select(
-            "action_id", "ingredient_id", "product_name", "addition_unit",
-            F.col("b.batch._id").alias("batch_id"),
-            F.col("b.batch.batchNumber").alias("batch_number"),
-            F.col("b.batch.depleted").alias("depleted"),
+    # intra-document join: matching ingredient entries x their batches
+    matches = F.flatten(
+        F.transform(
+            F.filter(
+                F.col("ingredients"),
+                lambda ing: ing["Ingredient"]["_id"] == F.col("ingredient_id"),
+            ),
+            lambda ing: F.transform(
+                ing["batches"],
+                lambda b: F.struct(
+                    ing["Ingredient"]["productName"].alias("product_name"),
+                    ing["Ingredient"]["additionUnit"].alias("addition_unit"),
+                    b["batch"]["_id"].alias("batch_id"),
+                    b["batch"]["batchNumber"].alias("batch_number"),
+                    b["batch"]["depleted"].alias("depleted"),
+                ),
+            ),
         )
     )
+    joined = additions.select(
+        "action_id", "effective_at", "lot_code", "stage", "vessel_code",
+        "ingredient_id", "quantity",
+        F.explode(matches).alias("m"),  # inner-join semantics: no match -> no row
+    )
 
-    joined = additions_side.join(
-        batches_side, ["action_id", "ingredient_id"], "inner"
-    ).filter(F.col("quantity").isNotNull() & (F.col("quantity") != 0))  # P9 zero-skip
-
-    lot_number = lot_from_batch_number(F.col("batch_number"), F.col("product_name"))
+    lot_number = lot_from_batch_number(
+        F.col("m.batch_number"), F.col("m.product_name")
+    )
     return joined.select(
-        "action_id", "effective_at", "ingredient_id", "product_name",
-        "addition_unit", "lot_code", "stage", "vessel_code", "quantity",
-        "batch_id", "batch_number",
+        "action_id", "effective_at", "ingredient_id",
+        F.col("m.product_name").alias("product_name"),
+        F.col("m.addition_unit").alias("addition_unit"),
+        "lot_code", "stage", "vessel_code", "quantity",
+        F.col("m.batch_id").alias("batch_id"),
+        F.col("m.batch_number").alias("batch_number"),
         lot_number.alias("lot_number"),
-        "depleted",
+        F.col("m.depleted").alias("depleted"),
         unique_transaction_id(
-            F.col("product_name"), lot_number, F.col("vessel_code"), F.col("quantity")
+            F.col("m.product_name"), lot_number, F.col("vessel_code"), F.col("quantity")
         ).alias("unique_transaction_id"),
     )
