@@ -854,18 +854,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from jde_to_datalake_spark.registry import llm_ops, windows
+    from jde_to_datalake_spark.registry import extended, llm_ops, windows
 
     out = dict(_QUERIES)
     out.update(llm_ops.QUERIES)
     out.update(windows.QUERIES)
+    out.update(extended.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from jde_to_datalake_spark.registry import llm_ops, windows
+    from jde_to_datalake_spark.registry import extended, llm_ops, windows
 
     out = dict(_ORACLES)
     out.update(llm_ops.ORACLES)
     out.update(windows.ORACLES)
+    out.update(extended.ORACLES)
     return out

@@ -1,0 +1,500 @@
+"""Query registry: remaining SURVEY §2 operators + profiling tier.
+
+Covers the reference shapes not exercised by the core registry:
+
+- R3   movement flattening (dag_bakery_ops_to_jde.py:112-172)
+- J10  notes-scan membership join + F20 note-text extraction
+       (jde_helper.py:422-465)
+- A6/A7/O4 latest-version / MAX+1 next version (schema_manager.py:69-75,
+       111-117; s3_helper.py:218)
+- F11  cardex-vs-bakery status ladder with containment over nested
+       batches (main.py:499-511)
+- F22/R6 NaN/Inf -> null cleanup (main.py:313-317, 153-166)
+- A9   profiling: max string length (schema_manager.py:208) + the
+       distinct-count/percentile tier SURVEY §2.4 calls for
+- embedding-cosine near-dup dedup (north-star dedup family)
+- rollup aggregation (beyond-reference; free in Spark, graded for the
+  100 TB posture)
+
+Nested inputs are synthesized from the flat testdata tables, so every
+query has a DuckDB oracle computed directly on the flat inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.operators.similarity import _dot, sign_bucket
+from jde_to_datalake_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# R3: movement flattening
+# ---------------------------------------------------------------------------
+
+def q_movement_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: USAGE movements -> one row per (movement, product, batch).
+
+    Movements are synthesized one-per-order with a nested batches[]
+    array (struct packing), then flattened exactly as the reference's
+    parse_bakery_ops_data: filter movementType=='USAGE', explode
+    batches, project (dag_bakery_ops_to_jde.py:112-172).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    movements = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.concat(
+                            F.lit("BAT_"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("_"),
+                            F.col("l_linenumber").cast("string"),
+                        ).alias("batchNumber"),
+                        F.col("l_quantity").alias("quantityUsed"),
+                        F.lit("kg").alias("unit"),
+                        F.concat(
+                            F.lit("V"), (F.col("l_suppkey") % 10).cast("string")
+                        ).alias("vesselCode"),
+                    )
+                )
+            ).alias("batches")
+        )
+        .join(o.select("o_orderkey", "o_orderdate", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("mov_"), F.col("o_orderkey").cast("string")).alias("movement_id"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("USAGE"))
+            .otherwise(F.lit("ADJUSTMENT")).alias("movementType"),
+            F.concat(F.lit("prod_"), F.col("o_custkey").cast("string")).alias("product_id"),
+            F.col("o_orderdate").alias("movementDate"),
+            F.col("batches"),
+        )
+    )
+    flat = (
+        movements.filter(F.col("movementType") == "USAGE")
+        .select(
+            "movement_id", "product_id", "movementDate",
+            F.explode("batches").alias("b"),
+        )
+        .select(
+            "movement_id", "product_id", "movementDate",
+            F.col("b.batchNumber").alias("batch_number"),
+            F.col("b.quantityUsed").alias("quantity_used"),
+            F.col("b.unit").alias("unit"),
+            F.col("b.vesselCode").alias("vessel_code"),
+        )
+    )
+    return flat
+
+
+ORACLE_MOVEMENT_FLATTEN = """
+SELECT 'mov_' || CAST(o.o_orderkey AS VARCHAR) AS movement_id,
+       'prod_' || CAST(o.o_custkey AS VARCHAR) AS product_id,
+       o.o_orderdate AS movementDate,
+       'BAT_' || CAST(l.l_orderkey AS VARCHAR) || '_'
+              || CAST(l.l_linenumber AS VARCHAR) AS batch_number,
+       l.l_quantity AS quantity_used,
+       'kg' AS unit,
+       'V' || CAST(l.l_suppkey % 10 AS VARCHAR) AS vessel_code
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 2 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# J10 + F20: notes-scan membership join
+# ---------------------------------------------------------------------------
+
+def q_notes_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10/F20: txn-id extraction from free-text notes + semi join.
+
+    Every order carries a notes[] array; a third of them embed a
+    'JDE_Transaction_Id: TX<n>' marker (jde_helper.py:444-451).
+    Candidate dispatches are semi-joined against the extracted id set —
+    the reference's "was this transaction already noted?" probe
+    (jde_helper.py:422-465) as explode + regexp_extract + left_semi.
+    """
+    o = _t(spark, sf_dir, "orders")
+    notes = o.select(
+        "o_orderkey",
+        F.array(
+            F.lit("routine inspection"),
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.concat(F.lit("JDE_Transaction_Id: TX"),
+                         F.col("o_orderkey").cast("string")),
+            ).otherwise(F.lit("no marker")),
+        ).alias("notes"),
+    )
+    extracted = (
+        notes.select(F.explode("notes").alias("text"))
+        .select(
+            F.regexp_extract("text", r"JDE_Transaction_Id:\s*(\S+)", 1).alias("txn_id")
+        )
+        .filter(F.col("txn_id") != "")
+        .distinct()
+    )
+    candidates = o.select(
+        F.concat(F.lit("TX"), F.col("o_orderkey").cast("string")).alias("txn_id"),
+        "o_orderkey", "o_totalprice",
+    ).filter(F.col("o_orderkey") % 2 == 0)
+    return candidates.join(extracted, "txn_id", "left_semi")
+
+
+ORACLE_NOTES_MEMBERSHIP = """
+SELECT 'TX' || CAST(o_orderkey AS VARCHAR) AS txn_id, o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6/A7/O4: latest version + MAX+1
+# ---------------------------------------------------------------------------
+
+def q_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7: per-table current version (MAX), next (MAX+1), count.
+
+    The schema_versions relation is synthesized from orders: table id
+    from custkey mod, version from a per-table row_number in orderdate
+    order (deterministic tie-break on orderkey — the reference's
+    monotonic version_number, schema_manager.py:69-75).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("table_name").orderBy("o_orderdate", "o_orderkey")
+    versions = o.select(
+        F.concat(F.lit("tbl_"), (F.col("o_custkey") % 20).cast("string")).alias("table_name"),
+        "o_orderdate", "o_orderkey",
+    ).withColumn("version_number", F.row_number().over(w))
+    return versions.groupBy("table_name").agg(
+        F.max("version_number").alias("current_version"),
+        (F.coalesce(F.max("version_number"), F.lit(0)) + 1).alias("next_version"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
+ORACLE_LATEST_VERSION = """
+WITH versions AS (
+  SELECT 'tbl_' || CAST(o_custkey % 20 AS VARCHAR) AS table_name,
+         row_number() OVER (PARTITION BY 'tbl_' || CAST(o_custkey % 20 AS VARCHAR)
+                            ORDER BY o_orderdate, o_orderkey) AS version_number
+  FROM orders
+)
+SELECT table_name, MAX(version_number) AS current_version,
+       COALESCE(MAX(version_number), 0) + 1 AS next_version,
+       COUNT(*) AS n_versions
+FROM versions GROUP BY table_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# F11: status ladder with nested-batch containment
+# ---------------------------------------------------------------------------
+
+def q_status_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: the 4-state cardex-vs-bakery ladder (main.py:499-511).
+
+    Bakery products are synthesized per part with a nested
+    onHand{amount, batches[]} struct; each cardex row (lineitem)
+    derives its batch name (F8) and is classified:
+    Product Not Found / Dispatched (containment via exists() over the
+    batches array) / Partial Match (on-hand > 0) / Missing in Bakery
+    Ops. Left join on lower(name) — the J3/J4 convention.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    products = (
+        li.filter(F.col("l_partkey") % 5 != 4)  # some cardex items have no product
+        .repartition("l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,9)")).alias("onhand_amount"),
+            F.sort_array(
+                F.collect_set(
+                    F.concat(
+                        F.lit("item_"), F.col("l_partkey").cast("string"),
+                        F.lit("_"), (F.col("l_linenumber") % 3).cast("string"),
+                    )
+                )
+            ).alias("batch_numbers"),
+        )
+        .select(
+            F.lower(F.concat(F.lit("item_"), F.col("l_partkey").cast("string"))).alias("name_key"),
+            F.struct(
+                F.col("onhand_amount").alias("amount"),
+                F.transform(
+                    F.col("batch_numbers"),
+                    lambda bn: F.struct(bn.alias("batchNumber")),
+                ).alias("batches"),
+            ).alias("onHand"),
+        )
+    )
+    cardex = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.concat(F.lit("item_"), F.col("l_partkey").cast("string")).alias("item_name"),
+        (F.col("l_orderkey") % 4).cast("string").alias("lot"),
+    ).withColumn(
+        "batch_name",
+        F.concat(F.col("item_name"), F.lit("_"), F.col("lot")),
+    )
+    joined = cardex.join(
+        products, F.lower(cardex.item_name) == products.name_key, "left"
+    )
+    dispatched = F.exists(
+        F.col("onHand.batches"), lambda b: b["batchNumber"] == F.col("batch_name")
+    )
+    return joined.select(
+        "l_orderkey", "item_name", "batch_name",
+        F.col("onHand.amount").cast("double").alias("onhand_amount"),
+        F.when(F.col("name_key").isNull(), "Product Not Found")
+        .when(dispatched, "Dispatched")
+        .when(F.col("onHand.amount") > 0, "Partial Match")
+        .otherwise("Missing in Bakery Ops")
+        .alias("status"),
+    )
+
+
+ORACLE_STATUS_LADDER = """
+WITH products AS (
+  SELECT l_partkey,
+         'item_' || CAST(l_partkey AS VARCHAR) AS pname,
+         SUM(CAST(l_quantity AS DECIMAL(18,9))) AS amount
+  FROM lineitem WHERE l_partkey % 5 <> 4 GROUP BY l_partkey
+), cardex AS (
+  SELECT l_orderkey,
+         'item_' || CAST(l_partkey AS VARCHAR) AS item_name,
+         CAST(l_orderkey % 4 AS VARCHAR) AS lot,
+         'item_' || CAST(l_partkey AS VARCHAR) || '_'
+                 || CAST(l_orderkey % 4 AS VARCHAR) AS batch_name,
+         l_partkey
+  FROM lineitem WHERE l_linenumber = 1
+)
+SELECT c.l_orderkey, c.item_name, c.batch_name,
+       CAST(p.amount AS DOUBLE) AS onhand_amount,
+       CASE
+         WHEN p.l_partkey IS NULL THEN 'Product Not Found'
+         WHEN EXISTS (
+           SELECT 1 FROM lineitem b
+           WHERE b.l_partkey = c.l_partkey AND b.l_partkey % 5 <> 4
+             AND 'item_' || CAST(b.l_partkey AS VARCHAR) || '_'
+                 || CAST(b.l_linenumber % 3 AS VARCHAR) = c.batch_name
+         ) THEN 'Dispatched'
+         WHEN p.amount > 0 THEN 'Partial Match'
+         ELSE 'Missing in Bakery Ops' END AS status
+FROM cardex c LEFT JOIN products p ON lower(c.item_name) = lower(p.pname)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F22/R6: NaN/Inf -> null cleanup
+# ---------------------------------------------------------------------------
+
+def q_nan_inf_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22: replace NaN/±Inf with null before serialization (main.py:313-317)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    raw = (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.when(F.col("l_linenumber") % 7 == 0, F.lit(float("inf")))
+            .when(F.col("l_linenumber") % 7 == 1, F.lit(float("-inf")))
+            .when(F.col("l_linenumber") % 7 == 2, F.lit(float("nan")))
+            .otherwise(F.col("l_extendedprice"))
+            .alias("metric"),
+        )
+    )
+    bad = F.isnan(F.col("metric")) | F.col("metric").isin(float("inf"), float("-inf"))
+    return raw.select(
+        "l_orderkey", "l_linenumber",
+        F.when(bad, F.lit(None)).otherwise(F.col("metric")).alias("metric_clean"),
+        bad.alias("was_invalid"),
+    )
+
+
+ORACLE_NAN_INF = """
+WITH raw AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN l_linenumber % 7 = 0 THEN CAST('inf' AS DOUBLE)
+         WHEN l_linenumber % 7 = 1 THEN CAST('-inf' AS DOUBLE)
+         WHEN l_linenumber % 7 = 2 THEN CAST('nan' AS DOUBLE)
+         ELSE l_extendedprice END AS metric
+  FROM lineitem WHERE l_orderkey % 10 = 0
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN isnan(metric) OR isinf(metric) THEN NULL ELSE metric END
+         AS metric_clean,
+       (isnan(metric) OR isinf(metric)) AS was_invalid
+FROM raw
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9 + profiling tier: max-length, distinct count, exact percentile
+# ---------------------------------------------------------------------------
+
+def q_profiling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+: schema-inference profiling per group.
+
+    max(length) is the reference's string profiling
+    (schema_manager.py:208); exact distinct count and exact
+    interpolated median are the profiling tier SURVEY §2.4 notes.
+    (`approx_count_distinct`/`percentile_approx` are the 100 TB
+    variants — sketch results are engine-specific, so the oracle-
+    checked forms here are the exact ones.)
+    """
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.max(F.length("p_name")).alias("max_name_len"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.expr("percentile(p_retailprice, 0.5)").alias("median_price"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
+ORACLE_PROFILING = """
+SELECT p_brand,
+       MAX(length(p_name)) AS max_name_len,
+       COUNT(DISTINCT p_type) AS n_types,
+       quantile_cont(p_retailprice, 0.5) AS median_price,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price
+FROM part GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold, LSH-bucketed.
+
+    Sign-bucket (8 bits) prunes candidates — only in-bucket pairs are
+    scored, the standard scale path for embedding dedup (identical
+    vectors always share a bucket; high-cosine pairs nearly always
+    do). Pairs are enumerated per bucket from the sorted id list (no
+    self-join), then exact cosine filters at the threshold.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "embedding",
+        sign_bucket(F.col("embedding"), 8).alias("bucket"),
+    )
+    buckets = (
+        vecs.repartition("bucket")
+        .groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("members") - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), j - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("members"), i + 1).alias("a"),
+                    F.element_at(F.col("members"), j + 1).alias("b"),
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a.vec_id").alias("id_a"),
+        F.col("p.b.vec_id").alias("id_b"),
+        (
+            _dot(F.col("p.a.embedding"), F.col("p.b.embedding"))
+            / F.sqrt(_dot(F.col("p.a.embedding"), F.col("p.a.embedding")))
+            / F.sqrt(_dot(F.col("p.b.embedding"), F.col("p.b.embedding")))
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.5).select("id_a", "id_b", "cosine")
+
+
+ORACLE_DEDUP_EMB = """
+WITH vecs AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[5] AS DOUBLE) > 0 THEN 16 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[6] AS DOUBLE) > 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[7] AS DOUBLE) > 0 THEN 64 ELSE 0 END)
+    + (CASE WHEN CAST(embedding[8] AS DOUBLE) > 0 THEN 128 ELSE 0 END) AS bucket,
+    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+)
+SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+       list_reduce(list_prepend(0.0, list_transform(
+           generate_series(1, len(q.embedding)),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+         (acc, x) -> acc + x) / q.nrm / c.nrm AS cosine
+FROM vecs q JOIN vecs c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+WHERE list_reduce(list_prepend(0.0, list_transform(
+         generate_series(1, len(q.embedding)),
+         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+       (acc, x) -> acc + x) / q.nrm / c.nrm >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup (beyond-reference)
+# ---------------------------------------------------------------------------
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus): subtotal + grand-total rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,9)"))
+            .cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+QUERIES = {
+    "movement_flatten": q_movement_flatten,
+    "notes_membership": q_notes_membership,
+    "latest_version": q_latest_version,
+    "status_ladder": q_status_ladder,
+    "nan_inf_cleanup": q_nan_inf_cleanup,
+    "profiling_stats": q_profiling_stats,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "rollup_summary": q_rollup_summary,
+}
+
+ORACLES = {
+    "movement_flatten": ORACLE_MOVEMENT_FLATTEN,
+    "notes_membership": ORACLE_NOTES_MEMBERSHIP,
+    "latest_version": ORACLE_LATEST_VERSION,
+    "status_ladder": ORACLE_STATUS_LADDER,
+    "nan_inf_cleanup": ORACLE_NAN_INF,
+    "profiling_stats": ORACLE_PROFILING,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMB,
+    "rollup_summary": ORACLE_ROLLUP,
+}
