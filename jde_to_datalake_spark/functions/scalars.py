@@ -74,6 +74,23 @@ def convert_rate_unit(unit: Column) -> Column:
     )
 
 
+def validate_unit(unit: Column, strict: bool = False) -> Column:
+    """F3: unit-membership validation (backend/utility.py:50-75).
+
+    Returns a boolean validity column by default; with ``strict=True``
+    the invalid rows raise at execution time (the reference raises a
+    ValueError). The recommended scale pattern is the boolean form +
+    a reject-table filter — a poison row must not kill a 100 TB job.
+    """
+    known = [k for k in JDE_TO_LAKE_UNITS] + [k for k in LAKE_TO_JDE_UNITS]
+    valid = F.upper(unit).isin(sorted(set(known)))
+    if not strict:
+        return valid
+    return F.when(valid, unit).otherwise(
+        F.raise_error(F.concat(F.lit("invalid unit: "), unit))
+    )
+
+
 def convert_unit_quantity(src: Column, tgt: Column, qty: Column) -> Column:
     """F4: (src,tgt) multiplier lookup, default x1.0, null-safe qty.
 
