@@ -55,36 +55,38 @@ def q_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PIVOT = """
+# fixed-point staging mirrored from operators/reconcile.py: money is
+# 2-dp by contract -> int64 cents/hundredths; HALF_UP = (x + half)//s
+_SQL_E2 = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_SQL_D2 = "CAST((CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) * 100 AS BIGINT)"
+_SQL_T2 = "CAST((CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2))) * 100 AS BIGINT)"
+
+ORACLE_PIVOT = f"""
 WITH detail AS (
-  SELECT l_orderkey,
-         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-              * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
-              * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 6)
-           AS DECIMAL(38,6)) AS detail_total
+  SELECT l_orderkey, SUM({_SQL_E2} * {_SQL_D2} * {_SQL_T2}) AS detail_micro
   FROM lineitem GROUP BY l_orderkey
 ), header AS (
   SELECT o_orderkey, o_custkey,
-         CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS header_total
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS header_cents
   FROM orders
 ), joined AS (
-  SELECT h.o_custkey, h.header_total, d.detail_total
+  SELECT h.o_custkey, h.header_cents,
+         (d.detail_micro + 5000) // 10000 AS detail_cents
   FROM header h FULL OUTER JOIN detail d ON h.o_orderkey = d.l_orderkey
 ), enriched AS (
   SELECT j.*, c.c_mktsegment
   FROM joined j LEFT JOIN customer c ON j.o_custkey = c.c_custkey
 ), st AS (
   SELECT c_mktsegment,
-    CASE WHEN header_total IS NULL OR detail_total IS NULL THEN 'Missing Data'
-         WHEN CAST(round(header_total, 2) AS VARCHAR)
-            = CAST(round(detail_total, 2) AS VARCHAR) THEN 'Match'
+    CASE WHEN header_cents IS NULL OR detail_cents IS NULL THEN 'Missing Data'
+         WHEN header_cents = detail_cents THEN 'Match'
          ELSE 'Mismatch' END AS status,
-    header_total, detail_total
+    header_cents, detail_cents
   FROM enriched
 )
 SELECT c_mktsegment, status, COUNT(*) AS n_orders,
-       CAST(round(SUM(header_total), 2) AS DOUBLE) AS sum_header_total,
-       CAST(round(SUM(detail_total), 2) AS DOUBLE) AS sum_detail_total
+       CAST(SUM(header_cents) AS DOUBLE) / 100 AS sum_header_total,
+       CAST(SUM(detail_cents) AS DOUBLE) / 100 AS sum_detail_total
 FROM st GROUP BY c_mktsegment, status
 """
 
@@ -96,15 +98,15 @@ def q_live_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LIVE = """
+ORACLE_LIVE = f"""
 WITH a AS (
   SELECT lower(o_orderpriority) AS k,
-         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,9))), 2) AS DOUBLE) AS total_a
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS DOUBLE) / 100 AS total_a
   FROM orders GROUP BY 1
 ), b AS (
   SELECT lower(o.o_orderpriority) AS k,
-         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,9))
-              * (CAST(1 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))), 2) AS DOUBLE) AS total_b
+         CAST((SUM({_SQL_E2} * {_SQL_D2}) + 50) // 100 AS DOUBLE) / 100 AS total_b
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   GROUP BY 1
 )
@@ -118,22 +120,34 @@ FROM a FULL OUTER JOIN b ON a.k = b.k
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2/A4-style grouped rollup (TPC-H Q1 shape) with exact decimal sums."""
+    """A2/A4-style grouped rollup (TPC-H Q1 shape), fixed-point exact.
+
+    Same integer-staging convention as operators/reconcile.py: 2-dp
+    money -> int64 cents; sums are plain long adds in codegen; HALF_UP
+    rescale after the aggregate.
+    """
+    from jde_to_datalake_spark.operators.reconcile import charge_units
+
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
     )
-    disc = F.col("l_extendedprice").cast(DEC6) * (
-        F.lit(1).cast(FRAC) - F.col("l_discount").cast(FRAC)
-    )
-    charge = disc * (F.lit(1).cast(FRAC) + F.col("l_tax").cast(FRAC))
+    e2, d2, t2 = charge_units(li)
     out = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,2)").cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
-            F.sum(disc).cast("decimal(38,2)").cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,2)").cast("double").alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+            F.sum(e2).alias("se"),
+            F.sum(e2 * d2).alias("sd4"),
+            F.sum(e2 * d2 * t2).alias("sc6"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            (F.col("se").cast("double") / 100).alias("sum_base_price"),
+            (F.expr("(sd4 + 50) div 100").cast("double") / 100).alias("sum_disc_price"),
+            (F.expr("(sc6 + 5000) div 10000").cast("double") / 100).alias("sum_charge"),
+            "count_order",
         )
         .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
         .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
@@ -141,17 +155,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-ORACLE_Q1 = """
+ORACLE_Q1 = f"""
 WITH base AS (
   SELECT l_returnflag, l_linestatus,
-    CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_qty,
-    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_base_price,
-    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-         * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE)
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+    CAST(SUM({_SQL_E2}) AS DOUBLE) / 100 AS sum_base_price,
+    CAST((SUM({_SQL_E2} * {_SQL_D2}) + 50) // 100 AS DOUBLE) / 100
       AS sum_disc_price,
-    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-         * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
-         * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 2) AS DOUBLE)
+    CAST((SUM({_SQL_E2} * {_SQL_D2} * {_SQL_T2}) + 5000) // 10000 AS DOUBLE) / 100
       AS sum_charge,
     COUNT(*) AS count_order
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'

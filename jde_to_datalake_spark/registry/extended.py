@@ -477,7 +477,25 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB profiling tier: sketch aggregates (NO oracle by design).
+
+    `approx_count_distinct` (HyperLogLog++) and `percentile_approx`
+    (KLL-style) are the scale substitutes for the exact forms in
+    `profiling_stats` — sketch outputs are engine-specific, so the
+    driver applies its rows-only check here (row count = #brands is
+    deterministic); the exact twins are value-checked instead.
+    """
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.approx_count_distinct("p_type").alias("approx_types"),
+        F.percentile_approx("p_retailprice", 0.5).alias("approx_median"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
 QUERIES = {
+    "sketch_profile": q_sketch_profile,
     "movement_flatten": q_movement_flatten,
     "notes_membership": q_notes_membership,
     "latest_version": q_latest_version,
