@@ -75,7 +75,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = time.perf_counter() - t0  # keep the 2nd (steady-state) run
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)  # steady-state
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -52,6 +52,13 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); read as long, convert below
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if master.startswith("local"):
+        # single-JVM shuffles are memory/page-cache backed: lz4 on the
+        # shuffle path is pure CPU overhead here. On a real cluster the
+        # default (compressed) is correct — this branch never fires.
+        builder = builder.config("spark.shuffle.compress", "false").config(
+            "spark.shuffle.spill.compress", "false"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

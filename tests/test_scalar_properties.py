@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the scalar library (F1-F22).
+
+Each property checks the Spark Column implementation against an
+independent pure-Python reference (``decimal.Decimal`` for the
+precision pipeline — the same library the reference system uses), over
+generated inputs far beyond the fixture corpus.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.functions import scalars as S
+
+HS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _one(spark, col, **kwargs):
+    df = spark.createDataFrame([kwargs]) if kwargs else spark.range(1)
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def _py_norm_qty(q: float) -> str:
+    """Reference implementation: 9-dp HALF_UP, strip trailing zeros
+    (backend/utility.py:749-773)."""
+    d = decimal.Decimal(str(q)).quantize(
+        decimal.Decimal("0.000000001"), rounding=decimal.ROUND_HALF_UP
+    )
+    s = format(d, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s
+
+
+@HS
+@given(q=st.decimals(min_value=0, max_value=10**6, places=6).map(float))
+def test_normalize_quantity_matches_decimal_reference(spark, q):
+    got = _one(spark, S.normalize_quantity_string(F.col("q")), q=q)
+    assert got == _py_norm_qty(q), (q, got)
+
+
+@HS
+@given(
+    name=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1, max_size=12,
+    ),
+    lot=st.one_of(st.none(), st.integers(0, 999).map(str)),
+)
+def test_batch_name_lot_roundtrip(spark, name, lot):
+    """F8 then F9: lot extracted from the built batch name is the lot."""
+    df = spark.createDataFrame([(name, lot)], "name string, lot string")
+    bn = df.select(S.batch_name(F.col("name"), F.col("lot")).alias("v")).collect()[0]["v"]
+    assert bn == (name if lot in (None, "") else f"{name}_{lot}")
+    extracted = df.select(
+        S.lot_from_batch_number(F.lit(bn), F.col("name")).alias("v")
+    ).collect()[0]["v"]
+    if lot not in (None, ""):
+        assert extracted == lot
+    else:
+        assert extracted == name  # no prefix match -> unchanged (reference parity)
+
+
+@HS
+@given(u=st.sampled_from(["KG", "EA", "LT", "GR", "ML", "kg", "unknown", "L"]))
+def test_unit_roundtrip_known_units(spark, u):
+    """F1: JDE->lake->JDE is identity for units in the map."""
+    jde_units = {"KG", "EA", "LT", "GR", "ML"}
+    lake = _one(spark, S.convert_unit(F.col("u"), "to_lake"), u=u)
+    back = _one(spark, S.convert_unit(F.lit(lake), "to_jde"), u=u)
+    if u.upper() in jde_units:
+        assert back == u.upper()
+
+
+@HS
+@given(
+    prefix=st.sampled_from(["B_", "P_", "M_", "X_", ""]),
+    rest=st.integers(0, 10**6).map(str),
+)
+def test_business_unit_total_function(spark, prefix, rest):
+    """F10: every input maps to one of the three BUs, default 1110."""
+    expected = {"B_": "1110", "P_": "1130", "M_": "1120"}.get(prefix, "1110")
+    got = _one(spark, S.business_unit(F.col("n")), n=prefix + rest)
+    assert got == expected
+
+
+@HS
+@given(
+    qty=st.decimals(min_value=0, max_value=10**4, places=4).map(float),
+    src=st.sampled_from(["KG", "G", "L", "ML", "EA"]),
+    tgt=st.sampled_from(["KG", "G", "L", "ML", "EA"]),
+)
+def test_unit_quantity_conversion_reference(spark, qty, src, tgt):
+    """F4: multiplier table lookup with x1.0 default."""
+    factors = {
+        ("KG", "G"): 1000.0, ("G", "KG"): 0.001,
+        ("L", "ML"): 1000.0, ("ML", "L"): 0.001,
+        ("KG", "L"): 1.0, ("L", "KG"): 1.0,
+    }
+    expected = qty * factors.get((src, tgt), 1.0)
+    got = _one(
+        spark,
+        S.convert_unit_quantity(F.col("src"), F.col("tgt"), F.col("qty")),
+        src=src, tgt=tgt, qty=qty,
+    )
+    assert got == pytest.approx(expected, rel=1e-12)
