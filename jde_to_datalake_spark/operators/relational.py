@@ -201,3 +201,42 @@ def collect_group_array(
     results under AQE.
     """
     return df.groupBy(*group).agg(F.sort_array(F.collect_list(item)).alias(out_name))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the skewed (left) side.
+
+    For hot keys (one key = a large fraction of rows), a plain shuffle
+    join lands the whole key on one task. Salting splits each left key
+    into ``salt_buckets`` sub-partitions via a DETERMINISTIC per-row
+    hash (xxhash64 of the whole row — stable under retries/speculation,
+    unlike rand()), and replicates the right side once per salt value,
+    so the hot key spreads over ``salt_buckets`` tasks.
+
+    AQE's skew-join splitting (on in session.py) handles moderate skew
+    automatically; this operator is the explicit fix for extreme cases
+    (and for non-sort-merge plans AQE won't rewrite). Replication
+    multiplies the right side x salt_buckets — use with a small-ish
+    right side, or prefer broadcast when it fits.
+
+    Supports how='inner'/'left': every left row keeps exactly one salt,
+    so no duplicates/losses; right rows replicate to all salts.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    salted_l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
+               F.lit(salt_buckets)).cast("int"),
+    )
+    salted_r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return salted_l.join(salted_r, [key, "__salt"], how).drop("__salt")

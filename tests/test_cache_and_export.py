@@ -79,3 +79,52 @@ def test_validate_unit(spark):
     )
     with pytest.raises(Exception):
         strict.collect()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skewed key (90% of left rows) — salted result == plain result."""
+    from jde_to_datalake_spark.operators.relational import salted_join
+
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("rv")
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how).select("k", "payload", "rv")
+        salted = salted_join(left, right, "k", how, salt_buckets=8).select(
+            "k", "payload", "rv"
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+
+def test_sql_facade_matches_dataframe_plan(spark):
+    """spark.sql over registered views == the DataFrame formulation."""
+    from jde_to_datalake_spark.plans.sql_api import register_views, sql
+
+    register_views(spark, SF_DIR, ["orders", "customer"])
+    got = sql(spark, """
+        SELECT c.c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS DOUBLE) / 100 AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """)
+    from jde_to_datalake_spark.session import load_table
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    exp = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+             .cast("double") / 100).alias("total"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
