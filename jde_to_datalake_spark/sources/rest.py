@@ -29,7 +29,12 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 FetchFn = Callable[[int, int], list[dict]]  # (page, size) -> records
@@ -104,8 +109,43 @@ def _fetch_demo_page(page: int, size: int) -> list[dict]:
     ]
 
 
+class PagedRestStreamReader(SimpleDataSourceStreamReader):
+    """T1 as a first-class streaming source: offset = page number.
+
+    Each micro-batch pulls the next page; the offset checkpoint makes
+    restarts resume at the right page (the reference's poll-loop +
+    lookback becomes exactly-once-per-page). ``max_pages`` bounds the
+    demo source; the real transport swaps into ``_fetch_demo_page``.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.page_size = int(options.get("page_size", 1000))
+        self.max_pages = int(options.get("max_pages", 3))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        page = int(start["page"])
+        if page >= self.max_pages:
+            return iter([]), start
+        rows = [
+            tuple(rec.get(f.name) for f in self.schema_.fields)
+            for rec in _fetch_demo_page(page, self.page_size)
+        ]
+        return iter(rows), {"page": page + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: deterministic pages make this exact
+        for page in range(int(start["page"]), int(end["page"])):
+            for rec in _fetch_demo_page(page, self.page_size):
+                yield tuple(rec.get(f.name) for f in self.schema_.fields)
+
+
 class PagedRestDataSource(DataSource):
-    """spark.read.format("paged_rest").option("n_pages", 4).load()"""
+    """spark.read.format("paged_rest").option("n_pages", 4).load()
+    or spark.readStream.format("paged_rest").option("max_pages", 3)."""
 
     @classmethod
     def name(cls) -> str:
@@ -116,6 +156,9 @@ class PagedRestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return PagedRestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return PagedRestStreamReader(schema, self.options)
 
 
 # --- S5: envelope path extraction ------------------------------------------

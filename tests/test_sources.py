@@ -117,3 +117,62 @@ def test_jdbc_nested_serialization(spark):
     row = out.collect()[0]
     assert isinstance(row["m"], str) and '"a":1' in row["m"]
     assert row["arr"] == '["x","y"]'
+
+
+def test_paged_rest_stream_reader(spark, tmp_path):
+    """Streaming variant: one page per micro-batch, offset-checkpointed."""
+    spark.dataSource.register(rest.PagedRestDataSource)
+    q = (
+        spark.readStream.format("paged_rest")
+        .option("max_pages", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("paged_rest_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM paged_rest_stream").collect()[0]["c"] >= 21:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    got = spark.sql("SELECT * FROM paged_rest_stream").collect()
+    assert len(got) == 21  # 3 pages x 7 demo records
+    assert {r["record_id"] for r in got} == {p * 1000 + i for p in range(3) for i in range(7)}
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """bucketBy co-location: repeated joins on the bucket key need no
+    exchange — the 100 TB pattern for fact-fact joins reused across
+    many queries (SCALE.md)."""
+    import uuid
+
+    # warehouse dir is a static conf; tables land in the session default
+    # and are dropped in the finally block
+    suffix = uuid.uuid4().hex[:8]
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    lt, ot = f"li_b_{suffix}", f"o_b_{suffix}"
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable(lt))
+    (o.withColumnRenamed("o_orderkey", "l_orderkey")
+       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable(ot))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(lt).join(spark.table(ot), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == li.join(
+            o, li.l_orderkey == o.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
