@@ -122,9 +122,10 @@ def normalize_quantity_string(qty: Column) -> Column:
     Reference: backend/utility.py:749-773. '12.300000000' -> '12.3',
     '5.000000000' -> '5'.
     """
-    fixed = F.format_number(qty.cast("decimal(38,9)"), 9)
-    no_commas = F.regexp_replace(fixed, ",", "")
-    return F.regexp_replace(F.regexp_replace(no_commas, "0+$", ""), "\\.$", "")
+    # decimal->string keeps the full 9-dp scale and no grouping
+    # separators, so one anchored regex strips zeros + the bare dot
+    fixed = qty.cast("decimal(38,9)").cast("string")
+    return F.regexp_replace(fixed, "\\.?0+$", "")
 
 
 def unique_transaction_id(

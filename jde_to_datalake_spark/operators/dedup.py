@@ -57,34 +57,47 @@ def exact_dedup(
     )
 
 
-def shingle_array(n: int = 3, text_col: str = "text"):
-    """Column: the doc's distinct token n-gram shingles, row-local.
+def with_shingle_col(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh_arr): distinct token n-gram shingles per doc, row-local.
 
-    Built with ``element_at`` probes rather than ``slice`` — O(1) array
-    indexing per gram position instead of a per-position sub-array
-    allocation (~8x faster in the interpreted higher-order-function
-    path, which HOFs always take).
+    Two deliberate plan shapes, both verified in `.explain`:
+    - tokens are PROJECTED first, then the gram lambda references the
+      column — higher-order functions are interpreted, and an embedded
+      `split()` expression would re-evaluate per `element_at` probe
+      (3n per row). CollapseProject keeps multi-referenced non-trivial
+      expressions in their own Project, pinning one split per row.
+    - `element_at` probes rather than `slice` — O(1) indexing instead
+      of a per-position sub-array allocation.
+    Docs with < n tokens are dropped by the CHEAP pre-filter (not a
+    filter on sh_arr, which pushdown would inline below the spread()
+    exchange, serializing the work onto the scan partition).
     """
-    toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
+    toked = (
+        spread(docs)
+        .filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    )
+    tk = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    )
+    return toked.select(
+        F.col(id_col), F.array_distinct(grams).alias("sh_arr")
+    )
 
 
 def shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct token n-gram shingles per doc: (id, shingle)."""
-    return docs.select(
-        F.col(id_col), F.explode(shingle_array(n, text_col)).alias("shingle")
-    ).distinct()
+    return with_shingle_col(docs, n, text_col, id_col).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -102,7 +115,7 @@ def ngram_jaccard_pairs(
     blowup on boilerplate n-grams. At 100 TB this operator is only run
     on LSH candidates; standalone it is the small-corpus/oracle path.
     """
-    sh = shingles(spread(docs), n, text_col, id_col)
+    sh = shingles(docs, n, text_col, id_col)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -135,27 +148,14 @@ def ngram_jaccard_pairs(
 
 
 def _with_shingle_hashes(docs, n, text_col, id_col):
-    """(id, sh_arr, h0) where h0[j] = int64(md5(shingle_j)) mod p.
-
-    The no-shingle filter is expressed as the equivalent cheap
-    predicate size(tokens) >= n BEFORE the projection: a filter on
-    size(sh_arr) would inline the whole shingle expression into the
-    predicate, which predicate-pushdown then moves BELOW the spread()
-    exchange — serializing the expensive computation onto the scan's
-    (single) input partition.
-    """
-    return (
-        spread(docs)
-        .filter(F.size(tokens(F.col(text_col))) >= n)
-        .select(F.col(id_col), shingle_array(n, text_col).alias("sh_arr"))
-        .withColumn(
-            "h0",
-            F.transform(
-                F.col("sh_arr"),
-                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
-                .cast("bigint") % F.lit(MINHASH_P),
-            ),
-        )
+    """(id, sh_arr, h0) where h0[j] = int64(md5(shingle_j)) mod p."""
+    return with_shingle_col(docs, n, text_col, id_col).withColumn(
+        "h0",
+        F.transform(
+            F.col("sh_arr"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+            .cast("bigint") % F.lit(MINHASH_P),
+        ),
     )
 
 
