@@ -477,6 +477,97 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_json_note_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: row -> JSON note text (jde_helper.py:530-542).
+
+    The reference serializes a transaction row into a JSON string
+    embedded in notes[].text. to_json(struct(...)) with bigint/string
+    fields only — both engines emit compact, field-ordered JSON for
+    those types, so the strings are byte-identical. The F20 inverse
+    (regexp_extract of the id) is applied to the packed text to close
+    the round-trip.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    packed = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("JDE_Transaction_Id: TX"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(" payload="),
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("doc"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_orderstatus").alias("status"),
+                )
+            ),
+        ).alias("note_text"),
+    )
+    return packed.withColumn(
+        "txn_id_extracted",
+        F.regexp_extract("note_text", r"JDE_Transaction_Id:\s*(\S+)", 1),
+    )
+
+
+ORACLE_JSON_NOTE = """
+SELECT o_orderkey,
+       'JDE_Transaction_Id: TX' || CAST(o_orderkey AS VARCHAR) || ' payload='
+         || '{"doc":' || CAST(o_orderkey AS VARCHAR)
+         || ',"priority":"' || o_orderpriority
+         || '","status":"' || o_orderstatus || '"}' AS note_text,
+       'TX' || CAST(o_orderkey AS VARCHAR) AS txn_id_extracted
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
+def q_date_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14+F15: lookback-window start + the two date-string dialects.
+
+    The reference formats the JDE request date as dd/MM/yyyy relative
+    to 'today' minus days_back (main.py:430-432) and parses bakery
+    ISO-8601 timestamps (main.py:1829-1832). 'Today' here is the
+    deterministic corpus max order date, so the query is replayable;
+    both dialects are round-tripped: format -> parse -> equality.
+    """
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    win = anchor.select(
+        "anchor",
+        F.date_sub(F.col("anchor"), 5).alias("window_start"),
+        F.date_format(F.date_sub(F.col("anchor"), 5), "dd/MM/yyyy").alias("jde_date"),
+        F.date_format(F.date_sub(F.col("anchor"), 5), "yyyy-MM-dd'T'HH:mm:ss").alias("iso_date"),
+    )
+    recent = o.join(F.broadcast(win), F.to_date("o_orderdate") >= F.col("window_start"))
+    return recent.select(
+        "o_orderkey",
+        "jde_date",
+        "iso_date",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (
+            F.to_timestamp(F.col("iso_date"), "yyyy-MM-dd'T'HH:mm:ss")
+            == F.col("window_start").cast("timestamp")
+        ).alias("iso_roundtrip_ok"),
+    )
+
+
+ORACLE_DATE_WINDOWS = """
+WITH anchor AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders
+), win AS (
+  SELECT anchor,
+         anchor - INTERVAL 5 DAY AS window_start,
+         strftime(anchor - INTERVAL 5 DAY, '%d/%m/%Y') AS jde_date,
+         strftime(anchor - INTERVAL 5 DAY, '%Y-%m-%dT%H:%M:%S') AS iso_date
+  FROM anchor
+)
+SELECT o.o_orderkey, w.jde_date, w.iso_date,
+       strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       strptime(w.iso_date, '%Y-%m-%dT%H:%M:%S') = CAST(w.window_start AS TIMESTAMP)
+         AS iso_roundtrip_ok
+FROM orders o JOIN win w ON CAST(o.o_orderdate AS DATE) >= w.window_start
+"""
+
+
 def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB profiling tier: sketch aggregates (NO oracle by design).
 
@@ -496,6 +587,8 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sketch_profile": q_sketch_profile,
+    "json_note_pack": q_json_note_pack,
+    "date_windows": q_date_windows,
     "movement_flatten": q_movement_flatten,
     "notes_membership": q_notes_membership,
     "latest_version": q_latest_version,
@@ -507,6 +600,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "json_note_pack": ORACLE_JSON_NOTE,
+    "date_windows": ORACLE_DATE_WINDOWS,
     "movement_flatten": ORACLE_MOVEMENT_FLATTEN,
     "notes_membership": ORACLE_NOTES_MEMBERSHIP,
     "latest_version": ORACLE_LATEST_VERSION,
