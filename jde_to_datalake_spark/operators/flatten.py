@@ -91,30 +91,28 @@ def synthesize_actions(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     ingredients = (
         li.groupBy("l_orderkey", "ingredient_id", "product_name", "addition_unit")
         .agg(
-            F.sort_array(
-                F.collect_list(
+            # no sort_array: the arrays are exploded downstream, so the
+            # flattened multiset is independent of collect order
+            F.collect_list(
+                F.struct(
                     F.struct(
-                        F.struct(
-                            F.col("batch_id").alias("_id"),
-                            F.col("batch_number").alias("batchNumber"),
-                            F.col("depleted").alias("depleted"),
-                        ).alias("batch")
-                    )
+                        F.col("batch_id").alias("_id"),
+                        F.col("batch_number").alias("batchNumber"),
+                        F.col("depleted").alias("depleted"),
+                    ).alias("batch")
                 )
             ).alias("batches")
         )
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(
-                F.collect_list(
+            F.collect_list(
+                F.struct(
                     F.struct(
-                        F.struct(
-                            F.col("ingredient_id").alias("_id"),
-                            F.col("product_name").alias("productName"),
-                            F.col("addition_unit").alias("additionUnit"),
-                        ).alias("Ingredient"),
-                        F.col("batches").alias("batches"),
-                    )
+                        F.col("ingredient_id").alias("_id"),
+                        F.col("product_name").alias("productName"),
+                        F.col("addition_unit").alias("additionUnit"),
+                    ).alias("Ingredient"),
+                    F.col("batches").alias("batches"),
                 )
             ).alias("ingredients")
         )

@@ -128,3 +128,19 @@ def test_sql_facade_matches_dataframe_plan(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_filter_and_projection_pushed_to_scan(spark, capsys):
+    """Catalyst must push the P4-P6 predicates and the projection into
+    the parquet scan — PushedFilters + narrow ReadSchema in the plan
+    (SCALE.md 'push down and prune')."""
+    import __spark_entry__ as E
+
+    df = E.queries()["filters_inlist_range"](spark, SF_DIR)
+    df.explain("formatted")
+    plan = capsys.readouterr().out
+    assert "PushedFilters: [" in plan
+    assert "In(o_orderstatus" in plan and "GreaterThan(o_totalprice" in plan
+    # column pruning: only the projected columns reach the reader
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_comment" not in rs and "o_custkey" not in rs
