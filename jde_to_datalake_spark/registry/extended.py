@@ -585,8 +585,38 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per linestatus with per-cell counts + sums.
+
+    The reference's UI renders comparison tables wide; engine-side
+    this is groupBy().pivot() with explicit pivot values (never let
+    the engine scan for distinct values at 100 TB). Oracle uses
+    portable conditional aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+
+
+ORACLE_PIVOT_WIDE = """
+SELECT l_returnflag,
+       count_if(l_linestatus = 'O') AS O_n,
+       SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS O_qty,
+       count_if(l_linestatus = 'F') AS F_n,
+       SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS F_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "sketch_profile": q_sketch_profile,
+    "pivot_wide": q_pivot_wide,
     "json_note_pack": q_json_note_pack,
     "date_windows": q_date_windows,
     "movement_flatten": q_movement_flatten,
@@ -600,6 +630,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pivot_wide": ORACLE_PIVOT_WIDE,
     "json_note_pack": ORACLE_JSON_NOTE,
     "date_windows": ORACLE_DATE_WINDOWS,
     "movement_flatten": ORACLE_MOVEMENT_FLATTEN,
