@@ -123,3 +123,62 @@ def running_inventory_stream(
     return movements.groupBy(product_col).applyInPandasWithState(
         update, RESULT_SCHEMA, state_schema, "update", timeout
     )
+
+
+class RunningInventoryProcessor:
+    """transformWithStateInPandas form (Spark 4 StatefulProcessor API).
+
+    Same clamp-at-zero fold as the GroupState form, but on the
+    current-generation state API: typed ValueState, per-key TTL hooks,
+    and state-store-backed recovery. Keyed by product; state is one
+    (balance, count) row per key — O(#products).
+
+    Requires protobuf (the TWS state-server wire protocol) at runtime
+    — absent in this container, so the tested path here is
+    ``running_inventory_stream`` (applyInPandasWithState); this form
+    is the drop-in upgrade on a standard cluster image.
+    """
+
+    def __init__(self):
+        # imported lazily so batch-only deployments don't need the API
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class _Proc(StatefulProcessor):
+            def init(self, handle):
+                state_schema = StructType(
+                    [
+                        StructField("on_hand", DoubleType()),
+                        StructField("n", LongType()),
+                    ]
+                )
+                self._state = handle.getValueState("inv", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._state.exists():
+                    bal, n = self._state.get()
+                else:
+                    bal, n = 0.0, 0
+                for pdf in rows:
+                    pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort")
+                    for q in pdf["__signed"]:
+                        bal = max(0.0, bal + q)
+                    n += len(pdf)
+                self._state.update((bal, n))
+                yield pd.DataFrame(
+                    {"product_id": [key[0]], "on_hand": [bal], "n_movements": [n]}
+                )
+
+            def close(self):
+                pass
+
+        self.processor = _Proc()
+
+
+def running_inventory_tws(movements: DataFrame) -> DataFrame:
+    """A10 on transformWithStateInPandas (expects __signed/__ts/__id)."""
+    return movements.groupBy("product_id").transformWithStateInPandas(
+        statefulProcessor=RunningInventoryProcessor().processor,
+        outputStructType=RESULT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

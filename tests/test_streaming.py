@@ -157,3 +157,49 @@ def test_running_inventory_stream_matches_ordered(spark, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+def test_running_inventory_tws_matches_ordered(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 API) == the batch fold.
+
+    The TWS state-server protocol needs protobuf; skip where absent
+    (this container ships without it — applyInPandasWithState above is
+    the tested stateful path here).
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    from jde_to_datalake_spark.streaming.stateful import running_inventory_tws
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_id") % 7 == 0)
+    signed = ev.select(
+        (F.col("user_id") % 50).alias("product_id"),
+        F.col("ts").alias("__ts"),
+        F.col("event_id").alias("__id"),
+        F.when(F.col("event_type").isin("click", "view"), -F.col("value"))
+        .otherwise(F.col("value")).alias("__signed"),
+    )
+    src = str(tmp_path / "mov_stream")
+    signed.coalesce(1).write.parquet(src)  # single slice => one batch, ordered fold
+    stream = spark.readStream.schema(signed.schema).parquet(src)
+    q = (
+        running_inventory_tws(stream)
+        .writeStream.format("memory")
+        .queryName("inv_tws")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["product_id"]: (round(r["on_hand"], 6), r["n_movements"])
+        for r in spark.table("inv_tws").collect()
+    }
+    exp = {
+        r["product_id"]: (round(r["on_hand"], 6), r["n_movements"])
+        for r in running_inventory_ordered(
+            ev, product_col="product_id", ts_col="ts", id_col="event_id",
+            qty_col="value",
+        ).collect()
+    }
+    # ordered-batch fold must agree when the stream arrives as one batch
+    assert got == exp
