@@ -614,9 +614,65 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 as the scale pattern: boolean validity + reject accounting.
+
+    Units are synthesized with a deliberate invalid tail; the query
+    reports per-unit validity and row counts — the reject-table split
+    the engine recommends over raise-on-first-error (a poison row must
+    not kill a 100 TB job; validate_unit(strict=True) exists for the
+    fail-fast contexts).
+    """
+    from jde_to_datalake_spark.functions.scalars import validate_unit
+
+    li = _t(spark, sf_dir, "lineitem")
+    with_units = li.select(
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit("BOGUS"))
+        .when(F.col("l_linenumber") % 7 == 1, F.lit("??"))
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("KG"), F.lit("EA"), F.lit("LT"), F.lit("GR"), F.lit("ML")),
+                (F.col("l_partkey") % 5 + 1).cast("int"),
+            )
+        ).alias("unit"),
+    )
+    return (
+        with_units.withColumn("is_valid", validate_unit(F.col("unit")))
+        .groupBy("unit", "is_valid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _valid_units_sql() -> str:
+    """The exact unit set validate_unit checks, from the same constants."""
+    from jde_to_datalake_spark.functions.scalars import (
+        JDE_TO_LAKE_UNITS,
+        LAKE_TO_JDE_UNITS,
+    )
+
+    units = sorted(set(JDE_TO_LAKE_UNITS) | set(LAKE_TO_JDE_UNITS))
+    return ", ".join(f"'{u}'" for u in units)
+
+
+ORACLE_VALIDATION_SPLIT = f"""
+WITH u AS (
+  SELECT CASE
+    WHEN l_linenumber % 7 = 0 THEN 'BOGUS'
+    WHEN l_linenumber % 7 = 1 THEN '??'
+    ELSE (['KG','EA','LT','GR','ML'])[(l_partkey % 5) + 1] END AS unit
+  FROM lineitem
+)
+SELECT unit,
+       upper(unit) IN ({_valid_units_sql()}) AS is_valid,
+       COUNT(*) AS n_rows
+FROM u GROUP BY unit
+"""
+
+
 QUERIES = {
     "sketch_profile": q_sketch_profile,
     "pivot_wide": q_pivot_wide,
+    "validation_split": q_validation_split,
     "json_note_pack": q_json_note_pack,
     "date_windows": q_date_windows,
     "movement_flatten": q_movement_flatten,
@@ -631,6 +687,7 @@ QUERIES = {
 
 ORACLES = {
     "pivot_wide": ORACLE_PIVOT_WIDE,
+    "validation_split": ORACLE_VALIDATION_SPLIT,
     "json_note_pack": ORACLE_JSON_NOTE,
     "date_windows": ORACLE_DATE_WINDOWS,
     "movement_flatten": ORACLE_MOVEMENT_FLATTEN,

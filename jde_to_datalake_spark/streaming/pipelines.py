@@ -121,3 +121,50 @@ def run_foreach_batch_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_windows_to_lake(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    event_time_col: str = "ts",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Watermarked windows -> hive-partitioned lake, append mode.
+
+    The streaming composition of T2 + S6: only CLOSED windows (end <=
+    final watermark) are appended, each exactly once, into the same
+    year=/month=/day= layout the batch sink uses — so downstream
+    partition-pruned readers (S8) work identically on streamed and
+    batch-written data. At scale the file sink commits via the
+    checkpoint manifest: restart-safe, no duplicate windows.
+    """
+    stream = stream.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    agg = (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_len).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,9)"))
+            .cast("decimal(38,2)").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+            F.year("w.start").alias("year"),
+            F.month("w.start").alias("month"),
+            F.dayofmonth("w.start").alias("day"),
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("year", "month", "day")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

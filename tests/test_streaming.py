@@ -203,3 +203,34 @@ def test_running_inventory_tws_matches_ordered(spark, tmp_path):
     }
     # ordered-batch fold must agree when the stream arrives as one batch
     assert got == exp
+
+
+def test_stream_windows_to_lake_closed_windows_only(spark, events_dir, tmp_path):
+    """Append-mode windows land in the partitioned lake exactly once,
+    and only windows closed by the final watermark are emitted."""
+    directory, ev = events_dir
+    stream = P.read_event_stream(spark, directory, ev.schema)
+    out = str(tmp_path / "win_lake")
+    P.stream_windows_to_lake(stream, out, str(tmp_path / "ckpt"))
+
+    got_df = spark.read.parquet(out)
+    assert "year" in got_df.columns  # hive layout present
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in got_df.collect()
+    }
+
+    max_ts = ev.select(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    exp_df = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,9)"))
+            .cast("decimal(38,2)").cast("double").alias("s"),
+        )
+        .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    exp = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in exp_df.collect()}
+    assert got == exp and len(got) > 0
