@@ -669,10 +669,46 @@ FROM u GROUP BY unit
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, value-checked end-to-end.
+
+    documents -> binary media column (synthesize_media) -> Arrow-
+    batched mapInPandas decode (fake_decode_image: dims derived from
+    sha256(content)). The decode kernel is the stub (no codecs in this
+    container) but everything the engine owns — binary column
+    handling, batch iteration, schema, hashing — is exact, so the
+    oracle recomputes the same dims in SQL from sha256 of the same
+    bytes.
+    """
+    from jde_to_datalake_spark.multimodal.binary_ops import (
+        fake_decode_image,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return fake_decode_image(synthesize_media(docs))
+
+
+ORACLE_MULTIMODAL_DECODE = """
+WITH hashed AS (
+  -- DuckDB's sha256(VARCHAR) hashes the UTF-8 bytes — identical input
+  -- to the kernel's sha256 over the encoded binary column
+  SELECT doc_id, text, sha256(text) AS sha FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST('0x' || substr(sha, 1, 4) AS INT) % 1920 + 1 AS width,
+       CAST('0x' || substr(sha, 5, 4) AS INT) % 1080 + 1 AS height,
+       octet_length(encode(text)) AS n_bytes,
+       sha AS content_sha
+FROM hashed
+"""
+
+
 QUERIES = {
     "sketch_profile": q_sketch_profile,
     "pivot_wide": q_pivot_wide,
     "validation_split": q_validation_split,
+    "multimodal_decode": q_multimodal_decode,
     "json_note_pack": q_json_note_pack,
     "date_windows": q_date_windows,
     "movement_flatten": q_movement_flatten,
@@ -688,6 +724,7 @@ QUERIES = {
 ORACLES = {
     "pivot_wide": ORACLE_PIVOT_WIDE,
     "validation_split": ORACLE_VALIDATION_SPLIT,
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "json_note_pack": ORACLE_JSON_NOTE,
     "date_windows": ORACLE_DATE_WINDOWS,
     "movement_flatten": ORACLE_MOVEMENT_FLATTEN,
