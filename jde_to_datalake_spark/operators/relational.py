@@ -240,3 +240,56 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
     )
     return salted_l.join(salted_r, [key, "__salt"], how).drop("__salt")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of (last-value-before) join — a SQL ASOF JOIN composition.
+
+    For each left row, attach the most recent right row with
+    right_ts <= left_ts per key. Spark has no native ASOF operator;
+    this is the standard union+window composition: tag both sides,
+    sort (key, ts, side) with right-before-left at equal ts
+    (inclusive semantics), and carry values forward with
+    last(ignorenulls) over an unbounded-preceding frame.
+
+    Requires right to be UNIQUE per (on, right_ts) — pre-aggregate
+    ties away, or the carried value is nondeterministic (same
+    constraint DuckDB's ASOF JOIN resolves arbitrarily).
+
+    Scale: ONE shuffle on the key; the window sorts within each key
+    partition. Cost is the per-key row count (left+right) — the same
+    partitioning a merge-based native asof would need. Skewed keys
+    split via AQE; there is no cross-key data movement.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_ts)]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l)
+    for c in value_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(F.col(on), F.col("__ts").alias(left_ts), *value_cols)
+    )

@@ -704,11 +704,45 @@ FROM hashed
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join: per-user hourly checkpoints -> last event value at or
+    before each checkpoint. Verified against DuckDB's NATIVE ASOF JOIN
+    — the composition (union + last-ignorenulls window) must agree
+    with a real asof implementation, not just with itself.
+    """
+    from jde_to_datalake_spark.operators.relational import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    right = (
+        ev.groupBy("user_id", "ts")  # unique (key, ts): ties pre-aggregated
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,9)"))
+            .cast("decimal(38,2)").cast("double").alias("asof_value")
+        )
+    )
+    left = ev.select("user_id", F.date_trunc("hour", "ts").alias("ts")).distinct()
+    return as_of_join(left, right, on="user_id").withColumnRenamed("ts", "query_ts")
+
+
+ORACLE_ASOF = """
+WITH r AS (
+  SELECT user_id, ts,
+         CAST(round(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS asof_value
+  FROM events GROUP BY user_id, ts
+), l AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS query_ts FROM events
+)
+SELECT l.user_id, l.query_ts, r.asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.query_ts
+"""
+
+
 QUERIES = {
     "sketch_profile": q_sketch_profile,
     "pivot_wide": q_pivot_wide,
     "validation_split": q_validation_split,
     "multimodal_decode": q_multimodal_decode,
+    "asof_join": q_asof_join,
     "json_note_pack": q_json_note_pack,
     "date_windows": q_date_windows,
     "movement_flatten": q_movement_flatten,
@@ -725,6 +759,7 @@ ORACLES = {
     "pivot_wide": ORACLE_PIVOT_WIDE,
     "validation_split": ORACLE_VALIDATION_SPLIT,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "asof_join": ORACLE_ASOF,
     "json_note_pack": ORACLE_JSON_NOTE,
     "date_windows": ORACLE_DATE_WINDOWS,
     "movement_flatten": ORACLE_MOVEMENT_FLATTEN,
