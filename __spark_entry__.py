@@ -7,10 +7,11 @@ from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI
 SQL for the driver's correctness gate.
 
 Parity conventions (see tests/conftest.py, which mirrors the driver):
-- money/qty aggregation goes through exact DECIMAL staging
-  (decimal addition/multiplication is associative -> results are
-  bit-identical across partition orders on both engines), cast to
-  DOUBLE only in the final projection;
+- money aggregation is FIXED-POINT: 2-dp values quantized once to
+  int64 cents, sums/products in integer math (exact and associative
+  -> bit-identical across partition orders on both engines), HALF_UP
+  rescale after the aggregate, DOUBLE only in the final projection;
+  non-money quantities use exact DECIMAL staging the same way;
 - every computed column is aliased identically in Spark and SQL;
 - any "first/keep-one" semantics carries an explicit deterministic
   tie-break (SURVEY §7 watch list).
