@@ -68,8 +68,16 @@ def with_shingle_col(
       `split()` expression would re-evaluate per `element_at` probe
       (3n per row). CollapseProject keeps multi-referenced non-trivial
       expressions in their own Project, pinning one split per row.
-    - `element_at` probes rather than `slice` — O(1) indexing instead
-      of a per-position sub-array allocation.
+    - `try_element_at` probes rather than `slice` — O(1) indexing
+      instead of a per-position sub-array allocation. The `try_`
+      variant is REQUIRED, not style: downstream explodes infer a
+      `size(sh_arr) > 0` predicate that gets merged with the
+      token-count filter, and predicate codegen's common-subexpression
+      elimination evaluates the gram transform BEFORE the AND can
+      short-circuit — a plain `element_at` then throws under ANSI for
+      docs with < n tokens (found by hypothesis, not the fixtures).
+      For rows that survive the filter the indexes are always in
+      bounds, so try/plain are value-identical.
     Docs with < n tokens are dropped by the CHEAP pre-filter (not a
     filter on sh_arr, which pushdown would inline below the spread()
     exchange, serializing the work onto the scan partition).
@@ -80,10 +88,15 @@ def with_shingle_col(
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     )
     tk = F.col("__toks")
+    # guard the position range too: sequence(0, negative) DESCENDS,
+    # which would probe index 0 (invalid even for try_element_at)
+    positions = F.when(
+        F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(tk) - n),
+        positions,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
+            " ", *[F.try_element_at(tk, i + j + 1) for j in range(n)]
         ),
     )
     return toked.select(

@@ -113,3 +113,53 @@ def test_unit_quantity_conversion_reference(spark, qty, src, tgt):
         src=src, tgt=tgt, qty=qty,
     )
     assert got == pytest.approx(expected, rel=1e-12)
+
+
+@HS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=6
+    )
+)
+def test_minhash_signature_invariants(spark, texts):
+    """Signatures: one row per (doc-with->=3-tokens, hash_idx); values
+    in [0, p); identical texts get identical signatures."""
+    from jde_to_datalake_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(100, texts[0])],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs, num_hashes=4).collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["hash_idx"]] = r["minhash"]
+        assert 0 <= r["minhash"] < MINHASH_P
+    eligible = [i for i, t in enumerate(texts) if len(t.split()) >= 3]
+    assert set(by_doc) == set(eligible) | ({100} if 0 in eligible else set())
+    if 0 in eligible:
+        assert by_doc[0] == by_doc[100]  # same text -> same signature
+
+
+@HS
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy z", min_size=5, max_size=30), min_size=2, max_size=5
+    )
+)
+def test_jaccard_pairs_bounds_and_symmetry(spark, texts):
+    """ngram Jaccard: 0 < j <= 1, id_a < id_b, dup texts give j == 1."""
+    from jde_to_datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(50, texts[0])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.0, max_df=1000).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+    if len(texts[0].split()) >= 2:
+        dup = [r for r in pairs if r["id_a"] == 0 and r["id_b"] == 50]
+        assert len(dup) == 1 and dup[0]["jaccard"] == 1.0
