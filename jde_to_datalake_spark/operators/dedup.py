@@ -160,6 +160,35 @@ def ngram_jaccard_pairs(
     return out
 
 
+def pair_enumeration(arr_col):
+    """All (i < j) element pairs of an array as structs (a, b).
+
+    The outer position range is when-guarded for arrays of size < 2:
+    downstream explodes infer a size predicate over this expression,
+    and predicate codegen's subexpression elimination can evaluate it
+    before an adjacent size filter short-circuits (same hazard as
+    with_shingle_col) — an unguarded sequence(1, size-1) would descend
+    through index 0 on single-element arrays and throw under ANSI.
+    Inner probes are bounded by construction, so plain element_at is
+    safe (and cheaper than try_element_at).
+    """
+    positions = F.when(
+        F.size(arr_col) >= 2, F.sequence(F.lit(1), F.size(arr_col) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.flatten(
+        F.transform(
+            positions,
+            lambda j: F.transform(
+                F.sequence(F.lit(0), j - 1),
+                lambda i: F.struct(
+                    F.element_at(arr_col, i + 1).alias("a"),
+                    F.element_at(arr_col, j + 1).alias("b"),
+                ),
+            ),
+        )
+    )
+
+
 def _with_shingle_hashes(docs, n, text_col, id_col):
     """(id, sh_arr, h0) where h0[j] = int64(md5(shingle_j)) mod p."""
     return with_shingle_col(docs, n, text_col, id_col).withColumn(
@@ -264,21 +293,9 @@ def minhash_lsh_pairs(
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("ids") - 1),
-            lambda j: F.transform(
-                F.sequence(F.lit(0), j - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("ids"), i + 1).alias("id_a"),
-                    F.element_at(F.col("ids"), j + 1).alias("id_b"),
-                ),
-            ),
-        )
-    )
     candidates = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        buckets.select(F.explode(pair_enumeration(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     # Exact-Jaccard verification on CANDIDATES ONLY — the whole point of

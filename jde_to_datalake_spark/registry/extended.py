@@ -399,19 +399,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("members") > 1)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("members") - 1),
-            lambda j: F.transform(
-                F.sequence(F.lit(0), j - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("members"), i + 1).alias("a"),
-                    F.element_at(F.col("members"), j + 1).alias("b"),
-                ),
-            ),
-        )
-    )
-    pairs = buckets.select(F.explode(pair_arr).alias("p")).select(
+    from jde_to_datalake_spark.operators.dedup import pair_enumeration
+
+    pairs = buckets.select(
+        F.explode(pair_enumeration(F.col("members"))).alias("p")
+    ).select(
         F.col("p.a.vec_id").alias("id_a"),
         F.col("p.b.vec_id").alias("id_b"),
         (

@@ -163,3 +163,24 @@ def test_jaccard_pairs_bounds_and_symmetry(spark, texts):
     if len(texts[0].split()) >= 2:
         dup = [r for r in pairs if r["id_a"] == 0 and r["id_b"] == 50]
         assert len(dup) == 1 and dup[0]["jaccard"] == 1.0
+
+
+def test_lsh_pairs_survive_single_member_buckets_and_short_docs(spark):
+    """Regression: size-1 buckets / <n-token docs must not crash the
+    LSH pipeline under ANSI (explode-inferred predicates evaluate the
+    pair/gram expressions eagerly)."""
+    from jde_to_datalake_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),   # exact dup of 0
+            (2, "completely different text here"),  # likely alone in buckets
+            (3, "xy"),                        # < 3 tokens
+            (4, " "),                         # whitespace only
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, band_size=2, threshold=0.2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0  # identical docs always pair at j=1
