@@ -63,11 +63,11 @@ def synthesize_actions(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     map ingredient_id -> Σ quantity. Shape mirrors
     backend/bakery_helper.py:453-563 / README.org:624-657.
     """
-    # One hash exchange on the document key up front: every groupBy
-    # level below clusters on a superset of (l_orderkey,), so Spark
-    # satisfies their distribution from this single partitioning
-    # (identical subtrees become a ReusedExchange) instead of
-    # re-shuffling per aggregation level.
+    # Pre-partition on the document key: every groupBy level below
+    # clusters on a superset of (l_orderkey,), so each chain runs all
+    # its aggregation levels off one exchange instead of re-shuffling
+    # per level (verified: 2 data exchanges total — one per nesting
+    # chain — and the orders sides broadcast).
     li = lineitem.repartition("l_orderkey").select(
         "l_orderkey",
         F.concat(F.lit("ing_"), F.col("l_partkey").cast("string")).alias("ingredient_id"),
