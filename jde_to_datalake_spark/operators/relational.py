@@ -293,3 +293,39 @@ def as_of_join(
         filled.filter(F.col("__side") == 1)
         .select(F.col(on), F.col("__ts").alias(left_ts), *value_cols)
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+) -> DataFrame:
+    """Point-in-interval join via day-bin equi-join + exact filter.
+
+    A plain `p.ts BETWEEN i.start AND i.end` predicate gives Spark a
+    broadcast-nested-loop plan — O(|points| x |intervals|) and only
+    viable when one side broadcasts. The scale form bins time: each
+    interval explodes into its covered day bins, points map to one
+    bin, and the join becomes an EQUI-join on the bin key (shuffle
+    co-location, AQE-eligible) with the exact containment check as a
+    post-filter. Work is O(points + interval-days + true-ish matches):
+    candidates are only pairs sharing a day, never the cross product.
+
+    Bin width trades replication (long intervals -> many bins) against
+    candidate precision; day bins fit the reference's date-granular
+    windows (F14's days_back).
+    """
+    p = points.withColumn("__bin", F.to_date(F.col(point_ts)))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.to_date(F.col(start_ts)), F.to_date(F.col(end_ts)))),
+    )
+    return (
+        p.join(i, "__bin")
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("__bin")
+    )

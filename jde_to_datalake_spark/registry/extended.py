@@ -729,12 +729,56 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.query_ts
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: shipments falling inside order promotion windows.
+
+    Binned equi-join form (operators.relational.range_join_binned) —
+    the oracle states the plain BETWEEN predicate, so the rewrite is
+    value-checked against the naive semantics.
+    """
+    from jde_to_datalake_spark.operators.relational import range_join_binned
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    points = li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    intervals = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").alias("promo_start"),
+        (F.col("o_orderdate") + F.make_interval(days=(F.col("o_orderkey") % 5) + 1))
+        .alias("promo_end"),
+    )
+    return range_join_binned(
+        points, intervals, "l_shipdate", "promo_start", "promo_end"
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "promo_id",
+             "promo_start", "promo_end")
+
+
+ORACLE_RANGE_JOIN = """
+WITH points AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate
+  FROM lineitem WHERE l_orderkey % 100 = 0
+), intervals AS (
+  SELECT o_orderkey AS promo_id,
+         o_orderdate AS promo_start,
+         o_orderdate + INTERVAL 1 DAY * ((o_orderkey % 5) + 1) AS promo_end
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT p.l_orderkey, p.l_linenumber, p.l_shipdate,
+       i.promo_id, i.promo_start, i.promo_end
+FROM points p JOIN intervals i
+  ON p.l_shipdate >= i.promo_start AND p.l_shipdate <= i.promo_end
+"""
+
+
 QUERIES = {
     "sketch_profile": q_sketch_profile,
     "pivot_wide": q_pivot_wide,
     "validation_split": q_validation_split,
     "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "json_note_pack": q_json_note_pack,
     "date_windows": q_date_windows,
     "movement_flatten": q_movement_flatten,
@@ -752,6 +796,7 @@ ORACLES = {
     "validation_split": ORACLE_VALIDATION_SPLIT,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "asof_join": ORACLE_ASOF,
+    "range_join": ORACLE_RANGE_JOIN,
     "json_note_pack": ORACLE_JSON_NOTE,
     "date_windows": ORACLE_DATE_WINDOWS,
     "movement_flatten": ORACLE_MOVEMENT_FLATTEN,
