@@ -33,8 +33,6 @@ from jde_to_datalake_spark.operators import relational as R  # noqa: E402
 from jde_to_datalake_spark.operators import reconcile  # noqa: E402
 
 DEC = "decimal(18,9)"   # exact staging for single-column sums
-DEC6 = "decimal(18,6)"  # money
-FRAC = "decimal(8,6)"   # discount/tax fractions
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
