@@ -31,3 +31,24 @@ TABLES = [
     "documents",
     "embeddings",
 ]
+
+
+def get_spark(*args, **kwargs):
+    """Session factory (lazy re-export of session.get_spark)."""
+    from jde_to_datalake_spark.session import get_spark as _g
+
+    return _g(*args, **kwargs)
+
+
+def load_table(spark, sf_dir: str, name: str):
+    """Testdata/lake table loader (lazy re-export)."""
+    from jde_to_datalake_spark.session import load_table as _l
+
+    return _l(spark, sf_dir, name)
+
+
+def register_views(spark, sf_dir: str, tables=None):
+    """Publish tables as temp views for spark.sql (lazy re-export)."""
+    from jde_to_datalake_spark.plans.sql_api import register_views as _r
+
+    return _r(spark, sf_dir, tables)
