@@ -322,7 +322,9 @@ def q_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SUM_BY_KEY = """
-SELECT lower(lang) AS lang, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+SELECT lower(lang) AS lang,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
 FROM documents GROUP BY 1
 """
 
@@ -364,10 +366,10 @@ def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_COND_COUNTS = """
 SELECT COUNT(*) AS total_records,
-       count_if(l_returnflag = 'R') AS n_returned,
-       count_if(l_quantity > 40) AS n_bulk,
-       count_if(l_tax > 0.05) AS n_high_tax,
-       count_if(l_discount > 0) AS n_discounted
+       CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
+       CAST(count_if(l_quantity > 40) AS BIGINT) AS n_bulk,
+       CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
+       CAST(count_if(l_discount > 0) AS BIGINT) AS n_discounted
 FROM lineitem
 """
 
@@ -578,7 +580,7 @@ WITH expanded AS (
 )
 SELECT event_type, COUNT(*) AS n_events,
        CAST(round(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value,
-       SUM(props_k) AS sum_k
+       CAST(SUM(props_k) AS BIGINT) AS sum_k
 FROM expanded WHERE props_k > 50 GROUP BY event_type
 """
 

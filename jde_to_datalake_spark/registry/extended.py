@@ -598,10 +598,10 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PIVOT_WIDE = """
 SELECT l_returnflag,
-       count_if(l_linestatus = 'O') AS O_n,
-       SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS O_qty,
-       count_if(l_linestatus = 'F') AS F_n,
-       SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS F_qty
+       CAST(count_if(l_linestatus = 'O') AS BIGINT) AS O_n,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O_qty,
+       CAST(count_if(l_linestatus = 'F') AS BIGINT) AS F_n,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS F_qty
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -52,13 +52,35 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: float(v) if hasattr(v, "as_tuple") else v  # Decimal -> float
-            )
+            had_decimal = df[c].map(lambda v: hasattr(v, "as_tuple")).any()
+            if had_decimal:
+                # Decimal -> float64 (a *float-kind* column on both engines:
+                # DuckDB DECIMAL and Spark DecimalType both land here)
+                df[c] = df[c].map(
+                    lambda v: float(v) if v is not None else None
+                ).astype("float64")
     sort_cols = list(df.columns)
     return df.sort_values(sort_cols, kind="mergesort", na_position="last").reset_index(
         drop=True
     )
+
+
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class; the driver's value hash is type-sensitive, so
+    an int64 Spark column vs a float64 oracle column (e.g. DuckDB
+    HUGEINT -> float64 on fetch_df) must FAIL here, not pass via
+    ``100 == 100.0`` — the exact laxness that let round 1's four
+    hash-fail oracles slip through the local harness."""
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
 
 
 def _values_equal(a, b) -> bool:
@@ -76,6 +98,16 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
         f"{name}: columns differ: {sorted(got.columns)} vs {sorted(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    for c in got.columns:
+        gk, ek = _dtype_kind(got[c]), _dtype_kind(exp[c])
+        # all-null columns degrade to object on either side; only enforce
+        # kinds when both sides actually carry typed values
+        if got[c].notna().any() and exp[c].notna().any():
+            assert gk == ek, (
+                f"{name}: column {c} dtype-kind mismatch: spark={gk} "
+                f"({got[c].dtype}) vs oracle={ek} ({exp[c].dtype}) — "
+                "the driver's typed hash would fail this"
+            )
     for c in got.columns:
         gv, ev = got[c].tolist(), exp[c].tolist()
         bad = [
