@@ -241,6 +241,40 @@ def surrogate_id(c: Column, modulus: int = 1_000_000) -> Column:
     return F.pmod(F.abs(F.xxhash64(c)), F.lit(modulus))
 
 
+def generated_uuid() -> Column:
+    """F19: random v4 UUID per row (backend/session_helper.py:29).
+
+    Nondeterministic by nature — proven by pytest properties (format,
+    per-row uniqueness), not by the value-hash oracle gate.
+    """
+    return F.expr("uuid()")
+
+
+def monotonic_row_id() -> Column:
+    """F19: cluster-unique surrogate row id.
+
+    ``monotonically_increasing_id`` encodes (partition id, row offset)
+    — unique and increasing within each partition with no shuffle or
+    global coordination, the only id shape that scales to 100 TB.
+    Values depend on partitioning, so pytest proves uniqueness and
+    per-partition monotonicity; oracle-checked ids use
+    ``prefixed_sequence_id`` instead.
+    """
+    return F.monotonically_increasing_id()
+
+
+def prefixed_sequence_id(prefix: str, seq: Column, suffix: Column | None = None) -> Column:
+    """F19: deterministic prefixed id — f"prod_{n}_{ts}" (backend/main.py:1708,1748).
+
+    Zero-padded so lexical order == numeric order (stable pagination /
+    pruning on the id column).
+    """
+    body = F.lpad(seq.cast("string"), 9, "0")
+    if suffix is not None:
+        return F.concat(F.lit(prefix), body, F.lit("_"), suffix)
+    return F.concat(F.lit(prefix), body)
+
+
 def note_transaction_id(text: Column) -> Column:
     """F20: extract `JDE_Transaction_Id: X` from note text.
 

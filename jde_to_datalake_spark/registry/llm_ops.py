@@ -51,6 +51,8 @@ jac AS (
 # text analysis --------------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/token stats + the rolling-hash document fingerprint —
+    the full per-document text-analysis pass in one projection."""
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
@@ -61,6 +63,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.stopword_ratio(t).alias("stop_ratio"),
         T.punct_ratio(t).alias("punct_ratio"),
         T.quality_score(t).alias("quality_score"),
+        T.fingerprint(t).alias("fingerprint"),
     )
 
 
@@ -77,10 +80,11 @@ m AS (
       / length(text) AS punct_ratio
   FROM t
 )
-SELECT doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, punct_ratio,
+SELECT m.doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, punct_ratio,
   least(1.0, n_tokens / 100.0) * 0.4 + (1.0 - stop_ratio) * 0.3
-    + least(1.0, avg_token_len / 8.0) * 0.3 AS quality_score
-FROM m
+    + least(1.0, avg_token_len / 8.0) * 0.3 AS quality_score,
+  sha256(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM m JOIN documents d ON d.doc_id = m.doc_id
 """
 
 
@@ -121,18 +125,6 @@ SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
     WHEN score_de > 0 AND score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
     ELSE 'und' END AS lang_guess
 FROM s
-"""
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
-
-
-ORACLE_DOC_FINGERPRINT = """
-SELECT doc_id,
-       sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-FROM documents
 """
 
 
@@ -326,7 +318,6 @@ SELECT query_id, bucket, candidate_id, cosine, rank FROM (
 QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -339,7 +330,6 @@ QUERIES = {
 ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
-    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_sig": ORACLE_MINHASH_SIG,

@@ -20,9 +20,14 @@ from jde_to_datalake_spark.session import load_table
 DEC = "decimal(18,9)"
 
 
-def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h, by event_type) + sliding (2h/1h) windows, tagged.
+
+    One registry slot, both window shapes value-checked; the sliding
+    branch carries a NULL event_type to share the schema.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -30,26 +35,13 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
         .select(
+            F.lit("tumbling").alias("kind"),
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type", "n_events", "sum_value",
         )
     )
-
-
-ORACLE_TUMBLING = """
-SELECT date_trunc('hour', ts) AS window_start,
-       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
-       event_type,
-       COUNT(*) AS n_events,
-       CAST(round(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2, 3
-"""
-
-
-def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
+    sliding = (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -57,22 +49,34 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
         .select(
+            F.lit("sliding").alias("kind"),
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
+            F.lit(None).cast("string").alias("event_type"),
             "n_events", "sum_value",
         )
     )
+    return tumbling.unionAll(sliding)
 
 
-ORACLE_SLIDING = """
-WITH assigned AS (
-  SELECT date_trunc('hour', ts) - k * (INTERVAL 1 HOUR) AS window_start, value
-  FROM events, UNNEST([0, 1]) AS t(k)
-)
-SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+ORACLE_TIME_WINDOWS = """
+SELECT 'tumbling' AS kind,
+       date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
        COUNT(*) AS n_events,
        CAST(round(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
-FROM assigned GROUP BY 1, 2
+FROM events GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'sliding' AS kind, window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       CAST(NULL AS VARCHAR) AS event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
+FROM (
+  SELECT date_trunc('hour', ts) - k * (INTERVAL 1 HOUR) AS window_start, value
+  FROM events, UNNEST([0, 1]) AS t(k)
+) GROUP BY 2
 """
 
 
@@ -120,13 +124,11 @@ FROM sessions GROUP BY user_id, session_id
 
 
 QUERIES = {
-    "tumbling_window": q_tumbling_window,
-    "sliding_window": q_sliding_window,
+    "time_windows": q_time_windows,
     "session_window": q_session_window,
 }
 
 ORACLES = {
-    "tumbling_window": ORACLE_TUMBLING,
-    "sliding_window": ORACLE_SLIDING,
+    "time_windows": ORACLE_TIME_WINDOWS,
     "session_window": ORACLE_SESSION,
 }

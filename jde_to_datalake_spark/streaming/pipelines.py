@@ -72,7 +72,7 @@ def windowed_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregate (same expression as the
-    batch query registry.windows.q_tumbling_window — one code path)."""
+    tumbling branch of registry.windows.q_time_windows — one code path)."""
     stream = stream.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
     return (
         stream.withWatermark(event_time_col, watermark)

@@ -184,3 +184,58 @@ def test_lsh_pairs_survive_single_member_buckets_and_short_docs(spark):
     pairs = minhash_lsh_pairs(docs, num_hashes=8, band_size=2, threshold=0.2)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
     assert got.get((0, 1)) == 1.0  # identical docs always pair at j=1
+
+
+# ---------------------------------------------------------------------------
+# F19: generated ids (uuid / monotonic / prefixed-sequential)
+# ---------------------------------------------------------------------------
+
+def test_generated_uuid_format_and_uniqueness(spark):
+    import re
+
+    rows = (
+        spark.range(500)
+        .repartition(4)
+        .select(S.generated_uuid().alias("u"))
+        .collect()
+    )
+    vals = [r["u"] for r in rows]
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    assert all(pat.match(v) for v in vals), vals[:3]
+    assert len(set(vals)) == len(vals)  # unique per row
+
+
+def test_monotonic_row_id_unique_and_partition_monotonic(spark):
+    df = (
+        spark.range(1000)
+        .repartition(8)
+        .select(
+            F.spark_partition_id().alias("pid"),
+            S.monotonic_row_id().alias("rid"),
+        )
+    )
+    rows = df.collect()
+    rids = [r["rid"] for r in rows]
+    assert len(set(rids)) == len(rids)  # cluster-unique
+    by_pid: dict[int, list[int]] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["rid"])
+    for pid, ids in by_pid.items():
+        assert ids == sorted(ids), f"partition {pid} not monotonic"
+
+
+def test_prefixed_sequence_id_shape(spark):
+    rows = (
+        spark.range(3)
+        .select(
+            S.prefixed_sequence_id("prod_", F.col("id")).alias("a"),
+            S.prefixed_sequence_id("txn_", F.col("id"), F.lit("20260813")).alias("b"),
+        )
+        .collect()
+    )
+    assert [r["a"] for r in rows] == [
+        "prod_000000000", "prod_000000001", "prod_000000002",
+    ]
+    assert rows[1]["b"] == "txn_000000001_20260813"
