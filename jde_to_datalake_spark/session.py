@@ -82,6 +82,15 @@ def spread(df, min_partitions: int | None = None):
     return df
 
 
+# Per-session cache of table DataFrames. A DataFrame here is a LAZY
+# plan — caching it shares the (driver-side) parquet-footer read and
+# expression construction across queries; every action still re-scans
+# the data. WeakKey so stopped sessions don't pin their entries.
+from weakref import WeakKeyDictionary
+
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one testdata table, normalizing nano-timestamps to NTZ.
 
@@ -90,6 +99,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     is converted here (integer div — no double round-trip) to
     timestamp_ntz, matching DuckDB/pandas naive semantics.
     """
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # session type not weakref-able: skip caching
+        per_session = {}
+    key = (os.path.abspath(sf_dir), name)
+    if key not in per_session:
+        per_session[key] = _load_table_uncached(spark, sf_dir, name)
+    return per_session[key]
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     try:  # driver-owned sessions may not have the conf yet
