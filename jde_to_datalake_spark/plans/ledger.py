@@ -57,10 +57,22 @@ class IdempotencyLedger:
 
         ``updates`` must contain the key plus the ledger payload
         columns. Last-writer-wins within ``updates`` is resolved by
-        keeping one row per key (max by the 'updated_at' column when
-        present, else arbitrary-deterministic min of a row hash).
+        keeping one row per key: max by 'updated_at' when present
+        (ties and the no-timestamp case fall through to min row hash —
+        deterministic under any partitioning, unlike dropDuplicates'
+        keep-whichever-arrives-first).
         """
-        updates = updates.dropDuplicates([self.key])
+        from pyspark.sql import Window
+
+        order = [F.xxhash64(*updates.columns).asc()]
+        if "updated_at" in updates.columns:
+            order.insert(0, F.col("updated_at").desc_nulls_last())
+        w = Window.partitionBy(self.key).orderBy(*order)
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         current = self.load(spark)
         if current is None:
             merged = updates

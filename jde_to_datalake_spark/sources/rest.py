@@ -60,16 +60,20 @@ class RestJsonSource:
     """Driver-side paged REST fetch (S4 semantics: size-bounded pages,
     stop on short page)."""
 
-    def __init__(self, fetch_page: FetchFn, page_size: int = 1000):
+    def __init__(self, fetch_page: FetchFn, page_size: int = 1000, sleeper=None):
+        """``sleeper`` defaults to real ``time.sleep`` so the documented
+        30s*2^n 429 backoff actually waits between retries; tests inject
+        a no-op to keep the retry path fast."""
         self.fetch_page = fetch_page
         self.page_size = page_size
+        self.sleeper = sleeper
 
     def fetch_all(self) -> list[dict]:
         out: list[dict] = []
         page = 0
         while True:
             recs = retry_with_backoff(
-                lambda: self.fetch_page(page, self.page_size), sleeper=lambda s: None
+                lambda: self.fetch_page(page, self.page_size), sleeper=self.sleeper
             )
             out.extend(recs)
             if len(recs) < self.page_size:

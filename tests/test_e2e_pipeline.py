@@ -94,3 +94,40 @@ def test_failed_dispatch_retried_next_run(spark, tmp_path):
     ledger.merge(spark, retried)
     assert ledger.load(spark).filter(F.col("status") == "done").count() == 3
     assert ledger.pending_only(spark, flat).count() == 7
+
+
+def test_ledger_merge_within_batch_tiebreak_is_deterministic(spark, tmp_path):
+    """A12: duplicate keys inside one updates batch resolve to the
+    max-updated_at row (not an arbitrary dropDuplicates keeper), and
+    without a timestamp to the min-row-hash row — stable under any
+    partitioning / retry."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    ledger = IdempotencyLedger(str(tmp_path / "ledger_tb"))
+    updates = spark.createDataFrame(
+        [
+            ("k1", "old", "2026-01-01"),
+            ("k1", "new", "2026-02-01"),
+            ("k2", "only", "2026-01-15"),
+        ],
+        "unique_transaction_id string, status string, updated_at string",
+    ).repartition(4)
+    ledger.merge(spark, updates)
+    got = {
+        r["unique_transaction_id"]: r["status"]
+        for r in ledger.load(spark).collect()
+    }
+    assert got == {"k1": "new", "k2": "only"}
+
+    # no updated_at column: keeper is the min-row-hash row, so repeated
+    # merges of the same multiset always pick the same keeper
+    ledger2 = IdempotencyLedger(str(tmp_path / "ledger_tb2"))
+    dup = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b")], "unique_transaction_id string, status string"
+    )
+    ledger2.merge(spark, dup.repartition(1))
+    first = ledger2.load(spark).collect()[0]["status"]
+    for n_parts in (2, 3, 5):
+        ledger3 = IdempotencyLedger(str(tmp_path / f"ledger_tb3_{n_parts}"))
+        ledger3.merge(spark, dup.repartition(n_parts))
+        assert ledger3.load(spark).collect()[0]["status"] == first

@@ -65,7 +65,7 @@ def test_rest_source_pagination_and_retry(spark):
             return [{"id": page * size + i, "v": f"p{page}"} for i in range(size)]
         return [{"id": 999, "v": "last"}]  # short page ends pagination
 
-    src = rest.RestJsonSource(fetch, page_size=3)
+    src = rest.RestJsonSource(fetch, page_size=3, sleeper=lambda s: None)
     df = src.to_df(spark, "id long, v string")
     assert df.count() == 7
     assert calls == [0, 1, 2]
