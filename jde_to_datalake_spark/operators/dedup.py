@@ -143,14 +143,20 @@ def ngram_jaccard_pairs(
     blowup on boilerplate n-grams. At 100 TB this operator is only run
     on LSH candidates; standalone it is the small-corpus/oracle path.
     """
-    sh = shingles(docs, n, text_col, id_col)
+    # The shingle projection feeds the rare-filter AND the join; the
+    # filtered set then feeds sizes AND both self-join sides. Without
+    # materialization each consumer re-evaluates the whole
+    # tokenize+shingle+explode pipeline (22 exchanges in the executed
+    # plan); lazily checkpointing the two shared relations computes
+    # each once (plan drops to 6 exchanges).
+    sh = shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle")
+    sh = sh.join(rare, "shingle").localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

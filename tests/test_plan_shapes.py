@@ -1,0 +1,106 @@
+"""Physical-plan regression tests — the 100 TB posture, asserted.
+
+Correctness tests prove WHAT each query computes; these prove HOW:
+no accidental cartesian products, predicates/projections reaching the
+parquet scan, broadcasts where dimensions are small, and bounded
+exchange counts on the headline plans. A plan that silently grows an
+extra shuffle or loses pushdown still returns right answers at
+sf0.001 — these tests are what catches it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+
+
+def _executed(spark, name: str) -> str:
+    import __spark_entry__ as E
+
+    df = E.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _all_query_names():
+    import __spark_entry__ as E
+
+    return sorted(E.queries())
+
+
+# Deliberate broadcast-nested-loop plans: ann_topk is the documented
+# exact verifier (broadcast(queries) x corpus); date_windows joins a
+# broadcast 1-row anchor on a range predicate.
+BNLJ_ALLOWED = {"ann_topk", "date_windows"}
+
+
+@pytest.mark.parametrize("name", _all_query_names())
+def test_no_cartesian_and_no_accidental_bnlj(spark, name):
+    plan = _executed(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected broadcast-nested-loop join"
+        )
+
+
+def test_filters_push_down_to_parquet_scan(spark):
+    plan = _executed(spark, "filters_inlist_range")
+    assert "PushedFilters: [" in plan
+    # all three predicates reach the scan (IN-list, range, >)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in pushed
+    assert "o_orderdate" in pushed
+    assert "o_totalprice" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _executed(spark, "sum_by_key")
+    # documents has (doc_id, text, lang, n_chars, ...); the query needs
+    # only lang + n_chars — the scan schema must not include text
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "lang" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
+
+
+def test_pivot_report_shape(spark):
+    plan = _executed(spark, "pivot_report")
+    # customer is the broadcast dimension side
+    assert "BroadcastHashJoin" in plan
+    # the final global orderBy was removed: no top-level Sort+Exchange
+    # beyond the 4 expected data exchanges (detail agg, header join
+    # side, final rollup, AQE reads)
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_live_comparison_preaggregates_before_join(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["live_comparison"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # detail side: Aggregate(l_orderkey) must sit BELOW the orders join
+    # (partial-sum-then-join); textually, the innermost Join must have
+    # an Aggregate descendant on the lineitem branch
+    assert "Join" in optimized
+    assert "Aggregate [l_orderkey" in optimized, optimized[:2000]
+    n_ex = _executed(spark, "live_comparison").count("Exchange")
+    assert n_ex <= 4, n_ex
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        ("action_flatten", 4),       # 2 nesting chains + 2 join sides
+        ("dedup_minhash_lsh", 4),    # bucket agg, distinct, melt join, verify agg
+        ("dedup_ngram_jaccard", 8),  # checkpointed shingles: rare, sizes, self-join
+        ("pricing_summary", 1),      # single agg over one scan
+        ("transaction_ids", 0),      # pure projection
+        ("text_quality", 0),         # pure projection
+        ("multimodal_decode", 0),    # mapInPandas over the scan, no shuffle
+        ("range_join", 1),           # bin equi-join, no BNL
+    ],
+)
+def test_exchange_budget(spark, name, max_exchanges):
+    plan = _executed(spark, name)
+    got = plan.count("Exchange")
+    assert got <= max_exchanges, f"{name}: {got} exchanges > {max_exchanges}"
