@@ -546,13 +546,14 @@ SELECT 'except' AS op, key FROM (
 
 
 def q_generated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F19: deterministic prefixed sequential ids (main.py:1708,1748).
+    """F17+F19: the deterministic id/key scalar family in one pass.
 
-    The oracle-checkable face of the F19 family: zero-padded
-    `prod_{n}_{yyyymmdd}` built from the natural key + date. The
-    nondeterministic members (uuid(), monotonically_increasing_id)
-    are proven by pytest properties (format, uniqueness, per-partition
-    monotonicity) — values can't cross-engine hash by construction.
+    F19: zero-padded `prod_{n}` / `txn_{n}_{yyyymmdd}` prefixed
+    sequential ids (main.py:1708,1748). F17: the SHA-256 request-cache
+    key (utility.py:428-494). The nondeterministic F19 members
+    (uuid(), monotonically_increasing_id) are proven by pytest
+    properties (format, uniqueness, per-partition monotonicity) —
+    values can't cross-engine hash by construction.
     """
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
     return o.select(
@@ -561,6 +562,9 @@ def q_generated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.prefixed_sequence_id(
             "txn_", F.col("o_orderkey"), F.date_format("o_orderdate", "yyyyMMdd")
         ).alias("txn_id"),
+        S.sha256_cache_key(
+            F.lit("GET"), F.lit("/data/orders"), F.col("o_orderkey").cast("string")
+        ).alias("cache_key"),
     )
 
 
@@ -568,7 +572,9 @@ ORACLE_GENERATED_IDS = """
 SELECT o_orderkey,
        'prod_' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS product_id,
        'txn_' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') || '_'
-              || strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS txn_id
+              || strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS txn_id,
+       sha256(concat_ws('||', 'GET', '/data/orders', CAST(o_orderkey AS VARCHAR)))
+         AS cache_key
 FROM orders WHERE o_orderkey % 50 = 0
 """
 
@@ -741,25 +747,6 @@ FROM named
 """
 
 
-def q_sha256_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F17+F18: SHA-256 cache key + deterministic surrogate id."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
-    return o.select(
-        "o_orderkey",
-        S.sha256_cache_key(
-            F.lit("GET"), F.lit("/data/orders"), F.col("o_orderkey").cast("string")
-        ).alias("cache_key"),
-    )
-
-
-ORACLE_SHA = """
-SELECT o_orderkey,
-       sha256(concat_ws('||', 'GET', '/data/orders', CAST(o_orderkey AS VARCHAR)))
-         AS cache_key
-FROM orders WHERE o_orderkey < 1000
-"""
-
-
 def q_action_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2+R4+J9+F7+F9+P9: nested action documents round-trip.
 
@@ -852,7 +839,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "action_flatten": q_action_flatten,
     "unit_conversion": q_unit_conversion,
     "transaction_ids": q_transaction_ids,
-    "sha256_keys": q_sha256_keys,
 }
 
 _ORACLES: dict[str, str] = {
@@ -878,7 +864,6 @@ _ORACLES: dict[str, str] = {
     "action_flatten": ORACLE_ACTION_FLATTEN,
     "unit_conversion": ORACLE_UNIT_CONV,
     "transaction_ids": ORACLE_TXN_IDS,
-    "sha256_keys": ORACLE_SHA,
 }
 
 
@@ -898,6 +883,7 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "rollup_summary",
     "generated_ids",
+    "dedup_clusters",
     "setops_suite",
     "topk_pagination",
     "time_windows",

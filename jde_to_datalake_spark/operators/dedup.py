@@ -396,6 +396,65 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    The dedup finisher: LSH/Jaccard emit PAIRS, but "keep one copy per
+    duplicate group" needs the transitive closure — A~B, B~C puts A,C
+    in one cluster even if never directly compared. cluster_id is the
+    MIN doc id in the component (the canonical keeper, matching
+    exact_dedup's min-id convention).
+
+    Algorithm: iterative min-label propagation —
+    label(v) <- min(label(v), min over neighbors' labels), repeated to
+    fixpoint (<= component-diameter iterations; near-dup clusters are
+    shallow). Each iteration is one shuffle join + groupBy, and the
+    label frontier is lazily checkpointed per iteration: REQUIRED for
+    iterative DataFrame algorithms — without it the lineage doubles
+    every pass and analysis goes exponential. Convergence is detected
+    with a changed-label count (a tiny action per iteration; at 100 TB
+    the label relation is |docs-in-pairs|, far smaller than the
+    corpus). ``max_iters`` bounds pathological chains.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        proposed = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("__changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = proposed.filter(F.col("__changed")).limit(1).count()
+        labels = proposed.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -214,6 +214,60 @@ WHERE j.jaccard >= 0.2
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> canonical keeper.
+
+    The dedup finisher: transitive closure over the LSH pair graph
+    (same params as ``dedup_minhash_lsh``), one row per doc that has a
+    near-dup, labeled with the min doc_id of its cluster. The oracle
+    recomputes the closure with a recursive CTE over the identical
+    pair set — so both the pair generation AND the iterative label
+    propagation are value-checked end-to-end.
+    """
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8, band_size=2, n=3, threshold=0.2,
+    )
+    return D.duplicate_clusters(pairs)
+
+
+# the recursive closure must be the outermost WITH RECURSIVE, so the
+# whole LSH pair pipeline rides along as plain CTEs
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+{_SQL_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, hash_idx // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash)) AS band_hash
+  FROM sig GROUP BY doc_id, hash_idx // 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+shr AS (SELECT doc_id, shingle FROM sh),
+{_SQL_JACCARD_FROM_SH},
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM candidates c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= 0.2
+),
+nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -322,6 +376,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -334,6 +389,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_sig": ORACLE_MINHASH_SIG,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": _simhash_oracle(),
     "ann_topk": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,

@@ -239,3 +239,62 @@ def test_prefixed_sequence_id_shape(spark):
         "prod_000000000", "prod_000000001", "prod_000000002",
     ]
     assert rows[1]["b"] == "txn_000000001_20260813"
+
+
+# ---------------------------------------------------------------------------
+# dedup finisher: connected components via min-label propagation
+# ---------------------------------------------------------------------------
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@HS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    from jde_to_datalake_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == _py_components(edges)
+
+
+def test_duplicate_clusters_empty_and_chain(spark):
+    from jde_to_datalake_spark.operators.dedup import duplicate_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(empty).count() == 0
+
+    # a 6-node chain needs label propagation across multiple hops —
+    # the transitive case a pairwise view can't express
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    got = duplicate_clusters(chain).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 7
