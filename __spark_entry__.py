@@ -884,6 +884,8 @@ _PRIORITY = [
     "rollup_summary",
     "generated_ids",
     "dedup_clusters",
+    "ann_suite",
+    "ann_ivf",
     "setops_suite",
     "topk_pagination",
     "time_windows",

@@ -52,7 +52,7 @@ for _name in (
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
-    "ann_topk",
+    "ann_suite",
 ):
     HEADLINE.append(_name)
 
@@ -70,6 +70,11 @@ def _time_queries(spark, qs, sf_dir: str, runs: int = 3) -> dict[str, float]:
         fn = qs.get(name)
         if fn is None:
             continue
+        # settle the JVM between queries: collect the previous query's
+        # garbage OUTSIDE the timed window so one query's allocation
+        # pressure doesn't tax the next (isolates per-query cost, the
+        # thing being measured; a long-lived cluster GCs continuously)
+        spark._jvm.System.gc()
         best = None
         for _run in range(runs):
             t0 = time.perf_counter()

@@ -298,9 +298,35 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
 
 # similarity -----------------------------------------------------------------
 
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k + LSH-bucketed top-k, tagged and unioned.
+
+    exact: broadcast(queries) x corpus, the baseline/verifier; lsh:
+    sign-bucket pruned candidates. One registry slot, both proof
+    shapes value-checked; `cell` is the LSH bucket (null for exact).
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+    exact = SIM.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5).select(
+        F.lit("exact").alias("op"),
+        "query_id",
+        F.lit(None).cast("int").alias("cell"),
+        "candidate_id", "cosine", "rank",
+    )
+    lsh = SIM.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 20), k=5, n_bits=4).select(
+        F.lit("lsh").alias("op"),
+        "query_id",
+        F.col("bucket").alias("cell"),
+        "candidate_id", "cosine", "rank",
+    )
+    return exact.unionAll(lsh)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: nearest-centroid cells, n_probe probing (scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        e, e.filter(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=2
+    )
 
 
 # dot/norm = strict left fold in element order, matching Spark's
@@ -324,29 +350,14 @@ _SQL_PAIR_DOT = """list_reduce(
              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
            (acc, x) -> acc + x)"""
 
-ORACLE_ANN_TOPK = f"""
+ORACLE_ANN_SUITE = f"""
 WITH {_SQL_VEC},
-scored AS (
+exact_scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
          {_SQL_PAIR_DOT} / q.nrm / c.nrm AS cosine
   FROM vecs c CROSS JOIN vecs q
   WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
-)
-SELECT query_id, candidate_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
-  FROM scored
-) WHERE rank <= 5
-"""
-
-
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return SIM.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 20), k=5, n_bits=4)
-
-
-ORACLE_ANN_LSH = f"""
-WITH {_SQL_VEC},
+),
 bucketed AS (
   SELECT vec_id, embedding, nrm,
     (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
@@ -355,13 +366,70 @@ bucketed AS (
     + (CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END) AS bucket
   FROM vecs
 ),
-scored AS (
+lsh_scored AS (
   SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS candidate_id,
          {_SQL_PAIR_DOT} / q.nrm / c.nrm AS cosine
   FROM bucketed c JOIN bucketed q USING (bucket)
   WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
 )
-SELECT query_id, bucket, candidate_id, cosine, rank FROM (
+SELECT 'exact' AS op, query_id, CAST(NULL AS INTEGER) AS cell,
+       candidate_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+  FROM exact_scored
+) WHERE rank <= 5
+UNION ALL
+SELECT 'lsh' AS op, query_id, CAST(bucket AS INTEGER) AS cell,
+       candidate_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+  FROM lsh_scored
+) WHERE rank <= 5
+"""
+
+# centroid-vs-vector cosine (v = vector side, c = centroid side)
+_SQL_CENT_DOT = """list_reduce(
+           list_prepend(0.0, list_transform(generate_series(1, len(v.embedding)),
+             i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cent_vec[i] AS DOUBLE))),
+           (acc, x) -> acc + x)"""
+
+ORACLE_ANN_IVF = f"""
+WITH {_SQL_VEC},
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         embedding AS cent_vec, nrm AS cent_norm
+  FROM vecs ORDER BY vec_id LIMIT 8
+),
+assigned AS (
+  SELECT candidate_id, c_vec, c_norm, cell FROM (
+    SELECT v.vec_id AS candidate_id, v.embedding AS c_vec, v.nrm AS c_norm,
+           c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_SQL_CENT_DOT} / v.nrm / c.cent_norm DESC, c.cell) AS crn
+    FROM vecs v CROSS JOIN cent c
+  ) WHERE crn = 1
+),
+probes AS (
+  SELECT query_id, q_vec, q_norm, cell FROM (
+    SELECT v.vec_id AS query_id, v.embedding AS q_vec, v.nrm AS q_norm,
+           c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_SQL_CENT_DOT} / v.nrm / c.cent_norm DESC, c.cell) AS crn
+    FROM vecs v CROSS JOIN cent c WHERE v.vec_id < 20
+  ) WHERE crn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.cell, a.candidate_id,
+         list_reduce(
+           list_prepend(0.0, list_transform(generate_series(1, len(p.q_vec)),
+             i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(a.c_vec[i] AS DOUBLE))),
+           (acc, x) -> acc + x) / p.q_norm / a.c_norm AS cosine
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.candidate_id <> p.query_id
+)
+SELECT query_id, cell, candidate_id, cosine, rank FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
   FROM scored
@@ -378,8 +446,8 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
-    "ann_topk": q_ann_topk,
-    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_suite": q_ann_suite,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
@@ -391,6 +459,6 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": _simhash_oracle(),
-    "ann_topk": ORACLE_ANN_TOPK,
-    "ann_lsh_bucketed": ORACLE_ANN_LSH,
+    "ann_suite": ORACLE_ANN_SUITE,
+    "ann_ivf": ORACLE_ANN_IVF,
 }

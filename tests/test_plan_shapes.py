@@ -28,10 +28,11 @@ def _all_query_names():
     return sorted(E.queries())
 
 
-# Deliberate broadcast-nested-loop plans: ann_topk is the documented
-# exact verifier (broadcast(queries) x corpus); date_windows joins a
-# broadcast 1-row anchor on a range predicate.
-BNLJ_ALLOWED = {"ann_topk", "date_windows"}
+# Deliberate broadcast-nested-loop plans: ann_suite's exact branch is
+# the documented verifier (broadcast(queries) x corpus); ann_ivf
+# broadcasts the tiny centroid table for assignment; date_windows
+# joins a broadcast 1-row anchor on a range predicate.
+BNLJ_ALLOWED = {"ann_suite", "ann_ivf", "date_windows"}
 
 
 @pytest.mark.parametrize("name", _all_query_names())
