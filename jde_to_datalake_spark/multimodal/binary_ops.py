@@ -138,6 +138,47 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(kernel, schema)
 
 
+def resize_image(media: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize plumbing: binary image -> resized binary + new dims.
+
+    STUB kernel: target dims are the aspect-preserving fit of the
+    fake-decoded dims into (max_w, max_h), and the "resized" bytes are
+    a deterministic content-hash-seeded truncation. A real build swaps
+    the kernel body for PIL's ``thumbnail``; schema (binary out —
+    resized media stays an opaque column for downstream ops), Arrow
+    batch shape, and partitioning are identical.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(b)
+                s = hashlib.sha256(raw).hexdigest()
+                w = int(s[:4], 16) % 1920 + 1
+                h = int(s[4:8], 16) % 1080 + 1
+                scale = min(max_w / w, max_h / h, 1.0)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                ids.append(mid)
+                ws.append(nw)
+                hs.append(nh)
+                # deterministic stand-in for re-encoded bytes
+                outs.append(raw[: max(1, int(len(raw) * scale))])
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "content": outs}
+            )
+
+    return media.mapInPandas(kernel, schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 2, n_frames: int = 6) -> DataFrame:
     """Frame-sampling plumbing: video binary -> exploded frame rows.
 

@@ -48,3 +48,20 @@ def test_frame_sampling(media):
     per_media = out.groupBy("media_id").count().collect()
     assert all(r["count"] == 3 for r in per_media)  # ceil(6/2)
     assert dict(out.dtypes)["frame_bytes"] == "binary"
+
+
+def test_resize_fits_bounds_and_preserves_aspect(media, spark):
+    decoded = {r["media_id"]: (r["width"], r["height"])
+               for r in M.fake_decode_image(media).collect()}
+    resized = M.resize_image(media, max_w=224, max_h=224).collect()
+    assert len(resized) == len(decoded)
+    for r in resized:
+        w0, h0 = decoded[r["media_id"]]
+        assert 1 <= r["width"] <= 224 and 1 <= r["height"] <= 224
+        # aspect preserved within integer truncation
+        scale = min(224 / w0, 224 / h0, 1.0)
+        assert r["width"] == max(1, int(w0 * scale))
+        assert r["height"] == max(1, int(h0 * scale))
+        assert isinstance(r["content"], (bytes, bytearray))
+    # output stays an opaque binary column for downstream ops
+    assert dict(M.resize_image(media).dtypes)["content"] == "binary"
