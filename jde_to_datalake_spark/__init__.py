@@ -52,3 +52,11 @@ def register_views(spark, sf_dir: str, tables=None):
     from jde_to_datalake_spark.plans.sql_api import register_views as _r
 
     return _r(spark, sf_dir, tables)
+
+
+def serve_queries(spark, sf_dir: str, queries, host: str = "127.0.0.1", port: int = 0):
+    """Start the thin HTTP query service (lazy re-export); returns the
+    server — ``server.server_address`` has the bound port."""
+    from jde_to_datalake_spark.plans.query_service import QueryService, serve
+
+    return serve(QueryService(spark, sf_dir, queries), host=host, port=port)
