@@ -878,6 +878,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the entries that most need fresh driver evidence: previously
 # unchecked, new, or changed this round.
 _PRIORITY = [
+    "corpus_chunking",
+    "corpus_filters",
     "nan_inf_cleanup",
     "profiling_stats",
     "dedup_embedding_cosine",
@@ -885,7 +887,6 @@ _PRIORITY = [
     "generated_ids",
     "dedup_clusters",
     "ann_suite",
-    "ann_ivf",
     "setops_suite",
     "topk_pagination",
     "time_windows",

@@ -1,0 +1,286 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+Beyond-reference tier (BASELINE.json north star): token-window
+chunking, Gopher/C4-style repetition metrics, PII detection/redaction
+counts, benchmark decontamination, and a composite keep/drop filter.
+
+Everything row-local stays row-local (array higher-order functions, no
+explode+groupBy where an in-row fold suffices), so per-document
+metrics are a single zero-shuffle projection over the 100 TB
+`documents` scan. The one deliberate shuffle-free exception is
+decontamination, which joins each document's shingles against a
+BROADCAST distinct-shingle set built from the (small) held-out
+benchmark — no shuffle of the corpus side.
+
+Regex patterns are restricted to syntax with identical semantics in
+Java regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from jde_to_datalake_spark.functions.text import tokens
+from jde_to_datalake_spark.operators.dedup import shingles
+from jde_to_datalake_spark.session import spread
+
+# PII patterns — dialect-portable (Java regex + RE2)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+# no '.' in the phone class — dotted digit runs must stay IP-only, so
+# "10.0.255.1" never double-counts as a phone (dot-separated phone
+# styles are traded away for that disjointness)
+PHONE_RE = "\\+?[0-9][0-9() -]{6,}[0-9]"
+IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+# Gopher-style keep thresholds (tuned to the synthetic corpus so both
+# outcomes occur; the rule SHAPE is the operator, constants are config)
+KEEP_MIN_TOKENS = 10
+KEEP_MAX_TOKENS = 10_000
+KEEP_MIN_AVG_TOKEN_LEN = 2.0
+KEEP_MAX_AVG_TOKEN_LEN = 12.0
+KEEP_MAX_TOP_TOKEN_FRAC = 0.20
+CONTAM_MIN_HITS = 1  # distinct shared eval shingles that flag a doc
+
+
+def chunk_plan(
+    docs: DataFrame,
+    chunk_size: int = 20,
+    overlap: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking with overlap: one row per (doc, chunk).
+
+    Chunk k covers 1-indexed token span [1 + k*stride,
+    min(1 + k*stride + chunk_size - 1, n)], stride = chunk_size -
+    overlap; every token is covered and consecutive chunks share
+    `overlap` tokens (except a shorter tail). Pure built-ins
+    (sequence/posexplode/slice/array_join) — zero shuffles, scales as
+    a flat map over the documents scan.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toked = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    exploded = toked.select(
+        F.col(id_col), F.col("__toks"), F.posexplode(starts).alias("pos", "start")
+    )
+    n2 = F.size(F.col("__toks"))
+    end = F.least(F.col("start") + F.lit(chunk_size - 1), n2)
+    return exploded.select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        end.cast("bigint").alias("end_tok"),
+        (end - F.col("start") + F.lit(1)).cast("bigint").alias("n_toks"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("start"), F.lit(chunk_size)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def _bigrams(tk) -> F.Column:
+    """Non-distinct token bigram array, row-local (see dedup._gram_col
+    for why try_element_at + a guarded position range are required)."""
+    positions = F.when(
+        F.size(tk) >= 2, F.sequence(F.lit(0), F.size(tk) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        positions,
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(tk, i + 1), F.try_element_at(tk, i + 2)
+        ),
+    )
+
+
+def _max_run(sorted_arr) -> F.Column:
+    """Length of the longest run of equal adjacent elements in a
+    SORTED array == count of the most frequent element. In-row fold
+    (interpreted HOF, but row-local: no shuffle, no Python)."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals, one zero-shuffle projection:
+    duplicate-token fraction, most-frequent-token fraction, duplicate-
+    bigram fraction. (The corpus is single-line text, so the line-level
+    variants of these rules degenerate; token/bigram level carries the
+    same semantics.)"""
+    toked = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    tk = F.col("__toks")
+    n = F.size(tk)
+    bg = _bigrams(tk)
+    nb = F.size(bg)
+    return toked.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        ((n - F.size(F.array_distinct(tk))) / n).alias("dup_token_frac"),
+        (_max_run(F.sort_array(tk)) / n).alias("top_token_frac"),
+        F.when(nb > 0, (nb - F.size(F.array_distinct(bg))) / nb)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def pii_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII match counts + post-redaction length. Counting and
+    replacement are JVM regex built-ins; the redacted text itself is
+    cheap to materialize but only its length is emitted here (the
+    redaction op is `redact`)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(IP_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.length(redact(t)).cast("bigint").alias("redacted_len"),
+    )
+
+
+def redact(text) -> F.Column:
+    """Replace emails, then phones, then IPs with typed placeholders.
+    Order matters (an email can contain digits); fixed here so the
+    oracle can mirror it exactly."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IP_RE, "<IP>")
+
+
+def decontamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document count of distinct n-gram shingles shared with a
+    held-out benchmark set: (id, n_eval_hits).
+
+    The eval side is collapsed to a DISTINCT shingle set and BROADCAST
+    — benchmark suites are tiny next to a 100 TB corpus, so the corpus
+    side never shuffles: scan → row-local shingle explode → broadcast
+    hash join → partial-agg count. Docs with no hit are absent (join
+    is inner); callers left-join and coalesce to 0.
+    """
+    eval_sh = shingles(eval_docs, n=n, text_col=text_col, id_col=id_col).select(
+        "shingle"
+    ).distinct()
+    doc_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    return (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_eval_hits"))
+    )
+
+
+def gopher_keep(
+    n_tokens, avg_token_len, top_token_frac, contaminated
+) -> F.Column:
+    """Composite keep/drop decision over the metric columns."""
+    return (
+        (n_tokens >= KEEP_MIN_TOKENS)
+        & (n_tokens <= KEEP_MAX_TOKENS)
+        & (avg_token_len >= KEEP_MIN_AVG_TOKEN_LEN)
+        & (avg_token_len <= KEEP_MAX_AVG_TOKEN_LEN)
+        & (top_token_frac <= KEEP_MAX_TOP_TOKEN_FRAC)
+        & ~contaminated
+    )
+
+
+def filter_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    is_eval_col,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full corpus-filter report: repetition + PII + avg-token-len
+    metrics in ONE zero-shuffle projection over the documents scan,
+    decontamination hit counts attached by a single doc_id-keyed left
+    join (the only shuffle; its build side is the output of the
+    broadcast shingle join in `decontamination_hits`).
+
+    ``is_eval_col`` is the membership predicate Column that defines
+    ``eval_docs`` (evaluated per-row, so no join is needed for the
+    flag itself).
+    """
+    t = F.col(text_col)
+    toked = spread(docs).select(
+        F.col(id_col), t, tokens(t).alias("__toks")
+    )
+    tk = F.col("__toks")
+    n = F.size(tk)
+    bg = _bigrams(tk)
+    nb = F.size(bg)
+    tok_len_sum = F.aggregate(
+        F.transform(tk, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    metrics = toked.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        ((n - F.size(F.array_distinct(tk))) / n).alias("dup_token_frac"),
+        (_max_run(F.sort_array(tk)) / n).alias("top_token_frac"),
+        F.when(nb > 0, (nb - F.size(F.array_distinct(bg))) / nb)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(IP_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.length(redact(t)).cast("bigint").alias("redacted_len"),
+        (tok_len_sum / n).alias("avg_token_len"),
+    )
+    hits = decontamination_hits(
+        docs, eval_docs, n=shingle_n, text_col=text_col, id_col=id_col
+    ).withColumnRenamed(id_col, "__hit_id")
+    out = metrics.join(
+        hits, F.col(id_col) == F.col("__hit_id"), "left"
+    ).drop("__hit_id")
+    n_hits = F.coalesce(F.col("n_eval_hits"), F.lit(0).cast("bigint"))
+    contaminated = (~is_eval_col) & (n_hits >= CONTAM_MIN_HITS)
+    return out.select(
+        id_col, "n_tokens", "dup_token_frac", "top_token_frac",
+        "dup_bigram_frac", "n_emails", "n_phones", "n_ips", "redacted_len",
+        "avg_token_len",
+        n_hits.alias("n_eval_hits"),
+        is_eval_col.alias("is_eval"),
+        contaminated.alias("contaminated"),
+        gopher_keep(
+            F.col("n_tokens"), F.col("avg_token_len"),
+            F.col("top_token_frac"), contaminated,
+        ).alias("keep"),
+    )

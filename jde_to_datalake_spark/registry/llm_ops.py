@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.functions import text as T
+from jde_to_datalake_spark.operators import corpus as C
 from jde_to_datalake_spark.operators import dedup as D
 from jde_to_datalake_spark.operators import similarity as SIM
 from jde_to_datalake_spark.session import load_table
@@ -51,52 +52,72 @@ jac AS (
 # text analysis --------------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality/token stats + the rolling-hash document fingerprint —
-    the full per-document text-analysis pass in one projection."""
+    """Quality/token stats + rolling-hash fingerprint + marker-stopword
+    language ID — the full per-document text-analysis pass, zero
+    shuffles (lang-ID columns merged in round 2 to keep the registry
+    inside the driver's 50-entry cap).
+
+    Staged as three projections rather than one: higher-order array
+    functions are interpreted (CodegenFallback) and Catalyst does NOT
+    common-subexpression-eliminate them, so the composite Column
+    builders (quality_score re-deriving stop_ratio, lang_guess
+    re-deriving every score) would evaluate each O(n_tokens) fold 2-3x
+    per row. Stage 1 computes each fold exactly once; stage 2 is pure
+    codegen arithmetic over the projected counters. CollapseProject
+    keeps the stages separate because the folds are non-cheap and
+    multi-referenced. Same operand order as before -> bit-identical
+    to the oracle.
+    """
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
-        "doc_id",
-        T.token_count(t).alias("n_tokens"),
-        T.bpe_token_count(t).alias("n_bpe_tokens"),
-        T.avg_token_len(t).alias("avg_token_len"),
-        T.stopword_ratio(t).alias("stop_ratio"),
-        T.punct_ratio(t).alias("punct_ratio"),
-        T.quality_score(t).alias("quality_score"),
-        T.fingerprint(t).alias("fingerprint"),
+    toked = d.select("doc_id", t, "lang", T.tokens(t).alias("__toks"))
+    tk = F.col("__toks")
+    len_sum = F.aggregate(
+        F.transform(tk, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
     )
-
-
-ORACLE_TEXT_QUALITY = f"""
-WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
-m AS (
-  SELECT doc_id,
-    len(toks) AS n_tokens,
-    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
-    list_sum(list_transform(toks, x -> length(x))) / len(toks) AS avg_token_len,
-    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
-      / len(toks) AS stop_ratio,
-    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
-      / length(text) AS punct_ratio
-  FROM t
-)
-SELECT m.doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, punct_ratio,
-  least(1.0, n_tokens / 100.0) * 0.4 + (1.0 - stop_ratio) * 0.3
-    + least(1.0, avg_token_len / 8.0) * 0.3 AS quality_score,
-  sha256(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fingerprint
-FROM m JOIN documents d ON d.doc_id = m.doc_id
-"""
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    scores = T.lang_scores(t)
-    return d.select(
-        "doc_id",
-        "lang",
-        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
-        T.lang_guess(t).alias("lang_guess"),
+    n_stop = F.size(F.filter(tk, lambda x: x.isin(T.STOPWORDS)))
+    stage1 = toked.select(
+        "doc_id", "lang",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(T.BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        len_sum.alias("__len_sum"),
+        n_stop.alias("__n_stop"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.fingerprint(t).alias("fingerprint"),
+        # closure factory, NOT `lambda x, m=markers`: a 2-arg lambda is
+        # treated by the HOF binder as (element, index) and the default
+        # is silently replaced by the index column
+        *[
+            F.size(
+                F.filter(tk, (lambda m: lambda x: x.isin(m))(markers))
+            ).alias(f"score_{lang}")
+            for lang, markers in T.LANG_MARKERS.items()
+        ],
+    )
+    nt = F.col("n_tokens")
+    avg_len = F.col("__len_sum") / nt
+    stop_ratio = F.col("__n_stop") / nt
+    quality = (
+        F.least(F.lit(1.0), nt / F.lit(100.0)) * 0.4
+        + (F.lit(1.0) - stop_ratio) * 0.3
+        + F.least(F.lit(1.0), avg_len / F.lit(8.0)) * 0.3
+    )
+    scores = {lang: F.col(f"score_{lang}") for lang in T.LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    for lang in ["de", "fr", "es", "en"]:
+        guess = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(guess)
+    return stage1.select(
+        "doc_id", "n_tokens", "n_bpe_tokens",
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        "punct_ratio",
+        quality.alias("quality_score"),
+        "fingerprint", "lang",
+        "score_en", "score_es", "score_fr", "score_de",
+        guess.alias("lang_guess"),
     )
 
 
@@ -110,21 +131,32 @@ def _lang_scores_sql() -> str:
     return ",\n    ".join(parts)
 
 
-ORACLE_LANG_ID = f"""
-WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
-s AS (
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, lang, {_SQL_TOKS} AS toks FROM documents),
+m AS (
   SELECT doc_id, lang,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+    list_sum(list_transform(toks, x -> length(x))) / len(toks) AS avg_token_len,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+      / len(toks) AS stop_ratio,
+    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+      / length(text) AS punct_ratio,
     {_lang_scores_sql()}
   FROM t
 )
-SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+SELECT m.doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, punct_ratio,
+  least(1.0, n_tokens / 100.0) * 0.4 + (1.0 - stop_ratio) * 0.3
+    + least(1.0, avg_token_len / 8.0) * 0.3 AS quality_score,
+  sha256(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fingerprint,
+  m.lang, score_en, score_es, score_fr, score_de,
   CASE
     WHEN score_en > 0 AND score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
     WHEN score_es > 0 AND score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
     WHEN score_fr > 0 AND score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
     WHEN score_de > 0 AND score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
     ELSE 'und' END AS lang_guess
-FROM s
+FROM m JOIN documents d ON d.doc_id = m.doc_id
 """
 
 
@@ -299,11 +331,14 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
 # similarity -----------------------------------------------------------------
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-k + LSH-bucketed top-k, tagged and unioned.
+    """Exact brute-force top-k + LSH-bucketed top-k + IVF top-k,
+    tagged and unioned.
 
     exact: broadcast(queries) x corpus, the baseline/verifier; lsh:
-    sign-bucket pruned candidates. One registry slot, both proof
-    shapes value-checked; `cell` is the LSH bucket (null for exact).
+    sign-bucket pruned candidates; ivf: nearest-centroid cells with
+    n_probe probing (the scale path). One registry slot, all three
+    proof shapes value-checked; `cell` is the LSH bucket / IVF cell
+    (null for exact).
     """
     e = load_table(spark, sf_dir, "embeddings")
     exact = SIM.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5).select(
@@ -318,15 +353,15 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("cell"),
         "candidate_id", "cosine", "rank",
     )
-    return exact.unionAll(lsh)
-
-
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: nearest-centroid cells, n_probe probing (scale path)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(
+    ivf = SIM.ivf_topk(
         e, e.filter(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=2
+    ).select(
+        F.lit("ivf").alias("op"),
+        "query_id",
+        F.col("cell").cast("int").alias("cell"),
+        "candidate_id", "cosine", "rank",
     )
+    return exact.unionAll(lsh).unionAll(ivf)
 
 
 # dot/norm = strict left fold in element order, matching Spark's
@@ -371,7 +406,8 @@ lsh_scored AS (
          {_SQL_PAIR_DOT} / q.nrm / c.nrm AS cosine
   FROM bucketed c JOIN bucketed q USING (bucket)
   WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
-)
+),
+{{IVF_CTES}}
 SELECT 'exact' AS op, query_id, CAST(NULL AS INTEGER) AS cell,
        candidate_id, cosine, rank FROM (
   SELECT *, row_number() OVER (
@@ -385,6 +421,13 @@ SELECT 'lsh' AS op, query_id, CAST(bucket AS INTEGER) AS cell,
     PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
   FROM lsh_scored
 ) WHERE rank <= 5
+UNION ALL
+SELECT 'ivf' AS op, query_id, CAST(cell AS INTEGER) AS cell,
+       candidate_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+  FROM ivf_scored
+) WHERE rank <= 5
 """
 
 # centroid-vs-vector cosine (v = vector side, c = centroid side)
@@ -393,8 +436,7 @@ _SQL_CENT_DOT = """list_reduce(
              i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cent_vec[i] AS DOUBLE))),
            (acc, x) -> acc + x)"""
 
-ORACLE_ANN_IVF = f"""
-WITH {_SQL_VEC},
+_SQL_IVF_CTES = f"""
 cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          embedding AS cent_vec, nrm AS cent_norm
@@ -420,7 +462,7 @@ probes AS (
     FROM vecs v CROSS JOIN cent c WHERE v.vec_id < 20
   ) WHERE crn <= 2
 ),
-scored AS (
+ivf_scored AS (
   SELECT p.query_id, a.cell, a.candidate_id,
          list_reduce(
            list_prepend(0.0, list_transform(generate_series(1, len(p.q_vec)),
@@ -429,17 +471,123 @@ scored AS (
   FROM assigned a JOIN probes p USING (cell)
   WHERE a.candidate_id <> p.query_id
 )
-SELECT query_id, cell, candidate_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
-  FROM scored
-) WHERE rank <= 5
+"""
+
+# splice the IVF CTE chain into the three-way suite oracle
+ORACLE_ANN_SUITE = ORACLE_ANN_SUITE.replace("{IVF_CTES}", _SQL_IVF_CTES)
+
+
+# corpus preparation ---------------------------------------------------------
+
+def q_corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunk plan (size 20, overlap 5): one row per
+    (doc, chunk) with the 1-indexed token span and the chunk text.
+    Pure sequence/posexplode/slice built-ins — a zero-shuffle flat map
+    over the documents scan."""
+    return C.chunk_plan(
+        load_table(spark, sf_dir, "documents"), chunk_size=20, overlap=5
+    )
+
+
+ORACLE_CORPUS_CHUNKING = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+c AS (
+  SELECT doc_id, t, g.s AS start_tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY g.s) - 1 AS chunk_idx
+  FROM t, UNNEST(generate_series(1, greatest(len(t), 1), 15)) AS g(s)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(start_tok + 19, len(t)) AS BIGINT) AS end_tok,
+       CAST(least(start_tok + 19, len(t)) - start_tok + 1 AS BIGINT) AS n_toks,
+       array_to_string(t[start_tok:least(start_tok + 19, len(t))], ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_corpus_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style corpus filter report: repetition metrics + PII
+    counts + benchmark decontamination + composite keep/drop, one row
+    per document.
+
+    Plan: all per-doc metrics are ONE zero-shuffle projection
+    (row-local array folds); decontamination joins the doc shingles
+    against a BROADCAST distinct-shingle set from the held-out docs
+    (doc_id % 97 = 0 stands in for the benchmark suite), then a single
+    doc_id-keyed left join attaches the hit counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return C.filter_report(
+        docs, docs.filter(is_eval), is_eval, shingle_n=5
+    )
+
+
+def _corpus_filters_oracle() -> str:
+    email, phone, ip = C.EMAIL_RE, C.PHONE_RE, C.IP_RE
+    return f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(generate_series(1, len(tk) - 1),
+                          i -> array_to_string(tk[i:i+1], ' '))
+         ELSE [] END AS bgs
+  FROM t
+),
+top_tok AS (
+  SELECT doc_id, MAX(c) AS max_cnt FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+sh5 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS shingle
+    FROM t, UNNEST(generate_series(1, len(tk) - 4)) AS g(i)
+  )
+),
+ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_eval_hits
+  FROM sh5 JOIN ev USING (shingle) GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  (len(tk) - len(list_distinct(tk))) / len(tk) AS dup_token_frac,
+  top_tok.max_cnt / len(tk) AS top_token_frac,
+  CASE WHEN len(bgs) > 0
+       THEN (len(bgs) - len(list_distinct(bgs))) / len(bgs)
+       ELSE 0.0 END AS dup_bigram_frac,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ips,
+  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+    '{email}', '<EMAIL>', 'g'), '{phone}', '<PHONE>', 'g'),
+    '{ip}', '<IP>', 'g')) AS BIGINT) AS redacted_len,
+  list_sum(list_transform(tk, x -> length(x))) / len(tk) AS avg_token_len,
+  CAST(coalesce(hits.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+  t.doc_id % 97 = 0 AS is_eval,
+  (NOT t.doc_id % 97 = 0) AND coalesce(hits.n_eval_hits, 0) >= {C.CONTAM_MIN_HITS}
+    AS contaminated,
+  len(tk) >= {C.KEEP_MIN_TOKENS} AND len(tk) <= {C.KEEP_MAX_TOKENS}
+    AND list_sum(list_transform(tk, x -> length(x))) / len(tk)
+          BETWEEN {C.KEEP_MIN_AVG_TOKEN_LEN} AND {C.KEEP_MAX_AVG_TOKEN_LEN}
+    AND top_tok.max_cnt / len(tk) <= {C.KEEP_MAX_TOP_TOKEN_FRAC}
+    AND NOT ((NOT t.doc_id % 97 = 0) AND coalesce(hits.n_eval_hits, 0) >= {C.CONTAM_MIN_HITS})
+    AS keep
+FROM t
+JOIN bg USING (doc_id)
+JOIN top_tok USING (doc_id)
+LEFT JOIN hits ON hits.doc_id = t.doc_id
 """
 
 
 QUERIES = {
     "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
+    "corpus_chunking": q_corpus_chunking,
+    "corpus_filters": q_corpus_filters,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -447,12 +595,12 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ann_suite": q_ann_suite,
-    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
-    "lang_id": ORACLE_LANG_ID,
+    "corpus_chunking": ORACLE_CORPUS_CHUNKING,
+    "corpus_filters": _corpus_filters_oracle(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_sig": ORACLE_MINHASH_SIG,
@@ -460,5 +608,4 @@ ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": _simhash_oracle(),
     "ann_suite": ORACLE_ANN_SUITE,
-    "ann_ivf": ORACLE_ANN_IVF,
 }

@@ -44,15 +44,11 @@ def test_ivf_recall_against_exact_baseline(spark):
     IVF top-5 (deterministic fixture, deterministic centroids)."""
     from conftest import SF_DIR
 
-    exact = (
-        E.queries()["ann_suite"](spark, SF_DIR)
-        .filter("op = 'exact'")
-        .select("query_id", "candidate_id")
-        .collect()
-    )
-    ivf = E.queries()["ann_ivf"](spark, SF_DIR).select(
-        "query_id", "candidate_id"
+    suite = E.queries()["ann_suite"](spark, SF_DIR).select(
+        "op", "query_id", "candidate_id"
     ).collect()
+    exact = [r for r in suite if r["op"] == "exact"]
+    ivf = [r for r in suite if r["op"] == "ivf"]
     exact_sets: dict[int, set] = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])

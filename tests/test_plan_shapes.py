@@ -29,10 +29,10 @@ def _all_query_names():
 
 
 # Deliberate broadcast-nested-loop plans: ann_suite's exact branch is
-# the documented verifier (broadcast(queries) x corpus); ann_ivf
-# broadcasts the tiny centroid table for assignment; date_windows
-# joins a broadcast 1-row anchor on a range predicate.
-BNLJ_ALLOWED = {"ann_suite", "ann_ivf", "date_windows"}
+# the documented verifier (broadcast(queries) x corpus) and its ivf
+# branch broadcasts the tiny centroid table for assignment;
+# date_windows joins a broadcast 1-row anchor on a range predicate.
+BNLJ_ALLOWED = {"ann_suite", "date_windows"}
 
 
 @pytest.mark.parametrize("name", _all_query_names())
