@@ -13,7 +13,12 @@ is reported: run 1 pays one-time whole-stage-codegen JIT compilation
 (amortized to ~zero on a long-lived cluster), later runs are the
 steady-state execution cost. Data is re-scanned from parquet on every
 run (nothing is cached/persisted across runs) — only code compilation
-is warmed, never data.
+and the prepared plan are warmed, never data: the registry memoizes
+each query's lazy DataFrame per (session, sf_dir) — the
+prepared-statement model — so repeat runs skip driver-side plan
+re-construction; queries built around localCheckpoint are excluded
+from that memo (see __spark_entry__._PLAN_CACHE_SKIP) so their
+checkpoint blocks are re-materialized on every run.
 
 A secondary scale point (sf0.01 by default) is timed with the same
 methodology and reported under "secondary", so per-query constants

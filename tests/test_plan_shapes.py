@@ -15,11 +15,19 @@ import pytest
 from conftest import SF_DIR
 
 
-def _executed(spark, name: str) -> str:
+def _fresh(spark, name: str):
+    """Build the query bypassing the registry's plan cache: a cached
+    DataFrame that another test already executed carries AQE's final
+    adaptive QueryExecution, whose toString prints Final+Initial plan
+    sections and double-counts Exchanges."""
     import __spark_entry__ as E
 
-    df = E.queries()[name](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    fn = E.queries()[name]
+    return getattr(fn, "__wrapped__", fn)(spark, SF_DIR)
+
+
+def _executed(spark, name: str) -> str:
+    return _fresh(spark, name)._jdf.queryExecution().executedPlan().toString()
 
 
 def _all_query_names():
@@ -75,9 +83,7 @@ def test_pivot_report_shape(spark):
 
 
 def test_live_comparison_preaggregates_before_join(spark):
-    import __spark_entry__ as E
-
-    df = E.queries()["live_comparison"](spark, SF_DIR)
+    df = _fresh(spark, "live_comparison")
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     # detail side: Aggregate(l_orderkey) must sit BELOW the orders join
     # (partial-sum-then-join); textually, the innermost Join must have
