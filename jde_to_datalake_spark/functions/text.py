@@ -9,6 +9,8 @@ over a 100 TB documents table with zero serialization overhead.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -36,27 +38,51 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_token_count(text: Column) -> Column:
-    """Count of BPE-ish pre-tokens (letter/digit runs + symbols)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+    """Count of BPE-ish pre-tokens (letter/digit runs + symbols).
+    `regexp_count` counts matches without materializing the match
+    array that `size(regexp_extract_all(...))` would build."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
+
+
+def _padded(text: Column) -> Column:
+    """Token stream re-joined with DOUBLED interior spaces and padded
+    on both ends: every token is flanked by spaces it does not share
+    with its neighbors, so a literal ``" tok "`` match can never
+    overlap the next token's match."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(F.trim(text), "\\s+", "  "), F.lit(" ")
+    )
+
+
+def token_match_count(text: Column, words: list[str]) -> Column:
+    """# of whitespace tokens of `text` exactly equal (case-sensitive)
+    to any of `words` — semantically identical to
+    ``size(filter(split(trim(text),'\\s+'), t -> t IN words))`` but as
+    one `regexp_count` scan over the doubled-space padded form.
+    Higher-order array functions are CodegenFallback (interpreted,
+    per-row closure dispatch); this stays inside whole-stage codegen."""
+    alt = "|".join(re.escape(w) for w in words)
+    return F.regexp_count(_padded(text), F.lit(f" ({alt}) "))
+
+
+def token_len_sum(text: Column) -> Column:
+    """Σ length(token) == count of non-whitespace chars — string
+    arithmetic instead of an interpreted transform+aggregate fold."""
+    return F.length(F.regexp_replace(text, "\\s+", ""))
 
 
 def avg_token_len(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
-    return total / F.size(toks)
+    return token_len_sum(text) / F.size(tokens(text))
 
 
 def stopword_ratio(text: Column) -> Column:
-    toks = tokens(text)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    return n_stop / F.size(toks)
+    return token_match_count(text, STOPWORDS) / F.size(tokens(text))
 
 
 def punct_ratio(text: Column) -> Column:
-    stripped = F.regexp_replace(text, "[^a-zA-Z0-9\\s]", "")
-    return (F.length(text) - F.length(stripped)) / F.length(text)
+    # count of punct chars == chars a strip-replace would remove,
+    # without building the stripped string
+    return F.regexp_count(text, F.lit("[^a-zA-Z0-9\\s]")) / F.length(text)
 
 
 def quality_score(text: Column) -> Column:
@@ -73,9 +99,8 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    toks = tokens(text)
     return {
-        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        lang: token_match_count(text, markers)
         for lang, markers in LANG_MARKERS.items()
     }
 

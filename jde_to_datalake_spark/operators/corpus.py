@@ -152,15 +152,10 @@ def pii_metrics(
     t = F.col(text_col)
     return docs.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_phones"),
-        F.size(F.regexp_extract_all(t, F.lit(IP_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_ips"),
+        # regexp_count: count matches without materializing match arrays
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t, F.lit(IP_RE)).cast("bigint").alias("n_ips"),
         F.length(redact(t)).cast("bigint").alias("redacted_len"),
     )
 
@@ -241,9 +236,9 @@ def filter_report(
     n = F.size(tk)
     bg = _bigrams(tk)
     nb = F.size(bg)
-    tok_len_sum = F.aggregate(
-        F.transform(tk, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    )
+    # codegen string arithmetic, not an interpreted transform+aggregate
+    # fold (see functions/text.py::token_len_sum)
+    tok_len_sum = F.length(F.regexp_replace(t, "\\s+", ""))
     metrics = toked.select(
         F.col(id_col),
         n.cast("bigint").alias("n_tokens"),
@@ -252,15 +247,10 @@ def filter_report(
         F.when(nb > 0, (nb - F.size(F.array_distinct(bg))) / nb)
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
-        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_phones"),
-        F.size(F.regexp_extract_all(t, F.lit(IP_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_ips"),
+        # regexp_count: count matches without materializing match arrays
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t, F.lit(IP_RE)).cast("bigint").alias("n_ips"),
         F.length(redact(t)).cast("bigint").alias("redacted_len"),
         (tok_len_sum / n).alias("avg_token_len"),
     )

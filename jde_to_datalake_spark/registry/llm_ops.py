@@ -57,42 +57,28 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (lang-ID columns merged in round 2 to keep the registry
     inside the driver's 50-entry cap).
 
-    Staged as three projections rather than one: higher-order array
-    functions are interpreted (CodegenFallback) and Catalyst does NOT
-    common-subexpression-eliminate them, so the composite Column
-    builders (quality_score re-deriving stop_ratio, lang_guess
-    re-deriving every score) would evaluate each O(n_tokens) fold 2-3x
-    per row. Stage 1 computes each fold exactly once; stage 2 is pure
-    codegen arithmetic over the projected counters. CollapseProject
-    keeps the stages separate because the folds are non-cheap and
-    multi-referenced. Same operand order as before -> bit-identical
-    to the oracle.
+    Every per-token fold is expressed as codegen string arithmetic
+    (token_len_sum / token_match_count over the doubled-space padded
+    form) rather than a higher-order array function — HOFs are
+    CodegenFallback and Catalyst does not subexpression-eliminate
+    them, so the fold forms evaluated each O(n_tokens) pass 2-3x per
+    row outside codegen. The shared padded-string child is
+    subexpression-eliminated inside whole-stage codegen. Stage 2 is
+    arithmetic over the stage-1 counters; same operand order as the
+    oracle -> bit-identical.
     """
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    toked = d.select("doc_id", t, "lang", T.tokens(t).alias("__toks"))
-    tk = F.col("__toks")
-    len_sum = F.aggregate(
-        F.transform(tk, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    )
-    n_stop = F.size(F.filter(tk, lambda x: x.isin(T.STOPWORDS)))
-    stage1 = toked.select(
+    stage1 = d.select(
         "doc_id", "lang",
-        F.size(tk).alias("n_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(T.BPE_PATTERN), F.lit(0))).alias(
-            "n_bpe_tokens"
-        ),
-        len_sum.alias("__len_sum"),
-        n_stop.alias("__n_stop"),
+        F.size(T.tokens(t)).alias("n_tokens"),
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+        T.token_len_sum(t).alias("__len_sum"),
+        T.token_match_count(t, T.STOPWORDS).alias("__n_stop"),
         T.punct_ratio(t).alias("punct_ratio"),
         T.fingerprint(t).alias("fingerprint"),
-        # closure factory, NOT `lambda x, m=markers`: a 2-arg lambda is
-        # treated by the HOF binder as (element, index) and the default
-        # is silently replaced by the index column
         *[
-            F.size(
-                F.filter(tk, (lambda m: lambda x: x.isin(m))(markers))
-            ).alias(f"score_{lang}")
+            T.token_match_count(t, markers).alias(f"score_{lang}")
             for lang, markers in T.LANG_MARKERS.items()
         ],
     )
