@@ -181,3 +181,81 @@ def live_comparison(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .withColumn("diff", F.round(F.col("total_a") - F.col("total_b"), 4))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table snapshots: inserted/deleted/changed rows.
+
+    The generalized form of the reference's system-vs-system
+    reconciliation (backend/main.py:417-537 compares JDE cardex vs
+    bakery on-hand; the lake keeps dated dispatch snapshots at
+    backend/s3_helper.py:45 that this diffs directly). Output: one row
+    per key present in either snapshot with ``diff_status`` in
+    {inserted, deleted, changed, unchanged} and ``changed_cols`` (the
+    non-equal column names; null-safe compare, so NULL->value and
+    value->NULL count as changes while NULL->NULL does not).
+
+    Scale: ONE full-outer shuffle join on the key (both sides shuffle
+    once; AQE picks sort-merge vs shuffled-hash from runtime stats).
+    The per-column compare is a row-local projection in codegen. At
+    100 TB, writing both snapshots bucketed by ``keys`` makes this diff
+    shuffle-free — the layout note on sources/parquet_lake.py applies.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c in set(new.columns) and c not in keys]
+
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, keys, "outer")
+
+    raw_changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+    # only meaningful when the key exists on BOTH sides; inserted and
+    # deleted rows get an empty list (every column would trivially
+    # differ against the absent side)
+    changed = F.when(
+        F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(), raw_changed
+    ).otherwise(F.array().cast("array<string>"))
+
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("inserted"))
+        .when(F.col("__in_new").isNull(), F.lit("deleted"))
+        .when(F.size(F.col("changed_cols")) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("changed_cols", changed)
+        .withColumn("diff_status", status)
+        .select(
+            *keys,
+            "diff_status",
+            "changed_cols",
+            *[
+                F.col(f"__n_{c}").alias(f"new_{c}") for c in compare_cols
+            ],
+            *[
+                F.col(f"__o_{c}").alias(f"old_{c}") for c in compare_cols
+            ],
+        )
+    )

@@ -1,0 +1,228 @@
+"""Data-quality expectations + snapshot diff, DuckDB-verified.
+
+Every count the report emits is recomputed with plain SQL on the same
+parquet tables; the diff operator is verified against a full-outer-join
+oracle including null-safe column comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.operators.quality import (
+    accepted_values,
+    expectations_report,
+    in_range,
+    matches,
+    not_null,
+    predicate,
+    referential,
+    unique,
+)
+from jde_to_datalake_spark.operators.reconcile import snapshot_diff
+from jde_to_datalake_spark.session import load_table
+
+from tests.conftest import SF_DIR, compare_frames
+
+
+def test_row_checks_single_pass_counts(spark, duck):
+    orders = load_table(spark, SF_DIR, "orders")
+    rep = expectations_report(
+        orders,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", lo=0),
+            in_range("o_totalprice", hi=1000.0, name="price_le_1000"),
+            matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+            predicate("positive_total", F.col("o_totalprice") > 0),
+        ],
+    ).toPandas().set_index("check_name")
+
+    n, price_gt, prio_bad = duck.execute(
+        "SELECT CAST(COUNT(*) AS BIGINT),"
+        " CAST(count_if(o_totalprice > 1000.0) AS BIGINT),"
+        " CAST(count_if(NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) AS BIGINT)"
+        " FROM orders"
+    ).fetchone()
+
+    assert (rep["n_rows"] == n).all()
+    assert rep.loc["not_null__o_custkey", "n_violations"] == 0
+    assert bool(rep.loc["not_null__o_custkey", "passed"])
+    assert rep.loc["accepted_values__o_orderstatus", "n_violations"] == 0
+    assert rep.loc["in_range__o_totalprice", "n_violations"] == 0
+    assert rep.loc["price_le_1000", "n_violations"] == price_gt
+    assert bool(rep.loc["price_le_1000", "passed"]) == (price_gt == 0)
+    assert rep.loc["matches__o_orderpriority", "n_violations"] == prio_bad
+    assert rep.loc["positive_total", "n_violations"] == 0
+
+
+def test_row_checks_detect_planted_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (3, "zz", 50.0), (3, "a", None)],
+        "id int, code string, val double",
+    )
+    rep = expectations_report(
+        df,
+        [
+            not_null("code"),
+            accepted_values("code", ["a", "b"]),
+            in_range("val", lo=0.0, hi=10.0),
+            unique("id"),
+        ],
+    ).toPandas().set_index("check_name")
+    assert rep.loc["not_null__code", "n_violations"] == 1
+    # NULL is not in the whitelist -> counted
+    assert rep.loc["accepted_values__code", "n_violations"] == 2
+    # NULL val is NOT a range violation; -1 and 50 are
+    assert rep.loc["in_range__val", "n_violations"] == 2
+    # ids (1,2,3,3): one surplus row beyond the first 3
+    assert rep.loc["unique__id", "n_violations"] == 1
+    assert not rep["passed"].any()
+
+
+def test_unique_and_referential_vs_sql(spark, duck):
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    rep = expectations_report(
+        lineitem,
+        [
+            unique(["l_orderkey", "l_linenumber"]),
+            unique("l_orderkey", name="orderkey_alone"),
+            referential("l_orderkey", orders, "o_orderkey"),
+        ],
+    ).toPandas().set_index("check_name")
+
+    surplus_pair = duck.execute(
+        "SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM ("
+        " SELECT COUNT(*) c FROM lineitem GROUP BY l_orderkey, l_linenumber"
+        ") t WHERE c > 1"
+    ).fetchone()[0]
+    surplus_single = duck.execute(
+        "SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM ("
+        " SELECT COUNT(*) c FROM lineitem GROUP BY l_orderkey) t WHERE c > 1"
+    ).fetchone()[0]
+    orphans = duck.execute(
+        "SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem"
+        " WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN"
+        " (SELECT o_orderkey FROM orders)"
+    ).fetchone()[0]
+
+    assert rep.loc["unique__l_orderkey_l_linenumber", "n_violations"] == surplus_pair
+    assert rep.loc["orderkey_alone", "n_violations"] == surplus_single
+    assert rep.loc["referential__l_orderkey", "n_violations"] == orphans
+
+
+def test_report_schema_and_laziness(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    rep = expectations_report(df, [not_null("id"), unique("id")])
+    assert rep.columns == [
+        "check_name", "kind", "column", "n_rows", "n_violations", "passed",
+    ]
+    # empty check list -> empty report with the stable schema
+    empty = expectations_report(df, [])
+    assert empty.columns == rep.columns
+    assert empty.count() == 0
+
+
+def test_row_check_pass_is_single_job(spark):
+    """All row-level checks fold into one aggregation over one scan —
+    the report plan contains exactly one scan of the input table."""
+    orders = load_table(spark, SF_DIR, "orders")
+    rep = expectations_report(
+        orders,
+        [not_null("o_custkey"), in_range("o_totalprice", lo=0),
+         accepted_values("o_orderstatus", ["O", "F", "P"])],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_snapshot_diff_matches_outer_join_oracle(spark, duck):
+    """Perturb a copy of customer deterministically, diff, and verify
+    every status bucket against a SQL full-outer-join oracle."""
+    cust = load_table(spark, SF_DIR, "customer")
+    new = (
+        cust.filter(F.col("c_custkey") % 10 != 3)  # deletions
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1)
+            .otherwise(F.col("c_acctbal")),  # changes
+        )
+    )
+    inserted = cust.filter(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        *[F.col(c) for c in cust.columns if c != "c_custkey"],
+    )
+    new = new.unionByName(inserted)
+
+    got = (
+        snapshot_diff(cust, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+        .groupBy("diff_status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .toPandas()
+    )
+    exp = duck.execute(
+        """
+        WITH new AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1 ELSE c_acctbal END
+                   AS c_acctbal,
+                 c_mktsegment
+          FROM customer WHERE c_custkey % 10 <> 3
+          UNION ALL
+          SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 25 = 0
+        ),
+        old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+        SELECT CASE
+                 WHEN o.c_custkey IS NULL THEN 'inserted'
+                 WHEN n.c_custkey IS NULL THEN 'deleted'
+                 WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'changed'
+                 ELSE 'unchanged'
+               END AS diff_status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM old o FULL OUTER JOIN new n USING (c_custkey)
+        GROUP BY 1
+        """
+    ).fetch_df()
+    compare_frames(got, exp, "snapshot_diff_status_counts")
+
+
+def test_snapshot_diff_changed_cols_and_empty_for_inserts(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (4, "d", 40), (3, None, 30)],
+        "k int, s string, v int",
+    )
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert rows[1]["diff_status"] == "unchanged" and rows[1]["changed_cols"] == []
+    assert rows[2]["diff_status"] == "changed"
+    assert sorted(rows[2]["changed_cols"]) == ["s", "v"]
+    # NULL == NULL is not a change (null-safe compare)
+    assert rows[3]["diff_status"] == "unchanged"
+    assert rows[4]["diff_status"] == "inserted" and rows[4]["changed_cols"] == []
+    assert rows[4]["new_s"] == "d" and rows[4]["old_s"] is None
+
+
+def test_snapshot_diff_single_shuffle_per_side(spark):
+    """Scale posture: the diff is one outer join — each side shuffles
+    at most once and the column compare is a row-local projection."""
+    cust = load_table(spark, SF_DIR, "customer")
+    new = cust.withColumn("c_acctbal", F.col("c_acctbal") + 1)
+    plan = (
+        snapshot_diff(cust, new, ["c_custkey"], ["c_acctbal"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
