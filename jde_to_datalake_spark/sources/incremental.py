@@ -1,0 +1,121 @@
+"""Incremental ingestion: persisted high-watermark + overlap rescan.
+
+The reference's change-capture DAGs re-fetch a fixed sliding window
+every run — "give me cardex since today-5d"
+(dag_cardex_changes_to_bakery_ops.py:24-33,
+dag_cardex_changes_to_bakery_system.py:20-33 ``days_back=5``) — and
+lean on the unique-transaction-id dedup to cancel the 5 days of
+re-reads. That couples freshness to a guess: too-small ``days_back``
+silently drops late arrivals, too-large re-processes most of the
+window forever.
+
+Here the window is replaced by state: a ``Watermark`` persists the max
+event-time actually *committed*, and ``incremental_scan`` reads only
+``(hwm - overlap, ∞)``. The overlap is for genuinely late rows (clock
+skew, out-of-order upstream commits), is typically minutes not days,
+and the re-read rows it admits are cancelled exactly by the same
+idempotency machinery the reference uses (plans/ledger.py
+``pending_only`` anti-join). Crash-safety comes from ordering, not
+transactions: the watermark is advanced ONLY after the sink commits,
+so a crash between sink and advance re-reads a batch (and the ledger
+drops it) rather than losing one.
+
+Scale notes: the predicate is a plain range filter on the event-time
+column, so it rides partition pruning (hive ``year=/month=/day=``
+layouts via sources/parquet_lake.py) and parquet row-group stats
+(clustered layouts via sources/lake_maintenance.py — mind the
+TIMESTAMP_NTZ caveat there); an incremental poll over a 100 TB table
+touches only the partitions newer than the watermark. The watermark
+itself is one row — reading and writing it is metadata-scale by
+construction, and the committed value is computed with one ``max()``
+aggregation over the batch (map-side partial, one-row result).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Watermark:
+    """One named high-watermark persisted as a single-row parquet dir.
+
+    Parquet (not a text file) so the value round-trips with its exact
+    type — timestamps, dates and integers all survive without a parse
+    step. The swap is rename-based like plans/ledger.py (same
+    object-store caveat there: swap the rename for a manifest flip /
+    Delta commit where rename isn't atomic).
+    """
+
+    def __init__(self, path: str, name: str = "hwm"):
+        self.path = path
+        self.name = name
+
+    def get(self, spark: SparkSession) -> Any | None:
+        if not os.path.isdir(self.path):
+            return None
+        rows = spark.read.parquet(self.path).collect()
+        return rows[0]["value"] if rows else None
+
+    def advance(self, spark: SparkSession, df: DataFrame, ts_col: str) -> Any | None:
+        """Commit max(ts_col) of a successfully-sunk batch as the new
+        watermark. Never moves backwards (a replay of an old batch
+        must not rewind the clock); empty batches are a no-op. Returns
+        the watermark now in effect."""
+        new = df.agg(F.max(ts_col).alias("value")).collect()[0]["value"]
+        current = self.get(spark)
+        if new is None or (current is not None and new <= current):
+            return current
+        out = spark.createDataFrame(
+            [(self.name, new)], schema=df.select(F.lit(self.name).alias("name"), F.col(ts_col).alias("value")).schema
+        )
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return new
+
+
+def incremental_scan(
+    source: DataFrame,
+    ts_col: str,
+    watermark_value: Any | None,
+    overlap: str | None = None,
+) -> DataFrame:
+    """Rows newer than ``watermark_value - overlap``.
+
+    First run (no watermark yet) returns the full source — the
+    backfill. ``overlap`` is an INTERVAL string (``'2 hours'``); rows
+    inside the overlap are re-reads by design and must flow through an
+    idempotent sink (ledger ``pending_only`` / MERGE).
+    """
+    if watermark_value is None:
+        return source
+    low = F.lit(watermark_value)
+    if overlap is not None:
+        low = low - F.expr(f"INTERVAL {overlap}")
+    return source.filter(F.col(ts_col) > low)
+
+
+def incremental_batch(
+    spark: SparkSession,
+    source: DataFrame,
+    ts_col: str,
+    watermark: Watermark,
+    overlap: str | None = None,
+) -> DataFrame:
+    """One poll: scan from the persisted watermark with overlap.
+
+    The caller sinks the result (idempotently), THEN calls
+    ``watermark.advance(spark, batch, ts_col)`` — advance-after-commit
+    is what makes a crash replay instead of lose.
+    """
+    return incremental_scan(source, ts_col, watermark.get(spark), overlap)
