@@ -8,7 +8,7 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
 
 Timing methodology: each query is materialized with the `noop` sink
 (full distributed execution, no driver collect) — measures the plan,
-not the Arrow transfer. Each query is run three times and the MINIMUM
+not the Arrow transfer. Each query is run several times and the MINIMUM
 is reported: run 1 pays one-time whole-stage-codegen JIT compilation
 (amortized to ~zero on a long-lived cluster), later runs are the
 steady-state execution cost. Data is re-scanned from parquet on every
@@ -101,7 +101,10 @@ def main() -> None:
     # warmup: touch the JVM + parquet footer paths once
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
-    timings = _time_queries(spark, qs, sf_dir, runs=3)
+    # min-of-4: this container is a microVM whose host occasionally
+    # steals multi-second stalls; one extra run materially improves the
+    # odds that every query sees at least one quiet window
+    timings = _time_queries(spark, qs, sf_dir, runs=4)
     total = round(sum(timings.values()), 3)
 
     result = {
