@@ -60,3 +60,20 @@ def serve_queries(spark, sf_dir: str, queries, host: str = "127.0.0.1", port: in
     from jde_to_datalake_spark.plans.query_service import QueryService, serve
 
     return serve(QueryService(spark, sf_dir, queries), host=host, port=port)
+
+
+def compact_partitions(spark, root: str, **kwargs):
+    """Small-file compaction over a parquet lake (lazy re-export)."""
+    from jde_to_datalake_spark.sources.lake_maintenance import (
+        compact_partitions as _c,
+    )
+
+    return _c(spark, root, **kwargs)
+
+
+def skew_report(df, keys, top_n: int = 10):
+    """Key-distribution diagnostics for shuffle planning (lazy
+    re-export; pair with operators.relational.salted_join)."""
+    from jde_to_datalake_spark.operators.skew import skew_report as _s
+
+    return _s(df, keys, top_n)
