@@ -15,6 +15,12 @@ Endpoints:
   ``{"name", "columns", "rows", "n_rows", "truncated"}``
 - ``GET /sql?q=...&limit=N``        ANSI SQL over the registered views
   (plans/sql_api.register_views) — the multi-tenant analyst surface
+- ``GET /diagnostics/skew?table=<view>&keys=a,b&top_n=N`` — key-load
+  report over a registered view (operators/skew.skew_report)
+- ``POST /maintenance/compact?root=...&target_bytes=N`` — small-file
+  compaction trigger (OFF unless ``enable_maintenance=True``); the
+  operational counterpart of the reference's POST sync-trigger
+  endpoints (backend/main.py DAG-trigger routes)
 
 Results are LIMIT-guarded before collect (default 1000, hard cap
 ``max_rows``) — the same driver-materialization guard as the S13 Excel
@@ -48,6 +54,7 @@ class QueryService:
         default_limit: int = 1000,
         max_rows: int = 10_000,
         enable_sql: bool = True,
+        enable_maintenance: bool = False,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
@@ -55,6 +62,7 @@ class QueryService:
         self.default_limit = default_limit
         self.max_rows = max_rows
         self.enable_sql = enable_sql
+        self.enable_maintenance = enable_maintenance
         if enable_sql:
             register_views(spark, sf_dir)
 
@@ -80,6 +88,50 @@ class QueryService:
             except Exception as e:  # analysis errors -> client error
                 return 400, {"error": str(e).split("\n")[0][:500]}
             return self._materialize("sql", df, params)
+        if path == "/diagnostics/skew":
+            table = (params.get("table") or [""])[0]
+            keys = [k for k in (params.get("keys") or [""])[0].split(",") if k]
+            if not table or not keys:
+                return 400, {"error": "table and keys parameters required"}
+            try:
+                top_n = int((params.get("top_n") or ["10"])[0])
+                df = self.spark.table(table)
+            except ValueError:
+                return 400, {"error": "top_n must be an integer"}
+            except Exception as e:  # unknown view
+                return 404, {"error": str(e).split("\n")[0][:500]}
+            from jde_to_datalake_spark.operators.skew import skew_report
+
+            # key values may be dates/decimals — make them JSON-safe
+            return 200, _jsonable(skew_report(df, keys, top_n=top_n))
+        return 404, {"error": f"unknown path: {path}"}
+
+    def handle_post(self, path: str, params: dict[str, list[str]]) -> tuple[int, dict]:
+        """Mutating operations live on POST only, and only when the
+        service was started with ``enable_maintenance=True`` — a query
+        endpoint must not be able to rewrite the lake by default."""
+        if path == "/maintenance/compact":
+            if not self.enable_maintenance:
+                return 403, {"error": "maintenance endpoints disabled"}
+            root = (params.get("root") or [""])[0]
+            if not root:
+                return 400, {"error": "root parameter required"}
+            try:
+                target = int((params.get("target_bytes") or [str(128 << 20)])[0])
+                min_files = int((params.get("min_files") or ["2"])[0])
+            except ValueError:
+                return 400, {"error": "target_bytes/min_files must be integers"}
+            from jde_to_datalake_spark.sources.lake_maintenance import (
+                compact_partitions,
+            )
+
+            try:
+                report = compact_partitions(
+                    self.spark, root, target_bytes=target, min_files=min_files
+                )
+            except Exception as e:  # noqa: BLE001 - surface as client error
+                return 400, {"error": str(e).split("\n")[0][:500]}
+            return 200, {"root": root, "compacted": report}
         return 404, {"error": f"unknown path: {path}"}
 
     def _materialize(
@@ -130,6 +182,21 @@ def serve(service: QueryService, host: str = "127.0.0.1", port: int = 0):
             parsed = urlparse(self.path)
             try:
                 status, payload = service.handle(parsed.path, parse_qs(parsed.query))
+            except Exception as e:  # noqa: BLE001 - surface as 500
+                status, payload = 500, {"error": str(e)[:500]}
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 - http.server API
+            parsed = urlparse(self.path)
+            try:
+                status, payload = service.handle_post(
+                    parsed.path, parse_qs(parsed.query)
+                )
             except Exception as e:  # noqa: BLE001 - surface as 500
                 status, payload = 500, {"error": str(e)[:500]}
             body = json.dumps(payload).encode()
