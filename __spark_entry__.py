@@ -376,7 +376,12 @@ FROM lineitem
 
 def q_collect_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-group sorted array collect, emitted as CSV for hash stability."""
-    li = _t(spark, sf_dir, "lineitem")
+    from jde_to_datalake_spark.session import spread_by
+
+    li = spread_by(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber"),
+        "l_orderkey",
+    )
     return li.groupBy("l_orderkey").agg(
         F.array_join(
             F.transform(F.sort_array(F.collect_list("l_linenumber")),
@@ -589,7 +594,10 @@ def q_expand_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: backend/main.py:128-150 (pd.json_normalize with `{col}_`
     prefix). `props` -> `props_k`, then filter + rollup.
     """
-    ev = _t(spark, sf_dir, "events")
+    from jde_to_datalake_spark.session import spread
+
+    # JSON parsing is per-row CPU: spread the narrow scan first
+    ev = spread(_t(spark, sf_dir, "events").select("event_type", "value", "props"))
     expanded = ev.withColumn(
         "props_k", F.get_json_object("props", "$.k").cast("int")
     )
@@ -678,7 +686,17 @@ def q_transaction_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     HALF_UP quantize, trailing-zero-stripped string form, utid concat,
     batch-name build + lot extraction round-trip, BU prefix map.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    from jde_to_datalake_spark.session import spread
+
+    # sha-256 per row is the dominant cost: spread the narrow raw
+    # columns so the hash pipeline runs at cluster width (no-op when
+    # the scan is already wide — see session.spread).
+    li = spread(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_discount",
+        )
+    )
     base = li.select(
         "l_orderkey", "l_linenumber",
         F.concat(F.lit("item_"), F.col("l_partkey").cast("string")).alias("name"),

@@ -8,10 +8,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
 
 Timing methodology: each query is materialized with the `noop` sink
 (full distributed execution, no driver collect) — measures the plan,
-not the Arrow transfer. Each query is run several times and the MINIMUM
-is reported: run 1 pays one-time whole-stage-codegen JIT compilation
-(amortized to ~zero on a long-lived cluster), later runs are the
-steady-state execution cost. Data is re-scanned from parquet on every
+not the Arrow transfer. The query set is run in several ROUND-ROBIN
+rounds and the per-query MINIMUM across rounds is reported: round 1
+pays one-time whole-stage-codegen JIT compilation (amortized to ~zero
+on a long-lived cluster), later rounds are the steady-state execution
+cost, and interleaving means one host stall cannot poison every run
+of the same query. Data is re-scanned from parquet on every
 run (nothing is cached/persisted across runs) — only code compilation
 and the prepared plan are warmed, never data: the registry memoizes
 each query's lazy DataFrame per (session, sf_dir) — the
@@ -70,25 +72,28 @@ def _parse_sf(sf_dir: str) -> float | None:
 
 
 def _time_queries(spark, qs, sf_dir: str, runs: int = 3) -> dict[str, float]:
+    # ROUND-ROBIN, not back-to-back: this microVM's host occasionally
+    # steals multi-second stalls. Consecutive runs of one query all land
+    # inside the same stall window, so min-of-N doesn't help; with the
+    # rounds interleaved a stall taxes one run of a few different
+    # queries and every query still gets quiet-window runs. The min is
+    # taken per query across rounds (run 1 additionally pays one-time
+    # whole-stage-codegen JIT, amortized to ~zero on a live cluster).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        # settle the JVM between queries: collect the previous query's
-        # garbage OUTSIDE the timed window so one query's allocation
-        # pressure doesn't tax the next (isolates per-query cost, the
-        # thing being measured; a long-lived cluster GCs continuously)
-        spark._jvm.System.gc()
-        best = None
-        for _run in range(runs):
+    names = [n for n in HEADLINE if n in qs]
+    for _round in range(runs):
+        for name in names:
+            # settle the JVM between queries: collect the previous
+            # query's garbage OUTSIDE the timed window so one query's
+            # allocation pressure doesn't tax the next
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)  # steady-state
-        timings[name] = round(best, 3)
-    return timings
+            prev = timings.get(name)
+            timings[name] = dt if prev is None else min(prev, dt)
+    return {n: round(v, 3) for n, v in timings.items()}
 
 
 def main() -> None:
@@ -101,10 +106,11 @@ def main() -> None:
     # warmup: touch the JVM + parquet footer paths once
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
-    # min-of-4: this container is a microVM whose host occasionally
-    # steals multi-second stalls; one extra run materially improves the
-    # odds that every query sees at least one quiet window
-    timings = _time_queries(spark, qs, sf_dir, runs=4)
+    # min-of-5 round-robin: this container is a microVM whose host
+    # occasionally steals multi-second stalls; interleaved rounds plus
+    # an extra run materially improve the odds that every query sees
+    # at least one quiet window
+    timings = _time_queries(spark, qs, sf_dir, runs=5)
     total = round(sum(timings.values()), 3)
 
     result = {

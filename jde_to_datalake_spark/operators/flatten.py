@@ -75,8 +75,13 @@ def synthesize_actions(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     # clusters on a superset of (l_orderkey,), so each chain runs all
     # its aggregation levels off one exchange instead of re-shuffling
     # per level (verified: 2 data exchanges total — one per nesting
-    # chain — and the orders sides broadcast).
-    li = lineitem.repartition("l_orderkey").select(*_li_cols())
+    # chain — and the orders sides broadcast). Only the 5 raw key/qty
+    # columns go through the exchange; the derived string columns are
+    # computed post-shuffle, at cluster width, without inflating the
+    # shuffle payload.
+    li = lineitem.select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_suppkey", "l_quantity"
+    ).repartition("l_orderkey").select(*_li_cols())
 
     # ingredients[].batches[]
     ingredients = (

@@ -38,6 +38,8 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jde_to_datalake_spark.session import spread_by
+
 
 def _cents(money: Column) -> Column:
     """Exact int64 cents from a 2-dp-by-contract money column."""
@@ -76,7 +78,15 @@ def lineitem_order_totals(lineitem: DataFrame) -> DataFrame:
     whole-stage codegen.
     """
     e2, d2, t2 = charge_units(lineitem)
-    return lineitem.groupBy("l_orderkey").agg(
+    # spread_by: single-row-group local scans can't parallelize the
+    # map-side partial aggregation; distributing the narrow raw
+    # columns by the grouping key runs the aggregation at cluster
+    # width with no second exchange. No-op on a wide (100 TB) scan.
+    li = spread_by(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount", "l_tax"),
+        "l_orderkey",
+    )
+    return li.groupBy("l_orderkey").agg(
         F.sum(e2 * d2 * t2).alias("detail_micro")
     )
 
@@ -158,7 +168,14 @@ def live_comparison(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     # joining orders: at TPC-H ratios this shrinks the join input ~4x
     # (and far more at 100 TB), and integer sums are associative, so
     # partial-sum-then-resum is bit-identical to sum-after-join.
-    b_pre = lineitem.groupBy("l_orderkey").agg(F.sum(e2 * d2).alias("b4"))
+    b_pre = (
+        spread_by(
+            lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum(e2 * d2).alias("b4"))
+    )
     b = (
         b_pre.join(
             orders.select("o_orderkey", "o_orderpriority"),

@@ -16,7 +16,7 @@ from jde_to_datalake_spark.functions import text as T
 from jde_to_datalake_spark.operators import corpus as C
 from jde_to_datalake_spark.operators import dedup as D
 from jde_to_datalake_spark.operators import similarity as SIM
-from jde_to_datalake_spark.session import load_table
+from jde_to_datalake_spark.session import load_table, spread
 
 # shared SQL fragments -------------------------------------------------------
 
@@ -67,7 +67,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over the stage-1 counters; same operand order as the
     oracle -> bit-identical.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # the per-token fold expressions are the dominant per-row CPU:
+    # spread the (unsplittable single-row-group) local scan so they
+    # run at cluster width — no-op on a wide scan
+    d = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     stage1 = d.select(
         "doc_id", "lang",
@@ -205,8 +208,11 @@ SELECT doc_id, hash_idx, minhash FROM sig
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread before the checkpointing signature projection: the
+    # md5-per-shingle pipeline is the dominant CPU and the local scan
+    # is a single unsplittable row group
     return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
+        spread(load_table(spark, sf_dir, "documents")),
         num_hashes=8, band_size=2, n=3, threshold=0.2,
     )
 
@@ -326,7 +332,9 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof shapes value-checked; `cell` is the LSH bucket / IVF cell
     (null for exact).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # per-pair vector folds dominate: spread the corpus side so the
+    # scoring runs at cluster width (query sides stay broadcast)
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     exact = SIM.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5).select(
         F.lit("exact").alias("op"),
         "query_id",

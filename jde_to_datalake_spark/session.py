@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the default 100-entry compiled-class cache thrashes when a
+        # long-lived session serves a many-query registry (each big
+        # query contributes several generated classes; eviction forces
+        # a multi-hundred-ms Janino recompile per revisit)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # deterministic parquet reads regardless of file count
@@ -69,16 +74,39 @@ def get_spark(
 def spread(df, min_partitions: int | None = None):
     """Widen a narrow scan to the session's parallelism.
 
-    Small parquet files arrive as 1-2 input splits, which would
-    serialize CPU-heavy per-row operators (shingling, hashing, vector
-    math) onto one core. At 100 TB inputs have thousands of splits and
-    this is a no-op — it only repartitions when the scan is narrower
-    than the cluster, so it never adds a shuffle at scale.
+    Small parquet files arrive as 1-2 input splits (and a SINGLE
+    row-group file cannot be split at all — Spark's parquet reader
+    parallelizes at row-group granularity), which would serialize
+    CPU-heavy per-row operators (shingling, hashing, vector math) onto
+    one core. At 100 TB inputs have thousands of splits and this is a
+    no-op — it only repartitions when the scan is narrower than the
+    cluster, so it never adds a shuffle at scale.
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)
+    return df
+
+
+def spread_by(df, *keys: str, min_partitions: int | None = None):
+    """``spread`` variant that hash-distributes on ``keys``.
+
+    For a narrow scan feeding a keyed aggregation/join, distributing by
+    the downstream key does double duty: the expensive per-row /
+    partial-aggregation work runs at cluster width AND the exchange
+    satisfies the downstream clustering requirement, so the
+    aggregation runs in the same stage with no second shuffle.
+
+    No-op when the scan is already at least as wide as the cluster
+    (the 100 TB case: thousands of input splits, map-side partial
+    aggregation already parallel — adding a raw-row shuffle there
+    would be a regression, which is exactly why this is conditional).
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions, *keys)
     return df
 
 

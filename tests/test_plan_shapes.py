@@ -98,11 +98,14 @@ def test_live_comparison_preaggregates_before_join(spark):
     ("name", "max_exchanges"),
     [
         ("action_flatten", 4),       # 2 nesting chains + 2 join sides
-        ("dedup_minhash_lsh", 4),    # bucket agg, distinct, melt join, verify agg
+        ("dedup_minhash_lsh", 5),    # spread + bucket agg, distinct, melt join, verify agg
         ("dedup_ngram_jaccard", 8),  # checkpointed shingles: rare, sizes, self-join
         ("pricing_summary", 1),      # single agg over one scan
-        ("transaction_ids", 0),      # pure projection
-        ("text_quality", 0),         # pure projection
+        # transaction_ids/text_quality are pure projections; their one
+        # exchange is session.spread widening the unsplittable local
+        # single-row-group scan — a no-op on a wide (cluster-scale) scan
+        ("transaction_ids", 1),
+        ("text_quality", 1),
         ("multimodal_decode", 0),    # mapInPandas over the scan, no shuffle
         ("range_join", 1),           # bin equi-join, no BNL
     ],
