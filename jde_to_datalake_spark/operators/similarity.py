@@ -12,8 +12,11 @@
   nearest cells only. The other standard ANN scale path (cell id is
   the partition/layout key). Centroid selection is pluggable; the
   default (lowest-id corpus vectors) is deterministic so the whole
-  operator is oracle-checkable — swap in k-means centroids at scale,
-  the assignment/probe plan is identical.
+  operator is oracle-checkable.
+- ``kmeans_centroids``  spherical k-means training for the IVF cells
+  (driver-looped Lloyd's; only the bounded centroid set is ever
+  collected) — its output plugs straight into ``ivf_scored``'s
+  ``centroids`` parameter; the assignment/probe plan is identical.
 
 Determinism: dot products and norms are strict LEFT FOLDS over the
 array in element order, in double (`F.aggregate` here, `list_reduce`
@@ -38,20 +41,32 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def cosine_topk(
+def topk_ranked(scored: DataFrame, k: int, *extra_partition_cols: str) -> DataFrame:
+    """Per-query top-k over a scored candidate frame.
+
+    One row_number window keyed by (query_id, *extra) — callers that
+    union several scored candidate sets (see ``q_ann_suite``) tag each
+    set and rank the union in a SINGLE window pass instead of one
+    window (= one shuffle) per set.
+    """
+    w = Window.partitionBy("query_id", *extra_partition_cols).orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_scored(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k per query vector.
+    """Exact all-pairs cosine scores: (query_id, candidate_id, cosine).
 
-    Plan shape: broadcast(queries) x corpus -> per-row cosine ->
-    row_number window per query. The corpus never shuffles for the
-    join (broadcast-nested-loop on a small query set); the only
-    shuffle is the per-query top-k, keyed by query id (bounded
-    cardinality, no skew).
+    broadcast(queries) x corpus: the corpus never shuffles for the
+    join (broadcast-nested-loop on a small query set).
     """
     # norms are per-row, not per-pair: compute each side's ||v|| once
     # before the join (N + M norm evaluations instead of N*M*2).
@@ -65,7 +80,7 @@ def cosine_topk(
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
     )
-    scored = (
+    return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn(
@@ -75,13 +90,23 @@ def cosine_topk(
             / F.col("c_norm"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("candidate_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "candidate_id", "cosine", "rank")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    Plan shape: broadcast(queries) x corpus -> per-row cosine ->
+    row_number window per query; the only shuffle is the per-query
+    top-k, keyed by query id (bounded cardinality, no skew).
+    """
+    return topk_ranked(cosine_scored(corpus, queries, vec_col, id_col), k).select(
+        "query_id", "candidate_id", "cosine", "rank"
     )
 
 
@@ -93,6 +118,38 @@ def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
             F.element_at(vec, j + 1).cast("double") > 0, F.lit(2**j)
         ).otherwise(F.lit(0))
     return out.cast("int")
+
+
+def lsh_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bucket-pruned cosine scores: (query_id, bucket, candidate_id, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
+        )
+    )
 
 
 def lsh_bucketed_topk(
@@ -110,35 +167,132 @@ def lsh_bucketed_topk(
     reads ~1/2^n of the data; here the bucket equi-join does the same
     pruning through the shuffle.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+    return topk_ranked(
+        lsh_scored(corpus, queries, n_bits, vec_col, id_col), k
+    ).select("query_id", "bucket", "candidate_id", "cosine", "rank")
+
+
+def ivf_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF candidate scores: probe the n_probe nearest centroid cells.
+
+    Stages (all one lazy plan):
+      1. centroids — ``centroids`` arg if given (k-means output in
+         prod), else the n_centroids lowest-id corpus vectors
+         (deterministic, so the driver oracle can replay it);
+      2. assignment — ROW-LOCAL argmax over the broadcast centroid
+         array: each vector gets ONE cell, zero shuffles. At scale
+         this is the indexing pass whose output is written
+         partitioned by cell;
+      3. probing — each query scores the same broadcast centroid
+         array row-locally and keeps its n_probe best cells;
+      4. search — cell equi-join (query probes x assigned corpus),
+         exact cosine. A query touches only n_probe/n_centroids of
+         the corpus — the IVF trade.
+    """
+    if centroids is None:
+        # orderBy+limit lowers to TakeOrderedAndProject (distributed
+        # top-n, no global sort). The cell id = rank of the seed id
+        # among the n seeds, computed as a broadcast self-join count
+        # (n^2 pairs over n<=few-hundred rows) — avoids a global
+        # row_number window, which would move the frame to a single
+        # partition and is the one WindowExec shape banned at scale.
+        seeds = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(
+            F.col(id_col)
+        ).limit(n_centroids)
+        others = seeds.select(F.col(id_col).alias("__other_id"))
+        centroids = (
+            seeds.join(
+                F.broadcast(others), F.col("__other_id") < F.col(id_col), "left"
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count("__other_id").cast("int").alias("cell"),
+                F.first(vec_col).alias("cent_vec"),
+            )
+            .select("cell", "cent_vec")
+        )
+    # Fold the (bounded-by-construction) centroid set into ONE array
+    # row and broadcast it: cell assignment becomes a ROW-LOCAL array
+    # reduction — zero shuffles, zero windows for the indexing pass.
+    # (The former shape — crossJoin x centroids + argmax window — paid
+    # an n_centroids row blow-up plus a shuffle per side.)
+    cent_arr = centroids.select(
+        "cell", "cent_vec", _norm(F.col("cent_vec")).alias("cent_norm")
+    ).agg(
+        F.collect_list(F.struct("cell", "cent_vec", "cent_norm")).alias("cents")
     )
-    c = corpus.select(
-        F.col(id_col).alias("candidate_id"),
-        F.col(vec_col).alias("c_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+
+    def cell_scores(vec: Column, nrm: Column) -> Column:
+        # struct ordering (cos, -cell, cell): max = best cosine, ties
+        # broken toward the LOWEST cell id — same contract as the
+        # ORDER BY cent_cos DESC, cell oracle
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (_dot(vec, c["cent_vec"]) / nrm / c["cent_norm"]).alias("cos"),
+                (-c["cell"]).alias("negcell"),
+                c["cell"].alias("cell"),
+            ),
+        )
+
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("candidate_id"),
+            F.col(vec_col).alias("candidate_id_vec"),
+            _norm(F.col(vec_col)).alias("candidate_id_norm"),
+        )
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "candidate_id", "candidate_id_vec", "candidate_id_norm",
+            F.array_max(
+                cell_scores(F.col("candidate_id_vec"), F.col("candidate_id_norm"))
+            )["cell"].alias("cell"),
+        )
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_id_vec"),
+            _norm(F.col(vec_col)).alias("query_id_norm"),
+        )
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "query_id", "query_id_vec", "query_id_norm",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            cell_scores(
+                                F.col("query_id_vec"), F.col("query_id_norm")
+                            )
+                        )
+                    ),
+                    1,
+                    n_probe,
+                )["cell"]
+            ).alias("cell"),
+        )
+    )
+    # no broadcast hint on the cell join: the query side is small in
+    # the suite but unbounded in general — AQE picks broadcast when
+    # the probe side's runtime stats allow it
+    return (
+        assigned.join(probes, "cell")
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dot(F.col("q_vec"), F.col("c_vec"))
-            / F.col("q_norm")
-            / F.col("c_norm"),
+            _dot(F.col("query_id_vec"), F.col("candidate_id_vec"))
+            / F.col("query_id_norm")
+            / F.col("candidate_id_norm"),
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("candidate_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "bucket", "candidate_id", "cosine", "rank")
     )
 
 
@@ -152,79 +306,92 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: probe the n_probe nearest centroid cells.
+    """IVF approximate top-k (see ``ivf_scored`` for the plan shape)."""
+    return topk_ranked(
+        ivf_scored(
+            corpus, queries, n_centroids, n_probe, vec_col, id_col, centroids
+        ),
+        k,
+    ).select("query_id", "cell", "candidate_id", "cosine", "rank")
 
-    Stages (all one lazy plan):
-      1. centroids — ``centroids`` arg if given (k-means output in
-         prod), else the n_centroids lowest-id corpus vectors
-         (deterministic, so the driver oracle can replay it);
-      2. assignment — corpus x broadcast(centroids), argmax cosine per
-         vector with centroid-id tie-break (row_number): each vector
-         gets ONE cell. At scale this is the indexing pass whose
-         output is written partitioned by cell;
-      3. probing — each query scores the same broadcast centroids and
-         keeps its n_probe best cells;
-      4. search — cell equi-join (query probes x assigned corpus),
-         exact cosine, per-query top-k. A query touches only
-         n_probe/n_centroids of the corpus — the IVF trade.
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) centroid training for the IVF index.
+
+    Per iteration, all on the cluster:
+      1. assignment — the same ROW-LOCAL argmax-cosine kernel as
+         ``ivf_scored``'s indexing pass (broadcast centroid array,
+         zero shuffles);
+      2. update — per-cell per-dimension mean via ``posexplode`` +
+         one groupBy(cell, dim) shuffle (dim x n_centroids groups).
+    Only the centroid set itself — bounded by the n_centroids
+    PARAMETER, metadata scale by construction — is collected to the
+    driver between iterations; the corpus never moves. Cosine
+    assignment is scale-invariant, so the un-normalized cell mean is
+    the spherical k-means update.
+
+    Seeds are the n_centroids lowest-id corpus vectors (deterministic
+    restarts). Empty cells keep their previous centroid. Returns a
+    (cell, cent_vec) DataFrame directly pluggable into
+    ``ivf_scored(..., centroids=...)``.
     """
-    if centroids is None:
-        # orderBy+limit lowers to TakeOrderedAndProject (distributed
-        # top-n, no global sort); the global window then runs over the
-        # n_centroids-row result only
-        seeds = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(
-            F.col(id_col)
-        ).limit(n_centroids)
-        cent_w = Window.orderBy(F.col(id_col))
-        centroids = seeds.select(
-            (F.row_number().over(cent_w) - 1).alias("cell"),
-            F.col(vec_col).alias("cent_vec"),
-        )
-    cent = centroids.select(
-        "cell", "cent_vec", _norm(F.col("cent_vec")).alias("cent_norm")
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
     )
+    cents: list[list[float]] = [
+        [float(x) for x in r[vec_col]] for r in seed_rows
+    ]
 
-    def assign(side: DataFrame, out_id: str, keep: int):
-        scored = (
-            side.select(
-                F.col(id_col).alias(out_id),
-                F.col(vec_col).alias(f"{out_id}_vec"),
-                _norm(F.col(vec_col)).alias(f"{out_id}_norm"),
-            )
-            .crossJoin(F.broadcast(cent))
-            .withColumn(
-                "cent_cos",
-                _dot(F.col(f"{out_id}_vec"), F.col("cent_vec"))
-                / F.col(f"{out_id}_norm")
-                / F.col("cent_norm"),
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        _norm(F.col(vec_col)).alias("__nrm"),
+    )
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)], ["cell", "cent_vec"]
+        )
+        cent_arr = cent_df.select(
+            "cell", "cent_vec", _norm(F.col("cent_vec")).alias("cent_norm")
+        ).agg(
+            F.collect_list(F.struct("cell", "cent_vec", "cent_norm")).alias(
+                "cents"
             )
         )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("cent_cos").desc(), F.col("cell")
+        scores = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (_dot(F.col("__vec"), c["cent_vec"]) / F.col("__nrm") / c["cent_norm"]).alias("cos"),
+                (-c["cell"]).alias("negcell"),
+                c["cell"].alias("cell"),
+            ),
         )
-        return (
-            scored.withColumn("__crn", F.row_number().over(w))
-            .filter(F.col("__crn") <= keep)
-            .select(out_id, f"{out_id}_vec", f"{out_id}_norm", "cell")
+        assigned = base.crossJoin(F.broadcast(cent_arr)).select(
+            "__vec", F.array_max(scores)["cell"].alias("cell")
         )
-
-    assigned = assign(corpus, "candidate_id", 1)
-    probes = assign(queries, "query_id", n_probe)
-    scored = (
-        assigned.join(probes, "cell")
-        .filter(F.col("candidate_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("query_id_vec"), F.col("candidate_id_vec"))
-            / F.col("query_id_norm")
-            / F.col("candidate_id_norm"),
+        means = (
+            assigned.select("cell", F.posexplode("__vec").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("candidate_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cell", "candidate_id", "cosine", "rank")
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["mean"]
+        cents = [
+            [d[i] for i in sorted(d)] if (d := by_cell.get(cell)) else prev
+            for cell, prev in enumerate(cents)
+        ]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], ["cell", "cent_vec"]
     )

@@ -332,30 +332,37 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof shapes value-checked; `cell` is the LSH bucket / IVF cell
     (null for exact).
     """
-    # per-pair vector folds dominate: spread the corpus side so the
-    # scoring runs at cluster width (query sides stay broadcast)
-    e = spread(load_table(spark, sf_dir, "embeddings"))
-    exact = SIM.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5).select(
+    # The three candidate generators are unioned SCORED (pre-rank) and
+    # ranked in ONE window pass keyed by (op, query_id) — one shuffle
+    # for the whole suite instead of one per variant. No spread: the
+    # corpus here is small enough that the extra exchange costs more
+    # than the parallel folds save (and a 100 TB corpus scan is wide
+    # on its own).
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = SIM.cosine_scored(e, e.filter(F.col("vec_id") < 5)).select(
         F.lit("exact").alias("op"),
         "query_id",
         F.lit(None).cast("int").alias("cell"),
-        "candidate_id", "cosine", "rank",
+        "candidate_id", "cosine",
     )
-    lsh = SIM.lsh_bucketed_topk(e, e.filter(F.col("vec_id") < 20), k=5, n_bits=4).select(
+    lsh = SIM.lsh_scored(e, e.filter(F.col("vec_id") < 20), n_bits=4).select(
         F.lit("lsh").alias("op"),
         "query_id",
         F.col("bucket").alias("cell"),
-        "candidate_id", "cosine", "rank",
+        "candidate_id", "cosine",
     )
-    ivf = SIM.ivf_topk(
-        e, e.filter(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=2
+    ivf = SIM.ivf_scored(
+        e, e.filter(F.col("vec_id") < 20), n_centroids=8, n_probe=2
     ).select(
         F.lit("ivf").alias("op"),
         "query_id",
         F.col("cell").cast("int").alias("cell"),
-        "candidate_id", "cosine", "rank",
+        "candidate_id", "cosine",
     )
-    return exact.unionAll(lsh).unionAll(ivf)
+    scored = exact.unionAll(lsh).unionAll(ivf)
+    return SIM.topk_ranked(scored, 5, "op").select(
+        "op", "query_id", "cell", "candidate_id", "cosine", "rank"
+    )
 
 
 # dot/norm = strict left fold in element order, matching Spark's

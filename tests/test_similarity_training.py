@@ -1,0 +1,127 @@
+"""k-means IVF centroid training — numpy-mirror parity + IVF integration.
+
+The operator is iterative (driver-looped Lloyd's with bounded
+centroid-set collects), so it has no DuckDB oracle; parity here is
+against an independent numpy implementation of the same contract:
+cosine argmax assignment with lowest-cell tie-break, per-cell mean
+update, empty cells keep their previous centroid, seeds = lowest-id
+corpus vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.operators.similarity import (
+    ivf_topk,
+    kmeans_centroids,
+)
+from jde_to_datalake_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+N_CENTROIDS = 4
+N_ITERS = 3
+
+
+def _numpy_kmeans(ids, vecs, n_centroids, n_iters):
+    order = np.argsort(ids, kind="stable")
+    seeds = vecs[order[:n_centroids]].astype(np.float64)
+    cents = seeds.copy()
+    x = vecs.astype(np.float64)
+    xn = np.linalg.norm(x, axis=1)
+
+    def assignments(c):
+        cn = np.linalg.norm(c, axis=1)
+        cos = (x @ c.T) / xn[:, None] / cn[None, :]
+        return np.argmax(cos, axis=1)  # first max = lowest cell
+
+    assign = assignments(cents)
+    for _ in range(n_iters):
+        for cell in range(n_centroids):
+            members = x[assign == cell]
+            if len(members):
+                cents[cell] = members.mean(axis=0)
+        assign = assignments(cents)
+    return cents, assign
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def np_corpus(corpus):
+    rows = corpus.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return ids, vecs
+
+
+def test_kmeans_matches_numpy_mirror(spark, corpus, np_corpus):
+    ids, vecs = np_corpus
+    expected, _ = _numpy_kmeans(ids, vecs, N_CENTROIDS, N_ITERS)
+    got_rows = (
+        kmeans_centroids(corpus, n_centroids=N_CENTROIDS, n_iters=N_ITERS)
+        .orderBy("cell")
+        .collect()
+    )
+    assert [r.cell for r in got_rows] == list(range(N_CENTROIDS))
+    got = np.array([list(r.cent_vec) for r in got_rows])
+    assert got.shape == expected.shape
+    # float64 summation order differs (distributed partial sums vs
+    # numpy fold) — tolerance, not bit-equality, is the right contract
+    np.testing.assert_allclose(got, expected, rtol=1e-7, atol=1e-9)
+
+
+def test_kmeans_improves_spherical_objective(np_corpus):
+    ids, vecs = np_corpus
+    x = vecs.astype(np.float64)
+    xn = np.linalg.norm(x, axis=1)
+
+    def objective(cents):
+        cn = np.linalg.norm(cents, axis=1)
+        cos = (x @ cents.T) / xn[:, None] / cn[None, :]
+        return cos.max(axis=1).mean()
+
+    seeds, _ = _numpy_kmeans(ids, vecs, N_CENTROIDS, 0)
+    trained, _ = _numpy_kmeans(ids, vecs, N_CENTROIDS, N_ITERS)
+    assert objective(trained) >= objective(seeds) - 1e-12
+
+
+def test_empty_cells_keep_previous_centroid(spark):
+    # 3 identical vectors -> every vector lands in cell 0; cells 1-2
+    # must keep their seed vectors instead of degenerating to NaN
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r.cell: list(r.cent_vec)
+        for r in kmeans_centroids(df, n_centroids=3, n_iters=2).collect()
+    }
+    assert got[0] == [1.0, 0.0]
+    assert got[1] == [1.0, 0.0] and got[2] == [1.0, 0.0]
+    assert all(not np.isnan(v).any() for v in got.values())
+
+
+def test_trained_centroids_plug_into_ivf(spark, corpus):
+    cents = kmeans_centroids(corpus, n_centroids=N_CENTROIDS, n_iters=2)
+    out = ivf_topk(
+        corpus,
+        corpus.filter(F.col("vec_id") < 3),
+        k=4,
+        n_probe=2,
+        centroids=cents,
+    ).collect()
+    assert out, "trained-centroid IVF returned no rows"
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert all(-1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9 for r in rows)
+        assert all(r.candidate_id != q for r in rows)
