@@ -348,6 +348,8 @@ def kmeans_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("kmeans_centroids: corpus is empty")
     cents: list[list[float]] = [
         [float(x) for x in r[vec_col]] for r in seed_rows
     ]

@@ -82,6 +82,8 @@ def spread(df, min_partitions: int | None = None):
     no-op — it only repartitions when the scan is narrower than the
     cluster, so it never adds a shuffle at scale.
     """
+    if df.isStreaming:  # micro-batch width is the source's business
+        return df
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_partitions:
@@ -103,6 +105,8 @@ def spread_by(df, *keys: str, min_partitions: int | None = None):
     aggregation already parallel — adding a raw-row shuffle there
     would be a regression, which is exactly why this is conditional).
     """
+    if df.isStreaming:
+        return df
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_partitions:
