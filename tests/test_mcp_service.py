@@ -1,0 +1,116 @@
+"""MCP tool-server surface: handshake, tool list, SQL tools, guards."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from jde_to_datalake_spark.plans.mcp_service import McpEngineServer
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS people")
+    srv = McpEngineServer(spark, str(tmp_path / "people_tbl"))
+    yield srv
+    spark.sql("DROP TABLE IF EXISTS people")
+
+
+def _call(server, name, **arguments):
+    return server.handle(
+        {
+            "jsonrpc": "2.0",
+            "id": 1,
+            "method": "tools/call",
+            "params": {"name": name, "arguments": arguments},
+        }
+    )
+
+
+def test_initialize_handshake(server):
+    resp = server.handle({"jsonrpc": "2.0", "id": 0, "method": "initialize"})
+    assert resp["result"]["protocolVersion"]
+    assert "tools" in resp["result"]["capabilities"]
+    assert server.handle({"method": "notifications/initialized"}) is None
+
+
+def test_tools_list(server):
+    resp = server.handle({"jsonrpc": "2.0", "id": 1, "method": "tools/list"})
+    names = {t["name"] for t in resp["result"]["tools"]}
+    assert names == {"add_data", "read_data"}
+    for t in resp["result"]["tools"]:
+        assert t["inputSchema"]["type"] == "object"
+
+
+def test_insert_then_select_roundtrip(server):
+    r1 = _call(
+        server,
+        "add_data",
+        query=(
+            "INSERT INTO people VALUES "
+            "(1, 'Alice Smith', 25, 'Developer'), "
+            "(2, 'John Doe', 30, 'Engineer')"
+        ),
+    )
+    assert not r1["result"].get("isError")
+    r2 = _call(
+        server, "read_data", query="SELECT name, age FROM people WHERE age > 26"
+    )
+    rows = json.loads(r2["result"]["content"][0]["text"])
+    assert rows == [["John Doe", 30]]
+    # default query reads the whole table
+    r3 = _call(server, "read_data")
+    assert len(json.loads(r3["result"]["content"][0]["text"])) == 2
+
+
+def test_statement_guards(server):
+    r = _call(server, "add_data", query="SELECT * FROM people")
+    assert r["result"]["isError"]
+    r = _call(server, "read_data", query="DROP TABLE people")
+    assert r["result"]["isError"]
+    r = _call(server, "read_data", query="SELECT 1; SELECT 2")
+    assert r["result"]["isError"]
+    # tool errors are results (isError), protocol errors are JSON-RPC errors
+    r = _call(server, "nope")
+    assert "error" in r
+
+
+def test_unknown_method_is_jsonrpc_error(server):
+    r = server.handle({"jsonrpc": "2.0", "id": 9, "method": "resources/list"})
+    assert r["error"]["code"] == -32601
+
+
+def test_stdio_loop(server):
+    lines = [
+        json.dumps({"jsonrpc": "2.0", "id": 0, "method": "initialize"}),
+        json.dumps({"method": "notifications/initialized"}),
+        "not json",
+        json.dumps(
+            {
+                "jsonrpc": "2.0",
+                "id": 1,
+                "method": "tools/call",
+                "params": {
+                    "name": "add_data",
+                    "arguments": {
+                        "query": "INSERT INTO people VALUES (3, 'Eve', 41, 'Baker')"
+                    },
+                },
+            }
+        ),
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}),
+    ]
+    out = io.StringIO()
+    server.serve_stdio(stdin=io.StringIO("\n".join(lines) + "\n"), stdout=out)
+    resps = [json.loads(x) for x in out.getvalue().strip().split("\n")]
+    # notification produced no response; parse error produced one
+    assert len(resps) == 4
+    assert resps[0]["result"]["serverInfo"]["name"]
+    assert resps[1]["error"]["code"] == -32700
+    assert not resps[2]["result"].get("isError")
+    assert {t["name"] for t in resps[3]["result"]["tools"]} == {
+        "add_data",
+        "read_data",
+    }
