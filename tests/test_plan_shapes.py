@@ -94,6 +94,20 @@ def test_live_comparison_preaggregates_before_join(spark):
     assert n_ex <= 4, n_ex
 
 
+def test_ann_suite_single_window_pass(spark):
+    """The three ANN variants rank through ONE window (one top-k
+    shuffle for the whole suite) and the IVF indexing pass is
+    row-local: no per-variant Window nodes, no global-partition
+    window anywhere."""
+    plan = _executed(spark, "ann_suite")
+    # "Window [" is the window exec node; WindowGroupLimit nodes are
+    # Spark's rank-limit pushdown around it and are expected
+    assert plan.count("Window [") == 1, plan.count("Window [")
+    # the old per-vector argmax window partitioned by candidate_id —
+    # the row-local IVF indexing must not reintroduce it
+    assert "windowspecdefinition(candidate_id" not in plan.lower()
+
+
 @pytest.mark.parametrize(
     ("name", "max_exchanges"),
     [
