@@ -204,9 +204,18 @@ def ivf_scored(
         # (n^2 pairs over n<=few-hundred rows) — avoids a global
         # row_number window, which would move the frame to a single
         # partition and is the one WindowExec shape banned at scale.
-        seeds = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(
-            F.col(id_col)
-        ).limit(n_centroids)
+        # Seeds are collapsed to one row per id first, so the
+        # rank-by-count stays dense 0..k-1 even if the id column
+        # carries duplicates (ids are unique by contract — the
+        # collapse is a guard, and which duplicate's vector survives
+        # is then immaterial to the contract being guarded).
+        seeds = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .groupBy(id_col)
+            .agg(F.first(vec_col).alias(vec_col))
+        )
         others = seeds.select(F.col(id_col).alias("__other_id"))
         centroids = (
             seeds.join(

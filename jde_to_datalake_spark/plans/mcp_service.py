@@ -64,9 +64,16 @@ _TOOLS = [
 
 
 def _single_statement(sql: str) -> str:
+    """Reject statement chaining; semicolons inside quoted literals are
+    fine (quote-aware scan — '' is SQL's escaped quote, which this
+    handles by simply re-toggling)."""
     stmt = sql.strip().rstrip(";").strip()
-    if ";" in stmt:
-        raise ValueError("multiple SQL statements are not allowed")
+    in_quote = False
+    for ch in stmt:
+        if ch == "'":
+            in_quote = not in_quote
+        elif ch == ";" and not in_quote:
+            raise ValueError("multiple SQL statements are not allowed")
     return stmt
 
 
@@ -97,9 +104,20 @@ class McpEngineServer:
 
     # -- tool implementations -------------------------------------------
     def _add_data(self, query: str) -> str:
+        import re
+
         stmt = _single_statement(query)
-        if not stmt.lower().startswith("insert"):
-            raise ValueError("add_data accepts a single INSERT statement")
+        # the guard names the TARGET, not just the verb: INSERT
+        # OVERWRITE, INSERT ... DIRECTORY, or inserts into other tables
+        # are all outside this tool's advertised contract
+        if not re.match(
+            rf"insert\s+into\s+`?{re.escape(self.table)}`?\b",
+            stmt,
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                f"add_data accepts a single INSERT INTO {self.table} statement"
+            )
         self.spark.sql(stmt)
         return "true"
 
@@ -111,8 +129,14 @@ class McpEngineServer:
         return json.dumps([list(r) for r in rows], default=str)
 
     # -- JSON-RPC / MCP handler -----------------------------------------
-    def handle(self, msg: dict[str, Any]) -> dict[str, Any] | None:
+    def handle(self, msg: Any) -> dict[str, Any] | None:
         """One request in, one response out (None for notifications)."""
+        if not isinstance(msg, dict):  # batch arrays / bare scalars
+            return {
+                "jsonrpc": "2.0",
+                "id": None,
+                "error": {"code": -32600, "message": "invalid request"},
+            }
         method = msg.get("method")
         mid = msg.get("id")
         if method == "notifications/initialized":
@@ -139,9 +163,13 @@ class McpEngineServer:
         if method == "tools/list":
             return ok({"tools": _TOOLS})
         if method == "tools/call":
-            params = msg.get("params") or {}
+            params = msg.get("params")
+            if not isinstance(params, dict):
+                return err(-32602, "params must be an object")
             name = params.get("name")
-            args = params.get("arguments") or {}
+            args = params.get("arguments")
+            if not isinstance(args, dict):
+                args = {}
             try:
                 if name == "add_data":
                     text = self._add_data(args["query"])

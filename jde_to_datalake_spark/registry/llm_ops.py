@@ -208,11 +208,11 @@ SELECT doc_id, hash_idx, minhash FROM sig
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread before the checkpointing signature projection: the
-    # md5-per-shingle pipeline is the dominant CPU and the local scan
-    # is a single unsplittable row group
+    # no explicit spread here: with_shingle_col (inside
+    # minhash_lsh_pairs) already spreads the scan before the
+    # md5-per-shingle pipeline
     return D.minhash_lsh_pairs(
-        spread(load_table(spark, sf_dir, "documents")),
+        load_table(spark, sf_dir, "documents"),
         num_hashes=8, band_size=2, n=3, threshold=0.2,
     )
 

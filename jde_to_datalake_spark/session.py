@@ -71,28 +71,36 @@ def get_spark(
     return spark
 
 
-def spread(df, min_partitions: int | None = None):
+def spread(df, min_partitions: int | None = None, keys: tuple[str, ...] = ()):
     """Widen a narrow scan to the session's parallelism.
 
-    Small parquet files arrive as 1-2 input splits (and a SINGLE
-    row-group file cannot be split at all — Spark's parquet reader
-    parallelizes at row-group granularity), which would serialize
-    CPU-heavy per-row operators (shingling, hashing, vector math) onto
-    one core. At 100 TB inputs have thousands of splits and this is a
-    no-op — it only repartitions when the scan is narrower than the
-    cluster, so it never adds a shuffle at scale.
+    Small parquet files arrive as 1-2 input splits, which would
+    serialize CPU-heavy per-row operators (shingling, hashing, vector
+    math) onto one core — and Spark's parquet reader assigns rows at
+    ROW-GROUP granularity, so for a single-row-group file the extra
+    byte-range splits do no work at all. At 100 TB inputs have
+    thousands of splits and this is a no-op — it only repartitions
+    when the scan is narrower than the cluster, so it never adds a
+    shuffle at scale. (The check is split-count-based: a LARGE
+    single-row-group file that planning carves into >= parallelism
+    byte-range splits is not detected — write real lakes with sane
+    row-group sizes instead of leaning on this helper.)
+
+    With ``keys``, hash-distributes on them (see ``spread_by``).
+    Streaming frames pass through — micro-batch width is the source's
+    business (and ``df.rdd`` is illegal on them).
     """
-    if df.isStreaming:  # micro-batch width is the source's business
+    if df.isStreaming:
         return df
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_partitions:
-        return df.repartition(min_partitions)
+        return df.repartition(min_partitions, *keys)
     return df
 
 
 def spread_by(df, *keys: str, min_partitions: int | None = None):
-    """``spread`` variant that hash-distributes on ``keys``.
+    """``spread`` that hash-distributes on ``keys``.
 
     For a narrow scan feeding a keyed aggregation/join, distributing by
     the downstream key does double duty: the expensive per-row /
@@ -105,13 +113,7 @@ def spread_by(df, *keys: str, min_partitions: int | None = None):
     aggregation already parallel — adding a raw-row shuffle there
     would be a regression, which is exactly why this is conditional).
     """
-    if df.isStreaming:
-        return df
-    if min_partitions is None:
-        min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
-        return df.repartition(min_partitions, *keys)
-    return df
+    return spread(df, min_partitions=min_partitions, keys=keys)
 
 
 # Per-session cache of table DataFrames. A DataFrame here is a LAZY

@@ -72,9 +72,43 @@ def test_statement_guards(server):
     assert r["result"]["isError"]
     r = _call(server, "read_data", query="SELECT 1; SELECT 2")
     assert r["result"]["isError"]
+    # the write guard names the TARGET, not just the verb
+    r = _call(
+        server,
+        "add_data",
+        query="INSERT OVERWRITE DIRECTORY '/tmp/x' USING csv SELECT 1",
+    )
+    assert r["result"]["isError"]
+    r = _call(server, "add_data", query="INSERT INTO other_table VALUES (1)")
+    assert r["result"]["isError"]
     # tool errors are results (isError), protocol errors are JSON-RPC errors
     r = _call(server, "nope")
     assert "error" in r
+
+
+def test_semicolon_inside_literal_is_allowed(server):
+    r = _call(
+        server,
+        "add_data",
+        query="INSERT INTO people VALUES (7, 'Smith; Alice', 25, 'Dev')",
+    )
+    assert not r["result"].get("isError"), r
+    rows = json.loads(
+        _call(server, "read_data", query="SELECT name FROM people WHERE id = 7")[
+            "result"
+        ]["content"][0]["text"]
+    )
+    assert rows == [["Smith; Alice"]]
+
+
+def test_non_object_messages_get_invalid_request(server):
+    for bad in ([1, 2], 42, "hi"):
+        r = server.handle(bad)
+        assert r["error"]["code"] == -32600
+    r = server.handle(
+        {"jsonrpc": "2.0", "id": 1, "method": "tools/call", "params": [1]}
+    )
+    assert r["error"]["code"] == -32602
 
 
 def test_unknown_method_is_jsonrpc_error(server):
