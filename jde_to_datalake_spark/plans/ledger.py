@@ -7,7 +7,10 @@ dag_bakery_system_to_jde.py:383-423). The Spark-native equivalent is
 Delta ``MERGE INTO``; this environment has no Delta, so the same
 MERGE semantics are implemented over plain parquet with an atomic
 directory swap (correct for a single writer, which matches the
-reference's one-dispatcher-at-a-time model). Swap to Delta in prod:
+reference's one-dispatcher-at-a-time model). For multi-version MERGE
+with time travel, history, and optimistic multi-writer detection, see
+``sources/versioned.py`` (a transaction-log table in the Delta
+design). Swap to Delta in prod:
 
     DeltaTable.forPath(spark, path).alias("l").merge(
         updates.alias("u"), "l.key = u.key"

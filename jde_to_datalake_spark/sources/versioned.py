@@ -1,0 +1,194 @@
+"""Versioned parquet table — a transaction-log lake format in miniature.
+
+The environment has no delta-spark, but the reference's lake needs
+what a log-structured table format provides: atomic commits, readable
+history, time travel, and upserts that readers never observe
+half-applied (the reference approximates this with dated dispatch
+snapshots at backend/s3_helper.py:45 and a Postgres ledger at
+dag_bakery_system_to_jde.py:38-59). This module implements the core
+of the public Delta Lake design — an ordered JSON transaction log
+naming immutable parquet data files — with single-table scope:
+
+    <root>/_log/00000000000.json   {"version", "mode", "files", ...}
+    <root>/part-<uuid>.parquet     immutable data files
+
+- ``commit(df, mode)``  append | overwrite; data files are written
+  FIRST, then the manifest is published with an O_EXCL create —
+  readers either see the old version or the new one, never a mix.
+  Concurrent writers race on the manifest create; the loser gets
+  ``ConcurrentCommitError`` (optimistic concurrency, as in Delta).
+- ``read(version=...)``  latest by default; any historical version
+  while its files remain (time travel).
+- ``merge(updates, key)``  keyed upsert = read-latest ⟕ updates →
+  overwrite commit. MERGE semantics with full history retained.
+- ``history()`` / ``vacuum(keep_last)``  audit log; physical removal
+  of files unreferenced by retained versions.
+
+Scale: a commit manifest lists file PATHS (metadata, not data); reads
+plan a normal parquet scan over the listed files, so partition-width
+parallelism, pushdown, and column pruning are unchanged. The log
+directory holds one small JSON per commit — the Delta design point
+this intentionally mirrors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first (optimistic loser)."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_log")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:011d}.json")
+
+
+class VersionedTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(_log_dir(root), exist_ok=True)
+
+    # -- log ------------------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(_log_dir(self.root)):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(_manifest_path(self.root, version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """Commit audit trail, newest first (mode, file count, ts)."""
+        return [
+            {
+                "version": v,
+                "mode": (m := self._manifest(v))["mode"],
+                "n_files": len(m["files"]),
+                "committed_at": m["committed_at"],
+            }
+            for v in reversed(self.versions())
+        ]
+
+    # -- write ----------------------------------------------------------
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write data files, then publish the next manifest atomically.
+
+        Data files land under a unique staging name before the
+        manifest exists, so a crashed or losing writer leaves only
+        unreferenced files (cleaned by ``vacuum``), never a torn
+        table.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                dst = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(staging, f), os.path.join(self.root, dst)
+                )
+                new_files.append(dst)
+        # remove staging leftovers (_SUCCESS etc.)
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
+
+        prev = self.latest_version()
+        if mode == "append" and prev is not None:
+            files = self._manifest(prev)["files"] + new_files
+        else:
+            files = new_files
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": files,
+            "committed_at": time.time(),
+        }
+        try:
+            fd = os.open(
+                _manifest_path(self.root, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} was committed by another writer"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        return version
+
+    # -- read -----------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        files = self._manifest(version)["files"]
+        if not files:
+            raise FileNotFoundError(f"{self.root}@{version}: empty commit")
+        return spark.read.parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+
+    # -- upsert ---------------------------------------------------------
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
+        """Keyed MERGE: matched rows replaced, new rows inserted.
+
+        Implemented as read-latest anti-join + union + overwrite
+        commit — the Delta MERGE contract with history retained (the
+        pre-merge version stays readable). The anti-join is keyed on
+        ``key``; the updates side is a micro-batch by convention, so
+        AQE broadcasts it.
+        """
+        prev = self.latest_version()
+        if prev is None:
+            return self.commit(updates, mode="overwrite")
+        current = self.read(spark, prev)
+        kept = current.join(updates.select(key).distinct(), key, "left_anti")
+        return self.commit(
+            kept.unionByName(updates, allowMissingColumns=False),
+            mode="overwrite",
+        )
+
+    # -- maintenance -----------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop manifests beyond the newest ``keep_last`` and delete data
+        files no retained version references. Returns removed files."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        retained = vs[-keep_last:]
+        referenced = {
+            f for v in retained for f in self._manifest(v)["files"]
+        }
+        removed = []
+        for v in vs[:-keep_last]:
+            os.remove(_manifest_path(self.root, v))
+        for f in os.listdir(self.root):
+            if f.endswith(".parquet") and f not in referenced:
+                os.remove(os.path.join(self.root, f))
+                removed.append(f)
+        return removed
