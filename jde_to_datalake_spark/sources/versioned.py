@@ -141,7 +141,15 @@ class VersionedTable:
         return version
 
     # -- read -----------------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read a version. ``merge_schema=True`` unions the schemas of
+        files written under different commits (schema evolution:
+        columns absent from older files read as null)."""
         if version is None:
             version = self.latest_version()
         if version is None:
@@ -149,9 +157,10 @@ class VersionedTable:
         files = self._manifest(version)["files"]
         if not files:
             raise FileNotFoundError(f"{self.root}@{version}: empty commit")
-        return spark.read.parquet(
-            *[os.path.join(self.root, f) for f in files]
-        )
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[os.path.join(self.root, f) for f in files])
 
     # -- upsert ---------------------------------------------------------
     def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
@@ -174,6 +183,15 @@ class VersionedTable:
         )
 
     # -- maintenance -----------------------------------------------------
+    def compact(self, spark: SparkSession, target_partitions: int = 1) -> int:
+        """Rewrite the latest version's files into ``target_partitions``
+        parquet files (small-file compaction as a normal overwrite
+        commit — old versions stay readable until vacuumed)."""
+        latest = self.read(spark, merge_schema=True)
+        return self.commit(
+            latest.coalesce(target_partitions), mode="overwrite"
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop manifests beyond the newest ``keep_last`` and delete data
         files no retained version references. Returns removed files."""

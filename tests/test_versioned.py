@@ -105,3 +105,25 @@ def test_reads_plan_normal_parquet_scans(spark, table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(k,990" in plan
     assert df.count() == 9
+
+
+def test_schema_evolution_merge_schema_read(spark, table):
+    table.commit(_df(spark, [(1, "a")]), mode="overwrite")
+    widened = spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "score"])
+    table.commit(widened, mode="append")
+    got = table.read(spark, merge_schema=True)
+    assert set(got.columns) == {"k", "v", "score"}
+    rows = {r.k: r.score for r in got.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_compact_rewrites_to_fewer_files(spark, table):
+    for i in range(4):
+        table.commit(_df(spark, [(i, "x")]), mode="append")
+    n_before = len(table._manifest(table.latest_version())["files"])
+    v = table.compact(spark, target_partitions=1)
+    n_after = len(table._manifest(v)["files"])
+    assert n_after == 1 < n_before
+    assert {r.k for r in table.read(spark).collect()} == {0, 1, 2, 3}
+    # pre-compaction version still time-travels
+    assert table.read(spark, v - 1).count() == 4
