@@ -182,6 +182,26 @@ class VersionedTable:
             mode="overwrite",
         )
 
+    # -- streaming sink ---------------------------------------------------
+    def foreach_batch_writer(self, mode: str = "append", key: str | None = None):
+        """``foreachBatch`` function committing each micro-batch as one
+        table version (append, or keyed MERGE when ``key`` is given).
+
+        Spark re-delivers a micro-batch after crash-recovery with the
+        SAME batch_id; committing via the log makes the re-delivery
+        visible as a new version rather than silently double-counting
+        — pair with a MERGE key (or an idempotency ledger) when the
+        sink must be effectively-once.
+        """
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            if key is not None:
+                self.merge(batch_df.sparkSession, batch_df, key)
+            else:
+                self.commit(batch_df, mode=mode)
+
+        return write
+
     # -- maintenance -----------------------------------------------------
     def compact(self, spark: SparkSession, target_partitions: int = 1) -> int:
         """Rewrite the latest version's files into ``target_partitions``

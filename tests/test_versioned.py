@@ -127,3 +127,32 @@ def test_compact_rewrites_to_fewer_files(spark, table):
     assert {r.k for r in table.read(spark).collect()} == {0, 1, 2, 3}
     # pre-compaction version still time-travels
     assert table.read(spark, v - 1).count() == 4
+
+
+def test_streaming_foreach_batch_merge_sink(spark, table, tmp_path):
+    """A document stream MERGEs into the versioned table keyed on k:
+    re-delivered keys update in place, history is retained per batch."""
+    src_dir = str(tmp_path / "src")
+    _df(spark, [(1, "a"), (2, "b")]).repartition(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("k long, v string").parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(table.foreach_batch_writer(key="k"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r.k: r.v for r in table.read(spark).collect()} == {1: "a", 2: "b"}
+    # second slice arrives: update k=2, insert k=3
+    _df(spark, [(2, "B"), (3, "c")]).repartition(1).write.mode("append").parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(table.foreach_batch_writer(key="k"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r.k: r.v for r in table.read(spark).collect()} == {
+        1: "a", 2: "B", 3: "c",
+    }
+    assert len(table.history()) >= 2  # one version per committed batch
