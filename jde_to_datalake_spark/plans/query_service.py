@@ -15,6 +15,9 @@ Endpoints:
   ``{"name", "columns", "rows", "n_rows", "truncated"}``
 - ``GET /sql?q=...&limit=N``        ANSI SQL over the registered views
   (plans/sql_api.register_views) — the multi-tenant analyst surface
+- ``GET /explain/<name>?mode=formatted`` — the physical plan of a
+  registered query (plan transparency: what an operator will do to
+  the cluster is part of the API surface)
 - ``GET /diagnostics/skew?table=<view>&keys=a,b&top_n=N`` — key-load
   report over a registered view (operators/skew.skew_report)
 - ``POST /maintenance/compact?root=...&target_bytes=N`` — small-file
@@ -88,6 +91,24 @@ class QueryService:
             except Exception as e:  # analysis errors -> client error
                 return 400, {"error": str(e).split("\n")[0][:500]}
             return self._materialize("sql", df, params)
+        if path.startswith("/explain/"):
+            name = unquote(path[len("/explain/"):])
+            fn = self.queries.get(name)
+            if fn is None:
+                return 404, {"error": f"unknown query: {name}"}
+            mode = (params.get("mode") or ["formatted"])[0]
+            if mode not in ("simple", "extended", "formatted", "cost"):
+                return 400, {"error": f"unknown explain mode: {mode}"}
+            # a FRESH plan, not the registry's cached one: an executed
+            # cached DataFrame prints AQE's final adaptive plan, which
+            # double-counts exchanges (same caveat as the plan-shape
+            # tests)
+            fresh = getattr(fn, "__wrapped__", fn)
+            df = fresh(self.spark, self.sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), mode
+            )
+            return 200, {"name": name, "mode": mode, "plan": plan}
         if path == "/diagnostics/skew":
             table = (params.get("table") or [""])[0]
             keys = [k for k in (params.get("keys") or [""])[0].split(",") if k]

@@ -83,3 +83,21 @@ def test_sql_endpoint_over_registered_views(service_url):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_explain_endpoint_returns_physical_plan(service_url):
+    status, payload = _get(f"{service_url}/explain/pivot_report")
+    assert status == 200
+    assert payload["mode"] == "formatted"
+    assert "BroadcastHashJoin" in payload["plan"]
+    assert "Scan parquet" in payload["plan"]
+    # unknown query and bad mode are client errors
+    for url, expected in (
+        (f"{service_url}/explain/nope", 404),
+        (f"{service_url}/explain/pivot_report?mode=fancy", 400),
+    ):
+        try:
+            _get(url)
+            raise AssertionError(f"expected {expected}")
+        except urllib.error.HTTPError as e:
+            assert e.code == expected
