@@ -97,3 +97,47 @@ def test_short_names_block_via_whole_self_gram(spark):
         for x in fuzzy_join(l, r, "name", "name", max_distance=1, q=2).collect()
     }
     assert ("a", "a", 0) in got
+
+
+# -- hypothesis properties ---------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+HS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_WORD = st.text(alphabet="abcdefgh", min_size=4, max_size=12)
+
+
+@HS
+@given(
+    base=_WORD,
+    pos=st.integers(min_value=0, max_value=11),
+    ch=st.sampled_from("xyz"),
+    op=st.sampled_from(["sub", "ins", "del"]),
+)
+def test_recall_guarantee_one_edit(spark, base, pos, ch, op):
+    """For names longer than q*(k+1)-1 = 3 chars, a single edit is
+    ALWAYS recalled (the documented q-gram blocking bound)."""
+    pos = pos % len(base)
+    if op == "sub":
+        edited = base[:pos] + ch + base[pos + 1:]
+    elif op == "ins":
+        edited = base[:pos] + ch + base[pos:]
+    else:
+        edited = base[:pos] + base[pos + 1:]
+    if len(edited) <= 3 or edited == base:
+        return  # outside the guarantee / zero-distance
+    l = spark.createDataFrame([(base,)], ["name"])
+    r = spark.createDataFrame([(edited,)], ["name"])
+    got = {
+        (x.left_name, x.right_name)
+        for x in fuzzy_join(
+            l, r, "name", "name", max_distance=1, q=2, max_df=10**6
+        ).collect()
+    }
+    assert (base, edited) in got

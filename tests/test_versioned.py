@@ -156,3 +156,61 @@ def test_streaming_foreach_batch_merge_sink(spark, table, tmp_path):
         1: "a", 2: "B", 3: "c",
     }
     assert len(table.history()) >= 2  # one version per committed batch
+
+
+# -- model-based property ----------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jde_to_datalake_spark.sources.versioned import VersionedTable as VT
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("merge"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("vacuum"), st.just([])),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
+    """Any commit/merge/vacuum sequence leaves read() equal to a plain
+    dict model of the same operations (merge payload = str(k) at the
+    time of the op, so updates are observable)."""
+    table = VT(str(tmp_path_factory.mktemp("vt") / "t"))
+    model: set[tuple[int, str]] = set()
+    stamp = 0
+    for op, keys in ops:
+        stamp += 1
+        # per-op unique payloads, so every update is observable and the
+        # set model matches the table's multiset exactly
+        rows = [(k, f"s{stamp}") for k in sorted(set(keys))]
+        if op == "append":
+            table.commit(_df(spark, rows), mode="append")
+            model |= set(rows)
+        elif op == "overwrite":
+            table.commit(_df(spark, rows), mode="overwrite")
+            model = set(rows)
+        elif op == "merge":
+            table.merge(spark, _df(spark, rows), key="k")
+            merged_keys = {k for k, _ in rows}
+            model = {kv for kv in model if kv[0] not in merged_keys} | set(rows)
+        else:
+            table.vacuum(keep_last=1)
+    if table.latest_version() is None:  # vacuum-only sequence
+        assert model == set()
+        with pytest.raises(FileNotFoundError):
+            table.read(spark)
+        return
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == sorted(model)
