@@ -406,3 +406,83 @@ def kmeans_centroids(
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(cents)], ["cell", "cent_vec"]
     )
+
+
+def binary_quantize(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-bit binary quantization: ``dim`` floats -> ceil(dim/64)
+    packed int64 code words (32x smaller than float32 at dim=64).
+
+    The standard embedding-compression path for ANN at corpus scales
+    where float vectors don't fit the scan budget: Hamming distance
+    on the codes approximates angular distance (each sign bit is a
+    fixed random-hyperplane hash; here the hyperplanes are coordinate
+    axes, matching ``sign_bucket``'s convention so the bucket id is a
+    prefix of the code). Row-local projection — zero shuffles, the
+    indexing pass writes (id, code[]) beside the table.
+
+    Bit layout: word w bit j (LSB-first) = sign(vec[w*64 + j]).
+    """
+    words = []
+    for w in range((dim + 63) // 64):
+        bits = F.lit(0).cast("long")
+        for j in range(min(64, dim - w * 64)):
+            # 1 << 63 wraps to int64 min — stage the weight through
+            # Python so the literal arrives as the signed-long bit
+            weight = (1 << j) - (1 << 64 if j == 63 else 0)
+            bits = bits + F.when(
+                F.element_at(F.col(vec_col), w * 64 + j + 1).cast("double") > 0,
+                F.lit(weight).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(bits)
+    return corpus.select(
+        F.col(id_col), F.array(*words).alias("code")
+    )
+
+
+def hamming_topk(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over packed binary codes.
+
+    broadcast(queries) x corpus with a per-word XOR+bit_count fold —
+    pure codegen integer ops over 1/32nd of the float payload; the
+    only shuffle is the per-query top-k. The standard two-stage
+    pattern reranks these candidates with exact cosine on the
+    surviving ids (see tests for the composition).
+    """
+    q = query_codes.select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("q_code")
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("candidate_id"), F.col("code").alias("c_code")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("q_code"),
+            F.col("c_code"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn("hamming", dist)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "hamming", "rank")
+    )

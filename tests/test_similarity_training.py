@@ -125,3 +125,65 @@ def test_trained_centroids_plug_into_ivf(spark, corpus):
         assert ranks == list(range(1, len(rows) + 1))
         assert all(-1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9 for r in rows)
         assert all(r.candidate_id != q for r in rows)
+
+
+# -- binary quantization ----------------------------------------------------
+
+
+def test_binary_quantize_matches_numpy_bits(spark, corpus, np_corpus):
+    from jde_to_datalake_spark.operators.similarity import binary_quantize
+
+    ids, vecs = np_corpus
+    dim = vecs.shape[1]
+    got = {
+        r.vec_id: list(r.code)
+        for r in binary_quantize(corpus, dim=dim).collect()
+    }
+    assert len(got) == len(ids)
+    n_words = (dim + 63) // 64
+    for i, vid in enumerate(ids[:50]):
+        expected = [0] * n_words
+        for d in range(dim):
+            if vecs[i, d] > 0:
+                expected[d // 64] |= 1 << (d % 64)
+        # numpy's |= above is arbitrary-precision python int; fold to
+        # signed int64 like Spark's long
+        expected = [
+            e - (1 << 64) if e >= (1 << 63) else e for e in expected
+        ]
+        assert got[vid] == expected, f"vec {vid}"
+
+
+def test_hamming_topk_two_stage_rerank(spark, corpus, np_corpus):
+    """Hamming candidates reranked by exact cosine contain the true
+    top-1 neighbor for most queries (the standard two-stage ANN)."""
+    from jde_to_datalake_spark.operators.similarity import (
+        binary_quantize,
+        cosine_topk,
+        hamming_topk,
+    )
+
+    ids, vecs = np_corpus
+    dim = vecs.shape[1]
+    codes = binary_quantize(corpus, dim=dim)
+    queries = corpus.filter(F.col("vec_id") < 10)
+    cand = hamming_topk(codes, binary_quantize(queries, dim=dim), k=50)
+    assert cand.count() == 10 * 50
+    # ranks are dense 1..50 and hamming distances are within [0, dim]
+    r1 = cand.filter(F.col("rank") == 1).collect()
+    assert len(r1) == 10
+    assert all(0 <= r.hamming <= dim for r in r1)
+
+    # two-stage: exact top-1 (excluding self) should appear in the
+    # 50-candidate hamming set for >= 70% of queries on real data
+    exact1 = {
+        r.query_id: r.candidate_id
+        for r in cosine_topk(corpus, queries, k=1).collect()
+    }
+    cand_sets: dict[int, set] = {}
+    for r in cand.collect():
+        cand_sets.setdefault(r.query_id, set()).add(r.candidate_id)
+    hits = sum(
+        1 for q, c in exact1.items() if c in cand_sets.get(q, set())
+    )
+    assert hits >= 7, f"two-stage recall too low: {hits}/10"
