@@ -45,6 +45,20 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first (optimistic loser)."""
 
 
+class AuditFailure(RuntimeError):
+    """A write-audit-publish batch failed its quality checks.
+
+    ``failures`` holds the failing expectation rows (name, column,
+    n_failed, ...); the staged files were discarded."""
+
+    def __init__(self, failures: list[dict]):
+        super().__init__(
+            f"{len(failures)} quality check(s) failed: "
+            + ", ".join(str(f.get("check_name", f)) for f in failures[:5])
+        )
+        self.failures = failures
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
@@ -90,16 +104,11 @@ class VersionedTable:
         ]
 
     # -- write ----------------------------------------------------------
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
-        """Write data files, then publish the next manifest atomically.
-
-        Data files land under a unique staging name before the
-        manifest exists, so a crashed or losing writer leaves only
-        unreferenced files (cleaned by ``vacuum``), never a torn
-        table.
-        """
-        if mode not in ("append", "overwrite"):
-            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    def stage(self, df: DataFrame) -> list[str]:
+        """Write data files WITHOUT publishing them (the W of
+        write-audit-publish). Staged files are invisible to readers —
+        no manifest references them — and are reclaimed by ``vacuum``
+        if never published."""
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         new_files = []
@@ -114,7 +123,36 @@ class VersionedTable:
         for f in os.listdir(staging):
             os.remove(os.path.join(staging, f))
         os.rmdir(staging)
+        return new_files
 
+    def read_staged(self, spark: SparkSession, staged: list[str]) -> DataFrame:
+        """The audit surface: exactly the rows a publish would add."""
+        return spark.read.parquet(
+            *[os.path.join(self.root, f) for f in staged]
+        )
+
+    def discard(self, staged: list[str]) -> None:
+        """Drop never-published staged files immediately."""
+        for f in staged:
+            p = os.path.join(self.root, f)
+            if os.path.exists(p):
+                os.remove(p)
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write data files, then publish the next manifest atomically.
+
+        Data files land before the manifest exists, so a crashed or
+        losing writer leaves only unreferenced files (cleaned by
+        ``vacuum``), never a torn table.
+        """
+        return self.publish(self.stage(df), mode=mode)
+
+    def publish(self, staged: list[str], mode: str = "append") -> int:
+        """Publish previously staged files as the next version (the P
+        of write-audit-publish)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        new_files = staged
         prev = self.latest_version()
         if mode == "append" and prev is not None:
             files = self._manifest(prev)["files"] + new_files
@@ -139,6 +177,36 @@ class VersionedTable:
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
         return version
+
+    def commit_audited(
+        self,
+        df: DataFrame,
+        checks: list[dict],
+        mode: str = "append",
+    ) -> int:
+        """Write-audit-publish: stage ``df``, run the quality
+        expectations (operators/quality.expectations_report) against
+        the STAGED files — the exact bytes a publish would expose —
+        and publish only if every check passes; otherwise discard the
+        staged files and raise ``AuditFailure`` carrying the report.
+
+        The gate readers rely on: a failed batch never becomes a
+        version, and the audit reads what was written, not what the
+        writer thinks it wrote.
+        """
+        from jde_to_datalake_spark.operators.quality import (
+            expectations_report,
+        )
+
+        staged = self.stage(df)
+        report = expectations_report(
+            self.read_staged(df.sparkSession, staged), checks
+        )
+        failures = [r.asDict() for r in report.collect() if not r.passed]
+        if failures:
+            self.discard(staged)
+            raise AuditFailure(failures)
+        return self.publish(staged, mode=mode)
 
     # -- read -----------------------------------------------------------
     def read(

@@ -214,3 +214,50 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
         return
     got = sorted((r.k, r.v) for r in table.read(spark).collect())
     assert got == sorted(model)
+
+
+# -- write-audit-publish -----------------------------------------------------
+
+
+def test_commit_audited_publishes_clean_batches(spark, table):
+    from jde_to_datalake_spark.operators import quality as Q
+
+    checks = [Q.not_null("v"), Q.in_range("k", 0, 100)]
+    v = table.commit_audited(_df(spark, [(1, "a"), (2, "b")]), checks)
+    assert v == 0
+    assert table.read(spark).count() == 2
+
+
+def test_commit_audited_rejects_and_discards(spark, table):
+    from jde_to_datalake_spark.operators import quality as Q
+    from jde_to_datalake_spark.sources.versioned import AuditFailure
+
+    table.commit(_df(spark, [(1, "a")]), mode="overwrite")
+    n_files_before = sum(
+        1 for f in os.listdir(table.root) if f.endswith(".parquet")
+    )
+    checks = [Q.not_null("v")]
+    bad = spark.createDataFrame([(2, None)], "k long, v string")
+    with pytest.raises(AuditFailure) as exc:
+        table.commit_audited(bad, checks)
+    assert exc.value.failures[0]["check_name"] == "not_null__v"
+    # table unchanged; staged files discarded (no orphan growth)
+    assert table.latest_version() == 0
+    assert {r.k for r in table.read(spark).collect()} == {1}
+    n_files_after = sum(
+        1 for f in os.listdir(table.root) if f.endswith(".parquet")
+    )
+    assert n_files_after == n_files_before
+
+
+def test_audit_reads_staged_bytes_not_writer_plan(spark, table):
+    """The audit runs over the STAGED files: stage -> read_staged
+    round-trips exactly, and publish exposes the same rows."""
+    staged = table.stage(_df(spark, [(5, "e"), (6, "f")]))
+    audited = {(r.k, r.v) for r in table.read_staged(spark, staged).collect()}
+    assert audited == {(5, "e"), (6, "f")}
+    # not yet visible
+    with pytest.raises(FileNotFoundError):
+        table.read(spark)
+    table.publish(staged, mode="overwrite")
+    assert {(r.k, r.v) for r in table.read(spark).collect()} == audited
