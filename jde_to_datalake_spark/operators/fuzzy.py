@@ -72,18 +72,26 @@ def fuzzy_join(
 
     ``left_col``/``right_col`` name the input columns; the output is
     the distinct matched pairs as (left_name, right_name, distance).
-    Columns beyond the name are joined back by the caller (keeping
-    this operator narrow keeps the q-gram shuffle payload minimal).
+    NOTE: the emitted names are the NORMALIZED (lower+trim) forms the
+    operator matched on — callers joining other columns back must key
+    on ``lower(trim(col))``, not the raw column (keeping the operator
+    narrow keeps the q-gram shuffle payload minimal).
     """
-    a = spread(
+    # each gram projection feeds the df-count aggregation AND the
+    # candidate join; df_counts is joined on both sides — without
+    # materialization every consumer re-runs the normalize/distinct/
+    # explode pipeline (same multi-consumer hazard as the shingle path
+    # in operators/dedup.py, same localCheckpoint cure)
+    ga = spread(
         left.select(_norm(F.col(left_col)).alias("__a")).distinct()
-    ).withColumn("__ga", _qgrams(F.col("__a"), q))
-    b = spread(
+    ).select(
+        "__a", F.explode(_qgrams(F.col("__a"), q)).alias("__g")
+    ).localCheckpoint(eager=False)
+    gb = spread(
         right.select(_norm(F.col(right_col)).alias("__b")).distinct()
-    ).withColumn("__gb", _qgrams(F.col("__b"), q))
-
-    ga = a.select("__a", F.explode("__ga").alias("__g"))
-    gb = b.select("__b", F.explode("__gb").alias("__g"))
+    ).select(
+        "__b", F.explode(_qgrams(F.col("__b"), q)).alias("__g")
+    ).localCheckpoint(eager=False)
 
     # stop-gram guard: a gram present in more than max_df names on
     # either side joins quadratically — drop it from BLOCKING only
@@ -97,6 +105,7 @@ def fuzzy_join(
         )
         .filter((F.col("__dfa") <= max_df) & (F.col("__dfb") <= max_df))
         .select("__g")
+        .localCheckpoint(eager=False)  # consumed by BOTH join sides
     )
     candidates = (
         ga.join(df_counts, "__g")

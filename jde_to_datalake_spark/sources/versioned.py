@@ -39,6 +39,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -165,17 +166,23 @@ class VersionedTable:
             "files": files,
             "committed_at": time.time(),
         }
+        # Reader-atomic publish: the manifest is fully written to a
+        # temp name first, then os.link'd into place — link is atomic
+        # AND fails with FileExistsError when the target exists, which
+        # keeps the optimistic-concurrency loser detection. A reader
+        # can never observe a half-written manifest, and a writer
+        # crash leaves only a temp file (cleaned by vacuum).
+        tmp = os.path.join(_log_dir(self.root), f"_tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
         try:
-            fd = os.open(
-                _manifest_path(self.root, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+            os.link(tmp, _manifest_path(self.root, version))
         except FileExistsError:
             raise ConcurrentCommitError(
                 f"version {version} was committed by another writer"
             ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
+        finally:
+            os.remove(tmp)
         return version
 
     def commit_audited(
@@ -239,14 +246,36 @@ class VersionedTable:
         pre-merge version stays readable). The anti-join is keyed on
         ``key``; the updates side is a micro-batch by convention, so
         AQE broadcasts it.
+
+        Delta-matching edges:
+        - duplicate keys in ``updates`` raise ``ValueError`` (Delta
+          errors on multiple source matches — silently inserting both
+          copies would corrupt the key invariant);
+        - the current version is read with ``merge_schema=True`` and
+          the union allows missing columns, so MERGE composes with
+          schema evolution instead of dropping evolved columns (which
+          columns each side lacks read as null).
         """
+        dup = (
+            updates.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge: updates contain duplicate key {dup[0][0]!r} — "
+                "a key may match at most one update row (Delta MERGE "
+                "contract); dedupe the batch first"
+            )
         prev = self.latest_version()
         if prev is None:
             return self.commit(updates, mode="overwrite")
-        current = self.read(spark, prev)
+        current = self.read(spark, prev, merge_schema=True)
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
         return self.commit(
-            kept.unionByName(updates, allowMissingColumns=False),
+            kept.unionByName(updates, allowMissingColumns=True),
             mode="overwrite",
         )
 
@@ -280,9 +309,22 @@ class VersionedTable:
             latest.coalesce(target_partitions), mode="overwrite"
         )
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
-        """Drop manifests beyond the newest ``keep_last`` and delete data
-        files no retained version references. Returns removed files."""
+    def vacuum(
+        self, keep_last: int = 1, retention_seconds: float = 3600.0
+    ) -> list[str]:
+        """Drop manifests beyond the newest ``keep_last`` and delete
+        data files no retained version references. Returns removed
+        files.
+
+        ``retention_seconds`` guards IN-FLIGHT writers (the same hazard
+        Delta's retention window exists for): a concurrent
+        commit/commit_audited has staged files on disk that no
+        manifest references YET — deleting them would let the publish
+        succeed while pointing at missing files. Unreferenced files
+        younger than the retention window are therefore kept; pass 0
+        only when no writer can be active. Stale manifest temp files
+        (crashed publishes) age out the same way.
+        """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
@@ -290,11 +332,22 @@ class VersionedTable:
         referenced = {
             f for v in retained for f in self._manifest(v)["files"]
         }
+        cutoff = time.time() - retention_seconds
         removed = []
         for v in vs[:-keep_last]:
             os.remove(_manifest_path(self.root, v))
         for f in os.listdir(self.root):
-            if f.endswith(".parquet") and f not in referenced:
-                os.remove(os.path.join(self.root, f))
+            p = os.path.join(self.root, f)
+            if (
+                f.endswith(".parquet")
+                and f not in referenced
+                and os.path.getmtime(p) <= cutoff
+            ):
+                os.remove(p)
                 removed.append(f)
+        for f in os.listdir(_log_dir(self.root)):
+            if f.startswith("_tmp-"):
+                p = os.path.join(_log_dir(self.root), f)
+                if os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
         return removed

@@ -69,7 +69,7 @@ def test_concurrent_commit_loser_errors_and_table_stays_consistent(
     # loser's data files are unreferenced, not visible
     assert {r.k for r in table.read(spark).collect()} == {1, 7}
     # and vacuum cleans the orphans the loser left behind
-    removed = table.vacuum(keep_last=len(table.versions()))
+    removed = table.vacuum(keep_last=len(table.versions()), retention_seconds=0)
     assert removed, "loser's orphaned files were not collected"
     assert {r.k for r in table.read(spark).collect()} == {1, 7}
 
@@ -80,7 +80,7 @@ def test_vacuum_removes_unreferenced_files(spark, table):
     n_parquet_before = sum(
         1 for f in os.listdir(table.root) if f.endswith(".parquet")
     )
-    removed = table.vacuum(keep_last=1)
+    removed = table.vacuum(keep_last=1, retention_seconds=0)
     assert removed, "vacuum removed nothing"
     assert table.versions() == [1]
     assert {r.k for r in table.read(spark).collect()} == {2}
@@ -206,7 +206,7 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             merged_keys = {k for k, _ in rows}
             model = {kv for kv in model if kv[0] not in merged_keys} | set(rows)
         else:
-            table.vacuum(keep_last=1)
+            table.vacuum(keep_last=1, retention_seconds=0)
     if table.latest_version() is None:  # vacuum-only sequence
         assert model == set()
         with pytest.raises(FileNotFoundError):
@@ -261,3 +261,46 @@ def test_audit_reads_staged_bytes_not_writer_plan(spark, table):
         table.read(spark)
     table.publish(staged, mode="overwrite")
     assert {(r.k, r.v) for r in table.read(spark).collect()} == audited
+
+
+def test_merge_composes_with_schema_evolution(spark, table):
+    """MERGE after a mergeSchema append keeps the evolved column."""
+    table.commit(_df(spark, [(1, "a")]), mode="overwrite")
+    widened = spark.createDataFrame([(2, "b", 9.5)], ["k", "v", "score"])
+    table.commit(widened, mode="append")
+    table.merge(spark, _df(spark, [(1, "A")]), key="k")
+    got = {r.k: (r.v, r.score) for r in table.read(spark, merge_schema=True).collect()}
+    assert got == {1: ("A", None), 2: ("b", 9.5)}
+
+
+def test_merge_rejects_duplicate_update_keys(spark, table):
+    table.commit(_df(spark, [(1, "a")]), mode="overwrite")
+    with pytest.raises(ValueError, match="duplicate key"):
+        table.merge(spark, _df(spark, [(1, "x"), (1, "y")]), key="k")
+    # table unchanged
+    assert {r.v for r in table.read(spark).collect()} == {"a"}
+
+
+def test_vacuum_retention_spares_fresh_staged_files(spark, table):
+    """An in-flight writer's just-staged files survive a concurrent
+    vacuum with the default retention window."""
+    table.commit(_df(spark, [(1, "a")]), mode="overwrite")
+    staged = table.stage(_df(spark, [(2, "b")]))
+    removed = table.vacuum(keep_last=1)  # default retention: 1 h
+    assert removed == []
+    table.publish(staged, mode="append")
+    assert {r.k for r in table.read(spark).collect()} == {1, 2}
+
+
+def test_half_written_manifest_never_visible(spark, table):
+    """Readers can't observe a partially written manifest: the publish
+    path links a fully-written temp file into place atomically, so a
+    lingering temp file (crashed writer) is invisible to versions()."""
+    table.commit(_df(spark, [(1, "a")]), mode="overwrite")
+    tmp = os.path.join(table.root, "_log", "_tmp-deadbeef")
+    with open(tmp, "w") as fh:
+        fh.write('{"version": 99')  # truncated junk
+    assert table.versions() == [0]
+    assert {r.k for r in table.read(spark).collect()} == {1}
+    table.vacuum(keep_last=1, retention_seconds=0)
+    assert not os.path.exists(tmp)
