@@ -18,7 +18,7 @@ Java regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from jde_to_datalake_spark.functions.text import tokens
 from jde_to_datalake_spark.operators.dedup import shingles
@@ -80,6 +80,106 @@ def chunk_plan(
         F.array_join(
             F.slice(F.col("__toks"), F.col("start"), F.lit(chunk_size)), " "
         ).alias("chunk_text"),
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens
+    in ``id_col`` order into one virtual stream, cut the stream into
+    consecutive packs of exactly ``budget`` tokens (the final pack may
+    be short), and emit one row per (document, pack) overlap::
+
+        doc_id | pack_id | tok_start | tok_end | pos_in_pack | n_toks
+
+    ``tok_start``/``tok_end`` are the 1-based token span of the
+    document that lands in this pack; ``pos_in_pack`` is the 0-based
+    offset of that slice inside the pack. A document longer than the
+    budget straddles several packs (one row each); callers slice the
+    token array with (tok_start, n_toks) to assemble batches.
+
+    The global token offset is a corpus-wide prefix sum — the naive
+    form is a single-partition window (a 100 TB non-starter), so it is
+    computed distributed in two phases:
+
+    1. ``repartitionByRange(id)`` puts contiguous id ranges in
+       partition-id order; a window partitioned by
+       ``spark_partition_id()`` gives each row its PARTITION-LOCAL
+       exclusive cumsum at full cluster width.
+    2. Per-partition token totals (one row per partition — metadata
+       scale) are collected, exclusive-prefix-summed on the driver,
+       and broadcast-joined back: ``offset = partition_prefix +
+       local_cumsum``.
+
+    Both shuffles move only the slim (id, n_tokens) projection, never
+    the text. The staged frame is lazily checkpointed so its two
+    consumers (the window and the totals) see the SAME partition ids
+    — without it the range repartition could be recomputed with
+    different sampled bounds between consumers.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    counts = (
+        spread(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).cast("bigint").alias("__n"),
+        )
+    )
+    staged = (
+        counts.repartitionByRange(F.col(id_col))
+        .withColumn("__part", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = staged.groupBy("__part").agg(F.sum("__n").alias("__tot"))
+    prefix = 0
+    prefix_rows = []
+    for r in sorted(totals.collect(), key=lambda r: r["__part"]):
+        prefix_rows.append((r["__part"], prefix))
+        prefix += r["__tot"]
+    prefixes = docs.sparkSession.createDataFrame(
+        prefix_rows or [(0, 0)], "__part int, __prefix bigint"
+    )
+    local = Window.partitionBy("__part").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = F.coalesce(F.sum("__n").over(local), F.lit(0)) + F.col("__prefix")
+    offsets = (
+        staged.join(F.broadcast(prefixes), "__part")
+        .select(F.col(id_col), F.col("__n"), off.alias("__off"))
+    )
+    b = F.lit(budget).cast("bigint")
+    pack = F.col("pack_id")
+    start_in_doc = F.greatest(pack * b - F.col("__off") + 1, F.lit(1))
+    end_in_doc = F.least((pack + 1) * b - F.col("__off"), F.col("__n"))
+    return (
+        offsets.filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__n"),
+            F.col("__off"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__off") / b),
+                    F.floor((F.col("__off") + F.col("__n") - 1) / b),
+                )
+            ).alias("pack_id"),
+        )
+        .select(
+            F.col(id_col),
+            pack.cast("bigint").alias("pack_id"),
+            start_in_doc.cast("bigint").alias("tok_start"),
+            end_in_doc.cast("bigint").alias("tok_end"),
+            F.greatest(F.col("__off") - pack * b, F.lit(0))
+            .cast("bigint")
+            .alias("pos_in_pack"),
+            (end_in_doc - start_in_doc + 1).cast("bigint").alias("n_toks"),
+        )
     )
 
 

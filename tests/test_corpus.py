@@ -57,6 +57,121 @@ def test_chunk_plan_rejects_bad_overlap(spark):
         C.chunk_plan(_docs(spark, [(1, "a b")]), chunk_size=5, overlap=5)
 
 
+def test_sequence_pack_exact(spark):
+    # token stream: doc1 |a b c| doc2 |d e f g| doc3 |h| doc4 |i..o|
+    # budget 5 -> pack0 = doc1[1:3]+doc2[1:2], pack1 = doc2[3:4]+doc3+
+    # doc4[1:2], pack2 = doc4[3:7]
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c"),
+            (2, "d e f g"),
+            (3, "h"),
+            (4, "i j k l m n o"),
+        ],
+    )
+    rows = {
+        (r["doc_id"], r["pack_id"]): r
+        for r in C.sequence_pack(docs, budget=5).collect()
+    }
+    want = {
+        (1, 0): (1, 3, 0, 3),
+        (2, 0): (1, 2, 3, 2),
+        (2, 1): (3, 4, 0, 2),
+        (3, 1): (1, 1, 2, 1),
+        (4, 1): (1, 2, 3, 2),
+        (4, 2): (3, 7, 0, 5),
+    }
+    assert set(rows) == set(want)
+    for k, (s, e, p, n) in want.items():
+        r = rows[k]
+        assert (r["tok_start"], r["tok_end"], r["pos_in_pack"], r["n_toks"]) == (
+            s, e, p, n
+        ), k
+
+
+def test_sequence_pack_invariants(spark):
+    budget = 64
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    packs = C.sequence_pack(docs, budget=budget)
+    per_pack = packs.groupBy("pack_id").agg(
+        F.sum("n_toks").alias("tot"),
+        F.min("pos_in_pack").alias("first_pos"),
+        F.max(F.col("pos_in_pack") + F.col("n_toks")).alias("end_pos"),
+    )
+    last = per_pack.agg(F.max("pack_id")).collect()[0][0]
+    # every pack except the tail holds exactly `budget` tokens, starts
+    # at offset 0, and its slices tile contiguously to the budget
+    bad = per_pack.filter(
+        (F.col("pack_id") != last)
+        & (
+            (F.col("tot") != budget)
+            | (F.col("first_pos") != 0)
+            | (F.col("end_pos") != budget)
+        )
+    )
+    assert bad.count() == 0
+    # per-document: slices tile 1..n_tokens with nothing lost
+    per_doc = packs.groupBy("doc_id").agg(
+        F.min("tok_start").alias("s"),
+        F.max("tok_end").alias("e"),
+        F.sum("n_toks").alias("n"),
+    ).join(
+        docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), "\\s+")).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    bad_docs = per_doc.filter(
+        (F.col("s") != 1)
+        | (F.col("e") != F.col("n_tokens"))
+        | (F.col("n") != F.col("n_tokens"))
+    )
+    assert bad_docs.count() == 0
+
+
+def test_sequence_pack_duckdb_parity(spark, duck):
+    from tests.conftest import compare_frames
+
+    got = C.sequence_pack(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), budget=512
+    ).toPandas()
+    exp = duck.execute(
+        """
+WITH tk AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+off AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+  FROM tk
+),
+packs AS (
+  SELECT doc_id, n, o,
+         UNNEST(generate_series(o // 512, (o + n - 1) // 512)) AS pack_id
+  FROM off WHERE n > 0
+)
+SELECT doc_id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(pack_id * 512 - o + 1, 1) AS BIGINT) AS tok_start,
+       CAST(LEAST((pack_id + 1) * 512 - o, n) AS BIGINT) AS tok_end,
+       CAST(GREATEST(o - pack_id * 512, 0) AS BIGINT) AS pos_in_pack,
+       CAST(LEAST((pack_id + 1) * 512 - o, n)
+            - GREATEST(pack_id * 512 - o + 1, 1) + 1 AS BIGINT) AS n_toks
+FROM packs
+"""
+    ).fetch_df()
+    compare_frames(got, exp, "sequence_pack")
+
+
+def test_sequence_pack_rejects_bad_budget(spark):
+    with pytest.raises(ValueError):
+        C.sequence_pack(_docs(spark, [(1, "a b")]), budget=0)
+
+
 def test_pii_metrics_and_redaction(spark):
     docs = _docs(
         spark,
