@@ -100,6 +100,89 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def mixture_rates(
+    df: DataFrame, domain_col: str, target: dict[str, float]
+) -> dict[str, tuple[float, int]]:
+    """Per-domain (keep_rate, exact_k) achieving a target corpus mix.
+
+    Training corpora are rebalanced to a prescribed domain mixture
+    (web/code/books/... proportions). Downsampling only — the largest
+    feasible output size is ``T = min_d(n_d / t_d)``; each domain then
+    keeps ``T * t_d`` of its ``n_d`` rows. The counts aggregation is
+    one map-side-combined groupBy collapsing to |domains| rows —
+    metadata scale at any corpus size.
+
+    Raises if a target domain has no rows (the mix is infeasible
+    without upsampling, which a dedup-conscious pipeline never does
+    silently). Domains absent from ``target`` get rate 0.
+    """
+    if not target:
+        raise ValueError("target must be non-empty")
+    total_w = float(sum(target.values()))
+    fracs = {d: float(w) / total_w for d, w in target.items()}
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    }
+    missing = [d for d, f in fracs.items() if f > 0 and counts.get(d, 0) == 0]
+    if missing:
+        raise ValueError(f"target domains with no rows: {sorted(missing)}")
+    t_max = min(counts[d] / f for d, f in fracs.items() if f > 0)
+    return {
+        d: (t_max * f / counts[d], int(t_max * f))
+        for d, f in fracs.items()
+        if f > 0
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target: dict[str, float],
+    key_cols: list[str],
+    salt: str = "",
+    exact: bool = False,
+) -> DataFrame:
+    """Downsample each domain so the output matches a target mixture.
+
+    Two physical strategies, same semantics family:
+
+    - ``exact=False`` (the 100 TB path): keyed Bernoulli filter at the
+      per-domain rate from ``mixture_rates`` — a pure WHERE over the
+      scan, zero shuffles, mix holds in expectation with relative
+      error ~1/sqrt(n_d).
+    - ``exact=True``: exactly ``floor(T * t_d)`` rows per domain,
+      chosen by hash order (deterministic, append-unstable — adding
+      rows to a domain changes which prefix survives). One shuffle on
+      the domain key via the same window shape as
+      ``sample_per_group``; for a handful of domains at 100 TB prefer
+      the Bernoulli path or a (domain, hash-bucket) two-level key —
+      a per-domain window makes each domain ONE task's sort.
+
+    Both are pure functions of the row key: retry-safe and
+    oracle-checkable (tests mirror them in DuckDB literally).
+    """
+    rates = mixture_rates(df, domain_col, target)
+    dom = F.col(domain_col)
+    if not exact:
+        rate_expr = F.lit(0.0)
+        for d, (rate, _) in rates.items():
+            rate_expr = F.when(dom == F.lit(d), F.lit(rate)).otherwise(rate_expr)
+        return df.filter(hash_uniform(key_cols, salt) < rate_expr)
+    k_expr = F.lit(0)
+    for d, (_, k) in rates.items():
+        k_expr = F.when(dom == F.lit(d), F.lit(k)).otherwise(k_expr)
+    w = Window.partitionBy(dom).orderBy(
+        F.sha2(_key(key_cols, salt), 256).asc(),
+        *[F.col(c).asc() for c in key_cols],
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_expr)
+        .drop("__rn")
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     group_cols: list[str],

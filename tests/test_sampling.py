@@ -6,11 +6,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from jde_to_datalake_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
     hash_uniform,
     hash_uniform_sql,
+    mixture_rates,
+    mixture_sample,
     sample_per_group,
 )
 from tests.conftest import SF_DIR, compare_frames
@@ -114,6 +118,83 @@ def test_sample_per_group_exact_k_and_parity(spark, duck):
         """
     ).fetch_df()
     compare_frames(got.toPandas(), exp, "sample_per_group")
+
+
+def test_mixture_rates_math(spark):
+    docs = _docs(spark)
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    langs = sorted(counts)[:2]
+    target = {langs[0]: 3.0, langs[1]: 1.0}
+    rates = mixture_rates(docs, "lang", target)
+    t_max = min(counts[langs[0]] / 0.75, counts[langs[1]] / 0.25)
+    assert rates[langs[0]][1] == int(t_max * 0.75)
+    assert rates[langs[1]][1] == int(t_max * 0.25)
+    assert all(0.0 < r <= 1.0 for r, _ in rates.values())
+    # the binding domain keeps everything (rate 1, k == its count)
+    binding = min(langs, key=lambda d: counts[d] / (0.75 if d == langs[0] else 0.25))
+    assert rates[binding][1] == counts[binding]
+    with pytest.raises(ValueError):
+        mixture_rates(docs, "lang", {"no_such_lang": 1.0})
+    with pytest.raises(ValueError):
+        mixture_rates(docs, "lang", {})
+
+
+def test_mixture_sample_exact_counts_and_parity(spark, duck):
+    docs = _docs(spark)
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )[:2]
+    target = {langs[0]: 0.5, langs[1]: 0.5}
+    rates = mixture_rates(docs, "lang", target)
+    got = mixture_sample(docs, "lang", target, ["doc_id"], exact=True).select(
+        "lang", "doc_id"
+    )
+    sizes = {
+        r["lang"]: r["n"]
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {d: k for d, (_, k) in rates.items()}
+    # exact variant is the hash-order prefix per domain — DuckDB agrees
+    ks = ", ".join(f"('{d}', {k})" for d, (_, k) in sorted(rates.items()))
+    exp = duck.execute(
+        f"""
+        WITH ks(lang, k) AS (VALUES {ks})
+        SELECT d.lang, d.doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY sha256(concat_ws(chr(31), CAST(doc_id AS VARCHAR), '')),
+                            doc_id
+                 ) AS rn
+          FROM documents
+        ) d JOIN ks USING (lang) WHERE d.rn <= ks.k
+        """
+    ).fetch_df()
+    compare_frames(got.toPandas(), exp, "mixture_sample_exact")
+
+
+def test_mixture_sample_bernoulli_parity_and_no_shuffle(spark, duck):
+    docs = _docs(spark)
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )[:2]
+    target = {langs[0]: 0.7, langs[1]: 0.3}
+    rates = mixture_rates(docs, "lang", target)
+    sampled = mixture_sample(docs, "lang", target, ["doc_id"])
+    got = sampled.select("lang", "doc_id").toPandas()
+    u = hash_uniform_sql(["doc_id"])
+    cases = " ".join(
+        f"WHEN lang = '{d}' THEN {r!r}" for d, (r, _) in sorted(rates.items())
+    )
+    exp = duck.execute(
+        f"SELECT lang, doc_id FROM documents WHERE {u} < (CASE {cases} ELSE 0.0 END)"
+    ).fetch_df()
+    compare_frames(got, exp, "mixture_sample_bernoulli")
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter over the scan
 
 
 def test_sample_filter_pushes_to_scan(spark):
