@@ -183,6 +183,84 @@ def sequence_pack(
     )
 
 
+def passage_dedup(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-wide passage dedup: drop every repeated passage
+    except its first occurrence, then reassemble each document from
+    its surviving passages.
+
+    Passages are consecutive non-overlapping ``k``-token windows (the
+    corpus is flat token text; for prose, swap the splitter for a
+    sentence regex — the dedup mechanics are identical). "First" is
+    the corpus-wide minimum (doc_id, position) for that exact passage
+    content, so output is deterministic and append-biased toward old
+    data, matching the batch-dedup convention.
+
+    Output: (id, text, n_windows, n_kept) — text is the surviving
+    windows rejoined in order (empty string when everything was
+    boilerplate; the row is retained so callers see the drop).
+
+    Scale shape: explode to one row per window, then first-occurrence
+    selection via a MAP-SIDE COMBINABLE min(struct(doc, pos)) per
+    passage — deliberately an agg + join back rather than a
+    row_number window over the passage key, because a boilerplate
+    passage with 10M occurrences would make the window form sort one
+    hot partition; the agg collapses it map-side and AQE's skew-join
+    handles the join probe. Reassembly is one groupBy on the doc id.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    toked = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(k))
+    # two consumers (the firsts agg and the join probe) and no exchange
+    # between them would re-run the scan+tokenize+explode per consumer;
+    # lazy-checkpoint the shared window relation once (same convention
+    # as the LSH signature projection — see SCALE.md dedup notes)
+    windows = toked.select(
+        F.col(id_col), F.explode(starts).alias("start"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("start"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("start"), F.lit(k)), " "
+        ).alias("passage"),
+    ).localCheckpoint(eager=False)
+    firsts = windows.groupBy("passage").agg(
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("__first")
+    )
+    kept = windows.join(firsts, "passage").withColumn(
+        "__keep",
+        F.struct(F.col(id_col), F.col("start")) == F.col("__first"),
+    )
+    assembled = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum(F.col("__keep").cast("bigint")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("start"), F.col("passage")),
+                        )
+                    )
+                ),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias(text_col),
+    )
+    return assembled.select(id_col, text_col, "n_windows", "n_kept")
+
+
 def _bigrams(tk) -> F.Column:
     """Non-distinct token bigram array, row-local (see dedup._gram_col
     for why try_element_at + a guarded position range are required)."""

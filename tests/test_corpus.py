@@ -172,6 +172,61 @@ def test_sequence_pack_rejects_bad_budget(spark):
         C.sequence_pack(_docs(spark, [(1, "a b")]), budget=0)
 
 
+def test_passage_dedup_exact(spark):
+    # k=2 windows: doc1 ["a b","c d"], doc2 ["a b","x y"],
+    # doc3 ["c d","c d"] -> only first occurrences survive
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "c d c d"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in C.passage_dedup(docs, k=2).collect()}
+    assert rows[1]["text"] == "a b c d" and rows[1]["n_kept"] == 2
+    assert rows[2]["text"] == "x y" and rows[2]["n_kept"] == 1
+    assert rows[3]["text"] == "" and rows[3]["n_kept"] == 0
+    assert all(r["n_windows"] == 2 for r in rows.values())
+
+
+def test_passage_dedup_duckdb_parity(spark, duck):
+    from tests.conftest import compare_frames
+
+    got = C.passage_dedup(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), k=5
+    ).toPandas()
+    exp = duck.execute(
+        """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+w AS (
+  SELECT doc_id, i AS start, array_to_string(t[i:i+4], ' ') AS passage
+  FROM toks, UNNEST(generate_series(1, greatest(len(t), 1), 5)) AS g(i)
+),
+ranked AS (
+  SELECT doc_id, start, passage,
+         row_number() OVER (PARTITION BY passage ORDER BY doc_id, start) AS rn
+  FROM w
+)
+SELECT doc_id,
+       COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY start),
+         '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked GROUP BY doc_id
+"""
+    ).fetch_df()
+    compare_frames(got, exp, "passage_dedup")
+
+
+def test_passage_dedup_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        C.passage_dedup(_docs(spark, [(1, "a b")]), k=0)
+
+
 def test_pii_metrics_and_redaction(spark):
     docs = _docs(
         spark,
