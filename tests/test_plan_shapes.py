@@ -128,3 +128,34 @@ def test_exchange_budget(spark, name, max_exchanges):
     plan = _executed(spark, name)
     got = plan.count("Exchange")
     assert got <= max_exchanges, f"{name}: {got} exchanges > {max_exchanges}"
+
+
+def test_corpus_pipeline_op_shapes(spark):
+    """The non-registry training-pipeline ops keep their scale shapes:
+    no cartesian/BNLJ anywhere, and bounded exchanges — sequence_pack's
+    final plan carries only the per-partition window hash plus the
+    broadcast of partition prefixes (the range shuffle runs inside the
+    checkpointed staging job); passage_dedup's checkpointed window
+    relation keeps it at 3 (firsts agg, join probe, reassembly);
+    exact mixture_sample is the one domain-window shuffle."""
+    from jde_to_datalake_spark.operators import corpus as C
+    from jde_to_datalake_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())[:2]
+    for name, df, budget in [
+        ("sequence_pack", C.sequence_pack(docs, budget=64), 3),
+        ("passage_dedup", C.passage_dedup(docs, k=5), 4),
+        (
+            "mixture_sample_exact",
+            mixture_sample(
+                docs, "lang", {langs[0]: 1, langs[1]: 1}, ["doc_id"], exact=True
+            ),
+            1,
+        ),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        got = plan.count("Exchange")
+        assert got <= budget, f"{name}: {got} exchanges > {budget}"
