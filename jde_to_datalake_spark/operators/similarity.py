@@ -408,6 +408,49 @@ def kmeans_centroids(
     )
 
 
+def pool_embeddings(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    mode: str = "mean",
+) -> DataFrame:
+    """Pool member vectors into one vector per group (chunk embeddings
+    -> document embedding, member embeddings -> class centroid).
+
+    Element-wise ``mean`` or ``max`` across the group's vectors. The
+    shape is posexplode -> aggregate keyed by (group, dimension) ->
+    reassemble ordered by dimension; both aggregations are map-side
+    combinable and the shuffle volume is rows x dim — the same data
+    that came in, never a per-group in-memory list of member vectors
+    (a ``collect_list(vec)`` pooling implementation holds an entire
+    group's vectors in one task's heap; this one never does, so a
+    group with millions of members is just more partial aggregates).
+
+    Float caveat: ``max`` is order-independent and cross-engine exact;
+    ``mean`` sums in partial-aggregation order, so it is deterministic
+    only to FP addition reordering (tests mirror it in DuckDB exactly
+    for ``max`` and to 1e-12 for ``mean``).
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError("mode must be 'mean' or 'max'")
+    agg = F.avg if mode == "mean" else F.max
+    exploded = df.select(
+        *[F.col(c) for c in group_cols],
+        F.posexplode(F.col(vec_col)).alias("__pos", "__v"),
+    ).select(
+        *group_cols, "__pos", F.col("__v").cast("double").alias("__v")
+    )
+    per_dim = exploded.groupBy(*group_cols, "__pos").agg(
+        agg("__v").alias("__pv")
+    )
+    return per_dim.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__pv"))),
+            lambda s: s["__pv"],
+        ).alias(vec_col)
+    )
+
+
 def binary_quantize(
     corpus: DataFrame,
     dim: int,

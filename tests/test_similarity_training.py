@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from jde_to_datalake_spark.operators.similarity import (
     ivf_topk,
     kmeans_centroids,
+    pool_embeddings,
 )
 from jde_to_datalake_spark.session import load_table
 
@@ -187,3 +188,63 @@ def test_hamming_topk_two_stage_rerank(spark, corpus, np_corpus):
         1 for q, c in exact1.items() if c in cand_sets.get(q, set())
     )
     assert hits >= 7, f"two-stage recall too low: {hits}/10"
+
+
+def test_pool_embeddings_exact_small(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [5.0, 6.0])],
+        "g bigint, embedding array<double>",
+    )
+    mean = {
+        r["g"]: r["embedding"]
+        for r in pool_embeddings(df, ["g"], mode="mean").collect()
+    }
+    assert mean[1] == [2.0, 3.0] and mean[2] == [5.0, 6.0]
+    mx = {
+        r["g"]: r["embedding"]
+        for r in pool_embeddings(df, ["g"], mode="max").collect()
+    }
+    assert mx[1] == [3.0, 4.0] and mx[2] == [5.0, 6.0]
+    with pytest.raises(ValueError):
+        pool_embeddings(df, ["g"], mode="median")
+
+
+def test_pool_embeddings_max_matches_duckdb(spark, corpus, duck):
+    # compare per-dimension (exploded) to avoid list-dtype comparison:
+    # max pooling is order-independent, so cross-engine equality is exact
+    from tests.conftest import compare_frames
+
+    pooled = pool_embeddings(corpus, ["label"], mode="max")
+    got = pooled.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).toPandas()
+    exp = duck.execute(
+        """
+        SELECT label, CAST(pos - 1 AS INT) AS pos, MAX(v) AS v FROM (
+          SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings
+        ) GROUP BY label, pos
+        """
+    ).fetch_df()
+    compare_frames(got, exp, "pool_embeddings_max")
+
+
+def test_pool_embeddings_mean_matches_numpy(spark, corpus, np_corpus):
+    ids, vecs = np_corpus
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in corpus.select("vec_id", "label").collect()
+    }
+    want = {}
+    for lbl in set(labels.values()):
+        members = vecs[[i for i, v in enumerate(ids) if labels[v] == lbl]]
+        want[lbl] = members.mean(axis=0)
+    got = {
+        r["label"]: np.array(r["embedding"])
+        for r in pool_embeddings(corpus, ["label"], mode="mean").collect()
+    }
+    assert set(got) == set(want)
+    for lbl in want:
+        # mean sums in partial-agg order: equal up to FP reordering
+        assert np.allclose(got[lbl], want[lbl], atol=1e-12, rtol=0)
