@@ -183,6 +183,44 @@ def sequence_pack(
     )
 
 
+def assemble_packs(
+    docs: DataFrame,
+    packs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize ``sequence_pack`` output into actual token arrays:
+    one row per pack — (pack_id, tokens, n_toks).
+
+    Joins the pack plan back to the documents, slices each document's
+    token array to its in-pack span, and stitches slices in
+    ``pos_in_pack`` order. Per-pack state is bounded by the token
+    budget (a pack IS a budget's worth of tokens), so the final
+    groupBy's collect is safe at any corpus size; the join is an
+    equi-join on the doc id — broadcast-eligible when the pack plan is
+    small, shuffle otherwise.
+    """
+    toked = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    slices = packs.join(toked, id_col).select(
+        "pack_id",
+        "pos_in_pack",
+        F.slice(F.col("__toks"), F.col("tok_start"), F.col("n_toks")).alias(
+            "__slice"
+        ),
+    )
+    return slices.groupBy("pack_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos_in_pack", "__slice"))),
+                lambda s: s["__slice"],
+            )
+        ).alias("tokens"),
+        F.sum(F.size(F.col("__slice"))).cast("bigint").alias("n_toks"),
+    )
+
+
 def passage_dedup(
     docs: DataFrame,
     k: int = 5,

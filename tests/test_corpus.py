@@ -167,6 +167,26 @@ FROM packs
     compare_frames(got, exp, "sequence_pack")
 
 
+def test_assemble_packs_round_trip(spark):
+    budget = 64
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    packs = C.sequence_pack(docs, budget=budget)
+    assembled = C.assemble_packs(docs, packs)
+    rows = assembled.orderBy("pack_id").collect()
+    # every pack except the tail is exactly the budget
+    for r in rows[:-1]:
+        assert r["n_toks"] == budget and len(r["tokens"]) == budget
+    assert 0 < rows[-1]["n_toks"] <= budget
+    # stitching all packs in order reproduces the document stream
+    stream = [t for r in rows for t in r["tokens"]]
+    want = [
+        t
+        for d in docs.select("doc_id", "text").orderBy("doc_id").collect()
+        for t in d["text"].strip().split()
+    ]
+    assert stream == want
+
+
 def test_sequence_pack_rejects_bad_budget(spark):
     with pytest.raises(ValueError):
         C.sequence_pack(_docs(spark, [(1, "a b")]), budget=0)
