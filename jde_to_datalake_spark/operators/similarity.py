@@ -408,6 +408,58 @@ def kmeans_centroids(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k`` most-cosine-similar corpus vectors with a DIFFERENT label —
+    (query_id, query_label, candidate_id, candidate_label, cosine,
+    rank).
+
+    Same plan family as ``cosine_topk`` (broadcast(queries) x corpus,
+    label-mismatch filter before the ranking window), so the corpus
+    never shuffles for the join and the only shuffle is the per-query
+    top-k. The query side must be a bounded batch (mining loops feed
+    batches); for whole-corpus mining at scale, generate candidates
+    with the LSH/IVF bucket paths first and rank the label-filtered
+    union through ``topk_ranked`` exactly as ``q_ann_suite`` does.
+
+    Determinism: scores are strict left folds (see module docstring);
+    ties break on candidate_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(label_col).alias("candidate_label"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("candidate_label") != F.col("query_label"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
+        )
+    )
+    return topk_ranked(scored, k).select(
+        "query_id", "query_label", "candidate_id", "candidate_label",
+        "cosine", "rank",
+    )
+
+
 def pool_embeddings(
     df: DataFrame,
     group_cols: list[str],

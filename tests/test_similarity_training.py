@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.operators.similarity import (
     ivf_topk,
+    hard_negatives,
     kmeans_centroids,
     pool_embeddings,
 )
@@ -248,3 +249,44 @@ def test_pool_embeddings_mean_matches_numpy(spark, corpus, np_corpus):
     for lbl in want:
         # mean sums in partial-agg order: equal up to FP reordering
         assert np.allclose(got[lbl], want[lbl], atol=1e-12, rtol=0)
+
+
+def _fold_cosine(a, b):
+    # strict left folds in float64 — bit-identical to the engine's
+    # F.aggregate expression, so ranks compare exactly
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (na ** 0.5) / (nb ** 0.5)
+
+
+def test_hard_negatives_matches_fold_mirror(spark, corpus):
+    rows = corpus.select("vec_id", "label", "embedding").collect()
+    by_id = {r.vec_id: (r.label, list(r.embedding)) for r in rows}
+    q_ids = sorted(by_id)[:5]
+    queries = corpus.filter(F.col("vec_id").isin([int(i) for i in q_ids]))
+    got = hard_negatives(corpus, queries, k=3).collect()
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r.query_id, []).append(r)
+    assert set(got_by_q) == set(q_ids)
+    for qid in q_ids:
+        q_label, q_vec = by_id[qid]
+        cands = sorted(
+            (
+                (-_fold_cosine(q_vec, v), cid)
+                for cid, (lbl, v) in by_id.items()
+                if lbl != q_label and cid != qid
+            ),
+        )[:3]
+        want_ids = [cid for _, cid in cands]
+        got_rows = sorted(got_by_q[qid], key=lambda r: r.rank)
+        assert [r.candidate_id for r in got_rows] == want_ids, qid
+        # every mined negative really is a different label
+        assert all(r.candidate_label != q_label for r in got_rows)
