@@ -503,6 +503,62 @@ def pool_embeddings(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project vectors
+    through a deterministic Gaussian matrix, scaled 1/sqrt(out_dim) so
+    pairwise distances are preserved in expectation.
+
+    This is the engine's vectorized-Python tier done right: an
+    Arrow-batched ``mapInPandas`` whose kernel is ONE numpy matmul per
+    batch — no per-row Python, no per-element loops. The projection
+    matrix is regenerated inside each task from the seed (a few KB of
+    deterministic RNG work) rather than broadcast, so the operator is
+    a pure flat map: no shuffle, no driver state, retry-safe. Use it
+    to cut embedding width before the ANN paths when the stored
+    dimension is larger than ranking needs.
+
+    Numeric caveat: the matrix is seed-exact, but BLAS accumulates the
+    matmul in a blocking order that depends on batch shape, so values
+    are reproducible to last-ulp tolerance (not bit-for-bit) across
+    repartitioning — unlike the strict-fold cosine scores above.
+    """
+    if out_dim <= 0 or in_dim <= 0:
+        raise ValueError("in_dim and out_dim must be positive")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+        ]
+    )
+    scale = 1.0 / float(out_dim) ** 0.5
+
+    def kernel(batches):
+        m = np.random.default_rng(seed).standard_normal((in_dim, out_dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = (v @ m) * scale
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: list(out)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
 def binary_quantize(
     corpus: DataFrame,
     dim: int,

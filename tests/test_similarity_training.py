@@ -19,6 +19,7 @@ from jde_to_datalake_spark.operators.similarity import (
     hard_negatives,
     kmeans_centroids,
     pool_embeddings,
+    random_projection,
 )
 from jde_to_datalake_spark.session import load_table
 
@@ -290,3 +291,40 @@ def test_hard_negatives_matches_fold_mirror(spark, corpus):
         assert [r.candidate_id for r in got_rows] == want_ids, qid
         # every mined negative really is a different label
         assert all(r.candidate_label != q_label for r in got_rows)
+
+
+def test_random_projection_matches_numpy_and_is_stable(spark, corpus, np_corpus):
+    ids, vecs = np_corpus
+    in_dim = vecs.shape[1]
+    out = random_projection(corpus, in_dim=in_dim, out_dim=8, seed=7)
+    got = {r.vec_id: np.array(r.embedding) for r in out.collect()}
+    m = np.random.default_rng(7).standard_normal((in_dim, 8))
+    want = (vecs @ m) / np.sqrt(8.0)
+    for i, vid in enumerate(ids):
+        # same math; BLAS accumulation order varies with batch shape,
+        # so equality holds to last-ulp tolerance, not bit-for-bit
+        assert np.allclose(got[vid], want[i], rtol=1e-10, atol=1e-13), vid
+    # partitioning-independent: the matrix comes from the seed, not the task
+    got2 = {
+        r.vec_id: np.array(r.embedding)
+        for r in random_projection(
+            corpus.repartition(7), in_dim=in_dim, out_dim=8, seed=7
+        ).collect()
+    }
+    assert all(
+        np.allclose(got[k], got2[k], rtol=1e-10, atol=1e-13) for k in got
+    )
+    # JL sanity: pairwise distances roughly preserved on a sample
+    sample = ids[:20]
+    idx = {v: i for i, v in enumerate(ids)}
+    for a in sample[:5]:
+        for b in sample[5:10]:
+            d_hi = np.linalg.norm(vecs[idx[a]] - vecs[idx[b]])
+            d_lo = np.linalg.norm(got[a] - got[b])
+            if d_hi > 0:
+                assert 0.2 < d_lo / d_hi < 3.0, (a, b)
+
+
+def test_random_projection_rejects_bad_dims(spark, corpus):
+    with pytest.raises(ValueError):
+        random_projection(corpus, in_dim=64, out_dim=0)
