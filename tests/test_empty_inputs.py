@@ -36,3 +36,25 @@ def test_query_total_on_empty_inputs(spark, empty_sf_dir, name):
     # global aggregates may legitimately return one (all-null/zero) row;
     # everything else must be empty — and nothing may raise
     assert len(rows) <= 1
+
+
+def test_new_pipeline_ops_total_on_empty_docs(spark):
+    """The non-registry training-pipeline ops must also be total on
+    zero-row inputs (sequence_pack's driver-side prefix collect and
+    passage_dedup's checkpointed explode are the risky paths)."""
+    from jde_to_datalake_spark.operators import corpus as C
+    from jde_to_datalake_spark.operators.similarity import (
+        hard_negatives, pool_embeddings, random_projection,
+    )
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    packs = C.sequence_pack(docs, budget=16)
+    assert packs.count() == 0
+    assert C.assemble_packs(docs, packs).count() == 0
+    assert C.passage_dedup(docs, k=3).count() == 0
+    vecs = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>, label int"
+    )
+    assert pool_embeddings(vecs, ["label"]).count() == 0
+    assert random_projection(vecs, in_dim=8, out_dim=2).count() == 0
+    assert hard_negatives(vecs, vecs, k=3).count() == 0
