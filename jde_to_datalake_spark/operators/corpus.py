@@ -412,6 +412,38 @@ def decontamination_hits(
     )
 
 
+def calibrate_threshold(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    exact: bool = False,
+    relative_error: float = 0.001,
+) -> float:
+    """The score cutoff that keeps the top ``keep_frac`` of rows:
+    rows with ``score >= cutoff`` are kept.
+
+    Real pipelines don't hand-pick quality thresholds — they pick a
+    keep RATE ("keep the best 60%") and calibrate the cutoff from the
+    score distribution. The cutoff is the (1 - keep_frac) quantile.
+
+    ``exact=False`` (the 100 TB path) uses ``approxQuantile`` —
+    Greenwald-Khanna, one pass, bounded memory at any scale, off by at
+    most ``relative_error`` in RANK (so the kept fraction, not the
+    kept rows' quality, is what wobbles). ``exact=True`` computes the
+    true interpolated percentile — a full sort-based aggregate, for
+    bounded data and oracle checks (matches DuckDB ``quantile_cont``).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    q = 1.0 - keep_frac
+    if exact:
+        row = df.select(
+            F.expr(f"percentile({score_col}, {q!r})").alias("cut")
+        ).collect()[0]
+        return float(row["cut"])
+    return float(df.approxQuantile(score_col, [q], relative_error)[0])
+
+
 def gopher_keep(
     n_tokens, avg_token_len, top_token_frac, contaminated
 ) -> F.Column:

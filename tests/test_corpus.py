@@ -305,6 +305,44 @@ def test_decontamination_hits(spark):
     assert got[1] >= 1  # eval doc trivially hits itself
 
 
+def test_calibrate_threshold_exact_is_true_quantile(spark):
+    from jde_to_datalake_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    cut = C.calibrate_threshold(scored, "q", keep_frac=0.6, exact=True)
+    # contract: the exact cutoff is the true interpolated 0.4-quantile
+    # (numpy 'linear' == Spark percentile == DuckDB quantile_cont)
+    import numpy as np
+
+    scores = np.array([r["q"] for r in scored.collect()], dtype=np.float64)
+    # engines interpolate lower+(upper-lower)*frac with different
+    # operation orders: equal to last-ulp tolerance, not bit-for-bit
+    assert abs(cut - float(np.quantile(scores, 0.4, method="linear"))) < 1e-12
+    kept = scored.filter(F.col("q") >= cut).count()
+    assert kept >= int(0.6 * len(scores)) - 1
+
+
+def test_calibrate_threshold_approx_tracks_exact(spark):
+    from jde_to_datalake_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scored = docs.select(quality_score(F.col("text")).alias("q"))
+    exact = C.calibrate_threshold(scored, "q", keep_frac=0.6, exact=True)
+    approx = C.calibrate_threshold(
+        scored, "q", keep_frac=0.6, relative_error=0.01
+    )
+    n = scored.count()
+    # GK error is in rank: the approx cutoff's rank is within 1% + 1
+    rank_exact = scored.filter(F.col("q") < exact).count()
+    rank_approx = scored.filter(F.col("q") < approx).count()
+    assert abs(rank_exact - rank_approx) <= 0.01 * n + 1
+    with pytest.raises(ValueError):
+        C.calibrate_threshold(scored, "q", keep_frac=0.0)
+
+
 def test_gopher_keep_thresholds(spark):
     df = spark.createDataFrame(
         [
