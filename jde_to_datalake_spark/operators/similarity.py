@@ -503,6 +503,76 @@ def pool_embeddings(
     )
 
 
+def rerank_topk(
+    candidates: DataFrame,
+    k: int = 5,
+    kernel=None,
+    batch_score_col: str = "rerank_score",
+) -> DataFrame:
+    """Second-stage rerank over first-stage ANN candidates: re-score
+    each (query, candidate) pair with an expensive pairwise model and
+    keep the new top-k per query.
+
+    ``candidates`` is any scored frame with (query_id, candidate_id,
+    cosine) — the output shape of ``cosine_topk`` / ``lsh_bucketed_topk``
+    / ``ivf_topk`` / ``hard_negatives``. This is the standard two-stage
+    retrieval composition: a cheap recall stage prunes 100 TB to
+    k_first rows per query, then the rerank touches ONLY those — its
+    cost is queries x k_first, independent of corpus size.
+
+    ``kernel`` is a pandas function (DataFrame batch -> float Series of
+    scores) run through Arrow-batched ``mapInPandas`` — the cross-
+    encoder slot. The container ships no model runtime, so the default
+    kernel is an honest DETERMINISTIC FAKE (a logistic squash of the
+    stage-1 cosine): the plumbing — batch shape, schema, the final
+    per-query window — is the real, tested part, exactly like the
+    multimodal decode tier. Ties break on candidate_id.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    if kernel is None:
+
+        def kernel(pdf: "pd.DataFrame") -> "pd.Series":
+            # STUB cross-encoder: monotone in stage-1 cosine so rank
+            # behavior is predictable in tests; a real model replaces
+            # this one function and nothing else changes
+            import numpy as np
+
+            return 1.0 / (1.0 + np.exp(-4.0 * pdf["cosine"].to_numpy()))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("candidate_id", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField(batch_score_col, DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf[["query_id", "candidate_id", "cosine"]].copy()
+            out[batch_score_col] = pd.Series(
+                kernel(pdf), index=pdf.index, dtype="float64"
+            )
+            yield out
+
+    scored = candidates.select(
+        "query_id", "candidate_id", F.col("cosine").cast("double").alias("cosine")
+    ).mapInPandas(score_batches, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(batch_score_col).desc(), F.col("candidate_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def random_projection(
     df: DataFrame,
     in_dim: int,

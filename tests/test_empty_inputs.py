@@ -44,7 +44,7 @@ def test_new_pipeline_ops_total_on_empty_docs(spark):
     passage_dedup's checkpointed explode are the risky paths)."""
     from jde_to_datalake_spark.operators import corpus as C
     from jde_to_datalake_spark.operators.similarity import (
-        hard_negatives, pool_embeddings, random_projection,
+        hard_negatives, pool_embeddings, random_projection, rerank_topk,
     )
 
     docs = spark.createDataFrame([], "doc_id bigint, text string")
@@ -58,3 +58,7 @@ def test_new_pipeline_ops_total_on_empty_docs(spark):
     assert pool_embeddings(vecs, ["label"]).count() == 0
     assert random_projection(vecs, in_dim=8, out_dim=2).count() == 0
     assert hard_negatives(vecs, vecs, k=3).count() == 0
+    cands = spark.createDataFrame(
+        [], "query_id bigint, candidate_id bigint, cosine double"
+    )
+    assert rerank_topk(cands, k=3).count() == 0

@@ -15,11 +15,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.operators.similarity import (
+    cosine_topk,
     ivf_topk,
     hard_negatives,
     kmeans_centroids,
     pool_embeddings,
     random_projection,
+    rerank_topk,
 )
 from jde_to_datalake_spark.session import load_table
 
@@ -328,3 +330,46 @@ def test_random_projection_matches_numpy_and_is_stable(spark, corpus, np_corpus)
 def test_random_projection_rejects_bad_dims(spark, corpus):
     with pytest.raises(ValueError):
         random_projection(corpus, in_dim=64, out_dim=0)
+
+
+def test_rerank_topk_two_stage_composition(spark, corpus):
+    # stage 1: brute-force top-10, stage 2: rerank down to top-3
+    queries = corpus.filter(F.col("vec_id") < 5)
+    stage1 = cosine_topk(corpus, queries, k=10)
+    out = rerank_topk(stage1, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.vec_id for r in queries.select("vec_id").collect()}
+    stage1_by_q = {}
+    for r in stage1.collect():
+        stage1_by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert len(rows) == 3
+        # the default kernel is monotone in cosine, so the rerank must
+        # reproduce stage 1's top-3 order exactly
+        want = sorted(
+            stage1_by_q[qid], key=lambda r: (-r.cosine, r.candidate_id)
+        )[:3]
+        assert [r.candidate_id for r in rows] == [r.candidate_id for r in want]
+        # scores came through the Arrow kernel
+        assert all(0.0 < r.rerank_score < 1.0 for r in rows)
+
+
+def test_rerank_topk_custom_kernel_reorders(spark, corpus):
+    queries = corpus.filter(F.col("vec_id") < 3)
+    stage1 = cosine_topk(corpus, queries, k=5)
+
+    def inverse(pdf):
+        return -pdf["cosine"].to_numpy()  # worst-first: reverses ranking
+
+    out = rerank_topk(stage1, k=5, kernel=inverse).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.rank)
+        # reranked order is the exact reverse of stage-1 cosine order
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines)
