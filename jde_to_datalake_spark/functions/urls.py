@@ -1,0 +1,131 @@
+"""URL/domain extraction + filtering for web-corpus preparation.
+
+The standard C4/RefinedWeb front half of an LLM data pipeline: pull
+the host out of each document's source URL, reduce it to a registered
+domain (public-suffix heuristic), drop documents from blocklisted
+domains, and compute per-domain document counts (the input to
+domain-mixture resampling, operators/sampling.py).
+
+All pure Spark built-ins — ``parse_url`` is a codegen JVM expression,
+the blocklist membership is an ``isin`` over a bounded literal set (a
+real blocklist with >10k entries becomes a broadcast anti-join; the
+report accepts either via ``blocklist``), and the per-domain counts
+are one map-side-combinable groupBy collapsing to |domains| rows. No
+Python in the hot path: linear over a 100 TB scan.
+
+The reference has no web-corpus tier (its sources are ERP REST APIs);
+this family exists for the training-data pipeline the engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# second-level registries where the registered domain needs THREE
+# labels (example.co.uk), not two — the common public-suffix cases;
+# a production deployment swaps in the full Mozilla PSL as a lookup
+MULTI_PART_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.nz", "co.in", "com.br", "com.cn", "com.mx", "co.kr",
+]
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host component (no scheme, port, path, or query)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def path_of(url: Column) -> Column:
+    return F.parse_url(url, F.lit("PATH"))
+
+
+def path_depth(url: Column) -> Column:
+    """Number of non-empty path segments ('' and '/' are depth 0)."""
+    segs = F.filter(F.split(path_of(url), "/"), lambda s: s != "")
+    return F.size(segs).cast("bigint")
+
+
+def has_query(url: Column) -> Column:
+    """True when the URL carries a query string."""
+    return F.parse_url(url, F.lit("QUERY")).isNotNull()
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain from a host: last two labels, or last three
+    when the two-label tail is a known second-level registry
+    (``site.co.uk`` -> ``site.co.uk``, ``www.site.com`` -> ``site.com``).
+    Hosts with a single label (e.g. ``localhost``) pass through."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    is_multi = last2.isin(MULTI_PART_SUFFIXES)
+    return F.when(n <= 2, host).when(is_multi & (n >= 3), last3).otherwise(last2)
+
+
+def url_report(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: list[str] | DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document URL analysis + blocklist verdict.
+
+    Output columns: ``(id, host, domain, path_depth, has_query,
+    is_blocked, keep)``. ``blocklist`` is a list of registered domains
+    (inlined as an ``isin`` literal set — fine up to a few thousand)
+    or a one-column DataFrame of domains (broadcast left-semi marking —
+    the >10k-entry path). ``keep`` = has a parseable host AND not
+    blocked.
+
+    Plan shape: one zero-shuffle projection; the DataFrame-blocklist
+    variant adds one broadcast join keyed on the (already computed)
+    domain. Nothing here touches the text column.
+    """
+    url = F.col(url_col)
+    host = host_of(url)
+    base = df.select(
+        F.col(id_col),
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+        path_depth(url).alias("path_depth"),
+        has_query(url).alias("has_query"),
+    )
+    if blocklist is None:
+        blocked = F.lit(False)
+        marked = base.withColumn("is_blocked", blocked)
+    elif isinstance(blocklist, DataFrame):
+        bcol = blocklist.columns[0]
+        marks = blocklist.select(
+            F.col(bcol).alias("domain"), F.lit(True).alias("is_blocked")
+        ).distinct()
+        marked = base.join(F.broadcast(marks), "domain", "left").withColumn(
+            "is_blocked", F.coalesce(F.col("is_blocked"), F.lit(False))
+        )
+    else:
+        marked = base.withColumn(
+            "is_blocked",
+            F.col("domain").isin(list(blocklist))
+            if blocklist
+            else F.lit(False),
+        )
+    return marked.select(
+        id_col, "host", "domain", "path_depth", "has_query", "is_blocked",
+        (F.col("host").isNotNull() & ~F.col("is_blocked")).alias("keep"),
+    )
+
+
+def domain_stats(report: DataFrame) -> DataFrame:
+    """Per-domain corpus stats from a ``url_report`` frame: document
+    count, kept count, blocked count — the domain histogram that
+    ``mixture_rates``/``mixture_sample`` consume as the domain column.
+    One map-side-combined groupBy; output is |domains| rows (metadata
+    scale at any corpus size)."""
+    return report.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sum(F.col("is_blocked").cast("bigint")).alias("n_blocked"),
+    )

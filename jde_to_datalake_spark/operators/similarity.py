@@ -41,16 +41,22 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def topk_ranked(scored: DataFrame, k: int, *extra_partition_cols: str) -> DataFrame:
+def topk_ranked(
+    scored: DataFrame,
+    k: int,
+    *extra_partition_cols: str,
+    score_col: str = "cosine",
+) -> DataFrame:
     """Per-query top-k over a scored candidate frame.
 
     One row_number window keyed by (query_id, *extra) — callers that
     union several scored candidate sets (see ``q_ann_suite``) tag each
     set and rank the union in a SINGLE window pass instead of one
-    window (= one shuffle) per set.
+    window (= one shuffle) per set. ``score_col`` is higher-is-closer
+    (cosine; pass a negated distance for metric scores).
     """
     w = Window.partitionBy("query_id", *extra_partition_cols).orderBy(
-        F.col("cosine").desc(), F.col("candidate_id")
+        F.col(score_col).desc(), F.col("candidate_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -529,9 +535,7 @@ def rerank_topk(
     multimodal decode tier. Ties break on candidate_id.
     """
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType, LongType, StructField, StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     if kernel is None:
 
@@ -543,10 +547,15 @@ def rerank_topk(
 
             return 1.0 / (1.0 + np.exp(-4.0 * pdf["cosine"].to_numpy()))
 
+    # id dtypes come from the INPUT frame — the upstream operators
+    # parameterize id_col, so candidates may carry string/int ids; a
+    # hardcoded LongType here broke any non-bigint caller at the Arrow
+    # boundary (round-3 advisor finding)
+    in_fields = {f.name: f for f in candidates.schema.fields}
     schema = StructType(
         [
-            StructField("query_id", LongType()),
-            StructField("candidate_id", LongType()),
+            StructField("query_id", in_fields["query_id"].dataType),
+            StructField("candidate_id", in_fields["candidate_id"].dataType),
             StructField("cosine", DoubleType()),
             StructField(batch_score_col, DoubleType()),
         ]
@@ -665,19 +674,18 @@ def binary_quantize(
     )
 
 
-def hamming_topk(
+def hamming_scored(
     corpus_codes: DataFrame,
     query_codes: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Top-k nearest by Hamming distance over packed binary codes.
+    """All-pairs Hamming distances over packed binary codes:
+    (query_id, candidate_id, hamming).
 
     broadcast(queries) x corpus with a per-word XOR+bit_count fold —
-    pure codegen integer ops over 1/32nd of the float payload; the
-    only shuffle is the per-query top-k. The standard two-stage
-    pattern reranks these candidates with exact cosine on the
-    surviving ids (see tests for the composition).
+    pure codegen integer ops over 1/32nd of the float payload; zero
+    shuffles (the per-query top-k shuffle belongs to the caller, so
+    suite callers can rank several scored sets in one window pass).
     """
     q = query_codes.select(
         F.col(id_col).alias("query_id"), F.col("code").alias("q_code")
@@ -694,11 +702,28 @@ def hamming_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = (
+    return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn("hamming", dist)
+        .select("query_id", "candidate_id", "hamming")
     )
+
+
+def hamming_topk(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over packed binary codes.
+
+    ``hamming_scored`` + one per-query top-k window (the only
+    shuffle). The standard two-stage pattern reranks these candidates
+    with exact cosine on the surviving ids (see tests for the
+    composition).
+    """
+    scored = hamming_scored(corpus_codes, query_codes, id_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("candidate_id")
     )

@@ -64,16 +64,37 @@ _TOOLS = [
 
 
 def _single_statement(sql: str) -> str:
-    """Reject statement chaining; semicolons inside quoted literals are
-    fine (quote-aware scan — '' is SQL's escaped quote, which this
-    handles by simply re-toggling)."""
+    """Reject statement chaining; semicolons inside quoted regions are
+    fine.
+
+    The scan tracks all three Spark SQL quoting forms — single-quoted
+    and double-quoted string literals (in which a backslash escapes
+    the next character, so ``'a\\'b'`` does NOT end the literal) and
+    backtick-quoted identifiers (no backslash escapes; `````` is a
+    doubled backtick, which the toggle handles naturally). The round-3
+    advisor showed the old single-quote-only toggle inverted its state
+    on escaped quotes, making the guard depend on Spark's parser to
+    reject the chained statement instead of rejecting it here.
+    """
     stmt = sql.strip().rstrip(";").strip()
-    in_quote = False
-    for ch in stmt:
-        if ch == "'":
-            in_quote = not in_quote
-        elif ch == ";" and not in_quote:
+    quote: str | None = None  # None | "'" | '"' | '`'
+    i = 0
+    while i < len(stmt):
+        ch = stmt[i]
+        if quote in ("'", '"'):
+            if ch == "\\":  # escaped char inside a string literal
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif quote == "`":
+            if ch == "`":
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == ";":
             raise ValueError("multiple SQL statements are not allowed")
+        i += 1
     return stmt
 
 
@@ -121,10 +142,38 @@ class McpEngineServer:
         self.spark.sql(stmt)
         return "true"
 
+    def _referenced_relations(self, stmt: str) -> set[str]:
+        """Relation names the statement references, from the PARSED
+        (unresolved) logical plan — subqueries and joins included,
+        comments/strings already stripped by the real parser."""
+        import re
+
+        try:
+            plan = (
+                self.spark._jsparkSession.sessionState()
+                .sqlParser().parsePlan(stmt).toString()
+            )
+        except Exception as e:
+            raise ValueError(f"invalid SQL: {e}") from None
+        return set(re.findall(r"'UnresolvedRelation \[([^\]]+)\]", plan))
+
     def _read_data(self, query: str | None) -> str:
         stmt = _single_statement(query or f"SELECT * FROM {self.table}")
         if not stmt.lower().startswith("select"):
             raise ValueError("read_data accepts a single SELECT statement")
+        # scope guard: the tool advertises ONE table; the shared
+        # SparkSession is multi-tenant, so any other registered
+        # table/view reachable by name is outside the contract
+        # (round-3 advisor finding). CTE self-references parse as
+        # relations too, so WITH aliases other than the bound table
+        # are rejected — conservative by design.
+        for rel in self._referenced_relations(stmt):
+            parts = [p.strip().lower() for p in rel.split(",")]
+            if parts[-1] != self.table.lower() or len(parts) > 1:
+                raise ValueError(
+                    f"read_data may only reference the {self.table} table "
+                    f"(got {'.'.join(parts)})"
+                )
         rows = self.spark.sql(stmt).limit(self.max_rows).collect()
         return json.dumps([list(r) for r in rows], default=str)
 

@@ -115,14 +115,21 @@ WHERE o.o_orderkey % 2 = 0
 # J10 + F20: notes-scan membership join
 # ---------------------------------------------------------------------------
 
-def q_notes_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J10/F20: txn-id extraction from free-text notes + semi join.
+def q_notes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10+F20+R5 in one tagged suite on (op, o_orderkey, txn_id,
+    note_text) — round 4 merged the former `notes_membership` and
+    `json_note_pack` rows to free a registry slot; both proof shapes
+    remain fully value-checked.
 
-    Every order carries a notes[] array; a third of them embed a
-    'JDE_Transaction_Id: TX<n>' marker (jde_helper.py:444-451).
-    Candidate dispatches are semi-joined against the extracted id set —
-    the reference's "was this transaction already noted?" probe
-    (jde_helper.py:422-465) as explode + regexp_extract + left_semi.
+    - ``membership`` (J10/F20, jde_helper.py:422-465): every order
+      carries a notes[] array; a third embed a
+      'JDE_Transaction_Id: TX<n>' marker. Candidate dispatches are
+      semi-joined against the extracted id set (explode +
+      regexp_extract + left_semi); note_text is NULL for these rows.
+    - ``pack`` (R5/F20, jde_helper.py:530-542): a transaction row
+      serialized to the JSON note text the reference posts, with the
+      F20 inverse (regexp id extraction) applied to the packed text to
+      close the round-trip.
     """
     o = _t(spark, sf_dir, "orders")
     notes = o.select(
@@ -146,15 +153,54 @@ def q_notes_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = o.select(
         F.concat(F.lit("TX"), F.col("o_orderkey").cast("string")).alias("txn_id"),
-        "o_orderkey", "o_totalprice",
+        "o_orderkey",
     ).filter(F.col("o_orderkey") % 2 == 0)
-    return candidates.join(extracted, "txn_id", "left_semi")
+    membership = candidates.join(extracted, "txn_id", "left_semi").select(
+        F.lit("membership").alias("op"),
+        "o_orderkey", "txn_id",
+        F.lit(None).cast("string").alias("note_text"),
+    )
+    packed = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.concat(
+            F.lit("JDE_Transaction_Id: TX"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(" payload="),
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("doc"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_orderstatus").alias("status"),
+                )
+            ),
+        ).alias("note_text"),
+    )
+    pack = packed.select(
+        F.lit("pack").alias("op"),
+        "o_orderkey",
+        F.regexp_extract("note_text", r"JDE_Transaction_Id:\s*(\S+)", 1)
+        .alias("txn_id"),
+        "note_text",
+    )
+    return membership.unionAll(pack)
 
 
-ORACLE_NOTES_MEMBERSHIP = """
-SELECT 'TX' || CAST(o_orderkey AS VARCHAR) AS txn_id, o_orderkey, o_totalprice
+ORACLE_NOTES_SUITE = """
+SELECT 'membership' AS op,
+       o_orderkey,
+       'TX' || CAST(o_orderkey AS VARCHAR) AS txn_id,
+       CAST(NULL AS VARCHAR) AS note_text
 FROM orders
 WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+UNION ALL
+SELECT 'pack' AS op,
+       o_orderkey,
+       'TX' || CAST(o_orderkey AS VARCHAR) AS txn_id,
+       'JDE_Transaction_Id: TX' || CAST(o_orderkey AS VARCHAR) || ' payload='
+         || '{"doc":' || CAST(o_orderkey AS VARCHAR)
+         || ',"priority":"' || o_orderpriority
+         || '","status":"' || o_orderstatus || '"}' AS note_text
+FROM orders WHERE o_orderkey % 20 = 0
 """
 
 
@@ -472,49 +518,6 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
-def q_json_note_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R5: row -> JSON note text (jde_helper.py:530-542).
-
-    The reference serializes a transaction row into a JSON string
-    embedded in notes[].text. to_json(struct(...)) with bigint/string
-    fields only — both engines emit compact, field-ordered JSON for
-    those types, so the strings are byte-identical. The F20 inverse
-    (regexp_extract of the id) is applied to the packed text to close
-    the round-trip.
-    """
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
-    packed = o.select(
-        "o_orderkey",
-        F.concat(
-            F.lit("JDE_Transaction_Id: TX"),
-            F.col("o_orderkey").cast("string"),
-            F.lit(" payload="),
-            F.to_json(
-                F.struct(
-                    F.col("o_orderkey").alias("doc"),
-                    F.col("o_orderpriority").alias("priority"),
-                    F.col("o_orderstatus").alias("status"),
-                )
-            ),
-        ).alias("note_text"),
-    )
-    return packed.withColumn(
-        "txn_id_extracted",
-        F.regexp_extract("note_text", r"JDE_Transaction_Id:\s*(\S+)", 1),
-    )
-
-
-ORACLE_JSON_NOTE = """
-SELECT o_orderkey,
-       'JDE_Transaction_Id: TX' || CAST(o_orderkey AS VARCHAR) || ' payload='
-         || '{"doc":' || CAST(o_orderkey AS VARCHAR)
-         || ',"priority":"' || o_orderpriority
-         || '","status":"' || o_orderstatus || '"}' AS note_text,
-       'TX' || CAST(o_orderkey AS VARCHAR) AS txn_id_extracted
-FROM orders WHERE o_orderkey % 20 = 0
-"""
-
-
 def q_date_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14+F15: lookback-window start + the two date-string dialects.
 
@@ -775,17 +778,20 @@ FROM points p JOIN intervals i
 """
 
 
+# round 4: `sketch_profile` (no oracle by design) was dropped from the
+# registry to free a driver slot — the sketch builders stay available
+# as q_sketch_profile and are sanity-tested against the exact twins in
+# tests/test_quality.py; `json_note_pack` + `notes_membership` merged
+# into `notes_suite` (same proof shapes, one slot)
 QUERIES = {
-    "sketch_profile": q_sketch_profile,
     "pivot_wide": q_pivot_wide,
     "validation_split": q_validation_split,
     "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
-    "json_note_pack": q_json_note_pack,
     "date_windows": q_date_windows,
     "movement_flatten": q_movement_flatten,
-    "notes_membership": q_notes_membership,
+    "notes_suite": q_notes_suite,
     "latest_version": q_latest_version,
     "status_ladder": q_status_ladder,
     "nan_inf_cleanup": q_nan_inf_cleanup,
@@ -800,10 +806,9 @@ ORACLES = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,
-    "json_note_pack": ORACLE_JSON_NOTE,
     "date_windows": ORACLE_DATE_WINDOWS,
     "movement_flatten": ORACLE_MOVEMENT_FLATTEN,
-    "notes_membership": ORACLE_NOTES_MEMBERSHIP,
+    "notes_suite": ORACLE_NOTES_SUITE,
     "latest_version": ORACLE_LATEST_VERSION,
     "status_ladder": ORACLE_STATUS_LADDER,
     "nan_inf_cleanup": ORACLE_NAN_INF,

@@ -177,10 +177,11 @@ SELECT id_a, id_b, n_common, jaccard FROM jac WHERE jaccard >= 0.2
 """
 
 
-def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = D.minhash_signatures(load_table(spark, sf_dir, "documents"), num_hashes=8)
-    return sig.withColumn("hash_idx", F.col("hash_idx").cast("bigint"))
-
+# round 4: the standalone `dedup_minhash_sig` registry row was dropped
+# (its signature pipeline is evaluated end-to-end inside
+# `dedup_minhash_lsh`/`dedup_clusters`, which consume the identical
+# _SQL_MINHASH_SIG fragment below); the freed slot went to the
+# promoted corpus tier (registry/pipeline_ops.py).
 
 # the affine MinHash family, mirrored from operators.dedup constants
 _A8 = "[" + ", ".join(str(a) for a in D.MINHASH_A[:8]) + "]"
@@ -198,12 +199,6 @@ hashed AS (
   FROM h0, UNNEST(generate_series(0, 7)) AS g(i)
 ),
 sig AS (SELECT doc_id, hash_idx, MIN(hv) AS minhash FROM hashed GROUP BY 1, 2)
-"""
-
-ORACLE_MINHASH_SIG = f"""
-WITH {_SQL_SHINGLES},
-{_SQL_MINHASH_SIG}
-SELECT doc_id, hash_idx, minhash FROM sig
 """
 
 
@@ -323,16 +318,21 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
 # similarity -----------------------------------------------------------------
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-k + LSH-bucketed top-k + IVF top-k,
+    """Exact brute-force + LSH-bucketed + IVF + binary-Hamming top-k,
     tagged and unioned.
 
     exact: broadcast(queries) x corpus, the baseline/verifier; lsh:
     sign-bucket pruned candidates; ivf: nearest-centroid cells with
-    n_probe probing (the scale path). One registry slot, all three
-    proof shapes value-checked; `cell` is the LSH bucket / IVF cell
-    (null for exact).
+    n_probe probing (the scale path); hamming: sign-bit binary
+    quantization (round 4 — 64 floats packed into ONE int64 word) with
+    XOR+bit_count distances, the 32x-compressed scale path. One
+    registry slot, all four proof shapes value-checked; `cell` is the
+    LSH bucket / IVF cell (null for exact/hamming); `score` is
+    higher-is-closer — cosine for the float variants, NEGATED Hamming
+    distance for the binary one (so -score is the distance and any
+    quantization bit error shifts the checked values).
     """
-    # The three candidate generators are unioned SCORED (pre-rank) and
+    # The four candidate generators are unioned SCORED (pre-rank) and
     # ranked in ONE window pass keyed by (op, query_id) — one shuffle
     # for the whole suite instead of one per variant. No spread: the
     # corpus here is small enough that the extra exchange costs more
@@ -343,13 +343,13 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("exact").alias("op"),
         "query_id",
         F.lit(None).cast("int").alias("cell"),
-        "candidate_id", "cosine",
+        "candidate_id", F.col("cosine").alias("score"),
     )
     lsh = SIM.lsh_scored(e, e.filter(F.col("vec_id") < 20), n_bits=4).select(
         F.lit("lsh").alias("op"),
         "query_id",
         F.col("bucket").alias("cell"),
-        "candidate_id", "cosine",
+        "candidate_id", F.col("cosine").alias("score"),
     )
     ivf = SIM.ivf_scored(
         e, e.filter(F.col("vec_id") < 20), n_centroids=8, n_probe=2
@@ -357,11 +357,20 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("op"),
         "query_id",
         F.col("cell").cast("int").alias("cell"),
-        "candidate_id", "cosine",
+        "candidate_id", F.col("cosine").alias("score"),
     )
-    scored = exact.unionAll(lsh).unionAll(ivf)
-    return SIM.topk_ranked(scored, 5, "op").select(
-        "op", "query_id", "cell", "candidate_id", "cosine", "rank"
+    codes = SIM.binary_quantize(e, dim=64)
+    qcodes = SIM.binary_quantize(e.filter(F.col("vec_id") < 20), dim=64)
+    ham = SIM.hamming_scored(codes, qcodes).select(
+        F.lit("hamming").alias("op"),
+        "query_id",
+        F.lit(None).cast("int").alias("cell"),
+        "candidate_id",
+        (-F.col("hamming")).cast("double").alias("score"),
+    )
+    scored = exact.unionAll(lsh).unionAll(ivf).unionAll(ham)
+    return SIM.topk_ranked(scored, 5, "op", score_col="score").select(
+        "op", "query_id", "cell", "candidate_id", "score", "rank"
     )
 
 
@@ -386,11 +395,27 @@ _SQL_PAIR_DOT = """list_reduce(
              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
            (acc, x) -> acc + x)"""
 
+def _binary_code_sql() -> str:
+    """Sign-bit packing of a 64-dim embedding into ONE signed int64 —
+    the SQL mirror of operators.similarity.binary_quantize's bit
+    layout (LSB-first; bit 63's weight wraps to int64 min). Partial
+    sums stay inside int64: j=0..62 top out at 2^63-1, then the
+    negative bit-63 weight lands the total in range."""
+    terms = []
+    for j in range(64):
+        w = (1 << j) - ((1 << 64) if j == 63 else 0)
+        terms.append(
+            f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) > 0"
+            f" THEN CAST({w} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
 ORACLE_ANN_SUITE = f"""
 WITH {_SQL_VEC},
 exact_scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
-         {_SQL_PAIR_DOT} / q.nrm / c.nrm AS cosine
+         {_SQL_PAIR_DOT} / q.nrm / c.nrm AS score
   FROM vecs c CROSS JOIN vecs q
   WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
 ),
@@ -404,30 +429,47 @@ bucketed AS (
 ),
 lsh_scored AS (
   SELECT q.vec_id AS query_id, q.bucket, c.vec_id AS candidate_id,
-         {_SQL_PAIR_DOT} / q.nrm / c.nrm AS cosine
+         {_SQL_PAIR_DOT} / q.nrm / c.nrm AS score
   FROM bucketed c JOIN bucketed q USING (bucket)
   WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
 ),
+codes AS (
+  SELECT vec_id, CAST({_binary_code_sql()} AS BIGINT) AS code
+  FROM embeddings
+),
+ham_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         -CAST(bit_count(xor(q.code, c.code)) AS DOUBLE) AS score
+  FROM codes c JOIN codes q ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+),
 {{IVF_CTES}}
 SELECT 'exact' AS op, query_id, CAST(NULL AS INTEGER) AS cell,
-       candidate_id, cosine, rank FROM (
+       candidate_id, score, rank FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+    PARTITION BY query_id ORDER BY score DESC, candidate_id) AS rank
   FROM exact_scored
 ) WHERE rank <= 5
 UNION ALL
 SELECT 'lsh' AS op, query_id, CAST(bucket AS INTEGER) AS cell,
-       candidate_id, cosine, rank FROM (
+       candidate_id, score, rank FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+    PARTITION BY query_id ORDER BY score DESC, candidate_id) AS rank
   FROM lsh_scored
 ) WHERE rank <= 5
 UNION ALL
 SELECT 'ivf' AS op, query_id, CAST(cell AS INTEGER) AS cell,
-       candidate_id, cosine, rank FROM (
+       candidate_id, score, rank FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+    PARTITION BY query_id ORDER BY score DESC, candidate_id) AS rank
   FROM ivf_scored
+) WHERE rank <= 5
+UNION ALL
+SELECT 'hamming' AS op, query_id, CAST(NULL AS INTEGER) AS cell,
+       candidate_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, candidate_id) AS rank
+  FROM ham_scored
 ) WHERE rank <= 5
 """
 
@@ -468,7 +510,7 @@ ivf_scored AS (
          list_reduce(
            list_prepend(0.0, list_transform(generate_series(1, len(p.q_vec)),
              i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(a.c_vec[i] AS DOUBLE))),
-           (acc, x) -> acc + x) / p.q_norm / a.c_norm AS cosine
+           (acc, x) -> acc + x) / p.q_norm / a.c_norm AS score
   FROM assigned a JOIN probes p USING (cell)
   WHERE a.candidate_id <> p.query_id
 )
@@ -591,7 +633,6 @@ QUERIES = {
     "corpus_filters": q_corpus_filters,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -604,7 +645,6 @@ ORACLES = {
     "corpus_filters": _corpus_filters_oracle(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    "dedup_minhash_sig": ORACLE_MINHASH_SIG,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": _simhash_oracle(),

@@ -16,7 +16,11 @@ naming immutable parquet data files — with single-table scope:
   FIRST, then the manifest is published with an O_EXCL create —
   readers either see the old version or the new one, never a mix.
   Concurrent writers race on the manifest create; the loser gets
-  ``ConcurrentCommitError`` (optimistic concurrency, as in Delta).
+  ``ConcurrentCommitError``. Read-modify-write callers (``merge``,
+  ``compact``) additionally pin ``expected_base`` to the version they
+  read, so a commit landing in between FAILS the upsert instead of
+  being silently overwritten — Delta's stale-read-snapshot conflict
+  rule, both halves (optimistic concurrency, as in Delta).
 - ``read(version=...)``  latest by default; any historical version
   while its files remain (time travel).
 - ``merge(updates, key)``  keyed upsert = read-latest ⟕ updates →
@@ -44,6 +48,11 @@ from pyspark.sql import functions as F
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first (optimistic loser)."""
+
+
+# publish(expected_base=...) sentinel: None is a meaningful expectation
+# ("I read an empty table"), so absence needs its own marker
+_UNSET = object()
 
 
 class AuditFailure(RuntimeError):
@@ -139,22 +148,52 @@ class VersionedTable:
             if os.path.exists(p):
                 os.remove(p)
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "append", expected_base=_UNSET
+    ) -> int:
         """Write data files, then publish the next manifest atomically.
 
         Data files land before the manifest exists, so a crashed or
         losing writer leaves only unreferenced files (cleaned by
         ``vacuum``), never a torn table.
         """
-        return self.publish(self.stage(df), mode=mode)
+        return self.publish(self.stage(df), mode=mode, expected_base=expected_base)
 
-    def publish(self, staged: list[str], mode: str = "append") -> int:
+    def publish(
+        self, staged: list[str], mode: str = "append", expected_base=_UNSET
+    ) -> int:
         """Publish previously staged files as the next version (the P
-        of write-audit-publish)."""
+        of write-audit-publish).
+
+        ``expected_base`` is the snapshot-isolation guard for
+        read-modify-write callers (``merge``/``compact``): pass the
+        version you READ, and the publish targets exactly
+        ``expected_base + 1`` — if any other writer committed since,
+        that manifest already exists and the atomic link fails with
+        ``ConcurrentCommitError`` instead of silently discarding the
+        intervening commit (the Delta conflict rule: a commit whose
+        read snapshot is stale must not win). Without it the base is
+        re-read at publish time and only two writers racing on the
+        SAME version number are detected — fine for blind appends,
+        wrong for upserts. A rejected publish leaves its staged files
+        unreferenced; ``vacuum`` reclaims them (retry = re-read +
+        re-stage, never re-publish stale files).
+        """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         new_files = staged
-        prev = self.latest_version()
+        if expected_base is _UNSET:
+            prev = self.latest_version()
+        else:
+            prev = expected_base
+            latest = self.latest_version()
+            if latest != prev:
+                # fail fast with the clearer message; the manifest link
+                # below still arbitrates the remaining race atomically
+                raise ConcurrentCommitError(
+                    f"stale snapshot: read version {prev}, but latest is "
+                    f"{latest} — re-read and retry the merge/compact"
+                )
         if mode == "append" and prev is not None:
             files = self._manifest(prev)["files"] + new_files
         else:
@@ -190,6 +229,7 @@ class VersionedTable:
         df: DataFrame,
         checks: list[dict],
         mode: str = "append",
+        expected_base=_UNSET,
     ) -> int:
         """Write-audit-publish: stage ``df``, run the quality
         expectations (operators/quality.expectations_report) against
@@ -213,7 +253,7 @@ class VersionedTable:
         if failures:
             self.discard(staged)
             raise AuditFailure(failures)
-        return self.publish(staged, mode=mode)
+        return self.publish(staged, mode=mode, expected_base=expected_base)
 
     # -- read -----------------------------------------------------------
     def read(
@@ -269,14 +309,18 @@ class VersionedTable:
                 "a key may match at most one update row (Delta MERGE "
                 "contract); dedupe the batch first"
             )
+        # snapshot isolation: the publish is pinned to the version this
+        # merge READ — an intervening commit fails this merge instead
+        # of being silently overwritten (round-3 advisor finding)
         prev = self.latest_version()
         if prev is None:
-            return self.commit(updates, mode="overwrite")
+            return self.commit(updates, mode="overwrite", expected_base=None)
         current = self.read(spark, prev, merge_schema=True)
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
         return self.commit(
             kept.unionByName(updates, allowMissingColumns=True),
             mode="overwrite",
+            expected_base=prev,
         )
 
     # -- streaming sink ---------------------------------------------------
@@ -303,10 +347,15 @@ class VersionedTable:
     def compact(self, spark: SparkSession, target_partitions: int = 1) -> int:
         """Rewrite the latest version's files into ``target_partitions``
         parquet files (small-file compaction as a normal overwrite
-        commit — old versions stay readable until vacuumed)."""
-        latest = self.read(spark, merge_schema=True)
+        commit — old versions stay readable until vacuumed). Pinned to
+        the snapshot it read: a commit landing mid-compaction fails
+        the compaction (re-run it) rather than being thrown away."""
+        base = self.latest_version()
+        latest = self.read(spark, base, merge_schema=True)
         return self.commit(
-            latest.coalesce(target_partitions), mode="overwrite"
+            latest.coalesce(target_partitions),
+            mode="overwrite",
+            expected_base=base,
         )
 
     def vacuum(

@@ -148,3 +148,53 @@ def test_stdio_loop(server):
         "add_data",
         "read_data",
     }
+
+
+def test_escaped_quote_does_not_flip_quote_state(server):
+    """A backslash-escaped quote inside a literal must not invert the
+    scanner's state: the chained statement after it is rejected HERE,
+    not left to Spark's parser (round-3 advisor finding)."""
+    r = _call(
+        server, "read_data",
+        query="SELECT 'a\\'b' AS x FROM people; DROP TABLE people",
+    )
+    assert r["result"]["isError"]
+    assert "multiple SQL statements" in r["result"]["content"][0]["text"]
+    # the escaped quote alone is fine
+    r = _call(server, "read_data", query="SELECT 'a\\'b;c' AS x FROM people")
+    assert not r["result"].get("isError"), r
+    # double-quoted literals and backtick identifiers scan too
+    r = _call(server, "read_data", query='SELECT ";" AS x FROM `people`')
+    assert not r["result"].get("isError"), r
+    r = _call(server, "read_data", query='SELECT ";" FROM people; SELECT 1')
+    assert r["result"]["isError"]
+
+
+def test_read_data_scoped_to_bound_table(server, spark):
+    """read_data may only touch the advertised table: any other
+    registered table/view in the shared session is out of scope
+    (round-3 advisor finding)."""
+    spark.range(3).createOrReplaceTempView("secrets")
+    try:
+        r = _call(server, "read_data", query="SELECT * FROM secrets")
+        assert r["result"]["isError"]
+        assert "people" in r["result"]["content"][0]["text"]
+        # joins and subqueries smuggle relations too
+        r = _call(
+            server, "read_data",
+            query="SELECT * FROM people p JOIN secrets s ON p.id = s.id",
+        )
+        assert r["result"]["isError"]
+        r = _call(
+            server, "read_data",
+            query="SELECT (SELECT COUNT(*) FROM secrets) FROM people",
+        )
+        assert r["result"]["isError"]
+        # the bound table itself still works, including self-joins
+        r = _call(
+            server, "read_data",
+            query="SELECT COUNT(*) FROM people a JOIN people b ON a.id = b.id",
+        )
+        assert not r["result"].get("isError"), r
+    finally:
+        spark.catalog.dropTempView("secrets")

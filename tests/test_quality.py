@@ -226,3 +226,25 @@ def test_snapshot_diff_single_shuffle_per_side(spark):
     )
     assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sketch_profile_tracks_exact_twins(spark):
+    """The sketch profiling tier (q_sketch_profile — dropped from the
+    driver registry in round 4 because HLL/KLL outputs are
+    engine-specific) stays sanity-bound to its exact twins: one row
+    per brand, approx distinct within HLL++ tolerance of the exact
+    count, approx median inside the min/max envelope."""
+    from jde_to_datalake_spark.registry.extended import (
+        q_profiling_stats,
+        q_sketch_profile,
+    )
+
+    sketch = {r["p_brand"]: r for r in q_sketch_profile(spark, SF_DIR).collect()}
+    exact = {r["p_brand"]: r for r in q_profiling_stats(spark, SF_DIR).collect()}
+    assert set(sketch) == set(exact)
+    for brand, s in sketch.items():
+        e = exact[brand]
+        # approx_count_distinct default rsd is 5%; brands here have
+        # single-digit distinct types, so allow +-1 plus the 5% band
+        assert abs(s["approx_types"] - e["n_types"]) <= max(1, 0.1 * e["n_types"])
+        assert e["min_price"] <= s["approx_median"] <= e["max_price"]

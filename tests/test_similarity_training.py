@@ -373,3 +373,26 @@ def test_rerank_topk_custom_kernel_reorders(spark, corpus):
         # reranked order is the exact reverse of stage-1 cosine order
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines)
+
+
+def test_rerank_topk_string_ids(spark):
+    """Id dtypes are derived from the input frame, not hardcoded —
+    a candidates frame with string doc ids must round-trip intact
+    (round-3 advisor finding)."""
+    cand = spark.createDataFrame(
+        [
+            ("qa", "d1", 0.9), ("qa", "d2", 0.5), ("qa", "d3", 0.1),
+            ("qb", "d1", 0.2), ("qb", "d4", 0.8),
+        ],
+        "query_id string, candidate_id string, cosine double",
+    )
+    out = rerank_topk(cand, k=2).collect()
+    assert {type(r.query_id) for r in out} == {str}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert sorted(by_q) == ["qa", "qb"]
+    top_a = sorted(by_q["qa"], key=lambda r: r.rank)
+    assert [r.candidate_id for r in top_a] == ["d1", "d2"]
+    assert len(by_q["qb"]) == 2
+    assert all(0.0 < r.rerank_score < 1.0 for r in out)

@@ -1,0 +1,105 @@
+"""URL/domain extraction + filtering (functions/urls.py): unit
+coverage for both public-suffix arms, both blocklist variants, and
+the per-domain stats — the registry row (`url_filters`) value-checks
+the end-to-end pipeline against DuckDB; these pin the edges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.functions import urls as U
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, url string")
+
+
+def test_host_domain_and_suffix_arms(spark):
+    df = _df(
+        spark,
+        [
+            (1, "https://www.example.com/a/b?x=1"),
+            (2, "http://blog.shop.co.uk/item"),
+            (3, "https://deep.sub.example.org/"),
+            (4, "https://single.io"),
+            (5, "http://localhost/admin"),
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            U.host_of(F.col("url")).alias("host"),
+            U.registered_domain(U.host_of(F.col("url"))).alias("domain"),
+            U.path_depth(F.col("url")).alias("depth"),
+            U.has_query(F.col("url")).alias("q"),
+        ).collect()
+    }
+    assert rows[1]["host"] == "www.example.com"
+    assert rows[1]["domain"] == "example.com"
+    assert rows[1]["depth"] == 2 and rows[1]["q"] is True
+    # co.uk is a second-level registry: THREE labels survive
+    assert rows[2]["domain"] == "shop.co.uk"
+    # deep subdomains collapse to two labels for plain TLDs
+    assert rows[3]["domain"] == "example.org"
+    assert rows[3]["depth"] == 0 and rows[3]["q"] is False
+    # bare two-label and single-label hosts pass through
+    assert rows[4]["domain"] == "single.io"
+    assert rows[5]["domain"] == "localhost"
+
+
+def test_url_report_list_and_dataframe_blocklists_agree(spark):
+    df = _df(
+        spark,
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "https://good.org/y"),
+            (3, "https://sub.bad.com/z?a=1"),
+        ],
+    )
+    via_list = U.url_report(df, "url", ["bad.com"]).orderBy("doc_id").collect()
+    block_df = spark.createDataFrame([("bad.com",)], ["domain"])
+    via_df = U.url_report(df, "url", block_df).orderBy("doc_id").collect()
+    for a, b in zip(via_list, via_df):
+        assert a.asDict() == b.asDict()
+    got = {r["doc_id"]: r for r in via_list}
+    # both host forms of the blocked registered domain are caught
+    assert got[1]["is_blocked"] and not got[1]["keep"]
+    assert got[3]["is_blocked"] and not got[3]["keep"]
+    assert not got[2]["is_blocked"] and got[2]["keep"]
+
+
+def test_url_report_no_blocklist_keeps_everything(spark):
+    df = _df(spark, [(1, "https://a.com/x"), (2, "https://b.org/")])
+    out = U.url_report(df, "url").collect()
+    assert all(r["keep"] and not r["is_blocked"] for r in out)
+
+
+def test_domain_stats_counts(spark):
+    df = _df(
+        spark,
+        [
+            (1, "https://www.a.com/1"),
+            (2, "https://blog.a.com/2"),
+            (3, "https://b.org/3"),
+        ],
+    )
+    stats = {
+        r["domain"]: r
+        for r in U.domain_stats(U.url_report(df, "url", ["b.org"])).collect()
+    }
+    assert stats["a.com"]["n_docs"] == 2 and stats["a.com"]["n_kept"] == 2
+    assert stats["a.com"]["n_blocked"] == 0
+    assert stats["b.org"]["n_docs"] == 1 and stats["b.org"]["n_blocked"] == 1
+    assert stats["b.org"]["n_kept"] == 0
+
+
+def test_report_is_zero_shuffle_with_literal_blocklist(spark):
+    """Scale posture: the literal-blocklist report is a pure
+    projection over the scan — no exchange anywhere."""
+    df = _df(spark, [(1, "https://a.com/x")])
+    plan = (
+        U.url_report(df, "url", ["bad.com"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -304,3 +304,56 @@ def test_half_written_manifest_never_visible(spark, table):
     assert {r.k for r in table.read(spark).collect()} == {1}
     table.vacuum(keep_last=1, retention_seconds=0)
     assert not os.path.exists(tmp)
+
+
+def test_stale_snapshot_publish_rejected(spark, table):
+    """Delta's stale-read-snapshot conflict rule: a publish pinned to
+    the version its writer READ must fail when another commit landed
+    in between — the intervening commit is preserved, not silently
+    overwritten (round-3 advisor finding)."""
+    table.commit(_df(spark, [(1, "a")]), mode="overwrite")
+    base = table.latest_version()
+    staged = table.stage(_df(spark, [(1, "upserted")]))
+    # another writer sneaks a commit in between the read and publish
+    table.commit(_df(spark, [(2, "interloper")]), mode="append")
+    with pytest.raises(ConcurrentCommitError, match="stale snapshot"):
+        table.publish(staged, mode="overwrite", expected_base=base)
+    # the intervening commit is intact; the rejected files are
+    # unreferenced and vacuum reclaims them
+    assert {r.k for r in table.read(spark).collect()} == {1, 2}
+    removed = table.vacuum(keep_last=2, retention_seconds=0)
+    assert set(staged) <= set(removed)
+
+
+def test_merge_detects_interleaved_commit(spark, table, monkeypatch):
+    """merge() pins its publish to the version it read: an interleaved
+    writer makes the merge FAIL (retryable) instead of dropping the
+    writer's commit."""
+    table.commit(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+
+    # interleave: after merge() reads the snapshot, another writer
+    # commits — intercept stage() (called by merge's commit) to inject
+    # the race at the realistic point
+    real_stage = table.stage
+    state = {"raced": False}
+
+    def racing_stage(df):
+        if not state["raced"]:
+            state["raced"] = True
+            VersionedTable(table.root).commit(
+                _df(spark, [(3, "interloper")]), mode="append"
+            )
+        return real_stage(df)
+
+    monkeypatch.setattr(table, "stage", racing_stage)
+    with pytest.raises(ConcurrentCommitError):
+        table.merge(spark, _df(spark, [(2, "B2")]), key="k")
+    # nothing lost: the interloper's row is present, the failed merge
+    # changed nothing
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "interloper"}
+    # retrying against the fresh snapshot succeeds
+    monkeypatch.setattr(table, "stage", real_stage)
+    table.merge(spark, _df(spark, [(2, "B2")]), key="k")
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "a", 2: "B2", 3: "interloper"}
