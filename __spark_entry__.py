@@ -913,6 +913,8 @@ _PRIORITY = [
     "sequence_pack",
     "sampling_suite",
     "fuzzy_join",
+    "substring_dedup",    # round-4 stretch: exact-substring dedup
+    "dedup_fingerprints", # dedup_exact + dedup_simhash merged
     "ann_suite",          # + hamming branch (cosine -> score)
     "time_windows",       # + session branch (event_type -> grp)
     "notes_suite",        # json_note_pack + notes_membership merged
@@ -950,6 +952,7 @@ _PLAN_CACHE_SKIP = {
     "sequence_pack",
     "passage_dedup",
     "fuzzy_join",
+    "substring_dedup",
 }
 
 

@@ -56,8 +56,9 @@ HEADLINE = [
 # extension operators are appended dynamically when present
 for _name in (
     "action_flatten",
-    "dedup_exact",
+    "dedup_fingerprints",   # round 4: dedup_exact + simhash merged
     "dedup_minhash_lsh",
+    "substring_dedup",      # round 4: exact-substring dedup
     "text_quality",
     "ann_suite",
 ):

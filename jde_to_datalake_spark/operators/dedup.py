@@ -494,3 +494,155 @@ def simhash(
         term = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return voted.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup: cut every repeated run of >= ``min_len``
+    tokens, keeping only its corpus-wide first occurrence.
+
+    The semantics of suffix-array training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    substring of at least ``min_len`` tokens that appears more than
+    once in the corpus survives only at its first occurrence
+    (lexicographic (doc_id, position)); every other occurrence is cut
+    from its document. Re-expressed for Spark — a single sequential
+    suffix array over a 100 TB corpus is the one shape a cluster
+    cannot build, but the SAME decision function factors through
+    fixed-width windows:
+
+    a token is cut  <=>  it lies inside some ``min_len``-token window
+    whose content also occurs earlier in the corpus
+
+    because every repeated run of length >= min_len contains a
+    repeated min_len-window through each of its tokens, and every
+    repeated min_len-window is itself a repeated run.
+
+    Plan (all built-ins, no UDF):
+    1. one row per window position with md5(window tokens) — a
+       zero-shuffle flat map (O(n x min_len) row-local work; the
+       Rabin-Karp rolling hash would make it O(n) but needs a
+       sequential per-doc scan — the constant is cheap next to the
+       shuffle below);
+    2. first-occurrence selection per window hash via a MAP-SIDE
+       COMBINABLE min(struct(doc, pos)) + count (same skew-safe agg
+       discipline as ``passage_dedup`` — a boilerplate window with
+       10M occurrences collapses map-side instead of sorting one hot
+       partition);
+    3. non-first occurrences become [start, start+L-1] intervals;
+       overlapping intervals merge per doc (gaps-and-islands window —
+       per-doc data, keyed shuffle);
+    4. each doc reassembles from the complement slices of its merged
+       intervals — one row-local projection over the sorted interval
+       array.
+
+    The shuffled payload is (id, pos, 32-hex md5) per window — never
+    the window text. Output: (id, text, n_tokens, n_dup_tokens); a
+    fully duplicated doc keeps its row with text='' (callers see the
+    cut). Docs shorter than ``min_len`` tokens pass through unchanged.
+    """
+    from pyspark.sql import Window
+
+    if min_len <= 0:
+        raise ValueError("min_len must be positive")
+    L = min_len
+    toked = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    # guarded: sequence(1, stop) with stop < 1 would DESCEND in Spark
+    starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = (
+        toked.select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("start"))
+        .select(
+            F.col(id_col),
+            F.col("start"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__toks"), F.col("start"), F.lit(L)), " "
+                ).cast("binary")
+            ).alias("__h"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: firsts + probe
+    )
+    firsts = (
+        wins.groupBy("__h")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("start"))).alias("__first"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select("__h", "__first")
+    )
+    dups = (
+        wins.join(firsts, "__h")
+        .filter(F.struct(F.col(id_col), F.col("start")) != F.col("__first"))
+        .select(
+            F.col(id_col),
+            F.col("start").cast("long").alias("s"),
+            (F.col("start") + (L - 1)).cast("long").alias("e"),
+        )
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dups.withColumn(
+        "__new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new_island").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = (
+        flagged.groupBy(id_col, "__island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__ivs")
+        )
+    )
+    joined = toked.join(merged, id_col, "left").select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.coalesce(
+            F.col("__ivs"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("__ivs"),
+    )
+    # complement slices: gaps before/between/after the merged intervals
+    slice_starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("__ivs"), lambda iv: iv["e"] + 1),
+    )
+    slice_ends = F.concat(
+        F.transform(F.col("__ivs"), lambda iv: iv["s"] - 1),
+        F.array(F.size(F.col("__toks")).cast("long")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            slice_starts,
+            slice_ends,
+            lambda s, e: F.when(
+                e >= s, F.slice(F.col("__toks"), s.cast("int"), (e - s + 1).cast("int"))
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    n_dup = F.aggregate(
+        F.col("__ivs"),
+        F.lit(0).cast("long"),
+        lambda acc, iv: acc + (iv["e"] - iv["s"] + 1),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+        n_dup.alias("n_dup_tokens"),
+    )

@@ -151,14 +151,94 @@ FROM m JOIN documents d ON d.doc_id = m.doc_id
 
 # dedup ----------------------------------------------------------------------
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+def q_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + SimHash, tagged and unioned on (op, id, hash, n)
+    — round 4 merged the former `dedup_exact` and `dedup_simhash` rows
+    to fund a driver slot for `substring_dedup`; both proof shapes
+    stay fully value-checked.
+
+    - ``exact``: normalized-SHA-256 groupBy (keeper id + dup count);
+    - ``simhash``: the 32-bit majority-vote fingerprint per document
+      (rendered as a decimal string to share the hash column).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.exact_dedup(docs).select(
+        F.lit("exact").alias("op"),
+        F.col("keeper_id").alias("id"),
+        F.col("fingerprint").alias("hash"),
+        F.col("n_dups").alias("n"),
+    )
+    sim = D.simhash(docs).select(
+        F.lit("simhash").alias("op"),
+        F.col("doc_id").alias("id"),
+        F.col("simhash").cast("string").alias("hash"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    return exact.unionAll(sim)
 
 
 ORACLE_DEDUP_EXACT = """
 SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1
+"""
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (operators/dedup.py:exact_substring_dedup):
+    every repeated run of >= 5 tokens survives only at its corpus-wide
+    first occurrence; later occurrences are cut and each document is
+    reassembled from the complement. The engine merges duplicate
+    windows into intervals and slices the complement row-locally; the
+    oracle is the NAIVE independent derivation — a token survives iff
+    no non-first duplicate window covers it (per-token EXISTS probe) —
+    so the interval-merge rewrite is value-checked against first
+    principles."""
+    return D.exact_substring_dedup(
+        load_table(spark, sf_dir, "documents"), min_len=5
+    )
+
+
+_SUB_L = 5
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+w AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(t[i:i+{_SUB_L - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SUB_L} + 1)) AS g(i)
+),
+ranked AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS cnt
+  FROM w
+),
+dup AS (SELECT doc_id, start FROM ranked WHERE cnt > 1 AND rn > 1),
+pos AS (
+  SELECT doc_id, UNNEST(generate_series(1, len(t))) AS p, t FROM toks
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.t[pos.p] AS tok
+  FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup
+    WHERE dup.doc_id = pos.doc_id
+      AND dup.start <= pos.p AND pos.p <= dup.start + {_SUB_L} - 1
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dup_tokens
+FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -285,10 +365,6 @@ reach AS (
 )
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
-
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(load_table(spark, sf_dir, "documents"))
 
 
 def _simhash_oracle() -> str:
@@ -627,15 +703,26 @@ LEFT JOIN hits ON hits.doc_id = t.doc_id
 """
 
 
+def _dedup_fingerprints_oracle() -> str:
+    return f"""
+SELECT 'exact' AS op, keeper_id AS id, fingerprint AS hash, n_dups AS n
+FROM ({ORACLE_DEDUP_EXACT})
+UNION ALL
+SELECT 'simhash' AS op, doc_id AS id, CAST(simhash AS VARCHAR) AS hash,
+       CAST(NULL AS BIGINT) AS n
+FROM ({_simhash_oracle()})
+"""
+
+
 QUERIES = {
     "text_quality": q_text_quality,
     "corpus_chunking": q_corpus_chunking,
     "corpus_filters": q_corpus_filters,
-    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprints": q_dedup_fingerprints,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_simhash": q_dedup_simhash,
+    "substring_dedup": q_substring_dedup,
     "ann_suite": q_ann_suite,
 }
 
@@ -643,10 +730,10 @@ ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "corpus_chunking": ORACLE_CORPUS_CHUNKING,
     "corpus_filters": _corpus_filters_oracle(),
-    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_fingerprints": _dedup_fingerprints_oracle(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
-    "dedup_simhash": _simhash_oracle(),
+    "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "ann_suite": ORACLE_ANN_SUITE,
 }
