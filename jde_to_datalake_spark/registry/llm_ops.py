@@ -394,21 +394,23 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
 # similarity -----------------------------------------------------------------
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force + LSH-bucketed + IVF + binary-Hamming top-k,
-    tagged and unioned.
+    """Exact brute-force + LSH-bucketed + IVF + binary-Hamming +
+    pooled-centroid top-k, tagged and unioned.
 
     exact: broadcast(queries) x corpus, the baseline/verifier; lsh:
     sign-bucket pruned candidates; ivf: nearest-centroid cells with
     n_probe probing (the scale path); hamming: sign-bit binary
     quantization (round 4 — 64 floats packed into ONE int64 word) with
-    XOR+bit_count distances, the 32x-compressed scale path. One
-    registry slot, all four proof shapes value-checked; `cell` is the
-    LSH bucket / IVF cell (null for exact/hamming); `score` is
-    higher-is-closer — cosine for the float variants, NEGATED Hamming
-    distance for the binary one (so -score is the distance and any
-    quantization bit error shifts the checked values).
+    XOR+bit_count distances, the 32x-compressed scale path; pooled
+    (round 4): queries vs MAX-pooled per-label centroids, driver
+    evidence for pool_embeddings. One registry slot, all five proof
+    shapes value-checked; `cell` is the LSH bucket / IVF cell (null
+    otherwise); `score` is higher-is-closer — cosine for the float
+    variants, NEGATED Hamming distance for the binary one (so -score
+    is the distance and any quantization bit error shifts the checked
+    values).
     """
-    # The four candidate generators are unioned SCORED (pre-rank) and
+    # The candidate generators are unioned SCORED (pre-rank) and
     # ranked in ONE window pass keyed by (op, query_id) — one shuffle
     # for the whole suite instead of one per variant. No spread: the
     # corpus here is small enough that the extra exchange costs more
@@ -444,7 +446,28 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate_id",
         (-F.col("hamming")).cast("double").alias("score"),
     )
-    scored = exact.unionAll(lsh).unionAll(ivf).unionAll(ham)
+    # pooled (round 4, driver evidence for pool_embeddings): score each
+    # query against the MAX-pooled per-label centroid — max pooling is
+    # order-independent, so the pooled vectors (and hence the cosines)
+    # are cross-engine exact, unlike mean pooling (FP-reorder caveat in
+    # the operator docstring; the mean path keeps its numpy-parity
+    # pytest). candidate_id = 100 + label: offset out of the query-id
+    # space so cosine_scored's self-pair exclusion can't drop a
+    # (query, centroid) pair.
+    pooled = SIM.pool_embeddings(e, ["label"], mode="max")
+    pool = SIM.cosine_scored(
+        pooled.select(
+            (F.col("label").cast("bigint") + 100).alias("vec_id"), "embedding"
+        ),
+        e.filter(F.col("vec_id") < 20),
+    ).select(
+        F.lit("pooled").alias("op"),
+        "query_id",
+        F.lit(None).cast("int").alias("cell"),
+        "candidate_id",
+        F.col("cosine").alias("score"),
+    )
+    scored = exact.unionAll(lsh).unionAll(ivf).unionAll(ham).unionAll(pool)
     return SIM.topk_ranked(scored, 5, "op", score_col="score").select(
         "op", "query_id", "cell", "candidate_id", "score", "rank"
     )
@@ -519,6 +542,27 @@ ham_scored AS (
   FROM codes c JOIN codes q ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 20
 ),
+pooledv AS (
+  SELECT label, mv_list AS embedding,
+         sqrt(list_reduce(
+           list_prepend(0.0, list_transform(mv_list, x -> x * x)),
+           (acc, x) -> acc + x)) AS nrm
+  FROM (
+    SELECT label, list(mv ORDER BY pos) AS mv_list FROM (
+      SELECT label, pos, MAX(v) AS mv FROM (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+      ) GROUP BY label, pos
+    ) GROUP BY label
+  )
+),
+pool_scored AS (
+  SELECT q.vec_id AS query_id, CAST(100 + c.label AS BIGINT) AS candidate_id,
+         {_SQL_PAIR_DOT} / q.nrm / c.nrm AS score
+  FROM pooledv c CROSS JOIN vecs q
+  WHERE q.vec_id < 20
+),
 {{IVF_CTES}}
 SELECT 'exact' AS op, query_id, CAST(NULL AS INTEGER) AS cell,
        candidate_id, score, rank FROM (
@@ -546,6 +590,13 @@ SELECT 'hamming' AS op, query_id, CAST(NULL AS INTEGER) AS cell,
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY score DESC, candidate_id) AS rank
   FROM ham_scored
+) WHERE rank <= 5
+UNION ALL
+SELECT 'pooled' AS op, query_id, CAST(NULL AS INTEGER) AS cell,
+       candidate_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, candidate_id) AS rank
+  FROM pool_scored
 ) WHERE rank <= 5
 """
 
