@@ -522,3 +522,70 @@ def filter_report(
             F.col("top_token_frac"), contaminated,
         ).alias("keep"),
     )
+
+
+def token_df_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus document frequency per token: (tok, df) where df = the
+    number of documents containing the token at least once.
+
+    Counted as one row per (doc, distinct token) — ``array_distinct``
+    row-locally before the explode, so the agg never sees duplicate
+    (doc, tok) pairs and ``count(*)`` IS the document frequency (no
+    count-distinct shuffle). One map-side-combinable groupBy keyed by
+    token; the result is vocabulary-scale (millions of rows at 100 TB,
+    metadata next to the corpus).
+    """
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+
+
+def rarity_metrics(
+    docs: DataFrame,
+    df_counts: DataFrame | None = None,
+    rare_df_threshold: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-document rarity signals from corpus document
+    frequencies: over the document's token OCCURRENCES,
+
+    - ``mean_token_df``  average df of the tokens (low = unusual text);
+    - ``n_rare_tokens`` / ``rare_frac``  occurrences whose token
+      appears in <= ``rare_df_threshold`` documents (OOV/gibberish
+      signal — the integer-rational stand-in for LM-perplexity
+      bucketing, chosen because counts and ratios of counts are
+      EXACTLY cross-engine reproducible where a sum of ``log`` terms
+      is not).
+
+    ``df_counts`` defaults to ``token_df_counts(docs)`` — pass a
+    precomputed/persisted frequency table to amortize it across
+    queries (the production shape: frequencies are a corpus artifact,
+    not per-query work). Plan: explode occurrences, one keyed join to
+    the vocabulary table (AQE broadcasts it while it fits; hot tokens
+    are harmless — the build side has one row per token), one groupBy
+    back to doc grain.
+    """
+    if df_counts is None:
+        df_counts = token_df_counts(docs, text_col=text_col, id_col=id_col)
+    occ = spread(docs).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    joined = occ.join(df_counts, "tok")
+    return joined.groupBy(id_col).agg(
+        (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_token_df"),
+        F.sum((F.col("df") <= rare_df_threshold).cast("bigint"))
+        .alias("n_rare_tokens"),
+        (
+            F.sum((F.col("df") <= rare_df_threshold).cast("bigint"))
+            / F.count(F.lit(1))
+        ).alias("rare_frac"),
+    )

@@ -677,20 +677,24 @@ FROM c
 
 def q_corpus_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style corpus filter report: repetition metrics + PII
-    counts + benchmark decontamination + composite keep/drop, one row
-    per document.
+    counts + benchmark decontamination + composite keep/drop + (round
+    4) CCNet-style token-rarity signals, one row per document.
 
     Plan: all per-doc metrics are ONE zero-shuffle projection
     (row-local array folds); decontamination joins the doc shingles
     against a BROADCAST distinct-shingle set from the held-out docs
     (doc_id % 97 = 0 stands in for the benchmark suite), then a single
-    doc_id-keyed left join attaches the hit counts.
+    doc_id-keyed left join attaches the hit counts. The rarity columns
+    (mean_token_df / n_rare_tokens / rare_frac over corpus document
+    frequencies, operators/corpus.py:rarity_metrics) join on the same
+    doc key — the integer-rational stand-in for LM-perplexity quality
+    bucketing, chosen because it is exactly cross-engine reproducible.
     """
     docs = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 97 == 0
-    return C.filter_report(
-        docs, docs.filter(is_eval), is_eval, shingle_n=5
-    )
+    report = C.filter_report(docs, docs.filter(is_eval), is_eval, shingle_n=5)
+    rarity = C.rarity_metrics(docs, rare_df_threshold=2)
+    return report.join(rarity, "doc_id")
 
 
 def _corpus_filters_oracle() -> str:
@@ -722,6 +726,20 @@ ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 97 = 0),
 hits AS (
   SELECT doc_id, COUNT(*) AS n_eval_hits
   FROM sh5 JOIN ev USING (shingle) GROUP BY doc_id
+),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM (
+    SELECT DISTINCT doc_id, unnest(tk) AS tok FROM t
+  ) GROUP BY tok
+),
+rar AS (
+  SELECT occ.doc_id,
+         CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_token_df,
+         CAST(count_if(df <= 2) AS BIGINT) AS n_rare_tokens,
+         CAST(count_if(df <= 2) AS BIGINT) / COUNT(*) AS rare_frac
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM t) occ
+  JOIN dfreq USING (tok)
+  GROUP BY occ.doc_id
 )
 SELECT t.doc_id,
   CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -746,11 +764,15 @@ SELECT t.doc_id,
           BETWEEN {C.KEEP_MIN_AVG_TOKEN_LEN} AND {C.KEEP_MAX_AVG_TOKEN_LEN}
     AND top_tok.max_cnt / len(tk) <= {C.KEEP_MAX_TOP_TOKEN_FRAC}
     AND NOT ((NOT t.doc_id % 97 = 0) AND coalesce(hits.n_eval_hits, 0) >= {C.CONTAM_MIN_HITS})
-    AS keep
+    AS keep,
+  rar.mean_token_df,
+  rar.n_rare_tokens,
+  rar.rare_frac
 FROM t
 JOIN bg USING (doc_id)
 JOIN top_tok USING (doc_id)
 LEFT JOIN hits ON hits.doc_id = t.doc_id
+JOIN rar ON rar.doc_id = t.doc_id
 """
 
 

@@ -374,3 +374,34 @@ def test_filter_report_flags_nontrivial(spark):
         F.sum(F.col("is_eval").cast("int")).alias("evals"),
     ).collect()[0]
     assert agg["kept"] > 0 and agg["dropped"] > 0 and agg["evals"] > 0
+
+
+def test_token_df_and_rarity_metrics(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common common unique1"),
+            (2, "common other"),
+            (3, "common other zzz"),
+        ],
+    )
+    dfreq = {r["tok"]: r["df"] for r in C.token_df_counts(docs).collect()}
+    # df = number of DOCS containing the token, not occurrences
+    assert dfreq == {"common": 3, "other": 2, "unique1": 1, "zzz": 1}
+    rows = {
+        r["doc_id"]: r
+        for r in C.rarity_metrics(docs, rare_df_threshold=1).collect()
+    }
+    # doc1 occurrences: common(3), common(3), unique1(1)
+    assert rows[1]["mean_token_df"] == (3 + 3 + 1) / 3
+    assert rows[1]["n_rare_tokens"] == 1 and rows[1]["rare_frac"] == 1 / 3
+    # doc2: common(3), other(2) — nothing rare at threshold 1
+    assert rows[2]["n_rare_tokens"] == 0 and rows[2]["rare_frac"] == 0.0
+    # precomputed frequency table short-circuits the recount
+    pre = C.token_df_counts(docs)
+    rows2 = {
+        r["doc_id"]: r
+        for r in C.rarity_metrics(docs, pre, rare_df_threshold=1).collect()
+    }
+    assert rows2.keys() == rows.keys()
+    assert all(rows2[k]["rare_frac"] == rows[k]["rare_frac"] for k in rows)

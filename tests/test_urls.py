@@ -103,3 +103,44 @@ def test_report_is_zero_shuffle_with_literal_blocklist(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_domain_stats_feed_mixture_sampling(spark):
+    """The composition the tier exists for: URL -> registered domain ->
+    per-domain histogram -> domain-mixture resample to a target mix.
+    The sampled output's per-domain counts must equal mixture_rates'
+    exact-k plan for the top-2 domains."""
+    from pyspark.sql import functions as F
+
+    from jde_to_datalake_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+    from jde_to_datalake_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"), F.lit(".com/d/"),
+        did.cast("string"),
+    )
+    report = U.url_report(docs.withColumn("url", url), "url")
+    with_domain = docs.join(report.select("doc_id", "domain"), "doc_id")
+    stats = {
+        r["domain"]: r["n_docs"]
+        for r in U.domain_stats(report).collect()
+    }
+    top2 = sorted(stats, key=lambda d: (-stats[d], d))[:2]
+    target = {top2[0]: 3.0, top2[1]: 1.0}
+    rates = mixture_rates(with_domain, "domain", target)
+    sampled = mixture_sample(
+        with_domain, "domain", target, ["doc_id"], exact=True
+    )
+    got = {
+        r["domain"]: r["n"]
+        for r in sampled.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {d: k for d, (_, k) in rates.items()}
+    # the binding domain keeps everything; the other is downsampled
+    assert any(got[d] == stats[d] for d in top2)
