@@ -241,3 +241,99 @@ def _empty_schema():
             StructField("passed", BooleanType()),
         ]
     )
+
+
+def histogram_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    edges: Sequence[float] | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution-drift report between two snapshots of a numeric
+    column: one row per bucket with both sides' counts, fractions, and
+    the chi-square drift term — the monitoring primitive behind
+    "did this feed's distribution move?" gates.
+
+    ``edges`` are the interior bucket boundaries (k edges -> k+1
+    buckets over (-inf, e1], (e1, e2], ..., (ek, +inf)). When omitted
+    they come from the BASELINE's approx quantiles (GK sketch, one
+    pass — the scale path; pass explicit edges when the report must be
+    exactly reproducible, e.g. for a cross-engine oracle, since sketch
+    cut points are engine-specific).
+
+    Every emitted statistic is counts or ratios-of-counts arithmetic
+    (chi2_term = (frac_cur - frac_base)^2 / frac_base), so with fixed
+    edges the report is EXACTLY cross-engine reproducible — the same
+    design rule as the token-rarity metrics (PSI's log term is
+    deliberately left to callers who accept FP-transcendental drift).
+
+    Plan: one conditional-sum aggregation per side (single scan each,
+    map-side combined, |buckets| output rows), one broadcast-size join
+    on the bucket index. Nothing scales with row count but the scans.
+    """
+    if edges is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        edges = baseline.approxQuantile(column, qs, 0.001)
+    edges = sorted(set(float(e) for e in edges))
+    if not edges:
+        raise ValueError("need at least one bucket edge")
+
+    def bucket_expr():
+        c = F.col(column)
+        b = F.lit(len(edges))  # last bucket: > all edges
+        for i in reversed(range(len(edges))):
+            b = F.when(c <= F.lit(edges[i]), F.lit(i)).otherwise(b)
+        return b.alias("bucket")
+
+    def side_counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.filter(F.col(column).isNotNull())
+            .select(bucket_expr())
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    base = side_counts(baseline, "n_base")
+    cur = side_counts(current, "n_cur")
+    spark = baseline.sparkSession
+    lo = [float("-inf")] + list(edges)
+    hi = list(edges) + [float("inf")]
+    buckets = spark.createDataFrame(
+        [(i, lo[i], hi[i]) for i in range(len(edges) + 1)],
+        "bucket int, lo double, hi double",
+    )
+    joined = (
+        buckets.join(base, "bucket", "left")
+        .join(cur, "bucket", "left")
+        .select(
+            "bucket", "lo", "hi",
+            F.coalesce(F.col("n_base"), F.lit(0).cast("bigint")).alias("n_base"),
+            F.coalesce(F.col("n_cur"), F.lit(0).cast("bigint")).alias("n_cur"),
+        )
+    )
+    # totals via a broadcast 1-row cross join, not a global window —
+    # the frame is |buckets| rows so either is safe, but the repo rule
+    # is "no single-partition window shapes anywhere"
+    totals = joined.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    joined = joined.crossJoin(F.broadcast(totals))
+    # try_divide: an EMPTY snapshot (total 0) must yield null fractions,
+    # not an ANSI DIVIDE_BY_ZERO — a zero-row side is normal when a
+    # drift gate runs against a partition that hasn't landed yet
+    frac_b = F.try_divide(F.col("n_base"), F.col("__tb"))
+    frac_c = F.try_divide(F.col("n_cur"), F.col("__tc"))
+    # try_divide, not `/`: ANSI throws DIVIDE_BY_ZERO and codegen's
+    # subexpression elimination can evaluate the division before the
+    # n_base > 0 guard short-circuits (the round-1 ANSI lesson)
+    chi2 = F.when(
+        F.col("n_base") > 0,
+        F.try_divide((frac_c - frac_b) * (frac_c - frac_b), frac_b),
+    ).otherwise(F.lit(None).cast("double"))
+    return joined.select(
+        "bucket", "lo", "hi", "n_base", "n_cur",
+        frac_b.alias("frac_base"),
+        frac_c.alias("frac_cur"),
+        chi2.alias("chi2_term"),
+    )

@@ -248,3 +248,102 @@ def test_sketch_profile_tracks_exact_twins(spark):
         # single-digit distinct types, so allow +-1 plus the 5% band
         assert abs(s["approx_types"] - e["n_types"]) <= max(1, 0.1 * e["n_types"])
         assert e["min_price"] <= s["approx_median"] <= e["max_price"]
+
+
+def test_histogram_drift_exact_and_duckdb_parity(spark, duck):
+    """Fixed-edge drift report is exactly reproducible: crafted shift
+    case + DuckDB parity on real data (same edges, same bucket rule)."""
+    from jde_to_datalake_spark.operators.quality import histogram_drift
+    from tests.conftest import compare_frames
+
+    base = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], ["x"])
+    cur = spark.createDataFrame([(float(v),) for v in [3, 4, 5, 6]], ["x"])
+    rows = {
+        r["bucket"]: r
+        for r in histogram_drift(base, cur, "x", edges=[2.0, 4.0]).collect()
+    }
+    # buckets: (-inf,2], (2,4], (4,inf) -> base 2/2/0, cur 0/2/2
+    assert (rows[0]["n_base"], rows[0]["n_cur"]) == (2, 0)
+    assert (rows[1]["n_base"], rows[1]["n_cur"]) == (2, 2)
+    assert (rows[2]["n_base"], rows[2]["n_cur"]) == (0, 2)
+    assert rows[0]["chi2_term"] == (0.0 - 0.5) ** 2 / 0.5
+    assert rows[1]["chi2_term"] == 0.0
+    assert rows[2]["chi2_term"] is None  # empty baseline bucket
+
+    # parity on real data: orders before/after a date cut, price drift
+    # (corpus dates span 1995-01-01..2001-08-01, so 1998 splits non-empty)
+    o = load_table(spark, SF_DIR, "orders")
+    early = o.filter(F.col("o_orderdate") < "1998-01-01")
+    late = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    edges = [50000.0, 100000.0, 150000.0, 200000.0]
+    got = histogram_drift(early, late, "o_totalprice", edges=edges).toPandas()
+    exp = duck.execute(
+        """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice <= 50000 THEN 0
+              WHEN o_totalprice <= 100000 THEN 1
+              WHEN o_totalprice <= 150000 THEN 2
+              WHEN o_totalprice <= 200000 THEN 3
+              ELSE 4 END AS bucket,
+         o_orderdate < TIMESTAMP '1998-01-01' AS is_base
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+counts AS (
+  SELECT bucket,
+         CAST(count_if(is_base) AS BIGINT) AS n_base,
+         CAST(count_if(NOT is_base) AS BIGINT) AS n_cur
+  FROM b GROUP BY bucket
+),
+grid AS (
+  SELECT i AS bucket,
+         (CASE i WHEN 0 THEN CAST('-inf' AS DOUBLE) WHEN 1 THEN 50000.0
+                 WHEN 2 THEN 100000.0 WHEN 3 THEN 150000.0 ELSE 200000.0 END) AS lo,
+         (CASE i WHEN 0 THEN 50000.0 WHEN 1 THEN 100000.0 WHEN 2 THEN 150000.0
+                 WHEN 3 THEN 200000.0 ELSE CAST('inf' AS DOUBLE) END) AS hi
+  FROM UNNEST(generate_series(0, 4)) AS t(i)
+),
+filled AS (
+  SELECT g.bucket, g.lo, g.hi,
+         COALESCE(c.n_base, 0) AS n_base, COALESCE(c.n_cur, 0) AS n_cur
+  FROM grid g LEFT JOIN counts c USING (bucket)
+),
+tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM filled)
+SELECT CAST(bucket AS INTEGER) AS bucket, lo, hi,
+       CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       n_base / tb AS frac_base, n_cur / tc AS frac_cur,
+       CASE WHEN n_base > 0
+            THEN (n_cur / tc - n_base / tb) * (n_cur / tc - n_base / tb)
+                 / (n_base / tb)
+            ELSE NULL END AS chi2_term
+FROM filled, tot
+"""
+    ).fetch_df()
+    compare_frames(got, exp, "histogram_drift")
+
+
+def test_histogram_drift_auto_edges_and_guards(spark):
+    from jde_to_datalake_spark.operators.quality import histogram_drift
+
+    o = load_table(spark, SF_DIR, "orders")
+    rep = histogram_drift(o, o, "o_totalprice", n_buckets=4).collect()
+    # identical snapshots -> zero drift everywhere (where defined)
+    assert all(
+        r["chi2_term"] == 0.0 for r in rep if r["chi2_term"] is not None
+    )
+    assert sum(r["n_base"] for r in rep) == o.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram_drift(o, o, "o_totalprice", edges=[])
+
+
+def test_histogram_drift_empty_side_is_total(spark):
+    """A zero-row snapshot yields null fractions, never an ANSI
+    divide-by-zero (a drift gate against a not-yet-landed partition)."""
+    from jde_to_datalake_spark.operators.quality import histogram_drift
+
+    o = load_table(spark, SF_DIR, "orders")
+    empty = o.filter("1 = 0")
+    rep = histogram_drift(empty, o, "o_totalprice", edges=[100000.0]).collect()
+    assert all(r["frac_base"] is None for r in rep)
+    assert sum(r["n_cur"] for r in rep) == o.count()

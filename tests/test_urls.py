@@ -144,3 +144,37 @@ def test_domain_stats_feed_mixture_sampling(spark):
     assert got == {d: k for d, (_, k) in rates.items()}
     # the binding domain keeps everything; the other is downsampled
     assert any(got[d] == stats[d] for d in top2)
+
+
+# -- hypothesis properties ---------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_LABEL = st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=8)
+
+
+@_HS
+@given(labels=st.lists(_LABEL, min_size=1, max_size=5),
+       tld=st.sampled_from(["com", "org", "io", "co.uk", "com.au"]))
+def test_registered_domain_properties(spark, labels, tld):
+    """For any host <labels>.<tld>: the registered domain is a suffix
+    of the host, contains the tld, and keeps exactly one label beyond
+    the public suffix (when one exists)."""
+    host = ".".join(labels + tld.split("."))
+    got = (
+        spark.createDataFrame([(host,)], ["h"])
+        .select(U.registered_domain(F.col("h")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert host.endswith(got)
+    assert got.endswith(tld)
+    n_suffix = len(tld.split("."))
+    want_labels = min(len(labels + tld.split(".")), n_suffix + 1)
+    assert len(got.split(".")) == want_labels
