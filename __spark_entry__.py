@@ -952,7 +952,10 @@ _PLAN_CACHE_SKIP = {
     "sequence_pack",
     "passage_dedup",
     "fuzzy_join",
-    "substring_dedup",
+    # substring_dedup left OUT of the skip set: its default plan
+    # recomputes the window relation instead of checkpointing it
+    # (see exact_substring_dedup(materialize_windows=False)), so the
+    # cached plan pins no materialized blocks
 }
 
 

@@ -501,6 +501,7 @@ def exact_substring_dedup(
     min_len: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_windows: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup: cut every repeated run of >= ``min_len``
     tokens, keeping only its corpus-wide first occurrence.
@@ -544,6 +545,16 @@ def exact_substring_dedup(
     the window text. Output: (id, text, n_tokens, n_dup_tokens); a
     fully duplicated doc keeps its row with text='' (callers see the
     cut). Docs shorter than ``min_len`` tokens pass through unchanged.
+
+    ``materialize_windows``: the window relation has two consumers
+    (first-occurrence agg + probe join); by default it is RECOMPUTED
+    per consumer rather than localCheckpoint'd — unlike the LSH
+    signature projection (small next to its text), a window row is
+    ~64 bytes per corpus TOKEN (~10x the text bytes), so
+    materializing it at 100 TB would mean a petabyte of block
+    storage versus one extra scan+tokenize+md5 pass of CPU. Pass
+    True on small corpora where the rescan dominates (measured:
+    within ~15% either way at test SFs).
     """
     from pyspark.sql import Window
 
@@ -569,8 +580,9 @@ def exact_substring_dedup(
                 ).cast("binary")
             ).alias("__h"),
         )
-        .localCheckpoint(eager=False)  # two consumers: firsts + probe
     )
+    if materialize_windows:
+        wins = wins.localCheckpoint(eager=False)
     firsts = (
         wins.groupBy("__h")
         .agg(
