@@ -34,23 +34,29 @@ MULTI_PART_SUFFIXES = [
 
 
 def host_of(url: Column) -> Column:
-    """Lower-cased host component (no scheme, port, path, or query)."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    """Lower-cased host component (no scheme, port, path, or query).
+
+    ``try_parse_url``, never ``parse_url``: under ANSI the non-try form
+    THROWS on an unparseable URL — one junk row in a 100 TB crawl must
+    become a NULL host (and a keep=false verdict), not a dead job.
+    """
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def path_of(url: Column) -> Column:
-    return F.parse_url(url, F.lit("PATH"))
+    return F.try_parse_url(url, F.lit("PATH"))
 
 
 def path_depth(url: Column) -> Column:
-    """Number of non-empty path segments ('' and '/' are depth 0)."""
+    """Number of non-empty path segments ('' and '/' are depth 0;
+    NULL for an unparseable URL)."""
     segs = F.filter(F.split(path_of(url), "/"), lambda s: s != "")
     return F.size(segs).cast("bigint")
 
 
 def has_query(url: Column) -> Column:
     """True when the URL carries a query string."""
-    return F.parse_url(url, F.lit("QUERY")).isNotNull()
+    return F.try_parse_url(url, F.lit("QUERY")).isNotNull()
 
 
 def registered_domain(host: Column) -> Column:

@@ -400,3 +400,56 @@ class VersionedTable:
                 if os.path.getmtime(p) <= cutoff:
                     os.remove(p)
         return removed
+
+
+def commit_drift_checked(
+    table: VersionedTable,
+    df: "DataFrame",
+    column: str,
+    edges: list[float],
+    max_chi2: float,
+    mode: str = "append",
+):
+    """Drift-gated commit: stage ``df``, compare the STAGED rows'
+    distribution of ``column`` against the table's current version
+    (operators/quality.histogram_drift with fixed ``edges``), and
+    publish only when the summed chi-square drift stays within
+    ``max_chi2`` — otherwise discard the staged files and raise
+    ``AuditFailure`` carrying the per-bucket report rows.
+
+    The same write-audit-publish discipline as ``commit_audited``
+    (the audit reads the staged bytes, not the writer's plan), with a
+    TWO-snapshot check instead of row-level expectations: the gate
+    real feeds need for "this batch looks nothing like the table".
+    An empty table (no commits yet) publishes unconditionally — there
+    is no baseline to drift from.
+    """
+    from jde_to_datalake_spark.operators.quality import histogram_drift
+
+    spark = df.sparkSession
+    base_version = table.latest_version()
+    staged = table.stage(df)
+    if base_version is None:
+        return table.publish(staged, mode=mode, expected_base=None)
+    report = histogram_drift(
+        table.read(spark, base_version),
+        table.read_staged(spark, staged),
+        column,
+        edges=edges,
+    )
+    rows = report.collect()
+    total = sum(r["chi2_term"] for r in rows if r["chi2_term"] is not None)
+    if total > max_chi2:
+        table.discard(staged)
+        raise AuditFailure(
+            [
+                {
+                    "check_name": f"drift__{column}",
+                    "chi2_total": total,
+                    "max_chi2": max_chi2,
+                    **{k: r[k] for k in ("bucket", "n_base", "n_cur")},
+                }
+                for r in rows
+            ]
+        )
+    return table.publish(staged, mode=mode, expected_base=base_version)

@@ -178,3 +178,23 @@ def test_registered_domain_properties(spark, labels, tld):
     n_suffix = len(tld.split("."))
     want_labels = min(len(labels + tld.split(".")), n_suffix + 1)
     assert len(got.split(".")) == want_labels
+
+
+def test_malformed_urls_are_total_and_dropped(spark):
+    """Garbage URLs must flow through as keep=false rows, never raise
+    (a 100 TB crawl always contains junk)."""
+    df = _df(
+        spark,
+        [
+            (1, "not a url at all"),
+            (2, ""),
+            (3, None),
+            (4, "https://ok.com/x"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in U.url_report(df, "url", ["bad.com"]).collect()}
+    assert len(rows) == 4
+    assert rows[4]["keep"] and rows[4]["domain"] == "ok.com"
+    for bad in (1, 2, 3):
+        assert rows[bad]["host"] is None or rows[bad]["host"] == ""
+        assert not rows[bad]["keep"] or rows[bad]["host"]  # junk never kept silently

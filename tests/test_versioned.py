@@ -357,3 +357,33 @@ def test_merge_detects_interleaved_commit(spark, table, monkeypatch):
     table.merge(spark, _df(spark, [(2, "B2")]), key="k")
     got = {r.k: r.v for r in table.read(spark).collect()}
     assert got == {1: "a", 2: "B2", 3: "interloper"}
+
+
+def test_commit_drift_checked_gates_and_publishes(spark, table):
+    from jde_to_datalake_spark.sources.versioned import (
+        AuditFailure,
+        commit_drift_checked,
+    )
+
+    def vals(xs):
+        return spark.createDataFrame([(i, float(x)) for i, x in enumerate(xs)],
+                                     "k int, v double")
+
+    # first commit: no baseline, publishes unconditionally
+    v0 = commit_drift_checked(table, vals([1, 2, 3, 4]), "v",
+                              edges=[2.5], max_chi2=0.01)
+    assert v0 == 0
+    # similar batch: passes the gate, becomes version 1
+    v1 = commit_drift_checked(table, vals([1, 2, 3, 4]), "v",
+                              edges=[2.5], max_chi2=0.01)
+    assert v1 == 1
+    # wildly shifted batch: rejected, staged files discarded, no new version
+    with pytest.raises(AuditFailure) as exc:
+        commit_drift_checked(table, vals([100, 200, 300, 400]), "v",
+                             edges=[2.5], max_chi2=0.01)
+    assert table.latest_version() == 1
+    assert any("drift__v" in str(f.get("check_name")) for f in exc.value.failures)
+    # the rejected batch was discarded eagerly — nothing left for vacuum
+    assert table.vacuum(keep_last=2, retention_seconds=0) == []
+    # table content is exactly the two accepted batches
+    assert table.read(spark).count() == 8
