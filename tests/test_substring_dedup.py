@@ -127,3 +127,29 @@ def test_plan_shape(spark):
 def test_empty_input_total(spark):
     docs = spark.createDataFrame([], "doc_id bigint, text string")
     assert exact_substring_dedup(docs, min_len=3).count() == 0
+
+
+def test_hot_passage_skew_correctness(spark):
+    """A passage repeated across MANY documents (boilerplate) is the
+    skew case the min-struct agg exists for: first occurrence wins,
+    every other copy is cut, and the plan stays the agg shape (no
+    per-passage window sort)."""
+    boiler = "terms of service apply here always"
+    rows = [(i, f"unique{i} " + boiler) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = exact_substring_dedup(docs, min_len=6).orderBy("doc_id").collect()
+    # each doc is 7 tokens (uniqueN + 6 boiler) -> two 6-token windows:
+    # start 1 (uniqueN + 5 boiler, unique per doc) and start 2 (the
+    # all-boiler window, identical in EVERY doc — the hot key). Its
+    # first occurrence is doc 0, which therefore keeps everything.
+    assert out[0]["text"] == "unique0 " + boiler
+    assert out[0]["n_dup_tokens"] == 0
+    # every later doc loses exactly the 6 boiler tokens
+    for r in out[1:]:
+        assert r["text"] == f"unique{r['doc_id']}"
+        assert r["n_dup_tokens"] == 6
+    plan = exact_substring_dedup(docs, min_len=6)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # first-occurrence selection must be the agg, not a window keyed by
+    # the (hot) passage hash
+    assert "windowspecdefinition(__h" not in plan.lower()

@@ -387,3 +387,38 @@ def test_commit_drift_checked_gates_and_publishes(spark, table):
     assert table.vacuum(keep_last=2, retention_seconds=0) == []
     # table content is exactly the two accepted batches
     assert table.read(spark).count() == 8
+
+
+def test_thread_race_exactly_one_winner_per_version(spark, table):
+    """True-parallel writers racing on the same base version: the
+    atomic manifest link admits exactly one winner; every loser gets
+    ConcurrentCommitError and the log stays gap-free."""
+    import threading
+
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    table.commit(_df(spark, [(0, "seed")]), mode="overwrite")
+    staged = [table.stage(_df(spark, [(i, f"w{i}")])) for i in range(4)]
+    results: list = [None] * 4
+    barrier = threading.Barrier(4)
+
+    def publish(i):
+        t = VersionedTable(table.root)
+        barrier.wait()
+        try:
+            results[i] = ("ok", t.publish(staged[i], mode="append",
+                                          expected_base=0))
+        except ConcurrentCommitError:
+            results[i] = ("lost", None)
+
+    threads = [threading.Thread(target=publish, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r[0] == "ok"]
+    assert len(winners) == 1 and winners[0][1] == 1
+    assert sum(1 for r in results if r[0] == "lost") == 3
+    assert table.versions() == [0, 1]
+    # the winning batch is readable; losers' files are unreferenced
+    assert table.read(spark).count() == 2
