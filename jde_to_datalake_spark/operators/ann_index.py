@@ -1,0 +1,207 @@
+"""Persisted ANN index: build once, query many.
+
+``ann_suite``-style queries recompute norms/cells/codes from the raw
+corpus on every run — correct for a one-shot query, wrong for a
+similarity SERVICE over a 100 TB corpus, where the standard shape is
+an offline indexing pass whose artifacts later queries read instead of
+the corpus:
+
+    <root>/corpus/     (id, vec, nrm, cell)  parquet, partitionBy(cell)
+    <root>/codes/      (id, code)            parquet (binary quantization)
+    <root>/centroids/  (cell, cent_vec)      parquet (k-means output)
+    <root>/meta.json   {dim, n_centroids, vec_col, id_col}
+
+Why each piece earns its bytes:
+
+- the corpus copy is laid out BY CELL, so an IVF probe's cell
+  equi-join triggers Spark's dynamic partition pruning — the scan
+  reads only the probed cells' files (n_probe/n_centroids of the
+  data), verified by the ``dynamicpruning`` subquery in the plan;
+- norms ride along as a stored column: query-time cosine never
+  re-folds ||v|| over the corpus;
+- codes are the 32x-compressed Hamming first stage (1/32nd of the
+  bytes for candidate generation; rerank on the float columns).
+
+Queries reuse the operator kernels (``_dot``, ``topk_ranked``,
+``hamming_scored``), so every search path here shares its scoring
+contract — and its tests/oracles — with the on-the-fly operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.operators.similarity import (
+    _cent_array,
+    _cell_scores,
+    _dot,
+    _norm,
+    assign_cells,
+    binary_quantize,
+    hamming_scored,
+    kmeans_centroids,
+    topk_ranked,
+)
+
+
+class AnnIndex:
+    def __init__(self, root: str):
+        self.root = root
+        with open(os.path.join(root, "meta.json")) as fh:
+            self.meta = json.load(fh)
+
+    # -- build ------------------------------------------------------------
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        root: str,
+        dim: int,
+        n_centroids: int = 8,
+        n_iters: int = 3,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "AnnIndex":
+        """The offline indexing pass: train centroids (bounded
+        driver-side state only), assign cells row-locally, and write
+        the three artifacts. The only data-sized shuffle is the
+        partitionBy(cell) write of the corpus copy."""
+        cents = kmeans_centroids(
+            corpus, n_centroids=n_centroids, n_iters=n_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+        os.makedirs(root, exist_ok=True)
+        cents.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        spark = corpus.sparkSession
+        stored_cents = spark.read.parquet(os.path.join(root, "centroids"))
+        assign_cells(corpus, stored_cents, vec_col, id_col).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(os.path.join(root, "corpus"))
+        binary_quantize(corpus, dim=dim, vec_col=vec_col, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "codes"))
+        with open(os.path.join(root, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "dim": dim,
+                    "n_centroids": n_centroids,
+                    "vec_col": vec_col,
+                    "id_col": id_col,
+                },
+                fh,
+            )
+        return AnnIndex(root)
+
+    # -- artifact readers -------------------------------------------------
+    def corpus(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "corpus"))
+
+    def codes(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "codes"))
+
+    def centroids(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "centroids"))
+
+    # -- search -----------------------------------------------------------
+    def _queries_with_norm(self, queries: DataFrame) -> DataFrame:
+        vec, idc = self.meta["vec_col"], self.meta["id_col"]
+        return queries.select(
+            F.col(idc).alias("query_id"),
+            F.col(vec).alias("q_vec"),
+            _norm(F.col(vec)).alias("q_norm"),
+        )
+
+    def search_exact(self, queries: DataFrame, k: int = 5) -> DataFrame:
+        """Brute-force over the indexed corpus — norms come from the
+        stored column, never re-folded."""
+        vec, idc = self.meta["vec_col"], self.meta["id_col"]
+        spark = queries.sparkSession
+        c = self.corpus(spark).select(
+            F.col(idc).alias("candidate_id"),
+            F.col(vec).alias("c_vec"),
+            F.col("nrm").alias("c_norm"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(self._queries_with_norm(queries)))
+            .filter(F.col("candidate_id") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / F.col("q_norm") / F.col("c_norm"),
+            )
+        )
+        return topk_ranked(scored, k).select(
+            "query_id", "candidate_id", "cosine", "rank"
+        )
+
+    def search_ivf(
+        self, queries: DataFrame, k: int = 5, n_probe: int = 2
+    ) -> DataFrame:
+        """Probe the ``n_probe`` nearest cells per query. The cell
+        equi-join against the cell-PARTITIONED corpus gives Spark's
+        dynamic partition pruning a partition-column build side: the
+        corpus scan reads only probed cells' files."""
+        vec, idc = self.meta["vec_col"], self.meta["id_col"]
+        spark = queries.sparkSession
+        cent_arr = _cent_array(self.centroids(spark))
+        probes = (
+            self._queries_with_norm(queries)
+            .crossJoin(F.broadcast(cent_arr))
+            .select(
+                "query_id", "q_vec", "q_norm",
+                F.explode(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(
+                                _cell_scores(F.col("q_vec"), F.col("q_norm"))
+                            )
+                        ),
+                        1,
+                        n_probe,
+                    )["cell"]
+                ).alias("cell"),
+            )
+        )
+        c = self.corpus(spark).select(
+            F.col(idc).alias("candidate_id"),
+            F.col(vec).alias("c_vec"),
+            F.col("nrm").alias("c_norm"),
+            "cell",
+        )
+        scored = (
+            c.join(F.broadcast(probes), "cell")
+            .filter(F.col("candidate_id") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / F.col("q_norm") / F.col("c_norm"),
+            )
+        )
+        return topk_ranked(scored, k).select(
+            "query_id", "cell", "candidate_id", "cosine", "rank"
+        )
+
+    def search_hamming(self, queries: DataFrame, k: int = 5) -> DataFrame:
+        """Binary first stage over the stored codes (1/32nd of the
+        float bytes); compose with ``search_exact``/``rerank_topk`` on
+        the survivors for the standard two-stage retrieval."""
+        spark = queries.sparkSession
+        qcodes = binary_quantize(
+            queries, dim=self.meta["dim"],
+            vec_col=self.meta["vec_col"], id_col=self.meta["id_col"],
+        )
+        from pyspark.sql import Window
+
+        scored = hamming_scored(self.codes(spark), qcodes,
+                                id_col=self.meta["id_col"])
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("hamming").asc(), F.col("candidate_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "candidate_id", "hamming", "rank")
+        )

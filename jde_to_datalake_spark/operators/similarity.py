@@ -178,6 +178,62 @@ def lsh_bucketed_topk(
     ).select("query_id", "bucket", "candidate_id", "cosine", "rank")
 
 
+def _cent_array(centroids: DataFrame) -> DataFrame:
+    """Fold the (bounded-by-construction) centroid set into ONE array
+    row for broadcasting: cell assignment/probing become ROW-LOCAL
+    array reductions — zero shuffles, zero windows. (The former shape
+    — crossJoin x centroids + argmax window — paid an n_centroids row
+    blow-up plus a shuffle per side.)"""
+    return centroids.select(
+        "cell", "cent_vec", _norm(F.col("cent_vec")).alias("cent_norm")
+    ).agg(
+        F.collect_list(F.struct("cell", "cent_vec", "cent_norm")).alias("cents")
+    )
+
+
+def _cell_scores(vec: Column, nrm: Column) -> Column:
+    """Per-centroid cosine structs over the broadcast ``cents`` array.
+
+    Struct ordering (cos, -cell, cell): max = best cosine, ties broken
+    toward the LOWEST cell id — same contract as the
+    ORDER BY cent_cos DESC, cell oracle."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (_dot(vec, c["cent_vec"]) / nrm / c["cent_norm"]).alias("cos"),
+            (-c["cell"]).alias("negcell"),
+            c["cell"].alias("cell"),
+        ),
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF indexing pass: (id, vec, nrm, cell) with each vector's
+    nearest-centroid cell — a row-local reduction over the broadcast
+    centroid array, zero shuffles. At scale this output is what gets
+    written ``partitionBy(cell)`` (see operators/ann_index.py), making
+    every later probe a partition-pruned scan."""
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(_cent_array(centroids)))
+        .select(
+            id_col, vec_col, "nrm",
+            F.array_max(
+                _cell_scores(F.col(vec_col), F.col("nrm"))
+            )["cell"].alias("cell"),
+        )
+    )
+
+
 def ivf_scored(
     corpus: DataFrame,
     queries: DataFrame,
@@ -234,43 +290,12 @@ def ivf_scored(
             )
             .select("cell", "cent_vec")
         )
-    # Fold the (bounded-by-construction) centroid set into ONE array
-    # row and broadcast it: cell assignment becomes a ROW-LOCAL array
-    # reduction — zero shuffles, zero windows for the indexing pass.
-    # (The former shape — crossJoin x centroids + argmax window — paid
-    # an n_centroids row blow-up plus a shuffle per side.)
-    cent_arr = centroids.select(
-        "cell", "cent_vec", _norm(F.col("cent_vec")).alias("cent_norm")
-    ).agg(
-        F.collect_list(F.struct("cell", "cent_vec", "cent_norm")).alias("cents")
-    )
-
-    def cell_scores(vec: Column, nrm: Column) -> Column:
-        # struct ordering (cos, -cell, cell): max = best cosine, ties
-        # broken toward the LOWEST cell id — same contract as the
-        # ORDER BY cent_cos DESC, cell oracle
-        return F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (_dot(vec, c["cent_vec"]) / nrm / c["cent_norm"]).alias("cos"),
-                (-c["cell"]).alias("negcell"),
-                c["cell"].alias("cell"),
-            ),
-        )
-
-    assigned = (
-        corpus.select(
-            F.col(id_col).alias("candidate_id"),
-            F.col(vec_col).alias("candidate_id_vec"),
-            _norm(F.col(vec_col)).alias("candidate_id_norm"),
-        )
-        .crossJoin(F.broadcast(cent_arr))
-        .select(
-            "candidate_id", "candidate_id_vec", "candidate_id_norm",
-            F.array_max(
-                cell_scores(F.col("candidate_id_vec"), F.col("candidate_id_norm"))
-            )["cell"].alias("cell"),
-        )
+    cent_arr = _cent_array(centroids)
+    assigned = assign_cells(corpus, centroids, vec_col, id_col).select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("candidate_id_vec"),
+        F.col("nrm").alias("candidate_id_norm"),
+        "cell",
     )
     probes = (
         queries.select(
@@ -285,7 +310,7 @@ def ivf_scored(
                 F.slice(
                     F.reverse(
                         F.array_sort(
-                            cell_scores(
+                            _cell_scores(
                                 F.col("query_id_vec"), F.col("query_id_norm")
                             )
                         )

@@ -1,0 +1,105 @@
+"""Persisted ANN index (operators/ann_index.py): build-once artifacts,
+search parity with the on-the-fly operators, and the partition-pruning
+plan shape that justifies the cell layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.operators.ann_index import AnnIndex
+from jde_to_datalake_spark.operators.similarity import (
+    binary_quantize,
+    cosine_topk,
+    hamming_topk,
+    ivf_topk,
+)
+from jde_to_datalake_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ann") / "idx")
+    return AnnIndex.build(corpus, root, dim=64, n_centroids=4, n_iters=2)
+
+
+def _by_query(rows):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r.query_id, []).append(r)
+    return {q: sorted(v, key=lambda r: r.rank) for q, v in out.items()}
+
+
+def test_artifacts_exist_and_layout_is_by_cell(spark, index):
+    for part in ("corpus", "codes", "centroids", "meta.json"):
+        assert os.path.exists(os.path.join(index.root, part)), part
+    cells = sorted(
+        d for d in os.listdir(os.path.join(index.root, "corpus"))
+        if d.startswith("cell=")
+    )
+    assert len(cells) >= 2, cells  # physically partitioned by cell
+    # the stored corpus carries precomputed norms
+    assert "nrm" in index.corpus(spark).columns
+
+
+def test_search_exact_matches_on_the_fly(spark, corpus, index):
+    queries = corpus.filter(F.col("vec_id") < 5)
+    got = _by_query(index.search_exact(queries, k=5).collect())
+    want = _by_query(cosine_topk(corpus, queries, k=5).collect())
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [r.candidate_id for r in got[q]] == [r.candidate_id for r in want[q]]
+        # stored norms, same fold: cosines are bit-identical
+        assert [r.cosine for r in got[q]] == [r.cosine for r in want[q]]
+
+
+def test_search_ivf_matches_on_the_fly_with_same_centroids(spark, corpus, index):
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = _by_query(index.search_ivf(queries, k=4, n_probe=2).collect())
+    want = _by_query(
+        ivf_topk(
+            corpus, queries, k=4, n_probe=2,
+            centroids=index.centroids(spark),
+        ).collect()
+    )
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [r.candidate_id for r in got[q]] == [r.candidate_id for r in want[q]]
+        assert [r.cosine for r in got[q]] == [r.cosine for r in want[q]]
+
+
+def test_search_hamming_matches_on_the_fly(spark, corpus, index):
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = _by_query(index.search_hamming(queries, k=5).collect())
+    want = _by_query(
+        hamming_topk(
+            binary_quantize(corpus, dim=64),
+            binary_quantize(queries, dim=64),
+            k=5,
+        ).collect()
+    )
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [(r.candidate_id, r.hamming) for r in got[q]] == [
+            (r.candidate_id, r.hamming) for r in want[q]
+        ]
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark, corpus, index):
+    """The point of the cell layout: the probe join's corpus scan is
+    dynamically pruned to the probed cells' partitions."""
+    queries = corpus.filter(F.col("vec_id") < 3)
+    plan = (
+        index.search_ivf(queries, k=3, n_probe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters: [" in plan
