@@ -658,3 +658,145 @@ def exact_substring_dedup(
         F.size(F.col("__toks")).cast("long").alias("n_tokens"),
         n_dup.alias("n_dup_tokens"),
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    known_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split an incoming batch against a persisted fingerprint index —
+    the batch-incremental form of the reference's ledger dedup
+    (dispatch only what the ledger has not seen), applied to corpus
+    ingestion so a re-crawl never rescans the accumulated corpus.
+
+    ``known_fingerprints`` is a one-column (``fingerprint``) relation —
+    a parquet/versioned-table artifact appended after every accepted
+    batch. Output = the batch plus:
+
+    - ``fingerprint``       the batch row's content hash;
+    - ``is_known``          content already in the index;
+    - ``is_batch_first``    first occurrence WITHIN the batch
+      (min-id keeper — intra-batch dups are real in any crawl);
+    - ``is_novel``          the rows to ingest AND whose fingerprints
+      to append: first-in-batch and not in the index.
+
+    Plan: one skew-safe min agg on the (uniform 256-bit) fingerprint
+    for the intra-batch keeper, one left join against the index keyed
+    the same way — the index side carries only fingerprints, never
+    text, so the join payload is hash-width regardless of corpus size.
+    Idempotent by construction: re-running a batch after its novel
+    fingerprints were appended yields is_novel = false everywhere.
+    """
+    fp = fingerprint(F.col(text_col))
+    batch = new_docs.withColumn("fingerprint", fp)
+    keepers = batch.groupBy("fingerprint").agg(
+        F.min(F.col(id_col)).alias("__keeper")
+    )
+    known = known_fingerprints.select(
+        F.col(known_fingerprints.columns[0]).alias("fingerprint"),
+        F.lit(True).alias("__known"),
+    ).distinct()
+    out = (
+        batch.join(keepers, "fingerprint")
+        .join(known, "fingerprint", "left")
+        .withColumn("is_known", F.coalesce(F.col("__known"), F.lit(False)))
+        .withColumn("is_batch_first", F.col(id_col) == F.col("__keeper"))
+        .withColumn(
+            "is_novel", F.col("is_batch_first") & ~F.col("is_known")
+        )
+        .drop("__keeper", "__known")
+    )
+    return out
+
+
+def band_index(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_hash) LSH bucket keys for an indexed corpus —
+    the batch twin of ``streaming.corpus.minhash_band_stream`` (same
+    banding expressions, so streamed and indexed keys equi-join).
+    Row-local projection; persist it beside the corpus as the
+    near-dup index artifact."""
+    base = _with_shingle_hashes(docs, n, text_col, id_col)
+    sig = base.select(F.col(id_col), *_min_cols(num_hashes))
+    return sig.select(
+        F.col(id_col), F.explode(_bands_arr(num_hashes, band_size)).alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_signatures: DataFrame | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates between an incoming batch and an INDEXED
+    corpus, without touching the corpus text: the batch's band keys
+    (row-local) equi-join the persisted ``band_index`` artifact.
+
+    Output: distinct (new_id, indexed_id) pairs; when
+    ``index_signatures`` (a persisted ``minhash_signatures`` artifact)
+    is given, each pair also carries ``est_jaccard`` — the fraction of
+    agreeing MinHash components, the standard signature-based Jaccard
+    estimator (E[agreement] = J). Exact verification then fetches only
+    the candidate pairs' texts — work proportional to candidates, not
+    corpus.
+
+    Scale: batch-side keys are a projection; the only join is keyed by
+    (band, band_hash) — the same bucket-join as the batch LSH, with
+    the corpus side reduced to its key artifact.
+    """
+    new_bands = band_index(
+        new_docs, num_hashes, band_size, n, text_col, id_col
+    ).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash"
+    )
+    idx = index_bands.select(
+        F.col(index_bands.columns[0]).alias("indexed_id"), "band", "band_hash"
+    )
+    pairs = (
+        new_bands.join(idx, ["band", "band_hash"])
+        .filter(F.col("new_id") != F.col("indexed_id"))
+        .select("new_id", "indexed_id")
+        .distinct()
+    )
+    if index_signatures is None:
+        return pairs
+    new_sigs = minhash_signatures(
+        new_docs, num_hashes, n, text_col, id_col
+    ).select(
+        F.col(id_col).alias("new_id"), "hash_idx",
+        F.col("minhash").alias("__new_mh"),
+    )
+    idx_sigs = index_signatures.select(
+        F.col(index_signatures.columns[0]).alias("indexed_id"),
+        "hash_idx",
+        F.col("minhash").alias("__idx_mh"),
+    )
+    est = (
+        pairs.join(new_sigs, "new_id")
+        .join(idx_sigs, ["indexed_id", "hash_idx"])
+        .groupBy("new_id", "indexed_id")
+        .agg(
+            (
+                F.sum((F.col("__new_mh") == F.col("__idx_mh")).cast("bigint"))
+                / F.count(F.lit(1))
+            ).alias("est_jaccard")
+        )
+    )
+    return est

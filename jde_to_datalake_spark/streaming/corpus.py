@@ -22,11 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.functions.text import fingerprint
-from jde_to_datalake_spark.operators.dedup import (
-    _bands_arr,
-    _min_cols,
-    _with_shingle_hashes,
-)
+from jde_to_datalake_spark.operators.dedup import band_index
 
 
 def dedup_document_stream(
@@ -72,18 +68,11 @@ def minhash_band_stream(
 ) -> DataFrame:
     """Row-local MinHash band keys over a document stream.
 
-    Emits (id, band, band_hash) — the SAME banding expressions as the
-    batch LSH (operators/dedup.py), so a streamed document's keys can
-    be equi-joined against a bucket index built by the batch pass to
+    Emits (id, band, band_hash) — literally the batch ``band_index``
+    projection (operators/dedup.py) applied to a streaming frame, so a
+    streamed document's keys equi-join an index built by the batch
+    pass (see ``operators.dedup.incremental_lsh_candidates``) to
     surface near-dup candidates incrementally. Pure projection +
     explode: no state, no shuffle, works under any trigger.
     """
-    base = _with_shingle_hashes(stream, n, text_col, id_col)
-    sig = base.select(F.col(id_col), *_min_cols(num_hashes))
-    return sig.select(
-        F.col(id_col), F.explode(_bands_arr(num_hashes, band_size)).alias("bb")
-    ).select(
-        id_col,
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_hash").alias("band_hash"),
-    )
+    return band_index(stream, num_hashes, band_size, n, text_col, id_col)
