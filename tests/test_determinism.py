@@ -1,0 +1,62 @@
+"""Partitioning-determinism sweep: the engine's float-parity discipline
+(int64 money staging, decimal accumulators, strict left folds,
+explicit tie-breaks) claims every registry result is BIT-IDENTICAL
+under any partitioning. This pins it: re-run a representative heavy
+subset with a different shuffle width and repartitioned inputs, and
+compare values exactly — the property that makes task retries and
+speculative execution safe at 1000 executors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from tests.conftest import SF_DIR, compare_frames
+
+# the shapes most exposed to partial-aggregation order: money sums,
+# windowed running sums, array collects, fold-based cosines/signatures
+SWEEP = [
+    "pricing_summary",
+    "pivot_report",
+    "window_suite",
+    "collect_group_array",
+    "dedup_minhash_lsh",
+    "ann_suite",
+    "sampling_suite",
+    "substring_dedup",
+]
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_result_is_partitioning_invariant(spark, name):
+    fn = E.queries()[name]
+    fresh = getattr(fn, "__wrapped__", fn)
+    baseline = fresh(spark, SF_DIR).toPandas()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = fresh(spark, SF_DIR).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    compare_frames(again, baseline, f"{name}@3-partitions")
+
+
+def test_heavy_aggregate_invariant_under_input_repartition(spark):
+    """Same discipline, harsher setup: the INPUT is shuffled to a
+    hostile layout (30 hash partitions on a non-key column) before the
+    flagship money aggregation — partial-agg order changes completely,
+    values must not."""
+    from jde_to_datalake_spark.operators import reconcile
+    from jde_to_datalake_spark.session import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    c = load_table(spark, SF_DIR, "customer")
+    base = reconcile.pivot_report(o, li, c).toPandas()
+    hostile = reconcile.pivot_report(
+        o.repartition(30, "o_orderdate"),
+        li.repartition(30, "l_partkey"),
+        c.repartition(7),
+    ).toPandas()
+    compare_frames(hostile, base, "pivot_report@hostile-layout")
