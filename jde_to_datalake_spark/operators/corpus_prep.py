@@ -1,0 +1,139 @@
+"""End-to-end training-corpus preparation: the composition the tier's
+operators exist for, as one documented pipeline:
+
+    raw documents (+ optional URLs)
+      -> URL/domain blocklist filter         (functions/urls.py)
+      -> quality & safety filter report      (operators/corpus.py)
+      -> exact dedup, first occurrence wins  (operators/dedup.py)
+      -> corpus-wide passage dedup           (operators/corpus.py)
+      -> train/val/test hash split           (operators/sampling.py)
+      -> token-budget sequence packing       (operators/corpus.py, train)
+
+Each stage is the already-tested operator; this module contributes the
+glue, the stage accounting (a funnel report: how many documents each
+gate dropped and why), and the contract tests that the COMPOSITION
+preserves every stage's invariants (tests/test_corpus_prep.py).
+
+Scale posture is inherited: every stage is scans + keyed shuffles with
+the shapes documented in SCALE.md; the pipeline introduces no new
+shuffle and materializes nothing — callers sink the returned frames
+(typically: funnel to a metrics table, splits to partitioned parquet,
+packs to the trainer's feed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.functions import urls as U
+from jde_to_datalake_spark.operators import corpus as C
+from jde_to_datalake_spark.operators.dedup import exact_dedup
+from jde_to_datalake_spark.operators.sampling import hash_split
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    is_eval_col,
+    url_col: str | None = None,
+    blocklist: list[str] | None = None,
+    split_weights: dict[str, float] | None = None,
+    pack_budget: int = 512,
+    shingle_n: int = 5,
+    passage_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Run the full preparation pipeline; returns lazy frames:
+
+    - ``documents``  the surviving documents after every gate, with
+      their split label and passage-deduped text;
+    - ``train_packs``  ``sequence_pack`` plan over the train split;
+    - ``funnel``  one row per stage: (stage, n_in, n_out, n_dropped) —
+      the accounting a data team publishes with every corpus release.
+
+    Gate order is the standard one (cheap row-local gates first, the
+    corpus-global dedups last so they see less data): URL blocklist ->
+    quality/contamination keep -> exact dedup (min-id keeper) ->
+    passage dedup (which rewrites text; documents whose text becomes
+    empty are dropped). The split is assigned BEFORE packing and only
+    the train split is packed — eval/val text must never leak into
+    training packs.
+    """
+    split_weights = split_weights or {"train": 8, "val": 1, "test": 1}
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    survivors = docs
+    if url_col is not None:
+        report = U.url_report(survivors, url_col, blocklist, id_col)
+        survivors = survivors.join(
+            report.filter(F.col("keep")).select(id_col), id_col
+        )
+        stages.append(("url_filter", survivors))
+
+    quality = C.filter_report(
+        survivors, eval_docs, is_eval_col, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    )
+    survivors = survivors.join(
+        quality.filter(F.col("keep")).select(id_col), id_col
+    )
+    stages.append(("quality_filter", survivors))
+
+    keepers = exact_dedup(survivors, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    survivors = survivors.join(keepers, id_col)
+    stages.append(("exact_dedup", survivors))
+
+    deduped = C.passage_dedup(
+        survivors, k=passage_k, text_col=text_col, id_col=id_col
+    )
+    rewritten = (
+        survivors.drop(text_col)
+        .join(deduped.select(id_col, text_col), id_col)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+    )
+    stages.append(("passage_dedup", rewritten))
+
+    labeled = hash_split(rewritten, [id_col], split_weights)
+    train = labeled.filter(F.col("split") == "train")
+    packs = C.sequence_pack(
+        train, budget=pack_budget, text_col=text_col, id_col=id_col
+    )
+
+    funnel = _funnel(stages)
+    return {"documents": labeled, "train_packs": packs, "funnel": funnel}
+
+
+def _funnel(stages: list[tuple[str, DataFrame]]) -> DataFrame:
+    """(stage, n_in, n_out, n_dropped) per gate. Counts are one agg per
+    stage frame — metadata-scale output; lazy until the caller sinks
+    it (each count re-derives from the scans, keeping the pipeline
+    materialization-free)."""
+    spark = stages[0][1].sparkSession
+    counted = [
+        (name, df.groupBy().agg(F.count(F.lit(1)).alias("n")))
+        for name, df in stages
+    ]
+    rows = None
+    prev_col = None
+    for i, (name, agg) in enumerate(counted):
+        cur = agg.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n").cast("bigint").alias("n_out"),
+        )
+        rows = cur if rows is None else rows.unionAll(cur)
+    # n_in = previous stage's n_out (input stage: n_in = n_out)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage_idx").rowsBetween(-1, -1)
+    # the frame is |stages| rows — a global window over metadata is
+    # acceptable here and keeps the funnel a single lazy expression
+    return (
+        rows.withColumn("n_in", F.coalesce(F.max("n_out").over(w), F.col("n_out")))
+        .withColumn("n_dropped", F.col("n_in") - F.col("n_out"))
+        .select("stage_idx", "stage", "n_in", "n_out", "n_dropped")
+    )

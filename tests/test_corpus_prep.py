@@ -1,0 +1,92 @@
+"""End-to-end corpus preparation (operators/corpus_prep.py): the
+composition preserves every stage's invariants and the funnel
+accounting is consistent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.functions.text import fingerprint
+from jde_to_datalake_spark.operators.corpus_prep import prepare_corpus
+from jde_to_datalake_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def _pipeline(spark):
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # the synthetic corpus has no EXACT duplicates (fingerprints are
+    # all distinct); append copies of a few docs under new ids so the
+    # exact-dedup gate provably fires in the funnel
+    copies = base.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies)
+    did = F.col("doc_id")
+    with_urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"), (did % 11).cast("string"),
+            F.lit(".com/d/"), did.cast("string"),
+        ),
+    )
+    is_eval = did % 97 == 0
+    return prepare_corpus(
+        with_urls,
+        with_urls.filter(is_eval),
+        is_eval,
+        url_col="url",
+        blocklist=["site3.com", "site7.com"],
+        pack_budget=64,
+    )
+
+
+def test_funnel_is_consistent_and_monotone(spark):
+    out = _pipeline(spark)
+    funnel = out["funnel"].orderBy("stage_idx").collect()
+    assert [r["stage"] for r in funnel] == [
+        "input", "url_filter", "quality_filter", "exact_dedup", "passage_dedup",
+    ]
+    for prev, cur in zip(funnel, funnel[1:]):
+        assert cur["n_in"] == prev["n_out"]
+        assert cur["n_dropped"] == cur["n_in"] - cur["n_out"]
+        assert 0 <= cur["n_out"] <= cur["n_in"]  # gates only drop
+    # every gate in this fixture actually fires
+    assert all(r["n_dropped"] > 0 for r in funnel[1:]), funnel
+    assert funnel[-1]["n_out"] > 0
+
+
+def test_output_honors_every_gate(spark):
+    out = _pipeline(spark)
+    final = out["documents"]
+    # no blocklisted domain's documents survive (doc_id % 11 in {3, 7})
+    assert final.filter((F.col("doc_id") % 11).isin(3, 7)).count() == 0
+    # no duplicate content survives (exact dedup + passage rewrite)
+    n = final.count()
+    assert final.select(fingerprint(F.col("text"))).distinct().count() == n
+    # split labels are exhaustive over the configured names
+    labels = {r["split"] for r in final.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    # no empty documents leak through the passage rewrite
+    assert final.filter(F.length(F.trim("text")) == 0).count() == 0
+
+
+def test_train_packs_tile_and_exclude_heldout(spark):
+    out = _pipeline(spark)
+    final = out["documents"]
+    packs = out["train_packs"]
+    train_ids = {r["doc_id"] for r in final.filter("split = 'train'").collect()}
+    pack_ids = {r["doc_id"] for r in packs.select("doc_id").distinct().collect()}
+    # packs cover exactly the train split — val/test never leak in
+    assert pack_ids == train_ids
+    # packs tile each train document's tokens exactly
+    per_doc = packs.groupBy("doc_id").agg(F.sum("n_toks").alias("n")).join(
+        final.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    assert per_doc.filter(F.col("n") != F.col("n_tokens")).count() == 0
+    # every non-tail pack is exactly the budget
+    tot = packs.groupBy("pack_id").agg(F.sum("n_toks").alias("t"))
+    last = tot.agg(F.max("pack_id")).collect()[0][0]
+    assert tot.filter((F.col("pack_id") != last) & (F.col("t") != 64)).count() == 0
