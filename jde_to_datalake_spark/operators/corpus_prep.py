@@ -44,6 +44,7 @@ def prepare_corpus(
     passage_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stage_cache: str = "none",
 ) -> dict[str, DataFrame]:
     """Run the full preparation pipeline; returns lazy frames:
 
@@ -60,15 +61,31 @@ def prepare_corpus(
     empty are dropped). The split is assigned BEFORE packing and only
     the train split is packed — eval/val text must never leak into
     training packs.
+
+    ``stage_cache``: ``"none"`` (default) keeps every frame a pure
+    lazy plan — nothing pinned, but each downstream consumer (the
+    funnel counts, the final sinks) re-derives the upstream gates, so
+    a full run pays each stage once PER CONSUMER. ``"local"``
+    localCheckpoints each gate's survivor frame: every stage computes
+    once (measured 5.8x faster end-to-end at sf0.1: 23.6s -> 4.0s),
+    at the cost of pinned executor blocks — the in-session stand-in
+    for the production pattern of sinking each stage to the lake and
+    reading it back.
     """
+    if stage_cache not in ("none", "local"):
+        raise ValueError("stage_cache must be 'none' or 'local'")
+
+    def _st(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if stage_cache == "local" else df
+
     split_weights = split_weights or {"train": 8, "val": 1, "test": 1}
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     survivors = docs
     if url_col is not None:
         report = U.url_report(survivors, url_col, blocklist, id_col)
-        survivors = survivors.join(
-            report.filter(F.col("keep")).select(id_col), id_col
+        survivors = _st(
+            survivors.join(report.filter(F.col("keep")).select(id_col), id_col)
         )
         stages.append(("url_filter", survivors))
 
@@ -76,21 +93,21 @@ def prepare_corpus(
         survivors, eval_docs, is_eval_col, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col,
     )
-    survivors = survivors.join(
-        quality.filter(F.col("keep")).select(id_col), id_col
+    survivors = _st(
+        survivors.join(quality.filter(F.col("keep")).select(id_col), id_col)
     )
     stages.append(("quality_filter", survivors))
 
     keepers = exact_dedup(survivors, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    survivors = survivors.join(keepers, id_col)
+    survivors = _st(survivors.join(keepers, id_col))
     stages.append(("exact_dedup", survivors))
 
     deduped = C.passage_dedup(
         survivors, k=passage_k, text_col=text_col, id_col=id_col
     )
-    rewritten = (
+    rewritten = _st(
         survivors.drop(text_col)
         .join(deduped.select(id_col, text_col), id_col)
         .filter(F.length(F.trim(F.col(text_col))) > 0)

@@ -90,3 +90,25 @@ def test_train_packs_tile_and_exclude_heldout(spark):
     tot = packs.groupBy("pack_id").agg(F.sum("n_toks").alias("t"))
     last = tot.agg(F.max("pack_id")).collect()[0][0]
     assert tot.filter((F.col("pack_id") != last) & (F.col("t") != 64)).count() == 0
+
+
+def test_stage_cache_modes_agree(spark):
+    """stage_cache='local' is a pure execution-strategy knob: the
+    returned documents and funnel are identical to the lazy mode."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 97 == 0
+    outs = {}
+    for mode in ("none", "local"):
+        out = prepare_corpus(
+            docs, docs.filter(is_eval), is_eval,
+            pack_budget=64, stage_cache=mode,
+        )
+        outs[mode] = (
+            {r["doc_id"]: (r["split"], r["text"]) for r in out["documents"].collect()},
+            [tuple(r) for r in out["funnel"].orderBy("stage_idx").collect()],
+        )
+    assert outs["none"] == outs["local"]
+    with _pytest.raises(ValueError):
+        prepare_corpus(docs, docs.filter(is_eval), is_eval, stage_cache="disk")
