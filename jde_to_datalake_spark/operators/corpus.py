@@ -88,6 +88,7 @@ def sequence_pack(
     budget: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate every document's tokens
     in ``id_col`` order into one virtual stream, cut the stream into
@@ -120,6 +121,14 @@ def sequence_pack(
     consumers (the window and the totals) see the SAME partition ids
     — without it the range repartition could be recomputed with
     different sampled bounds between consumers.
+
+    ``shuffle_salt``: when set, the stream order is sha2(id||salt)
+    (id tie-break) instead of id order — the deterministic pre-pack
+    SHUFFLE a training pipeline wants so documents that are adjacent
+    in the source (same crawl host, same shard) don't land in the
+    same packs. Same salt -> same packing on any engine/partitioning;
+    different salts -> independent orders per epoch. The per-document
+    slices are identical either way — only adjacency changes.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -131,8 +140,20 @@ def sequence_pack(
             F.size(tokens(F.col(text_col))).cast("bigint").alias("__n"),
         )
     )
+    if shuffle_salt is not None:
+        counts = counts.withColumn(
+            "__ord",
+            F.sha2(
+                F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                            F.lit(shuffle_salt)),
+                256,
+            ),
+        )
+        order_cols = [F.col("__ord"), F.col(id_col)]
+    else:
+        order_cols = [F.col(id_col)]
     staged = (
-        counts.repartitionByRange(F.col(id_col))
+        counts.repartitionByRange(*order_cols)
         .withColumn("__part", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -145,7 +166,7 @@ def sequence_pack(
     prefixes = docs.sparkSession.createDataFrame(
         prefix_rows or [(0, 0)], "__part int, __prefix bigint"
     )
-    local = Window.partitionBy("__part").orderBy(id_col).rowsBetween(
+    local = Window.partitionBy("__part").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
     off = F.coalesce(F.sum("__n").over(local), F.lit(0)) + F.col("__prefix")
@@ -588,4 +609,59 @@ def rarity_metrics(
             F.sum((F.col("df") <= rare_df_threshold).cast("bigint"))
             / F.count(F.lit(1))
         ).alias("rare_frac"),
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most frequent token n-grams: (ngram, n_docs,
+    n_occurrences), top ``k`` by occurrence count (ties broken on the
+    gram text for determinism).
+
+    The boilerplate-discovery / tokenizer-seeding primitive: the same
+    counts that drive `max_df` stop-shingle choices and BPE merge
+    candidates. One explode + one map-side-combined groupBy; the final
+    top-k lowers to TakeOrderedAndProject (distributed heap, no global
+    sort).
+
+    ``n_occurrences`` counts every window; ``n_docs`` counts distinct
+    documents via the per-doc-distinct trick (no count-distinct
+    shuffle — same design as ``token_df_counts``).
+    """
+    toked = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    tk = F.col("__toks")
+    starts = F.when(
+        F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toked.select(
+        F.col(id_col),
+        F.explode(starts).alias("__s"),
+        tk,
+    ).select(
+        F.col(id_col),
+        F.array_join(F.slice(tk, F.col("__s"), F.lit(n)), " ").alias("ngram"),
+    )
+    counts = occ.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        # countDistinct is exact here but adds an expand+second shuffle;
+        # approx would break oracles. Instead: distinct (doc, gram)
+        # first is ANOTHER shuffle. The cheap exact form: count distinct
+        # ids per gram via a size(collect_set) would hold a per-gram id
+        # set in one heap — wrong at scale. Keep the expand-based exact
+        # count_distinct: it is Spark's standard two-phase distinct agg
+        # (partial dedup map-side), skew-safe on a 256-bit-ish key
+        # space, and the gram key's hot entries dedup map-side first.
+        F.countDistinct(F.col(id_col)).cast("bigint").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(
+            F.col("n_occurrences").desc(), F.col("ngram")
+        ).limit(k)
     )

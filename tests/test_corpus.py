@@ -405,3 +405,64 @@ def test_token_df_and_rarity_metrics(spark):
     }
     assert rows2.keys() == rows.keys()
     assert all(rows2[k]["rare_frac"] == rows[k]["rare_frac"] for k in rows)
+
+
+def test_sequence_pack_shuffle_salt_reorders_conserving_tokens(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plain = C.sequence_pack(docs, budget=64)
+    salted = C.sequence_pack(docs, budget=64, shuffle_salt="epoch1")
+    # every document's tokens are fully conserved under the shuffled
+    # order (the slices realign to the new grid, so spans may differ,
+    # but they still tile 1..n_tokens with nothing lost)
+    per_doc = salted.groupBy("doc_id").agg(
+        F.min("tok_start").alias("s"),
+        F.max("tok_end").alias("e"),
+        F.sum("n_toks").alias("n"),
+    ).join(
+        docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), "\\s+")).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    assert per_doc.filter(
+        (F.col("s") != 1) | (F.col("e") != F.col("n_tokens"))
+        | (F.col("n") != F.col("n_tokens"))
+    ).count() == 0
+    # the pack composition genuinely differs
+    pa = {(r["doc_id"], r["pack_id"]) for r in plain.collect()}
+    pb = {(r["doc_id"], r["pack_id"]) for r in salted.collect()}
+    assert pa != pb
+    # deterministic: same salt -> same packing, under any partitioning
+    again = C.sequence_pack(docs.repartition(7), budget=64, shuffle_salt="epoch1")
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in again.collect()}
+    # a different salt draws a different order
+    other = C.sequence_pack(docs, budget=64, shuffle_salt="epoch2")
+    assert {(r["doc_id"], r["pack_id"]) for r in other.collect()} != pb
+    # full-budget invariant still holds when shuffled
+    tot = salted.groupBy("pack_id").agg(F.sum("n_toks").alias("t"))
+    last = tot.agg(F.max("pack_id")).collect()[0][0]
+    assert tot.filter((F.col("pack_id") != last) & (F.col("t") != 64)).count() == 0
+
+
+def test_top_ngrams_counts_and_determinism(spark, duck):
+    from tests.conftest import compare_frames
+
+    got = C.top_ngrams(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), n=2, k=25
+    ).toPandas()
+    exp = duck.execute(
+        """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+           FROM documents),
+occ AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS ngram
+  FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM occ GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT 25
+"""
+    ).fetch_df()
+    compare_frames(got, exp, "top_ngrams")
