@@ -129,8 +129,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codegen-cache fix (per the round-3 verdict): still a clear
     loss at sf0.1 (0.66s -> 0.97s — a 2-value key cannot use 32 ways,
     and the raw-row exchange dwarfs the saved partial-agg merge), so
-    the single-pass partial-agg plan stands. The residual gap to
-    DuckDB is the exact int64 money staging, kept deliberately.
+    the single-pass partial-agg plan stands. The decimal staging cost
+    was also quantified: pure-double `round(x*100)` staging is
+    value-identical on the actual data and 27% faster, but silently
+    mis-stages contract-violating (>2-dp) inputs where the decimal
+    cast HALF_UP rounds correctly — robustness kept over the 0.2s.
     """
     from jde_to_datalake_spark.operators.reconcile import charge_units
 
