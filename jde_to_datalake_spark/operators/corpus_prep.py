@@ -135,7 +135,6 @@ def _funnel(stages: list[tuple[str, DataFrame]]) -> DataFrame:
         for name, df in stages
     ]
     rows = None
-    prev_col = None
     for i, (name, agg) in enumerate(counted):
         cur = agg.select(
             F.lit(i).alias("stage_idx"),
