@@ -168,3 +168,99 @@ def stream_windows_to_lake(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join against a FIXED dimension
+    snapshot (the reference's "join the pull against the JDE master"
+    pattern, main.py:417-537, as a resident stream).
+
+    Stateless: no watermark, no join state; AQE broadcasts the static
+    side when small, which is the dimension case by definition.
+    Supported join types for stream-static are inner/left (the stream
+    must be the preserved side).
+
+    SNAPSHOT caveat (measured, not theory): a path-based parquet
+    ``dim`` pins its FILE LISTING when the DataFrame is created —
+    rows appended later are silently invisible to subsequent batches,
+    and an overwrite makes them FAIL with FILE_NOT_EXIST. For a
+    dimension that changes while the query runs, use
+    ``enrich_foreach_batch``, which re-resolves the dimension every
+    micro-batch.
+    """
+    return stream.join(dim, on, how)
+
+
+def enrich_foreach_batch(
+    dim_loader: Callable[[SparkSession], DataFrame],
+    on: str | list[str],
+    sink: Callable[[DataFrame, int], None],
+    how: str = "left",
+) -> Callable[[DataFrame, int], None]:
+    """Live-dimension enrichment: a ``foreachBatch`` function that
+    re-invokes ``dim_loader`` on EVERY micro-batch (fresh file
+    listing / fresh table version), joins, and hands the enriched
+    batch to ``sink``. This is the canonical Structured Streaming
+    shape for slowly-changing dimensions — batch code inside
+    foreachBatch re-plans from scratch, so nothing is pinned.
+
+    ``dim_loader`` receives the batch's SparkSession (e.g.
+    ``lambda s: s.read.parquet(path)`` or a VersionedTable read —
+    which also gives each batch a CONSISTENT dimension version
+    instead of a listing race).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        dim = dim_loader(batch_df.sparkSession)
+        sink(batch_df.join(dim, on, how), batch_id)
+
+    return write
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_time: str = "ts",
+    right_time: str = "ts",
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time tolerance: the
+    two-live-feeds comparison (cardex feed vs bakery feed) as one
+    resident query instead of the reference's poll-and-diff loop.
+
+    Both sides carry a watermark and the join predicate bounds
+    |left.time - right.time| <= tolerance, which is what lets Spark
+    BOUND the join state: each side buffers only rows younger than
+    watermark + tolerance, then drops them — without the time bound a
+    stream-stream join's state grows forever (Spark rejects it in
+    append mode for exactly that reason).
+
+    ``left_time``/``right_time`` name each side's event-time column;
+    the right side's is suffixed ``_r`` in the output (both survive,
+    so downstream lateness accounting keeps both clocks).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    lt, rt = F.col(left_time), F.col(f"__r_{right_time}")
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    r = r.withColumnRenamed(right_time, f"__r_{right_time}")
+    lw = left.withWatermark(left_time, watermark)
+    rw = r.withWatermark(f"__r_{right_time}", watermark)
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__r_{k}")
+        cond = c if cond is None else cond & c
+    iv = F.expr(f"INTERVAL {tolerance}")
+    cond = cond & (rt >= lt - iv) & (rt <= lt + iv)
+    out = lw.join(rw, cond, "inner")
+    for k in keys:
+        out = out.drop(f"__r_{k}")
+    return out.withColumnRenamed(f"__r_{right_time}", f"{right_time}_r")

@@ -234,3 +234,106 @@ def test_stream_windows_to_lake_closed_windows_only(spark, events_dir, tmp_path)
     )
     exp = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in exp_df.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_stream_static_snapshot_join(spark, tmp_path):
+    """Stream-static join against a fixed dimension snapshot enriches
+    every batch; the snapshot caveat (a path-based dim pins its file
+    listing) is what enrich_foreach_batch exists for."""
+    from jde_to_datalake_spark.streaming.pipelines import enrich_stream
+
+    dim_dir = str(tmp_path / "dim")
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(1, "bread"), (2, "cake")], ["pid", "pname"]) \
+        .repartition(1).write.parquet(dim_dir)
+    spark.createDataFrame([(1, 5.0), (2, 7.0), (9, 1.0)], ["pid", "qty"]) \
+        .repartition(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("pid long, qty double").parquet(src_dir)
+    enriched = enrich_stream(stream, spark.read.parquet(dim_dir), "pid")
+    q = (enriched.writeStream.format("memory").queryName("enr_snap")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["pid"], r["qty"]): r["pname"]
+           for r in spark.sql("SELECT * FROM enr_snap").collect()}
+    assert got == {(1, 5.0): "bread", (2, 7.0): "cake", (9, 1.0): None}
+
+
+def test_enrich_foreach_batch_picks_up_dim_updates(spark, tmp_path):
+    """The live-dimension variant re-resolves the dimension every
+    micro-batch: an overwrite between runs is reflected without
+    restarting anything (where the pinned stream-static snapshot
+    would FAIL on the replaced files)."""
+    from jde_to_datalake_spark.streaming.pipelines import enrich_foreach_batch
+
+    dim_dir = str(tmp_path / "dim")
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(1, "bread"), (2, "cake")], ["pid", "pname"]) \
+        .repartition(1).write.parquet(dim_dir)
+    spark.createDataFrame([(1, 5.0)], ["pid", "qty"]) \
+        .repartition(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("pid long, qty double").parquet(src_dir)
+
+    collected: list = []
+    writer = enrich_foreach_batch(
+        lambda s: s.read.parquet(dim_dir),
+        "pid",
+        lambda df, bid: collected.extend(df.collect()),
+    )
+
+    def run(i):
+        q = (stream.writeStream.foreachBatch(writer)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run(1)
+    assert {(r["pid"], r["pname"]) for r in collected} == {(1, "bread")}
+    collected.clear()
+    # dimension overwritten + new source file: the shared checkpoint
+    # means only the NEW batch is processed, against the NEW dim
+    spark.createDataFrame([(1, "sourdough"), (2, "cake")], ["pid", "pname"]) \
+        .repartition(1).write.mode("overwrite").parquet(dim_dir)
+    spark.createDataFrame([(2, 7.0)], ["pid", "qty"]) \
+        .repartition(1).write.mode("append").parquet(src_dir)
+    run(2)
+    assert {(r["pid"], r["pname"]) for r in collected} == {(2, "cake")}
+
+
+def test_stream_stream_interval_join_bounds_and_matches(spark, tmp_path):
+    """Two live feeds joined within an event-time tolerance: matching
+    keys inside the window join, outside-the-window pairs drop, and
+    both sides' clocks survive in the output."""
+    import datetime as dt
+
+    from jde_to_datalake_spark.streaming.pipelines import interval_join_streams
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(dirname, rows):
+        p = str(tmp_path / dirname)
+        spark.createDataFrame(rows, ["k", "ts", "v"]).repartition(1) \
+            .write.parquet(p)
+        return spark.readStream.schema("k long, ts timestamp, v string").parquet(p)
+
+    left = mk("l", [
+        (1, t0, "l1"),
+        (2, t0, "l2"),
+        (3, t0, "l3"),
+    ])
+    right = mk("r", [
+        (1, t0 + dt.timedelta(minutes=30), "r1"),   # inside 1h tolerance
+        (2, t0 + dt.timedelta(hours=3), "r2"),      # outside -> dropped
+        (9, t0, "r9"),                              # no matching key
+    ])
+    joined = interval_join_streams(
+        left, right, key="k", tolerance="1 hour", watermark="2 hours"
+    )
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM ssj").collect()
+    assert {(r["k"], r["v"]) for r in rows} == {(1, "l1")}
+    r = rows[0]
+    assert r["ts"] == t0 and r["ts_r"] == t0 + dt.timedelta(minutes=30)
