@@ -242,16 +242,16 @@ def interval_join_streams(
     stream-stream join's state grows forever (Spark rejects it in
     append mode for exactly that reason).
 
-    ``left_time``/``right_time`` name each side's event-time column;
-    the right side's is suffixed ``_r`` in the output (both survive,
-    so downstream lateness accounting keeps both clocks).
+    ``left_time``/``right_time`` name each side's event-time column.
+    EVERY right-side column except the join keys comes out suffixed
+    ``_r`` (both clocks and both payloads survive without name
+    collisions — two live feeds routinely share column names).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    lt, rt = F.col(left_time), F.col(f"__r_{right_time}")
     r = right
-    for k in keys:
-        r = r.withColumnRenamed(k, f"__r_{k}")
-    r = r.withColumnRenamed(right_time, f"__r_{right_time}")
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    lt, rt = F.col(left_time), F.col(f"__r_{right_time}")
     lw = left.withWatermark(left_time, watermark)
     rw = r.withWatermark(f"__r_{right_time}", watermark)
     cond = None
@@ -263,4 +263,7 @@ def interval_join_streams(
     out = lw.join(rw, cond, "inner")
     for k in keys:
         out = out.drop(f"__r_{k}")
-    return out.withColumnRenamed(f"__r_{right_time}", f"{right_time}_r")
+    for c in right.columns:
+        if c not in keys:
+            out = out.withColumnRenamed(f"__r_{c}", f"{c}_r")
+    return out

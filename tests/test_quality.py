@@ -347,3 +347,66 @@ def test_histogram_drift_empty_side_is_total(spark):
     rep = histogram_drift(empty, o, "o_totalprice", edges=[100000.0]).collect()
     assert all(r["frac_base"] is None for r in rep)
     assert sum(r["n_cur"] for r in rep) == o.count()
+
+
+# -- hypothesis property ------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(st.integers(-50, 50), min_size=0, max_size=15),
+    cur=st.lists(st.integers(-50, 50), min_size=0, max_size=15),
+    edges=st.lists(st.integers(-40, 40), min_size=1, max_size=4, unique=True),
+)
+def test_histogram_drift_matches_python_model(spark, base, cur, edges):
+    """Random data + random fixed edges: bucket counts equal a plain
+    Python model of the same right-closed bucket rule, totals conserve,
+    and chi-square terms recompute from the emitted fractions."""
+    from jde_to_datalake_spark.operators.quality import histogram_drift
+
+    def mk(vals):
+        return spark.createDataFrame(
+            [(float(v),) for v in vals], "x double"
+        )
+
+    es = sorted(float(e) for e in edges)
+
+    def model(vals):
+        counts = [0] * (len(es) + 1)
+        for v in vals:
+            b = len(es)
+            for i, e in enumerate(es):
+                if v <= e:
+                    b = i
+                    break
+            counts[b] += 1
+        return counts
+
+    rows = (
+        histogram_drift(mk(base), mk(cur), "x", edges=es)
+        .orderBy("bucket").collect()
+    )
+    mb, mc = model(base), model(cur)
+    assert [r["n_base"] for r in rows] == mb
+    assert [r["n_cur"] for r in rows] == mc
+    assert sum(r["n_base"] for r in rows) == len(base)
+    for r in rows:
+        if (
+            r["frac_base"] is not None
+            and r["frac_base"] > 0
+            and r["frac_cur"] is not None
+        ):
+            want = (r["frac_cur"] - r["frac_base"]) ** 2 / r["frac_base"]
+            assert r["chi2_term"] == want
+        if r["frac_cur"] is None or r["frac_base"] is None:
+            # an EMPTY snapshot makes the drift term undefined, not 0
+            assert r["chi2_term"] is None
+        if len(base) == 0:
+            assert r["frac_base"] is None

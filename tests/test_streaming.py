@@ -337,3 +337,41 @@ def test_stream_stream_interval_join_bounds_and_matches(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in rows} == {(1, "l1")}
     r = rows[0]
     assert r["ts"] == t0 and r["ts_r"] == t0 + dt.timedelta(minutes=30)
+
+
+def test_interval_join_matches_batch_semantics(spark, tmp_path):
+    """The streaming interval join's output equals the same predicate
+    evaluated as a plain batch join over the same data — streaming
+    adds state management, never different join semantics."""
+    import datetime as dt
+
+    from jde_to_datalake_spark.streaming.pipelines import interval_join_streams
+
+    t0 = dt.datetime(2024, 3, 1, 8, 0, 0)
+    lrows = [(i % 5, t0 + dt.timedelta(minutes=7 * i), f"l{i}") for i in range(20)]
+    rrows = [(i % 4, t0 + dt.timedelta(minutes=11 * i), f"r{i}") for i in range(15)]
+
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(lrows, ["k", "ts", "v"]).repartition(1).write.parquet(ld)
+    spark.createDataFrame(rrows, ["k", "ts", "v"]).repartition(1).write.parquet(rd)
+    ls = spark.readStream.schema("k long, ts timestamp, v string").parquet(ld)
+    rs = spark.readStream.schema("k long, ts timestamp, v string").parquet(rd)
+    joined = interval_join_streams(ls, rs, key="k", tolerance="30 minutes",
+                                   watermark="1 hour")
+    q = (joined.writeStream.format("memory").queryName("ssj_par")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {
+        (r["k"], r["v"], r["v_r"])
+        for r in spark.sql("SELECT * FROM ssj_par").collect()
+    }
+    # batch model: same predicate on static frames
+    tol = dt.timedelta(minutes=30)
+    want = {
+        (lk, lv, rv)
+        for (lk, lts, lv) in lrows
+        for (rk, rts, rv) in rrows
+        if lk == rk and abs((lts - rts).total_seconds()) <= tol.total_seconds()
+    }
+    assert got == want and got
