@@ -267,3 +267,34 @@ def interval_join_streams(
         if c not in keys:
             out = out.withColumnRenamed(f"__r_{c}", f"{c}_r")
     return out
+
+
+def session_counts(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    event_time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked session-window aggregate — the same
+    ``session_window`` expression as the session branch of
+    registry.windows.q_time_windows (one code path, stream/batch
+    parity testable). State per (key, open session); the watermark
+    closes sessions whose gap has lapsed and frees their state.
+    """
+    stream = stream.withColumn(event_time_col, F.col(event_time_col).cast("timestamp"))
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.session_window(event_time_col, gap).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,9)"))
+            .cast("decimal(38,2)").cast("double").alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )

@@ -375,3 +375,32 @@ def test_interval_join_matches_batch_semantics(spark, tmp_path):
         if lk == rk and abs((lts - rts).total_seconds()) <= tol.total_seconds()
     }
     assert got == want and got
+
+
+def test_session_windows_stream_matches_batch(spark, events_dir):
+    """Streamed session windows == the batch session_window result
+    (complete mode; same expression as the time_windows suite)."""
+    directory, ev = events_dir
+    stream = P.read_event_stream(spark, directory, ev.schema)
+    agg = P.session_counts(stream)
+    P.run_available_now_to_memory(agg, "sess_counts", output_mode="complete")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]):
+            (r["n_events"], r["sum_value"])
+        for r in spark.table("sess_counts").collect()
+    }
+    exp_df = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,9)"))
+            .cast("decimal(38,2)").cast("double").alias("s"),
+        )
+        .select("user_id", F.col("w.start").alias("ws"),
+                F.col("w.end").alias("we"), "n", "s")
+    )
+    exp = {
+        (r["user_id"], r["ws"], r["we"]): (r["n"], r["s"])
+        for r in exp_df.collect()
+    }
+    assert got == exp and got
