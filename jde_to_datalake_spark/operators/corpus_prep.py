@@ -129,7 +129,6 @@ def _funnel(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     stage frame — metadata-scale output; lazy until the caller sinks
     it (each count re-derives from the scans, keeping the pipeline
     materialization-free)."""
-    spark = stages[0][1].sparkSession
     counted = [
         (name, df.groupBy().agg(F.count(F.lit(1)).alias("n")))
         for name, df in stages

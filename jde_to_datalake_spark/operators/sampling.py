@@ -207,3 +207,31 @@ def sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_weights(
+    counts: dict[str, int], tau: float = 0.7
+) -> dict[str, float]:
+    """Temperature-smoothed mixture weights from domain sizes:
+    w_d ∝ n_d^tau — the standard multilingual/multi-domain sampling
+    convention (tau=1 reproduces natural proportions, tau->0
+    approaches uniform; 0.3-0.7 is the usual range that up-weights
+    low-resource domains without drowning the head).
+
+    Driver-side arithmetic over the |domains|-sized count dict (the
+    output of a metadata-scale groupBy count, or ``domain_stats``);
+    feed the result straight into ``mixture_rates``/``mixture_sample``
+    as the target. Weights are normalized to sum to 1 for
+    readability — mixture_rates renormalizes anyway.
+    """
+    if tau <= 0:
+        raise ValueError("tau must be positive (tau->0 is uniform)")
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("counts must be non-negative")
+    raw = {d: float(n) ** tau for d, n in counts.items()}
+    total = sum(raw.values())
+    if total == 0:
+        raise ValueError("at least one domain must have rows")
+    return {d: w / total for d, w in raw.items()}

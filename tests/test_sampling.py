@@ -214,3 +214,34 @@ def test_empty_and_degenerate_inputs(spark):
     assert sample_per_group(docs, ["lang"], ["doc_id"], 3).count() == 0
     one = hash_split(_docs(spark), ["doc_id"], {"only": 1})
     assert one.filter(F.col("split") != "only").count() == 0
+
+
+def test_temperature_weights_math_and_composition(spark):
+    from jde_to_datalake_spark.operators.sampling import temperature_weights
+
+    counts = {"en": 1600, "de": 100}
+    # tau=1: natural proportions
+    w1 = temperature_weights(counts, tau=1.0)
+    assert abs(w1["en"] - 1600 / 1700) < 1e-12
+    # tau=0.5: sqrt smoothing -> 40:10 -> 0.8/0.2
+    w5 = temperature_weights(counts, tau=0.5)
+    assert abs(w5["en"] - 0.8) < 1e-12 and abs(w5["de"] - 0.2) < 1e-12
+    # lower tau always shifts mass toward the tail
+    assert w5["de"] > w1["de"]
+    assert abs(sum(w5.values()) - 1.0) < 1e-12
+    # composes with the mixture planner on real data
+    docs = _docs(spark)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    target = temperature_weights(sizes, tau=0.5)
+    rates = mixture_rates(docs, "lang", target)
+    assert set(rates) == set(sizes)
+    assert all(0 < r <= 1.0 for r, _ in rates.values())
+    # the binding domain keeps everything
+    assert any(k == sizes[d] for d, (_, k) in rates.items())
+    with pytest.raises(ValueError):
+        temperature_weights(counts, tau=0.0)
+    with pytest.raises(ValueError):
+        temperature_weights({}, tau=0.5)
