@@ -23,7 +23,7 @@ Why each piece earns its bytes:
   bytes for candidate generation; rerank on the float columns).
 
 Queries reuse the operator kernels (``_dot``, ``topk_ranked``,
-``hamming_scored``), so every search path here shares its scoring
+``hamming_topk``), so every search path here shares its scoring
 contract — and its tests/oracles — with the on-the-fly operators.
 """
 
@@ -42,7 +42,7 @@ from jde_to_datalake_spark.operators.similarity import (
     _norm,
     assign_cells,
     binary_quantize,
-    hamming_scored,
+    hamming_topk,
     kmeans_centroids,
     topk_ranked,
 )
@@ -187,21 +187,14 @@ class AnnIndex:
     def search_hamming(self, queries: DataFrame, k: int = 5) -> DataFrame:
         """Binary first stage over the stored codes (1/32nd of the
         float bytes); compose with ``search_exact``/``rerank_topk`` on
-        the survivors for the standard two-stage retrieval."""
+        the survivors for the standard two-stage retrieval. Delegates
+        to ``hamming_topk`` — one ranking contract, one place to fix
+        it."""
         spark = queries.sparkSession
         qcodes = binary_quantize(
             queries, dim=self.meta["dim"],
             vec_col=self.meta["vec_col"], id_col=self.meta["id_col"],
         )
-        from pyspark.sql import Window
-
-        scored = hamming_scored(self.codes(spark), qcodes,
-                                id_col=self.meta["id_col"])
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("hamming").asc(), F.col("candidate_id")
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "candidate_id", "hamming", "rank")
+        return hamming_topk(
+            self.codes(spark), qcodes, k=k, id_col=self.meta["id_col"]
         )

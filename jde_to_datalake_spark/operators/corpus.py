@@ -600,7 +600,15 @@ def rarity_metrics(
     occ = spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    joined = occ.join(df_counts, "tok")
+    # LEFT join with missing df -> 0: with a PRECOMPUTED frequency
+    # table, tokens the index has never seen are exactly the maximally
+    # rare signal this metric exists for — an inner join would silently
+    # exclude them and drop an all-OOV document from the output
+    # entirely (and from any report inner-joined on the doc id
+    # downstream). No-op when df_counts is derived from `docs` itself.
+    joined = occ.join(df_counts, "tok", "left").withColumn(
+        "df", F.coalesce(F.col("df"), F.lit(0).cast("bigint"))
+    )
     return joined.groupBy(id_col).agg(
         (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_token_df"),
         F.sum((F.col("df") <= rare_df_threshold).cast("bigint"))

@@ -544,7 +544,12 @@ def exact_substring_dedup(
     The shuffled payload is (id, pos, 32-hex md5) per window — never
     the window text. Output: (id, text, n_tokens, n_dup_tokens); a
     fully duplicated doc keeps its row with text='' (callers see the
-    cut). Docs shorter than ``min_len`` tokens pass through unchanged.
+    cut). Documents with NOTHING to cut keep their ORIGINAL text
+    byte-for-byte (including shorter-than-``min_len`` docs and
+    NULL/empty text, which report n_tokens=0); only documents that
+    lose a span are reassembled, and reassembly joins the surviving
+    tokens with single spaces — cutting from the middle cannot
+    preserve the original inter-token whitespace.
 
     ``materialize_windows``: the window relation has two consumers
     (first-occurrence agg + probe join); by default it is RECOMPUTED
@@ -562,9 +567,17 @@ def exact_substring_dedup(
         raise ValueError("min_len must be positive")
     L = min_len
     toked = spread(docs).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__toks"),
     )
-    n = F.size(F.col("__toks"))
+    # well-defined degenerate inputs: NULL/empty text has ZERO tokens
+    # (split('') returns [''], which would count 1)
+    n_raw = F.size(F.col("__toks"))
+    n = F.when(
+        F.col("__text").isNull() | (F.length(F.trim(F.col("__text"))) == 0),
+        F.lit(0),
+    ).otherwise(n_raw)
     # guarded: sequence(1, stop) with stop < 1 would DESCEND in Spark
     starts = F.when(n >= L, F.sequence(F.lit(1), n - L + 1)).otherwise(
         F.array().cast("array<int>")
@@ -624,6 +637,7 @@ def exact_substring_dedup(
     )
     joined = toked.join(merged, id_col, "left").select(
         F.col(id_col),
+        F.col("__text"),
         F.col("__toks"),
         F.coalesce(
             F.col("__ivs"), F.array().cast("array<struct<s:bigint,e:bigint>>")
@@ -654,8 +668,12 @@ def exact_substring_dedup(
     )
     return joined.select(
         F.col(id_col),
-        F.array_join(kept, " ").alias(text_col),
-        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+        # nothing cut -> the ORIGINAL text survives byte-for-byte;
+        # only reassembled documents pay the single-space rejoin
+        F.when(F.size(F.col("__ivs")) == 0, F.col("__text"))
+        .otherwise(F.array_join(kept, " "))
+        .alias(text_col),
+        n.cast("long").alias("n_tokens"),
         n_dup.alias("n_dup_tokens"),
     )
 
@@ -688,21 +706,34 @@ def incremental_exact_dedup(
     text, so the join payload is hash-width regardless of corpus size.
     Idempotent by construction: re-running a batch after its novel
     fingerprints were appended yields is_novel = false everywhere.
+
+    NULL-text rows have no content to fingerprint: they stay in the
+    output (accounting — every batch row gets a verdict) with all
+    three flags false, so nothing NULL is ever ingested or appended
+    to the index.
     """
     fp = fingerprint(F.col(text_col))
     batch = new_docs.withColumn("fingerprint", fp)
-    keepers = batch.groupBy("fingerprint").agg(
-        F.min(F.col(id_col)).alias("__keeper")
+    keepers = (
+        batch.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.min(F.col(id_col)).alias("__keeper"))
     )
     known = known_fingerprints.select(
         F.col(known_fingerprints.columns[0]).alias("fingerprint"),
         F.lit(True).alias("__known"),
     ).distinct()
     out = (
-        batch.join(keepers, "fingerprint")
+        # LEFT joins: a NULL fingerprint never equi-joins, and an inner
+        # join here silently DROPPED such rows from the output,
+        # violating the "batch plus flags" contract
+        batch.join(keepers, "fingerprint", "left")
         .join(known, "fingerprint", "left")
         .withColumn("is_known", F.coalesce(F.col("__known"), F.lit(False)))
-        .withColumn("is_batch_first", F.col(id_col) == F.col("__keeper"))
+        .withColumn(
+            "is_batch_first",
+            F.coalesce(F.col(id_col) == F.col("__keeper"), F.lit(False)),
+        )
         .withColumn(
             "is_novel", F.col("is_batch_first") & ~F.col("is_known")
         )

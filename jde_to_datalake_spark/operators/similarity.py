@@ -212,19 +212,27 @@ def assign_cells(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents_arr: DataFrame | None = None,
 ) -> DataFrame:
     """IVF indexing pass: (id, vec, nrm, cell) with each vector's
     nearest-centroid cell — a row-local reduction over the broadcast
     centroid array, zero shuffles. At scale this output is what gets
     written ``partitionBy(cell)`` (see operators/ann_index.py), making
-    every later probe a partition-pruned scan."""
+    every later probe a partition-pruned scan.
+
+    ``cents_arr``: pass an already-folded ``_cent_array`` frame when
+    the caller also probes with it (``ivf_scored``) so the centroid
+    derivation stays ONE shared subplan instead of two independent
+    copies of the seed/fold pipeline."""
+    if cents_arr is None:
+        cents_arr = _cent_array(centroids)
     return (
         corpus.select(
             F.col(id_col),
             F.col(vec_col),
             _norm(F.col(vec_col)).alias("nrm"),
         )
-        .crossJoin(F.broadcast(_cent_array(centroids)))
+        .crossJoin(F.broadcast(cents_arr))
         .select(
             id_col, vec_col, "nrm",
             F.array_max(
@@ -291,7 +299,9 @@ def ivf_scored(
             .select("cell", "cent_vec")
         )
     cent_arr = _cent_array(centroids)
-    assigned = assign_cells(corpus, centroids, vec_col, id_col).select(
+    assigned = assign_cells(
+        corpus, centroids, vec_col, id_col, cents_arr=cent_arr
+    ).select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("candidate_id_vec"),
         F.col("nrm").alias("candidate_id_norm"),

@@ -234,11 +234,17 @@ agg AS (
          COUNT(*) AS n_kept
   FROM kept GROUP BY doc_id
 )
+-- nothing cut -> the ORIGINAL text byte-for-byte (mirrors the
+-- operator's contract); only reassembled docs are single-space joins
 SELECT t.doc_id,
-       COALESCE(a.text, '') AS text,
-       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CASE WHEN len(t.t) - COALESCE(a.n_kept, 0) = 0 THEN d.text
+            ELSE COALESCE(a.text, '') END AS text,
+       CAST(CASE WHEN d.text IS NULL OR length(trim(d.text)) = 0
+                 THEN 0 ELSE len(t.t) END AS BIGINT) AS n_tokens,
        CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dup_tokens
-FROM toks t LEFT JOIN agg a USING (doc_id)
+FROM toks t
+JOIN documents d USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
 """
 
 

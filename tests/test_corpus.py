@@ -466,3 +466,23 @@ ORDER BY n_occurrences DESC, ngram LIMIT 25
 """
     ).fetch_df()
     compare_frames(got, exp, "top_ngrams")
+
+
+def test_rarity_metrics_counts_oov_tokens_against_persisted_index(spark):
+    """With a PRECOMPUTED frequency table, unseen tokens count as
+    maximally rare (df=0) and all-OOV documents keep their row
+    (review finding: the old inner join silently excluded both)."""
+    index_docs = _docs(spark, [(1, "aaa bbb"), (2, "aaa ccc")])
+    dfreq = C.token_df_counts(index_docs)
+    batch = _docs(spark, [(10, "aaa zzz"), (11, "qqq www")])
+    rows = {
+        r["doc_id"]: r
+        for r in C.rarity_metrics(batch, dfreq, rare_df_threshold=1).collect()
+    }
+    assert set(rows) == {10, 11}
+    # doc 10: aaa df=2, zzz df=0 -> mean 1.0, one rare occurrence
+    assert rows[10]["mean_token_df"] == 1.0
+    assert rows[10]["n_rare_tokens"] == 1 and rows[10]["rare_frac"] == 0.5
+    # doc 11: pure gibberish — the exact signal the metric exists for
+    assert rows[11]["mean_token_df"] == 0.0
+    assert rows[11]["n_rare_tokens"] == 2 and rows[11]["rare_frac"] == 1.0

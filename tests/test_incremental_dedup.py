@@ -177,3 +177,20 @@ def test_streaming_band_keys_join_batch_index(spark, tmp_path):
         for r in spark.sql("SELECT DISTINCT * FROM inc_cands").collect()
     }
     assert got == {(50, 1)}
+
+
+def test_null_text_rows_stay_in_output_with_flags_false(spark):
+    """NULL-text rows must not vanish (review finding): they stay in
+    the output with all flags false — nothing NULL is ingested or
+    appended to the index."""
+    index = spark.createDataFrame([], "fingerprint string")
+    batch = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "hello world")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in incremental_exact_dedup(batch, index).collect()}
+    assert set(rows) == {1, 2, 3}  # nothing dropped
+    assert rows[2]["fingerprint"] is None
+    assert not rows[2]["is_known"] and not rows[2]["is_batch_first"]
+    assert not rows[2]["is_novel"]
+    assert rows[1]["is_novel"] and not rows[3]["is_novel"]

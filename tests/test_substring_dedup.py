@@ -153,3 +153,32 @@ def test_hot_passage_skew_correctness(spark):
     # first-occurrence selection must be the agg, not a window keyed by
     # the (hot) passage hash
     assert "windowspecdefinition(__h" not in plan.lower()
+
+
+def test_untouched_docs_keep_original_whitespace(spark):
+    """Documents with nothing to cut keep their ORIGINAL text
+    byte-for-byte — newlines, tabs, and space runs survive (review
+    finding: the old reassembly normalized all whitespace corpus-wide).
+    NULL/empty text reports zero tokens and passes through."""
+    docs = _docs(
+        spark,
+        [
+            (1, "para1\n\npara2\tcode  indent"),
+            (2, "a b c d e f"),
+            (3, "x a b c d e y"),  # shares no 6-window with doc 2... craft:
+            (4, ""),
+            (5, None),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in exact_substring_dedup(docs, min_len=6).collect()}
+    assert rows[1]["text"] == "para1\n\npara2\tcode  indent"
+    assert rows[1]["n_dup_tokens"] == 0
+    assert rows[4]["text"] == "" and rows[4]["n_tokens"] == 0
+    assert rows[5]["text"] is None and rows[5]["n_tokens"] == 0
+    # a doc that IS cut gets the single-space reassembly (documented)
+    docs2 = _docs(spark, [(1, "one  two  three four"), (2, "z one two three w")])
+    out = {r["doc_id"]: r for r in exact_substring_dedup(docs2, min_len=3).collect()}
+    # doc1 first occurrence: original byte-for-byte, double spaces kept
+    assert out[1]["text"] == "one  two  three four"
+    # doc2 loses the repeated run; survivors single-space joined
+    assert out[2]["n_dup_tokens"] > 0
