@@ -259,9 +259,12 @@ def passage_dedup(
     content, so output is deterministic and append-biased toward old
     data, matching the batch-dedup convention.
 
-    Output: (id, text, n_windows, n_kept) — text is the surviving
-    windows rejoined in order (empty string when everything was
-    boilerplate; the row is retained so callers see the drop).
+    Output: (id, text, n_windows, n_kept) — a document that keeps
+    EVERY window keeps its ORIGINAL text byte-for-byte (inter-token
+    whitespace survives); a document that loses windows is the
+    surviving windows rejoined with single spaces, in order (empty
+    string when everything was boilerplate; the row is retained so
+    callers see the drop).
 
     Scale shape: explode to one row per window, then first-occurrence
     selection via a MAP-SIDE COMBINABLE min(struct(doc, pos)) per
@@ -274,7 +277,9 @@ def passage_dedup(
     if k <= 0:
         raise ValueError("k must be positive")
     toked = spread(docs).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__toks"),
     )
     n = F.size(F.col("__toks"))
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(k))
@@ -315,9 +320,20 @@ def passage_dedup(
                 lambda s: s["passage"],
             ),
             " ",
-        ).alias(text_col),
+        ).alias("__joined"),
     )
-    return assembled.select(id_col, text_col, "n_windows", "n_kept")
+    # every window kept -> original text byte-for-byte; only documents
+    # that lost a passage pay the single-space rejoin (same fidelity
+    # contract as exact_substring_dedup)
+    return assembled.join(
+        toked.select(F.col(id_col), F.col("__text")), id_col
+    ).select(
+        id_col,
+        F.when(F.col("n_kept") == F.col("n_windows"), F.col("__text"))
+        .otherwise(F.col("__joined"))
+        .alias(text_col),
+        "n_windows", "n_kept",
+    )
 
 
 def _bigrams(tk) -> F.Column:

@@ -170,14 +170,21 @@ ranked AS (
   SELECT doc_id, start, passage,
          row_number() OVER (PARTITION BY passage ORDER BY doc_id, start) AS rn
   FROM w
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(
+           string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY start),
+           '') AS joined,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM ranked GROUP BY doc_id
 )
-SELECT doc_id,
-       COALESCE(
-         string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY start),
-         '') AS text,
-       CAST(COUNT(*) AS BIGINT) AS n_windows,
-       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM ranked GROUP BY doc_id
+-- every window kept -> ORIGINAL text byte-for-byte (operator contract)
+SELECT a.doc_id,
+       CASE WHEN a.n_kept = a.n_windows THEN d.text ELSE a.joined END AS text,
+       a.n_windows, a.n_kept
+FROM agg a JOIN documents d USING (doc_id)
 """
 
 

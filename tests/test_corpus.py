@@ -229,14 +229,21 @@ ranked AS (
   SELECT doc_id, start, passage,
          row_number() OVER (PARTITION BY passage ORDER BY doc_id, start) AS rn
   FROM w
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(
+           string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY start),
+           '') AS joined,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM ranked GROUP BY doc_id
 )
-SELECT doc_id,
-       COALESCE(
-         string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY start),
-         '') AS text,
-       CAST(COUNT(*) AS BIGINT) AS n_windows,
-       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM ranked GROUP BY doc_id
+-- every window kept -> ORIGINAL text byte-for-byte (operator contract)
+SELECT a.doc_id,
+       CASE WHEN a.n_kept = a.n_windows THEN d.text ELSE a.joined END AS text,
+       a.n_windows, a.n_kept
+FROM agg a JOIN documents d USING (doc_id)
 """
     ).fetch_df()
     compare_frames(got, exp, "passage_dedup")
@@ -486,3 +493,19 @@ def test_rarity_metrics_counts_oov_tokens_against_persisted_index(spark):
     # doc 11: pure gibberish — the exact signal the metric exists for
     assert rows[11]["mean_token_df"] == 0.0
     assert rows[11]["n_rare_tokens"] == 2 and rows[11]["rare_frac"] == 1.0
+
+
+def test_passage_dedup_preserves_untouched_text(spark):
+    """Same fidelity contract as exact_substring_dedup: a document
+    that keeps every passage keeps its ORIGINAL text byte-for-byte."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha\tbeta  gamma\ndelta"),   # unique: untouched
+            (2, "p q r s"),
+            (3, "z p q r s w x y"),             # shares no 2-window start-
+        ],
+    )
+    rows = {r["doc_id"]: r for r in C.passage_dedup(docs, k=2).collect()}
+    assert rows[1]["text"] == "alpha\tbeta  gamma\ndelta"
+    assert rows[1]["n_kept"] == rows[1]["n_windows"]
