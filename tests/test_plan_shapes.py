@@ -152,7 +152,10 @@ def test_corpus_pipeline_op_shapes(spark):
     langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())[:2]
     for name, df, budget in [
         ("sequence_pack", C.sequence_pack(docs, budget=64), 3),
-        ("passage_dedup", C.passage_dedup(docs, k=5), 4),
+        # 5th exchange: the doc-keyed join attaching the ORIGINAL text
+        # for untouched docs (the fidelity contract) — text moves once
+        # per doc, never per window
+        ("passage_dedup", C.passage_dedup(docs, k=5), 5),
         (
             "mixture_sample_exact",
             mixture_sample(
