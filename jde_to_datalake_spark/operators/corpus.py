@@ -264,7 +264,8 @@ def passage_dedup(
     whitespace survives); a document that loses windows is the
     surviving windows rejoined with single spaces, in order (empty
     string when everything was boilerplate; the row is retained so
-    callers see the drop).
+    callers see the drop). NULL-text documents are retained too, with
+    n_windows = 0 — every input row gets a verdict.
 
     Scale shape: explode to one row per window, then first-occurrence
     selection via a MAP-SIDE COMBINABLE min(struct(doc, pos)) per
@@ -324,15 +325,22 @@ def passage_dedup(
     )
     # every window kept -> original text byte-for-byte; only documents
     # that lost a passage pay the single-space rejoin (same fidelity
-    # contract as exact_substring_dedup)
-    return assembled.join(
-        toked.select(F.col(id_col), F.col("__text")), id_col
+    # contract as exact_substring_dedup). LEFT join from the docs side:
+    # NULL-text docs emit no windows, hence no assembled row — they
+    # must still get a verdict (n_windows 0), not vanish.
+    return toked.select(F.col(id_col), F.col("__text")).join(
+        assembled, id_col, "left"
     ).select(
         id_col,
-        F.when(F.col("n_kept") == F.col("n_windows"), F.col("__text"))
+        F.when(
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            == F.coalesce(F.col("n_windows"), F.lit(0)),
+            F.col("__text"),
+        )
         .otherwise(F.col("__joined"))
         .alias(text_col),
-        "n_windows", "n_kept",
+        F.coalesce(F.col("n_windows"), F.lit(0).cast("bigint")).alias("n_windows"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
     )
 
 
@@ -613,6 +621,7 @@ def rarity_metrics(
     """
     if df_counts is None:
         df_counts = token_df_counts(docs, text_col=text_col, id_col=id_col)
+    base = spread(docs).select(F.col(id_col))
     occ = spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
@@ -625,7 +634,7 @@ def rarity_metrics(
     joined = occ.join(df_counts, "tok", "left").withColumn(
         "df", F.coalesce(F.col("df"), F.lit(0).cast("bigint"))
     )
-    return joined.groupBy(id_col).agg(
+    agg = joined.groupBy(id_col).agg(
         (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_token_df"),
         F.sum((F.col("df") <= rare_df_threshold).cast("bigint"))
         .alias("n_rare_tokens"),
@@ -633,6 +642,16 @@ def rarity_metrics(
             F.sum((F.col("df") <= rare_df_threshold).cast("bigint"))
             / F.count(F.lit(1))
         ).alias("rare_frac"),
+    )
+    # LEFT join from the docs side: a NULL-text doc has no token
+    # occurrences but must keep its row (means undefined -> null,
+    # counts 0) so downstream doc-keyed report joins never drop it
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "mean_token_df",
+        F.coalesce(F.col("n_rare_tokens"), F.lit(0).cast("bigint"))
+        .alias("n_rare_tokens"),
+        "rare_frac",
     )
 
 

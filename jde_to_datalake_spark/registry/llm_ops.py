@@ -772,13 +772,13 @@ SELECT t.doc_id,
     AND NOT ((NOT t.doc_id % 97 = 0) AND coalesce(hits.n_eval_hits, 0) >= {C.CONTAM_MIN_HITS})
     AS keep,
   rar.mean_token_df,
-  rar.n_rare_tokens,
+  CAST(COALESCE(rar.n_rare_tokens, 0) AS BIGINT) AS n_rare_tokens,
   rar.rare_frac
 FROM t
 JOIN bg USING (doc_id)
 JOIN top_tok USING (doc_id)
 LEFT JOIN hits ON hits.doc_id = t.doc_id
-JOIN rar ON rar.doc_id = t.doc_id
+LEFT JOIN rar ON rar.doc_id = t.doc_id
 """
 
 

@@ -180,11 +180,15 @@ agg AS (
          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
   FROM ranked GROUP BY doc_id
 )
--- every window kept -> ORIGINAL text byte-for-byte (operator contract)
-SELECT a.doc_id,
-       CASE WHEN a.n_kept = a.n_windows THEN d.text ELSE a.joined END AS text,
-       a.n_windows, a.n_kept
-FROM agg a JOIN documents d USING (doc_id)
+-- every window kept -> ORIGINAL text byte-for-byte (operator
+-- contract); LEFT join from documents so NULL-text docs keep their
+-- row with n_windows = 0
+SELECT d.doc_id,
+       CASE WHEN COALESCE(a.n_kept, 0) = COALESCE(a.n_windows, 0)
+            THEN d.text ELSE a.joined END AS text,
+       CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 

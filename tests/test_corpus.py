@@ -239,11 +239,15 @@ agg AS (
          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
   FROM ranked GROUP BY doc_id
 )
--- every window kept -> ORIGINAL text byte-for-byte (operator contract)
-SELECT a.doc_id,
-       CASE WHEN a.n_kept = a.n_windows THEN d.text ELSE a.joined END AS text,
-       a.n_windows, a.n_kept
-FROM agg a JOIN documents d USING (doc_id)
+-- every window kept -> ORIGINAL text byte-for-byte (operator
+-- contract); LEFT join from documents so NULL-text docs keep their
+-- row with n_windows = 0
+SELECT d.doc_id,
+       CASE WHEN COALESCE(a.n_kept, 0) = COALESCE(a.n_windows, 0)
+            THEN d.text ELSE a.joined END AS text,
+       CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
     ).fetch_df()
     compare_frames(got, exp, "passage_dedup")
@@ -509,3 +513,21 @@ def test_passage_dedup_preserves_untouched_text(spark):
     rows = {r["doc_id"]: r for r in C.passage_dedup(docs, k=2).collect()}
     assert rows[1]["text"] == "alpha\tbeta  gamma\ndelta"
     assert rows[1]["n_kept"] == rows[1]["n_windows"]
+
+
+def test_passage_and_rarity_retain_null_text_docs(spark):
+    """Every input row gets a verdict: NULL-text documents keep their
+    rows (n_windows/n_rare 0, undefined means null) instead of
+    silently vanishing from doc-keyed reports."""
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon"), (2, None)],
+    )
+    prows = {r["doc_id"]: r for r in C.passage_dedup(docs, k=2).collect()}
+    assert set(prows) == {1, 2}
+    assert prows[2]["text"] is None
+    assert prows[2]["n_windows"] == 0 and prows[2]["n_kept"] == 0
+    rrows = {r["doc_id"]: r for r in C.rarity_metrics(docs).collect()}
+    assert set(rrows) == {1, 2}
+    assert rrows[2]["mean_token_df"] is None
+    assert rrows[2]["n_rare_tokens"] == 0 and rrows[2]["rare_frac"] is None
