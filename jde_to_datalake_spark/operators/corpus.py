@@ -129,6 +129,11 @@ def sequence_pack(
     same packs. Same salt -> same packing on any engine/partitioning;
     different salts -> independent orders per epoch. The per-document
     slices are identical either way — only adjacency changes.
+
+    NULL-text documents contribute nothing to the token stream and
+    emit no pack rows (deliberate: this is a PACK PLAN, not a
+    per-document report — run the filter/dedup reports first for
+    row-accounting semantics).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
