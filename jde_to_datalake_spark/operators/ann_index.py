@@ -198,3 +198,31 @@ class AnnIndex:
         return hamming_topk(
             self.codes(spark), qcodes, k=k, id_col=self.meta["id_col"]
         )
+
+
+def append_to_index(index: AnnIndex, new_corpus: DataFrame) -> None:
+    """Incremental index growth: assign the NEW vectors to the
+    EXISTING centroids (row-local, zero shuffles except the
+    partitionBy write) and append their corpus/code files — the
+    standard serving-index update, no retrain, no rescan of the
+    already-indexed corpus.
+
+    Centroids intentionally stay fixed: queries' probe decisions and
+    the stored cell layout must agree, and retraining would reassign
+    the whole corpus (that's a rebuild, not an append — call
+    ``AnnIndex.build`` when drift warrants it; the
+    ``quality.histogram_drift`` report over ``corpus().cell`` counts
+    is the natural trigger).
+    """
+    meta = index.meta
+    spark = new_corpus.sparkSession
+    cents = index.centroids(spark)
+    assign_cells(
+        new_corpus, cents, meta["vec_col"], meta["id_col"]
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index.root, "corpus")
+    )
+    binary_quantize(
+        new_corpus, dim=meta["dim"],
+        vec_col=meta["vec_col"], id_col=meta["id_col"],
+    ).write.mode("append").parquet(os.path.join(index.root, "codes"))

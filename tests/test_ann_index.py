@@ -103,3 +103,41 @@ def test_ivf_probe_scan_is_partition_pruned(spark, corpus, index):
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "PartitionFilters: [" in plan
+
+
+def test_append_grows_index_and_search_matches_full_rebuild(
+    spark, corpus, tmp_path_factory
+):
+    """Build on half the corpus, append the other half: exact search
+    over the appended index equals brute force over the FULL corpus
+    (bit-identical cosines), IVF stays consistent with the on-the-fly
+    operator given the same (unchanged) centroids, and the Hamming
+    codes cover everything."""
+    from jde_to_datalake_spark.operators.ann_index import append_to_index
+
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path_factory.mktemp("ann_inc") / "idx")
+    idx = AnnIndex.build(half_a, root, dim=64, n_centroids=4, n_iters=2)
+    append_to_index(idx, half_b)
+
+    queries = corpus.filter(F.col("vec_id") < 5)
+    got = _by_query(idx.search_exact(queries, k=5).collect())
+    want = _by_query(cosine_topk(corpus, queries, k=5).collect())
+    assert got.keys() == want.keys()
+    for q in want:
+        assert [r.candidate_id for r in got[q]] == [r.candidate_id for r in want[q]]
+        assert [r.cosine for r in got[q]] == [r.cosine for r in want[q]]
+    # IVF against the same stored centroids agrees with on-the-fly
+    got_ivf = _by_query(idx.search_ivf(queries, k=3, n_probe=2).collect())
+    want_ivf = _by_query(
+        ivf_topk(corpus, queries, k=3, n_probe=2,
+                 centroids=idx.centroids(spark)).collect()
+    )
+    for q in want_ivf:
+        assert [r.candidate_id for r in got_ivf[q]] == [
+            r.candidate_id for r in want_ivf[q]
+        ]
+    # codes cover the whole corpus exactly once
+    assert idx.codes(spark).count() == corpus.count()
+    assert idx.codes(spark).select("vec_id").distinct().count() == corpus.count()
