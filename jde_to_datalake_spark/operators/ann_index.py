@@ -215,14 +215,27 @@ def append_to_index(index: AnnIndex, new_corpus: DataFrame) -> None:
     is the natural trigger).
     """
     meta = index.meta
+    idc = meta["id_col"]
     spark = new_corpus.sparkSession
     cents = index.centroids(spark)
+    # per-artifact anti-join guards make the append IDEMPOTENT: the
+    # two writes are not atomic, so a retry after a partial failure
+    # (corpus written, codes crashed) must re-append ONLY what each
+    # artifact is missing — without the guards the retry would
+    # double-append the corpus rows and every new vector would appear
+    # twice in search results (review finding). The guards read only
+    # the id column of each artifact.
+    fresh_corpus = new_corpus.join(
+        index.corpus(spark).select(idc), idc, "left_anti"
+    )
     assign_cells(
-        new_corpus, cents, meta["vec_col"], meta["id_col"]
+        fresh_corpus, cents, meta["vec_col"], idc
     ).write.mode("append").partitionBy("cell").parquet(
         os.path.join(index.root, "corpus")
     )
+    fresh_codes = new_corpus.join(
+        index.codes(spark).select(idc), idc, "left_anti"
+    )
     binary_quantize(
-        new_corpus, dim=meta["dim"],
-        vec_col=meta["vec_col"], id_col=meta["id_col"],
+        fresh_codes, dim=meta["dim"], vec_col=meta["vec_col"], id_col=idc
     ).write.mode("append").parquet(os.path.join(index.root, "codes"))

@@ -626,9 +626,12 @@ def rarity_metrics(
     """
     if df_counts is None:
         df_counts = token_df_counts(docs, text_col=text_col, id_col=id_col)
-    base = spread(docs).select(F.col(id_col))
+    # explode_OUTER keeps a NULL-token row for token-less (NULL-text)
+    # docs, so every document reaches the aggregation in ONE scan —
+    # no second docs scan, no extra doc-keyed join (review finding)
     occ = spread(docs).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
     )
     # LEFT join with missing df -> 0: with a PRECOMPUTED frequency
     # table, tokens the index has never seen are exactly the maximally
@@ -639,24 +642,21 @@ def rarity_metrics(
     joined = occ.join(df_counts, "tok", "left").withColumn(
         "df", F.coalesce(F.col("df"), F.lit(0).cast("bigint"))
     )
-    agg = joined.groupBy(id_col).agg(
-        (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_token_df"),
-        F.sum((F.col("df") <= rare_df_threshold).cast("bigint"))
-        .alias("n_rare_tokens"),
-        (
-            F.sum((F.col("df") <= rare_df_threshold).cast("bigint"))
-            / F.count(F.lit(1))
-        ).alias("rare_frac"),
+    # all aggregates guard on the REAL occurrences (tok non-null):
+    # identical operands to the plain-explode form on non-null docs,
+    # null means / zero counts for token-less docs (ANSI-safe via
+    # try_divide)
+    is_occ = F.col("tok").isNotNull()
+    n_occ = F.sum(is_occ.cast("bigint"))
+    n_rare = F.sum(
+        (is_occ & (F.col("df") <= rare_df_threshold)).cast("bigint")
     )
-    # LEFT join from the docs side: a NULL-text doc has no token
-    # occurrences but must keep its row (means undefined -> null,
-    # counts 0) so downstream doc-keyed report joins never drop it
-    return base.join(agg, id_col, "left").select(
-        id_col,
-        "mean_token_df",
-        F.coalesce(F.col("n_rare_tokens"), F.lit(0).cast("bigint"))
-        .alias("n_rare_tokens"),
-        "rare_frac",
+    return joined.groupBy(id_col).agg(
+        F.try_divide(
+            F.sum(F.when(is_occ, F.col("df"))).cast("double"), n_occ
+        ).alias("mean_token_df"),
+        n_rare.alias("n_rare_tokens"),
+        F.try_divide(n_rare, n_occ).alias("rare_frac"),
     )
 
 

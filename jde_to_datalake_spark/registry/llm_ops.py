@@ -235,13 +235,17 @@ agg AS (
   FROM kept GROUP BY doc_id
 )
 -- nothing cut -> the ORIGINAL text byte-for-byte (mirrors the
--- operator's contract); only reassembled docs are single-space joins
+-- operator's contract); only reassembled docs are single-space joins.
+-- The dup-cut arithmetic is COALESCE-wrapped so a NULL-text doc
+-- (len(t.t) IS NULL) lands in the nothing-cut branch: text NULL,
+-- n_dup_tokens 0 — exactly the operator's verdict.
 SELECT t.doc_id,
-       CASE WHEN len(t.t) - COALESCE(a.n_kept, 0) = 0 THEN d.text
+       CASE WHEN COALESCE(len(t.t) - COALESCE(a.n_kept, 0), 0) = 0 THEN d.text
             ELSE COALESCE(a.text, '') END AS text,
        CAST(CASE WHEN d.text IS NULL OR length(trim(d.text)) = 0
                  THEN 0 ELSE len(t.t) END AS BIGINT) AS n_tokens,
-       CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dup_tokens
+       CAST(COALESCE(len(t.t) - COALESCE(a.n_kept, 0), 0) AS BIGINT)
+         AS n_dup_tokens
 FROM toks t
 JOIN documents d USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
@@ -775,8 +779,8 @@ SELECT t.doc_id,
   CAST(COALESCE(rar.n_rare_tokens, 0) AS BIGINT) AS n_rare_tokens,
   rar.rare_frac
 FROM t
-JOIN bg USING (doc_id)
-JOIN top_tok USING (doc_id)
+LEFT JOIN bg USING (doc_id)
+LEFT JOIN top_tok USING (doc_id)
 LEFT JOIN hits ON hits.doc_id = t.doc_id
 LEFT JOIN rar ON rar.doc_id = t.doc_id
 """

@@ -160,7 +160,9 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PASSAGE_DEDUP = f"""
 WITH toks AS (
-  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+  -- NULL text emits no windows (mirrors the operator; DuckDB's
+  -- greatest(len(NULL),1) would otherwise manufacture one)
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE text IS NOT NULL
 ),
 w AS (
   SELECT doc_id, i AS start, array_to_string(t[i:i+4], ' ') AS passage

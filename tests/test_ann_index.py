@@ -141,3 +141,21 @@ def test_append_grows_index_and_search_matches_full_rebuild(
     # codes cover the whole corpus exactly once
     assert idx.codes(spark).count() == corpus.count()
     assert idx.codes(spark).select("vec_id").distinct().count() == corpus.count()
+
+
+def test_append_retry_is_idempotent(spark, corpus, tmp_path_factory):
+    """Re-running an append (the retry after a partial failure) must
+    not double-index anything: per-artifact anti-join guards make each
+    write idempotent."""
+    from jde_to_datalake_spark.operators.ann_index import append_to_index
+
+    half_a = corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path_factory.mktemp("ann_retry") / "idx")
+    idx = AnnIndex.build(half_a, root, dim=64, n_centroids=4, n_iters=2)
+    append_to_index(idx, half_b)
+    append_to_index(idx, half_b)  # the retry
+    n = corpus.count()
+    assert idx.corpus(spark).count() == n
+    assert idx.codes(spark).count() == n
+    assert idx.corpus(spark).select("vec_id").distinct().count() == n

@@ -211,45 +211,17 @@ def test_passage_dedup_exact(spark):
 
 
 def test_passage_dedup_duckdb_parity(spark, duck):
+    """Parity against the SAME oracle the driver runs (imported, not
+    duplicated — a copy here once drifted from the registry's SQL)."""
+    from jde_to_datalake_spark.registry.pipeline_ops import (
+        ORACLE_PASSAGE_DEDUP,
+    )
     from tests.conftest import compare_frames
 
     got = C.passage_dedup(
         spark.read.parquet(f"{SF_DIR}/documents.parquet"), k=5
     ).toPandas()
-    exp = duck.execute(
-        """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
-),
-w AS (
-  SELECT doc_id, i AS start, array_to_string(t[i:i+4], ' ') AS passage
-  FROM toks, UNNEST(generate_series(1, greatest(len(t), 1), 5)) AS g(i)
-),
-ranked AS (
-  SELECT doc_id, start, passage,
-         row_number() OVER (PARTITION BY passage ORDER BY doc_id, start) AS rn
-  FROM w
-),
-agg AS (
-  SELECT doc_id,
-         COALESCE(
-           string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY start),
-           '') AS joined,
-         CAST(COUNT(*) AS BIGINT) AS n_windows,
-         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-  FROM ranked GROUP BY doc_id
-)
--- every window kept -> ORIGINAL text byte-for-byte (operator
--- contract); LEFT join from documents so NULL-text docs keep their
--- row with n_windows = 0
-SELECT d.doc_id,
-       CASE WHEN COALESCE(a.n_kept, 0) = COALESCE(a.n_windows, 0)
-            THEN d.text ELSE a.joined END AS text,
-       CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
-       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
-FROM documents d LEFT JOIN agg a USING (doc_id)
-"""
-    ).fetch_df()
+    exp = duck.execute(ORACLE_PASSAGE_DEDUP).fetch_df()
     compare_frames(got, exp, "passage_dedup")
 
 
