@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.functions import urls as U
 from jde_to_datalake_spark.operators import corpus as C
-from jde_to_datalake_spark.operators.dedup import exact_dedup
+from jde_to_datalake_spark.operators.dedup import (
+    exact_dedup,
+    exact_substring_dedup,
+)
 from jde_to_datalake_spark.operators.sampling import hash_split
 
 
@@ -42,6 +45,7 @@ def prepare_corpus(
     pack_budget: int = 512,
     shingle_n: int = 5,
     passage_k: int = 5,
+    substring_min_len: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     stage_cache: str = "none",
@@ -57,10 +61,12 @@ def prepare_corpus(
     Gate order is the standard one (cheap row-local gates first, the
     corpus-global dedups last so they see less data): URL blocklist ->
     quality/contamination keep -> exact dedup (min-id keeper) ->
-    passage dedup (which rewrites text; documents whose text becomes
-    empty are dropped). The split is assigned BEFORE packing and only
-    the train split is packed — eval/val text must never leak into
-    training packs.
+    passage dedup -> optional exact-substring dedup
+    (``substring_min_len``, the Lee et al. finishing pass over the
+    already-thinned corpus; both rewrite text, and documents whose
+    text becomes empty are dropped). The split is assigned BEFORE
+    packing and only the train split is packed — eval/val text must
+    never leak into training packs.
 
     ``stage_cache``: ``"none"`` (default) keeps every frame a pure
     lazy plan — nothing pinned, but each downstream consumer (the
@@ -113,6 +119,18 @@ def prepare_corpus(
         .filter(F.length(F.trim(F.col(text_col))) > 0)
     )
     stages.append(("passage_dedup", rewritten))
+
+    if substring_min_len is not None:
+        cut = exact_substring_dedup(
+            rewritten, min_len=substring_min_len,
+            text_col=text_col, id_col=id_col,
+        )
+        rewritten = _st(
+            rewritten.drop(text_col)
+            .join(cut.select(id_col, text_col), id_col)
+            .filter(F.length(F.trim(F.col(text_col))) > 0)
+        )
+        stages.append(("substring_dedup", rewritten))
 
     labeled = hash_split(rewritten, [id_col], split_weights)
     train = labeled.filter(F.col("split") == "train")

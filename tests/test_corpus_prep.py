@@ -112,3 +112,28 @@ def test_stage_cache_modes_agree(spark):
     assert outs["none"] == outs["local"]
     with _pytest.raises(ValueError):
         prepare_corpus(docs, docs.filter(is_eval), is_eval, stage_cache="disk")
+
+
+def test_optional_substring_stage(spark):
+    """With substring_min_len set, the pipeline runs the Lee et al.
+    finishing pass: repeated >=L-token runs survive only once across
+    the final corpus, and the funnel grows the extra stage."""
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 97 == 0
+    out = prepare_corpus(
+        base, base.filter(is_eval), is_eval,
+        pack_budget=64, substring_min_len=5, stage_cache="local",
+    )
+    funnel = [r["stage"] for r in out["funnel"].orderBy("stage_idx").collect()]
+    assert funnel == [
+        "input", "quality_filter", "exact_dedup", "passage_dedup",
+        "substring_dedup",
+    ]
+    final = out["documents"]
+    # no >=5-token run appears twice in the surviving corpus: a second
+    # substring pass over the OUTPUT finds nothing left to cut
+    from jde_to_datalake_spark.operators.dedup import exact_substring_dedup
+
+    recheck = exact_substring_dedup(final, min_len=5)
+    assert recheck.filter(F.col("n_dup_tokens") > 0).count() == 0
+    assert final.count() > 0
