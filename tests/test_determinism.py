@@ -25,6 +25,10 @@ SWEEP = [
     "ann_suite",
     "sampling_suite",
     "substring_dedup",
+    "passage_dedup",
+    "corpus_filters",
+    "url_filters",
+    "fuzzy_join",
 ]
 
 
