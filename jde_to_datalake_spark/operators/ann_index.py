@@ -239,3 +239,47 @@ def append_to_index(index: AnnIndex, new_corpus: DataFrame) -> None:
     binary_quantize(
         fresh_codes, dim=meta["dim"], vec_col=meta["vec_col"], id_col=idc
     ).write.mode("append").parquet(os.path.join(index.root, "codes"))
+
+
+def search_two_stage(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 5,
+    k_first: int = 50,
+) -> DataFrame:
+    """The standard two-stage retrieval over the index: Hamming over
+    the stored codes prunes the corpus to ``k_first`` candidates per
+    query (reading 1/32nd of the float bytes), then EXACT cosine over
+    just those candidates' stored vectors ranks the final ``k``.
+
+    Cost: stage 1 touches codes only; stage 2 touches
+    queries x k_first corpus rows — independent of corpus size. The
+    cosine uses the same strict fold as ``search_exact``, so whenever
+    the true neighbor survives stage 1 its final score is
+    BIT-IDENTICAL to the brute-force path (recall is the only
+    approximation, bounded by ``k_first`` — see the recall test).
+    """
+    meta = index.meta
+    idc = meta["id_col"]
+    spark = queries.sparkSession
+    cand = index.search_hamming(queries, k=k_first).select(
+        "query_id", "candidate_id"
+    )
+    c = index.corpus(spark).select(
+        F.col(idc).alias("candidate_id"),
+        F.col(meta["vec_col"]).alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+    )
+    q = index._queries_with_norm(queries)
+    scored = (
+        cand.join(c, "candidate_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm") / F.col("c_norm"),
+        )
+    )
+    return topk_ranked(scored, k).select(
+        "query_id", "candidate_id", "cosine", "rank"
+    )

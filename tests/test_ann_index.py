@@ -159,3 +159,26 @@ def test_append_retry_is_idempotent(spark, corpus, tmp_path_factory):
     assert idx.corpus(spark).count() == n
     assert idx.codes(spark).count() == n
     assert idx.corpus(spark).select("vec_id").distinct().count() == n
+
+
+def test_two_stage_search_scores_exact_and_recall(spark, corpus, index):
+    """Two-stage search over the index: whenever the true neighbor
+    survives the Hamming stage its cosine is bit-identical to brute
+    force, and with a generous k_first the top-1 recall is high."""
+    from jde_to_datalake_spark.operators.ann_index import search_two_stage
+
+    queries = corpus.filter(F.col("vec_id") < 10)
+    got = _by_query(search_two_stage(index, queries, k=3, k_first=50).collect())
+    want = _by_query(cosine_topk(corpus, queries, k=1).collect())
+    hits = 0
+    for q, rows in want.items():
+        true_top = rows[0]
+        two_stage = {r.candidate_id: r.cosine for r in got[q]}
+        if true_top.candidate_id in two_stage:
+            hits += 1
+            assert two_stage[true_top.candidate_id] == true_top.cosine
+    assert hits >= 7, f"two-stage top-1 recall too low: {hits}/10"
+    # ranks dense, k respected
+    for q, rows in got.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
