@@ -330,6 +330,59 @@ FROM flagged GROUP BY p_brand, has_bulk_sales
 """
 
 
+def q_flag_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+J6 as one tagged suite (round 4: the separate semi_anti_join
+    and exists_flag_join rows merged to fund the top_ngrams promotion).
+
+    - ``anti``: the non-vacuous filtered anti-join (q_semi_anti) —
+      one row per order-less customer, account balance staged to
+      exact int64 cents (decimal math on both engines).
+    - ``exists``: the existence-flag join + brand rollup
+      (q_exists_flag), flag and count in the value columns.
+
+    Both branches run the same operators as before; only the output is
+    re-shaped onto the shared (op, k, v, n) schema the union needs.
+    """
+    anti = q_semi_anti(spark, sf_dir).select(
+        F.lit("anti").alias("op"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.col("c_name").alias("v"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("n"),
+    )
+    exists = q_exists_flag(spark, sf_dir).select(
+        F.lit("exists").alias("op"),
+        F.col("p_brand").alias("k"),
+        F.col("has_bulk_sales").cast("string").alias("v"),
+        F.col("n_parts").alias("n"),
+    )
+    return anti.unionAll(exists)
+
+
+ORACLE_FLAG_JOIN_SUITE = """
+SELECT 'anti' AS op, CAST(c_custkey AS VARCHAR) AS k, c_name AS v,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS n
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+)
+UNION ALL
+SELECT 'exists' AS op, p_brand AS k,
+       CAST(has_bulk_sales AS VARCHAR) AS v,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT p.p_brand,
+         EXISTS (SELECT 1 FROM lineitem l
+                 WHERE l.l_quantity > 45
+                   AND lower(CAST(l.l_partkey AS VARCHAR)) = lower(CAST(p.p_partkey AS VARCHAR)))
+           AS has_bulk_sales
+  FROM part p
+) GROUP BY p_brand, has_bulk_sales
+"""
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / windows (A1-A13, W1-W2)
 # ---------------------------------------------------------------------------
@@ -641,14 +694,27 @@ FROM expanded WHERE props_k > 50 GROUP BY event_type
 
 
 def q_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1+F4: UoM map conversion + (src,tgt) factor multiplication.
+    """F1+F3+F4: UoM map conversion + membership validation + (src,tgt)
+    factor multiplication.
 
     Synthetic units derived from l_linenumber/l_partkey so the map
-    logic (backend/utility.py:21-127) is exercised on testdata.
+    logic (backend/utility.py:21-127) is exercised on testdata. The
+    stream carries a deliberate invalid tail ('BOGUS'/'??' arms), so
+    per-row `is_valid` proves validate_unit's reject-split semantics
+    on the same 60k rows — the F3 evidence previously in the separate
+    7-row validation_split slot (round 4: merged here to fund the
+    histogram_drift promotion). Unknown units degrade, never throw:
+    lake_unit falls back to lower(unit), the factor to 1.0 — a poison
+    row must not kill a 100 TB job.
     """
     li = _t(spark, sf_dir, "lineitem")
     src = (
-        F.when(F.col("l_linenumber") % 5 == 0, "KG")
+        # the invalid arms take linenumbers 6 and 7 — the duplicated
+        # EA/LT slots — so every VALID unit (KG..ML from linenumbers
+        # 1-5) keeps coverage at TPC-H's l_linenumber range of 1..7
+        F.when(F.col("l_linenumber") % 7 == 6, "BOGUS")
+        .when(F.col("l_linenumber") % 7 == 0, "??")
+        .when(F.col("l_linenumber") % 5 == 0, "KG")
         .when(F.col("l_linenumber") % 5 == 1, "EA")
         .when(F.col("l_linenumber") % 5 == 2, "LT")
         .when(F.col("l_linenumber") % 5 == 3, "GR")
@@ -665,6 +731,7 @@ def q_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return withu.select(
         "l_orderkey", "l_linenumber", "src_unit", "tgt_unit",
+        S.validate_unit(F.col("src_unit")).alias("is_valid"),
         S.convert_unit(F.col("src_unit"), "to_lake").alias("lake_unit"),
         S.convert_unit_quantity(
             F.col("src_unit"), F.col("tgt_unit"), F.col("l_quantity")
@@ -672,16 +739,26 @@ def q_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_UNIT_CONV = """
+def _valid_units_sql() -> str:
+    """The exact unit set validate_unit checks, from the same constants."""
+    units = sorted(set(S.JDE_TO_LAKE_UNITS) | set(S.LAKE_TO_JDE_UNITS))
+    return ", ".join(f"'{u}'" for u in units)
+
+
+ORACLE_UNIT_CONV = f"""
 WITH withu AS (
   SELECT l_orderkey, l_linenumber,
-    CASE l_linenumber % 5 WHEN 0 THEN 'KG' WHEN 1 THEN 'EA' WHEN 2 THEN 'LT'
-                          WHEN 3 THEN 'GR' ELSE 'ML' END AS src_unit,
+    CASE WHEN l_linenumber % 7 = 6 THEN 'BOGUS'
+         WHEN l_linenumber % 7 = 0 THEN '??'
+         ELSE (CASE l_linenumber % 5 WHEN 0 THEN 'KG' WHEN 1 THEN 'EA'
+                    WHEN 2 THEN 'LT' WHEN 3 THEN 'GR' ELSE 'ML' END)
+    END AS src_unit,
     CASE l_partkey % 3 WHEN 0 THEN 'G' WHEN 1 THEN 'L' ELSE 'ML' END AS tgt_unit,
     l_quantity
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber, src_unit, tgt_unit,
+  upper(src_unit) IN ({_valid_units_sql()}) AS is_valid,
   CASE src_unit WHEN 'KG' THEN 'kg' WHEN 'EA' THEN 'each' WHEN 'LT' THEN 'L'
                 WHEN 'GR' THEN 'g' WHEN 'ML' THEN 'mL' ELSE lower(src_unit) END
     AS lake_unit,
@@ -855,11 +932,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "filters_inlist_range": q_filters,
     "coerce_dropna": q_coerce_dropna,
-    "semi_anti_join": q_semi_anti,
+    "flag_join_suite": q_flag_join_suite,
     "first_match_join": q_first_match_join,
-    "exists_flag_join": q_exists_flag,
     "argmax_per_group": q_argmax_per_group,
-    "conditional_counts": q_conditional_counts,
     "collect_group_array": q_collect_group_array,
     "running_inventory": q_running_inventory,
     "window_suite": q_window_suite,
@@ -879,11 +954,9 @@ _ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_Q1,
     "filters_inlist_range": ORACLE_FILTERS,
     "coerce_dropna": ORACLE_COERCE,
-    "semi_anti_join": ORACLE_SEMI_ANTI,
+    "flag_join_suite": ORACLE_FLAG_JOIN_SUITE,
     "first_match_join": ORACLE_FIRST_MATCH,
-    "exists_flag_join": ORACLE_EXISTS_FLAG,
     "argmax_per_group": ORACLE_ARGMAX,
-    "conditional_counts": ORACLE_COND_COUNTS,
     "collect_group_array": ORACLE_COLLECT,
     "running_inventory": ORACLE_RUNNING_INV,
     "window_suite": ORACLE_WINDOW,
@@ -911,6 +984,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # round-4 promotions / reshapes first: new rows, merged suites,
     # and the queries whose plans changed this round
+    "histogram_drift",    # round-4 second-session promotion (quality)
+    "top_ngrams",         # round-4 second-session promotion (corpus)
+    "incremental_dedup",  # round-4 second-session promotion (index)
+    "flag_join_suite",    # semi_anti_join + exists_flag_join merged
+    "conditional_agg",    # conditional_counts + pivot_wide merged
+    "unit_conversion",    # + is_valid col (absorbed validation_split)
     "url_filters",
     "passage_dedup",
     "sequence_pack",
@@ -921,7 +1000,6 @@ _PRIORITY = [
     "ann_suite",          # + hamming branch (cosine -> score)
     "time_windows",       # + session branch (event_type -> grp)
     "notes_suite",        # json_note_pack + notes_membership merged
-    "semi_anti_join",     # non-vacuous filtered anti-join
     "expand_json",        # from_json rewrite (perf)
     "pricing_summary",    # spread_by re-measure (perf)
     "corpus_chunking",

@@ -612,58 +612,72 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-def q_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 as the scale pattern: boolean validity + reject accounting.
+# round 4: validation_split's F3 evidence moved into unit_conversion
+# (per-row is_valid over the same 60k-row unit stream — a strictly
+# stronger check than the old 7-row rollup); the freed slot funds the
+# histogram_drift promotion.
 
-    Units are synthesized with a deliberate invalid tail; the query
-    reports per-unit validity and row counts — the reject-table split
-    the engine recommends over raise-on-first-error (a poison row must
-    not kill a 100 TB job; validate_unit(strict=True) exists for the
-    fail-fast contexts).
+
+ORACLE_COND_COUNTS_BODY = """
+SELECT COUNT(*) AS total_records,
+       CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
+       CAST(count_if(l_quantity > 40) AS BIGINT) AS n_bulk,
+       CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
+       CAST(count_if(l_discount > 0) AS BIGINT) AS n_discounted
+FROM lineitem
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + PIVOT as one tagged suite (round 4: the separate
+    conditional_counts and pivot_wide rows merged to fund the
+    incremental_dedup promotion).
+
+    - ``cond``: single-pass match/mismatch counters (A4,
+      LiveDataComparison.js:432-456) — the same conditional_counts
+      operator, its one wide row melted to (metric, n).
+    - ``pivot``: groupBy().pivot() with EXPLICIT pivot values (never
+      let the engine scan for distinct values at 100 TB) — the pivot
+      operator still runs; its wide cells are melted onto the shared
+      long schema so both branches union.
+
+    Both branches stay one map-side-combined aggregation each; stack()
+    is a row-local generator over the tiny aggregated output.
     """
-    from jde_to_datalake_spark.functions.scalars import validate_unit
+    from jde_to_datalake_spark.operators import relational as R
 
     li = _t(spark, sf_dir, "lineitem")
-    with_units = li.select(
-        F.when(F.col("l_linenumber") % 7 == 0, F.lit("BOGUS"))
-        .when(F.col("l_linenumber") % 7 == 1, F.lit("??"))
-        .otherwise(
-            F.element_at(
-                F.array(F.lit("KG"), F.lit("EA"), F.lit("LT"), F.lit("GR"), F.lit("ML")),
-                (F.col("l_partkey") % 5 + 1).cast("int"),
-            )
-        ).alias("unit"),
+    cond = R.conditional_counts(li, {
+        "n_returned": F.col("l_returnflag") == "R",
+        "n_bulk": F.col("l_quantity") > 40,
+        "n_high_tax": F.col("l_tax") > 0.05,
+        "n_discounted": F.col("l_discount") > 0,
+    }).selectExpr(
+        "'cond' AS op", "'ALL' AS grp",
+        "stack(5, 'total_records', total_records, 'n_returned', n_returned,"
+        " 'n_bulk', n_bulk, 'n_high_tax', n_high_tax,"
+        " 'n_discounted', n_discounted) AS (metric, n)",
     )
-    return (
-        with_units.withColumn("is_valid", validate_unit(F.col("unit")))
-        .groupBy("unit", "is_valid")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+    wide = q_pivot_wide(spark, sf_dir).selectExpr(
+        "'pivot' AS op", "l_returnflag AS grp",
+        "stack(4, 'O_n', O_n, 'O_qty', O_qty, 'F_n', F_n, 'F_qty', F_qty)"
+        " AS (metric, n)",
     )
+    return cond.unionAll(wide)
 
 
-def _valid_units_sql() -> str:
-    """The exact unit set validate_unit checks, from the same constants."""
-    from jde_to_datalake_spark.functions.scalars import (
-        JDE_TO_LAKE_UNITS,
-        LAKE_TO_JDE_UNITS,
-    )
-
-    units = sorted(set(JDE_TO_LAKE_UNITS) | set(LAKE_TO_JDE_UNITS))
-    return ", ".join(f"'{u}'" for u in units)
-
-
-ORACLE_VALIDATION_SPLIT = f"""
-WITH u AS (
-  SELECT CASE
-    WHEN l_linenumber % 7 = 0 THEN 'BOGUS'
-    WHEN l_linenumber % 7 = 1 THEN '??'
-    ELSE (['KG','EA','LT','GR','ML'])[(l_partkey % 5) + 1] END AS unit
-  FROM lineitem
-)
-SELECT unit,
-       upper(unit) IN ({_valid_units_sql()}) AS is_valid,
-       COUNT(*) AS n_rows
-FROM u GROUP BY unit
+ORACLE_CONDITIONAL_AGG = f"""
+WITH cond AS ({ORACLE_COND_COUNTS_BODY}),
+wide AS ({ORACLE_PIVOT_WIDE})
+SELECT 'cond' AS op, 'ALL' AS grp, 'total_records' AS metric, total_records AS n FROM cond
+UNION ALL SELECT 'cond', 'ALL', 'n_returned', n_returned FROM cond
+UNION ALL SELECT 'cond', 'ALL', 'n_bulk', n_bulk FROM cond
+UNION ALL SELECT 'cond', 'ALL', 'n_high_tax', n_high_tax FROM cond
+UNION ALL SELECT 'cond', 'ALL', 'n_discounted', n_discounted FROM cond
+UNION ALL SELECT 'pivot', l_returnflag, 'O_n', O_n FROM wide
+UNION ALL SELECT 'pivot', l_returnflag, 'O_qty', O_qty FROM wide
+UNION ALL SELECT 'pivot', l_returnflag, 'F_n', F_n FROM wide
+UNION ALL SELECT 'pivot', l_returnflag, 'F_qty', F_qty FROM wide
 """
 
 
@@ -784,8 +798,7 @@ FROM points p JOIN intervals i
 # tests/test_quality.py; `json_note_pack` + `notes_membership` merged
 # into `notes_suite` (same proof shapes, one slot)
 QUERIES = {
-    "pivot_wide": q_pivot_wide,
-    "validation_split": q_validation_split,
+    "conditional_agg": q_conditional_agg,
     "multimodal_decode": q_multimodal_decode,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -801,8 +814,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "pivot_wide": ORACLE_PIVOT_WIDE,
-    "validation_split": ORACLE_VALIDATION_SPLIT,
+    "conditional_agg": ORACLE_CONDITIONAL_AGG,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,

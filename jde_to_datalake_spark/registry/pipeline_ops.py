@@ -374,12 +374,166 @@ FROM a, b WHERE levenshtein(a.name, b.name) <= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring
+# ---------------------------------------------------------------------------
+
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-edge histogram drift between two snapshots
+    (operators/quality.py:histogram_drift): order prices before vs
+    since 1998, per-bucket counts/fractions + chi-square terms.
+
+    With explicit edges every statistic is counts or ratios-of-counts,
+    so the report is exactly cross-engine reproducible — the property
+    that makes it oracle-checkable (auto-edge mode uses GK approx
+    quantiles, the 100 TB path, and is engine-specific by design).
+    Plan: one map-side-combined conditional-sum scan per side, then
+    |buckets|-row arithmetic — nothing scales with row count but the
+    two scans.
+    """
+    from jde_to_datalake_spark.operators.quality import histogram_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < "1998-01-01")
+    late = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    return histogram_drift(
+        early, late, "o_totalprice",
+        edges=[50000.0, 100000.0, 150000.0, 200000.0],
+    )
+
+
+ORACLE_HISTOGRAM_DRIFT = """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice <= 50000 THEN 0
+              WHEN o_totalprice <= 100000 THEN 1
+              WHEN o_totalprice <= 150000 THEN 2
+              WHEN o_totalprice <= 200000 THEN 3
+              ELSE 4 END AS bucket,
+         o_orderdate < TIMESTAMP '1998-01-01' AS is_base
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+counts AS (
+  SELECT bucket,
+         CAST(count_if(is_base) AS BIGINT) AS n_base,
+         CAST(count_if(NOT is_base) AS BIGINT) AS n_cur
+  FROM b GROUP BY bucket
+),
+grid AS (
+  SELECT i AS bucket,
+         (CASE i WHEN 0 THEN CAST('-inf' AS DOUBLE) WHEN 1 THEN 50000.0
+                 WHEN 2 THEN 100000.0 WHEN 3 THEN 150000.0 ELSE 200000.0 END) AS lo,
+         (CASE i WHEN 0 THEN 50000.0 WHEN 1 THEN 100000.0 WHEN 2 THEN 150000.0
+                 WHEN 3 THEN 200000.0 ELSE CAST('inf' AS DOUBLE) END) AS hi
+  FROM UNNEST(generate_series(0, 4)) AS t(i)
+),
+filled AS (
+  SELECT g.bucket, g.lo, g.hi,
+         COALESCE(c.n_base, 0) AS n_base, COALESCE(c.n_cur, 0) AS n_cur
+  FROM grid g LEFT JOIN counts c USING (bucket)
+),
+tot AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM filled)
+SELECT CAST(bucket AS INTEGER) AS bucket, lo, hi,
+       CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       n_base / tb AS frac_base, n_cur / tc AS frac_cur,
+       CASE WHEN n_base > 0
+            THEN (n_cur / tc - n_base / tb) * (n_cur / tc - n_base / tb)
+                 / (n_base / tb)
+            ELSE NULL END AS chi2_term
+FROM filled, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top n-grams
+# ---------------------------------------------------------------------------
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent token bigrams over the corpus
+    (operators/corpus.py:top_ngrams): (ngram, n_occurrences, n_docs),
+    top 25 with deterministic (count DESC, gram) tie-break — the
+    boilerplate-discovery / BPE-merge-seeding primitive. The final
+    top-k lowers to TakeOrderedAndProject (distributed heap, never a
+    global sort)."""
+    return C.top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=25)
+
+
+ORACLE_TOP_NGRAMS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk
+           FROM documents WHERE text IS NOT NULL),
+occ AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS ngram
+  FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM occ GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted fingerprint index
+# ---------------------------------------------------------------------------
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-index exact dedup (operators/dedup.py:
+    incremental_exact_dedup): even-doc_id documents stand in for the
+    persisted fingerprint index, odd-doc_id documents for the incoming
+    batch — fully deterministic, so the ledger-style is_known /
+    is_batch_first / is_novel verdicts are oracle-checkable. The index
+    side carries only hash-width fingerprints (never text), so the
+    join payload is constant regardless of corpus size."""
+    from jde_to_datalake_spark.functions.text import fingerprint
+    from jde_to_datalake_spark.operators.dedup import incremental_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = (
+        docs.filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        .select(fingerprint(F.col("text")).alias("fingerprint"))
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_exact_dedup(batch, index).select(
+        "doc_id", "fingerprint", "is_known", "is_batch_first", "is_novel"
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH fp AS (
+  SELECT doc_id,
+         sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS fingerprint
+  FROM documents
+),
+idx AS (
+  SELECT DISTINCT fingerprint FROM fp
+  WHERE doc_id % 2 = 0 AND fingerprint IS NOT NULL
+),
+batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1),
+keeper AS (
+  SELECT fingerprint, MIN(doc_id) AS keeper_id FROM batch
+  WHERE fingerprint IS NOT NULL GROUP BY fingerprint
+)
+SELECT b.doc_id, b.fingerprint,
+       COALESCE(i.known, FALSE) AS is_known,
+       COALESCE(b.doc_id = k.keeper_id, FALSE) AS is_batch_first,
+       (COALESCE(b.doc_id = k.keeper_id, FALSE)
+        AND NOT COALESCE(i.known, FALSE)) AS is_novel
+FROM batch b
+LEFT JOIN (SELECT fingerprint, TRUE AS known FROM idx) i USING (fingerprint)
+LEFT JOIN keeper k USING (fingerprint)
+"""
+
+
 QUERIES = {
     "url_filters": q_url_filters,
     "passage_dedup": q_passage_dedup,
     "sequence_pack": q_sequence_pack,
     "sampling_suite": q_sampling_suite,
     "fuzzy_join": q_fuzzy_join,
+    "histogram_drift": q_histogram_drift,
+    "top_ngrams": q_top_ngrams,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES = {
@@ -388,4 +542,7 @@ ORACLES = {
     "sequence_pack": ORACLE_SEQUENCE_PACK,
     "sampling_suite": _sampling_oracle(),
     "fuzzy_join": ORACLE_FUZZY_JOIN,
+    "histogram_drift": ORACLE_HISTOGRAM_DRIFT,
+    "top_ngrams": ORACLE_TOP_NGRAMS,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
 }

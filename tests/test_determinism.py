@@ -29,6 +29,11 @@ SWEEP = [
     "corpus_filters",
     "url_filters",
     "fuzzy_join",
+    # round-4 second-session promotions: top-k tie-breaks, index joins,
+    # and ratio arithmetic must also be partitioning-invariant
+    "top_ngrams",
+    "incremental_dedup",
+    "histogram_drift",
 ]
 
 

@@ -39,8 +39,11 @@ def _all_query_names():
 # Deliberate broadcast-nested-loop plans: ann_suite's exact branch is
 # the documented verifier (broadcast(queries) x corpus) and its ivf
 # branch broadcasts the tiny centroid table for assignment;
-# date_windows joins a broadcast 1-row anchor on a range predicate.
-BNLJ_ALLOWED = {"ann_suite", "date_windows"}
+# date_windows joins a broadcast 1-row anchor on a range predicate;
+# histogram_drift cross-joins its broadcast 1-row totals onto the
+# |buckets|-row report (documented in operators/quality.py — chosen
+# over a single-partition global window).
+BNLJ_ALLOWED = {"ann_suite", "date_windows", "histogram_drift"}
 
 
 @pytest.mark.parametrize("name", _all_query_names())
@@ -129,6 +132,12 @@ def test_ann_suite_single_window_pass(spark):
         ("text_quality", 1),
         ("multimodal_decode", 0),    # mapInPandas over the scan, no shuffle
         ("range_join", 1),           # bin equi-join, no BNL
+        # round-4 second-session promotions
+        ("top_ngrams", 3),           # spread + ngram agg + TakeOrdered
+        ("incremental_dedup", 4),    # keeper agg + index/keeper joins
+        ("flag_join_suite", 4),      # anti join + exists join + rollup
+        ("conditional_agg", 3),      # two tiny agg branches + union
+        ("unit_conversion", 0),      # pure projection (is_valid incl.)
     ],
 )
 def test_exchange_budget(spark, name, max_exchanges):
