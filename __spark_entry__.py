@@ -264,17 +264,6 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "left_anti").select("c_custkey", "c_name", "c_acctbal")
 
 
-ORACLE_SEMI_ANTI = """
-SELECT c_custkey, c_name, c_acctbal FROM customer c
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey
-    AND o.o_orderpriority = '1-URGENT'
-    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
-)
-"""
-
-
 def q_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4+W2: left join taking the FIRST matching right row (deterministic).
 
@@ -314,20 +303,6 @@ def q_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("p_brand", "has_bulk_sales").agg(
         F.count(F.lit(1)).alias("n_parts")
     )
-
-
-ORACLE_EXISTS_FLAG = """
-WITH flagged AS (
-  SELECT p.p_brand,
-         EXISTS (SELECT 1 FROM lineitem l
-                 WHERE l.l_quantity > 45
-                   AND lower(CAST(l.l_partkey AS VARCHAR)) = lower(CAST(p.p_partkey AS VARCHAR)))
-           AS has_bulk_sales
-  FROM part p
-)
-SELECT p_brand, has_bulk_sales, COUNT(*) AS n_parts
-FROM flagged GROUP BY p_brand, has_bulk_sales
-"""
 
 
 def q_flag_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,25 +392,9 @@ FROM (
 """
 
 
-def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: single-pass match/mismatch counters (LiveDataComparison.js:432-456)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return R.conditional_counts(li, {
-        "n_returned": F.col("l_returnflag") == "R",
-        "n_bulk": F.col("l_quantity") > 40,
-        "n_high_tax": F.col("l_tax") > 0.05,
-        "n_discounted": F.col("l_discount") > 0,
-    })
-
-
-ORACLE_COND_COUNTS = """
-SELECT COUNT(*) AS total_records,
-       CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
-       CAST(count_if(l_quantity > 40) AS BIGINT) AS n_bulk,
-       CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
-       CAST(count_if(l_discount > 0) AS BIGINT) AS n_discounted
-FROM lineitem
-"""
+# round 4: q_conditional_counts (A4) lives on inside the
+# conditional_agg suite (registry/extended.py) — the same
+# R.conditional_counts call, melted onto the suite's long schema.
 
 
 def q_collect_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
