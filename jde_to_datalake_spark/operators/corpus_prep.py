@@ -23,6 +23,9 @@ packs to the trainer's feed).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,6 +52,7 @@ def prepare_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     stage_cache: str = "none",
+    cache_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full preparation pipeline; returns lazy frames:
 
@@ -74,15 +78,45 @@ def prepare_corpus(
     a full run pays each stage once PER CONSUMER. ``"local"``
     localCheckpoints each gate's survivor frame: every stage computes
     once (measured 5.8x faster end-to-end at sf0.1: 23.6s -> 4.0s),
-    at the cost of pinned executor blocks — the in-session stand-in
-    for the production pattern of sinking each stage to the lake and
-    reading it back.
+    at the cost of pinned executor blocks. ``"lake"`` is the
+    production form of the same idea: each gate's survivors are SUNK
+    to ``cache_dir/<stage>`` parquet and read back, which (a) computes
+    each stage once, (b) survives executor loss (localCheckpoint
+    blocks do not), and (c) makes the run RESUMABLE — a re-invocation
+    with the same ``cache_dir`` skips every stage whose committed
+    (_SUCCESS-marked) output already exists and recomputes from the
+    first missing one. A ``_config.json`` fingerprint of the pipeline
+    parameters guards resumption: resuming with different parameters
+    raises instead of silently mixing two configurations. (The inputs
+    themselves are NOT fingerprinted — resuming against changed input
+    data is the caller's contract, same as any checkpoint-restart
+    system.)
     """
-    if stage_cache not in ("none", "local"):
-        raise ValueError("stage_cache must be 'none' or 'local'")
+    if stage_cache not in ("none", "local", "lake"):
+        raise ValueError("stage_cache must be 'none', 'local', or 'lake'")
+    if stage_cache == "lake":
+        if not cache_dir:
+            raise ValueError("stage_cache='lake' requires cache_dir")
+        _check_lake_config(cache_dir, {
+            "url_col": url_col, "blocklist": blocklist,
+            "split_weights": split_weights, "pack_budget": pack_budget,
+            "shingle_n": shingle_n, "passage_k": passage_k,
+            "substring_min_len": substring_min_len,
+            "text_col": text_col, "id_col": id_col,
+        })
 
-    def _st(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=False) if stage_cache == "local" else df
+    def _st(name: str, df: DataFrame) -> DataFrame:
+        if stage_cache == "local":
+            return df.localCheckpoint(eager=False)
+        if stage_cache == "lake":
+            path = os.path.join(cache_dir, name)
+            spark = df.sparkSession
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                # overwrite, not error-if-exists: a dir without
+                # _SUCCESS is a crashed write — redo it
+                df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df
 
     split_weights = split_weights or {"train": 8, "val": 1, "test": 1}
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
@@ -91,7 +125,8 @@ def prepare_corpus(
     if url_col is not None:
         report = U.url_report(survivors, url_col, blocklist, id_col)
         survivors = _st(
-            survivors.join(report.filter(F.col("keep")).select(id_col), id_col)
+            "url_filter",
+            survivors.join(report.filter(F.col("keep")).select(id_col), id_col),
         )
         stages.append(("url_filter", survivors))
 
@@ -100,23 +135,25 @@ def prepare_corpus(
         text_col=text_col, id_col=id_col,
     )
     survivors = _st(
-        survivors.join(quality.filter(F.col("keep")).select(id_col), id_col)
+        "quality_filter",
+        survivors.join(quality.filter(F.col("keep")).select(id_col), id_col),
     )
     stages.append(("quality_filter", survivors))
 
     keepers = exact_dedup(survivors, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    survivors = _st(survivors.join(keepers, id_col))
+    survivors = _st("exact_dedup", survivors.join(keepers, id_col))
     stages.append(("exact_dedup", survivors))
 
     deduped = C.passage_dedup(
         survivors, k=passage_k, text_col=text_col, id_col=id_col
     )
     rewritten = _st(
+        "passage_dedup",
         survivors.drop(text_col)
         .join(deduped.select(id_col, text_col), id_col)
-        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .filter(F.length(F.trim(F.col(text_col))) > 0),
     )
     stages.append(("passage_dedup", rewritten))
 
@@ -126,9 +163,10 @@ def prepare_corpus(
             text_col=text_col, id_col=id_col,
         )
         rewritten = _st(
+            "substring_dedup",
             rewritten.drop(text_col)
             .join(cut.select(id_col, text_col), id_col)
-            .filter(F.length(F.trim(F.col(text_col))) > 0)
+            .filter(F.length(F.trim(F.col(text_col))) > 0),
         )
         stages.append(("substring_dedup", rewritten))
 
@@ -140,6 +178,28 @@ def prepare_corpus(
 
     funnel = _funnel(stages)
     return {"documents": labeled, "train_packs": packs, "funnel": funnel}
+
+
+def _check_lake_config(cache_dir: str, params: dict) -> None:
+    """Pin the pipeline parameters to the cache directory: first use
+    writes ``_config.json``; any later use with different parameters
+    raises, because resuming a half-built cache under a new
+    configuration would silently mix gate semantics across stages."""
+    os.makedirs(cache_dir, exist_ok=True)
+    canon = json.dumps(params, sort_keys=True, default=str)
+    path = os.path.join(cache_dir, "_config.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = fh.read()
+        if existing != canon:
+            raise ValueError(
+                f"cache_dir {cache_dir} was built with different pipeline "
+                f"parameters; use a fresh cache_dir (have {existing}, "
+                f"got {canon})"
+            )
+        return
+    with open(path, "w") as fh:
+        fh.write(canon)
 
 
 def _funnel(stages: list[tuple[str, DataFrame]]) -> DataFrame:

@@ -1,0 +1,196 @@
+"""Sharded training-data export: the corpus pipeline's last mile.
+
+``assemble_packs`` yields (pack_id, tokens, n_toks) rows; a trainer
+wants them as immutable, size-bounded shard files plus a manifest it
+can use for deterministic data ordering, resumable epochs, and
+integrity checks. (The reference's analogue is the per-batch dispatch
+ledger — jde_helper.py's "send only what the ledger has not seen" —
+applied to a one-shot artifact: publish once, verify forever.)
+
+Layout::
+
+    <root>/shards/shard=<n>/*.parquet   the pack rows of shard n
+    <root>/manifest.json                written LAST, atomically
+
+Design rules (the versioned-table commit protocol applied to a
+write-once artifact):
+
+- shard membership is a PURE FUNCTION of the pack id
+  (``pack_id // rows_per_shard``), never of task layout —
+  ``maxRecordsPerFile`` splits depend on scheduling, so a retried
+  stage could emit different shard contents under that scheme, which
+  breaks resumable training (epoch N+1 must see byte-identical
+  shards);
+- one repartition on the shard key co-locates each shard in a single
+  task, so every ``shard=<n>`` directory holds exactly one file —
+  the trainer-side read unit IS the shard;
+- data files land first, the manifest last via ``open(..., "x")``
+  (O_EXCL) — a reader that resolves the manifest only ever sees a
+  complete export, and a concurrent second writer loses the manifest
+  race and FAILS instead of silently corrupting the artifact;
+- per-shard ``row_hash`` is an ORDER-INDEPENDENT aggregate (the sum
+  of per-row ``xxhash64``, accumulated as DECIMAL(38,0) because an
+  int64 sum of hashes overflows and Spark 4's ANSI mode correctly
+  throws on that), so integrity verification is one map-side-combined
+  aggregation — no sort, no collect of data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "manifest.json"
+
+
+def _row_hash(id_col: str, tokens_col: str) -> F.Column:
+    """Per-row content hash: xxhash64 over the id and the token stream
+    (joined with an out-of-band separator so ["ab","c"] != ["a","bc"])."""
+    return F.xxhash64(
+        F.col(id_col), F.array_join(F.col(tokens_col), "\x1f")
+    )
+
+
+def _shard_hash(id_col: str, tokens_col: str) -> F.Column:
+    """Order-independent shard digest: exact decimal sum of the row
+    hashes, emitted as a string (equality is all a digest needs; a
+    string survives JSON round-trips without precision loss)."""
+    return (
+        F.sum(_row_hash(id_col, tokens_col).cast("decimal(38,0)"))
+        .cast("string")
+    )
+
+
+def write_training_shards(
+    packs: DataFrame,
+    root: str,
+    rows_per_shard: int = 1024,
+    id_col: str = "pack_id",
+    tokens_col: str = "tokens",
+) -> dict:
+    """Export pack rows as size-bounded shards + manifest; returns the
+    manifest dict. Raises ``FileExistsError`` if ``root`` already holds
+    a manifest — the artifact is write-once (export to a fresh root,
+    or version roots the way the versioned table versions manifests).
+
+    Cost: ONE shuffle (the repartition on the derived shard key); the
+    stats aggregation reads back the written files (so the manifest
+    describes the bytes on disk, not the plan that produced them) and
+    is map-side combined to |shards| rows.
+    """
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be positive")
+    manifest_path = os.path.join(root, MANIFEST)
+    if os.path.exists(manifest_path):
+        raise FileExistsError(
+            f"{manifest_path} exists — training shards are write-once"
+        )
+    os.makedirs(root, exist_ok=True)
+
+    # DIV = exact integer division (a double `/` would round above
+    # 2^53); pack ids are dense from 0, so shards are balanced by
+    # construction
+    sharded = packs.withColumn(
+        "shard", F.expr(f"CAST({id_col} DIV {rows_per_shard} AS BIGINT)")
+    )
+    data_dir = os.path.join(root, "shards")
+    (
+        sharded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(data_dir)
+    )
+
+    spark = packs.sparkSession
+    written = spark.read.parquet(data_dir)
+    stats = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.size(F.col(tokens_col))).cast("bigint").alias("n_tokens"),
+            _shard_hash(id_col, tokens_col).alias("row_hash"),
+        )
+        .orderBy("shard")
+        .collect()  # |shards| rows — metadata-scale by construction
+    )
+    manifest = {
+        "rows_per_shard": rows_per_shard,
+        "id_col": id_col,
+        "tokens_col": tokens_col,
+        "n_shards": len(stats),
+        "n_rows": sum(r["n_rows"] for r in stats),
+        "n_tokens": sum(r["n_tokens"] for r in stats),
+        "shards": [
+            {
+                "shard": r["shard"],
+                "n_rows": r["n_rows"],
+                "n_tokens": r["n_tokens"],
+                "row_hash": r["row_hash"],
+            }
+            for r in stats
+        ],
+    }
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    # publish = create the final name exclusively, then link the bytes
+    # in: os.link fails (EEXIST) if a concurrent writer won the race
+    try:
+        os.link(tmp, manifest_path)
+    finally:
+        os.unlink(tmp)
+    return manifest
+
+
+def read_manifest(root: str) -> dict:
+    with open(os.path.join(root, MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def read_training_shards(
+    spark: SparkSession,
+    root: str,
+    shards: list[int] | None = None,
+    verify: bool = False,
+) -> DataFrame:
+    """Read exported packs through the manifest. ``shards`` selects a
+    subset (the filter on the partition column prunes to those
+    directories — a worker reading its assignment touches only its
+    files). ``verify=True`` recomputes the order-independent per-shard
+    hashes and raises ``ValueError`` on any mismatch before returning.
+    """
+    manifest = read_manifest(root)
+    df = spark.read.parquet(os.path.join(root, "shards"))
+    if shards is not None:
+        unknown = set(shards) - {s["shard"] for s in manifest["shards"]}
+        if unknown:
+            raise ValueError(f"unknown shards requested: {sorted(unknown)}")
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    if verify:
+        expected = {
+            s["shard"]: (s["n_rows"], s["row_hash"])
+            for s in manifest["shards"]
+            if shards is None or s["shard"] in set(shards)
+        }
+        got = {
+            r["shard"]: (r["n_rows"], r["row_hash"])
+            for r in df.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                _shard_hash(
+                    manifest["id_col"], manifest["tokens_col"]
+                ).alias("row_hash"),
+            )
+            .collect()
+        }
+        if got != expected:
+            bad = sorted(
+                k
+                for k in set(expected) | set(got)
+                if expected.get(k) != got.get(k)
+            )
+            raise ValueError(f"shard integrity check failed: {bad}")
+    return df

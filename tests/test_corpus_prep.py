@@ -137,3 +137,59 @@ def test_optional_substring_stage(spark):
     recheck = exact_substring_dedup(final, min_len=5)
     assert recheck.filter(F.col("n_dup_tokens") > 0).count() == 0
     assert final.count() > 0
+
+
+def test_stage_cache_lake_agrees_and_resumes(spark, tmp_path):
+    """stage_cache='lake' (a) produces the same documents/funnel as the
+    lazy mode, (b) actually RESUMES from the persisted stages — proven
+    by editing a committed stage on disk and observing the second run
+    read it instead of recomputing — and (c) refuses to resume under
+    different pipeline parameters."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 97 == 0
+    cache = str(tmp_path / "stages")
+
+    lazy = prepare_corpus(docs, docs.filter(is_eval), is_eval, pack_budget=64)
+    lake = prepare_corpus(
+        docs, docs.filter(is_eval), is_eval, pack_budget=64,
+        stage_cache="lake", cache_dir=cache,
+    )
+    as_map = lambda out: {  # noqa: E731
+        r["doc_id"]: (r["split"], r["text"]) for r in out["documents"].collect()
+    }
+    assert as_map(lazy) == as_map(lake)
+    assert [tuple(r) for r in lazy["funnel"].orderBy("stage_idx").collect()] == [
+        tuple(r) for r in lake["funnel"].orderBy("stage_idx").collect()
+    ]
+
+    # resume: shrink the LAST committed stage (passage_dedup — the one
+    # the outputs hang off) by one document; a re-run must READ that
+    # stage (missing doc stays gone), not recompute it from the inputs
+    import os
+
+    stage = os.path.join(cache, "passage_dedup")
+    kept = spark.read.parquet(stage)
+    victim = kept.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    shrunk = kept.filter(F.col("doc_id") != victim)
+    tmp_stage = os.path.join(cache, "_passage_dedup_tmp")
+    shrunk.write.parquet(tmp_stage)
+    spark.read.parquet(tmp_stage).write.mode("overwrite").parquet(stage)
+    resumed = prepare_corpus(
+        docs, docs.filter(is_eval), is_eval, pack_budget=64,
+        stage_cache="lake", cache_dir=cache,
+    )
+    assert resumed["documents"].filter(F.col("doc_id") == victim).count() == 0
+
+    # config drift: same cache_dir + different parameters must raise
+    with _pytest.raises(ValueError, match="different pipeline"):
+        prepare_corpus(
+            docs, docs.filter(is_eval), is_eval, pack_budget=128,
+            stage_cache="lake", cache_dir=cache,
+        )
+    # and lake mode without a cache_dir is an explicit error
+    with _pytest.raises(ValueError, match="requires cache_dir"):
+        prepare_corpus(
+            docs, docs.filter(is_eval), is_eval, stage_cache="lake"
+        )

@@ -1,0 +1,113 @@
+"""Sharded training-data export (sources/training_shards.py): shard
+membership as a pure function of pack id, one file per shard, a
+manifest that describes the bytes on disk, partition-pruned subset
+reads, order-independent integrity hashes, and the write-once
+publish protocol."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.operators import corpus as C
+from jde_to_datalake_spark.sources.training_shards import (
+    read_manifest,
+    read_training_shards,
+    write_training_shards,
+)
+from tests.conftest import SF_DIR
+
+
+def _packs(spark, n=25):
+    rows = [
+        (i, [f"tok{i}_{j}" for j in range(3 + i % 4)], 3 + i % 4)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "pack_id bigint, tokens array<string>, n_toks bigint"
+    )
+
+
+def test_round_trip_and_manifest_accounting(spark, tmp_path):
+    root = str(tmp_path / "shards")
+    packs = _packs(spark)
+    manifest = write_training_shards(packs, root, rows_per_shard=10)
+    assert manifest == read_manifest(root)
+    assert manifest["n_shards"] == 3  # 25 ids / 10 per shard
+    assert manifest["n_rows"] == 25
+    assert manifest["n_tokens"] == sum(3 + i % 4 for i in range(25))
+    back = read_training_shards(spark, root)
+    got = {r["pack_id"]: r["tokens"] for r in back.collect()}
+    exp = {r["pack_id"]: r["tokens"] for r in packs.collect()}
+    assert got == exp
+    # shard membership is id DIV rows_per_shard, independent of layout
+    assert back.filter(
+        F.col("shard") != F.expr("CAST(pack_id DIV 10 AS BIGINT)")
+    ).count() == 0
+
+
+def test_one_file_per_shard_directory(spark, tmp_path):
+    root = str(tmp_path / "shards")
+    write_training_shards(_packs(spark), root, rows_per_shard=10)
+    for d in glob.glob(os.path.join(root, "shards", "shard=*")):
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        assert len(files) == 1, d
+
+
+def test_subset_read_prunes_partitions(spark, tmp_path):
+    root = str(tmp_path / "shards")
+    write_training_shards(_packs(spark), root, rows_per_shard=10)
+    sub = read_training_shards(spark, root, shards=[1])
+    rows = sub.collect()
+    assert {r["pack_id"] for r in rows} == set(range(10, 20))
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pruned = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "shard" in pruned
+    with pytest.raises(ValueError, match="unknown shards"):
+        read_training_shards(spark, root, shards=[99])
+
+
+def test_verify_detects_tampering(spark, tmp_path):
+    root = str(tmp_path / "shards")
+    write_training_shards(_packs(spark), root, rows_per_shard=10)
+    # clean artifact verifies (full and subset)
+    read_training_shards(spark, root, verify=True).count()
+    read_training_shards(spark, root, shards=[0, 2], verify=True).count()
+    # tamper: drop shard 1's data file
+    victim = glob.glob(os.path.join(root, "shards", "shard=1", "*.parquet"))[0]
+    os.unlink(victim)
+    with pytest.raises(ValueError, match="integrity"):
+        read_training_shards(spark, root, verify=True).count()
+    # untampered subset still verifies after the tamper elsewhere
+    read_training_shards(spark, root, shards=[0], verify=True).count()
+
+
+def test_write_once_and_guards(spark, tmp_path):
+    root = str(tmp_path / "shards")
+    packs = _packs(spark)
+    write_training_shards(packs, root, rows_per_shard=10)
+    with pytest.raises(FileExistsError):
+        write_training_shards(packs, root, rows_per_shard=10)
+    with pytest.raises(ValueError):
+        write_training_shards(packs, str(tmp_path / "x"), rows_per_shard=0)
+
+
+def test_export_composes_with_assemble_packs(spark, tmp_path):
+    """Integration: the real pipeline tail — sequence_pack over corpus
+    documents, assembled packs exported, read back byte-identically."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = C.sequence_pack(docs, budget=128)
+    packs = C.assemble_packs(docs, plan)
+    root = str(tmp_path / "export")
+    manifest = write_training_shards(packs, root, rows_per_shard=64)
+    back = read_training_shards(spark, root, verify=True)
+    assert back.count() == manifest["n_rows"] == packs.count()
+    # total exported tokens == total tokens the pack plan covers
+    assert (
+        manifest["n_tokens"]
+        == packs.agg(F.sum("n_toks")).collect()[0][0]
+    )
