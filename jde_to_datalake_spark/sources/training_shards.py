@@ -105,7 +105,13 @@ def write_training_shards(
     )
 
     spark = packs.sparkSession
-    written = spark.read.parquet(data_dir)
+    # read back with the EXPLICIT schema: a zero-pack export writes no
+    # part files under partitionBy (only _SUCCESS), and schema
+    # inference on that directory fails — with the schema pinned, an
+    # empty export is an ordinary empty frame and the whole path stays
+    # total (the manifest also persists the schema for readers)
+    schema_json = sharded.schema.json()
+    written = spark.read.schema(sharded.schema).parquet(data_dir)
     stats = (
         written.groupBy("shard")
         .agg(
@@ -120,6 +126,7 @@ def write_training_shards(
         "rows_per_shard": rows_per_shard,
         "id_col": id_col,
         "tokens_col": tokens_col,
+        "schema": schema_json,
         "n_shards": len(stats),
         "n_rows": sum(r["n_rows"] for r in stats),
         "n_tokens": sum(r["n_tokens"] for r in stats),
@@ -162,8 +169,11 @@ def read_training_shards(
     files). ``verify=True`` recomputes the order-independent per-shard
     hashes and raises ``ValueError`` on any mismatch before returning.
     """
+    from pyspark.sql.types import StructType
+
     manifest = read_manifest(root)
-    df = spark.read.parquet(os.path.join(root, "shards"))
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    df = spark.read.schema(schema).parquet(os.path.join(root, "shards"))
     if shards is not None:
         unknown = set(shards) - {s["shard"] for s in manifest["shards"]}
         if unknown:

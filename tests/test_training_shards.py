@@ -111,3 +111,18 @@ def test_export_composes_with_assemble_packs(spark, tmp_path):
         manifest["n_tokens"]
         == packs.agg(F.sum("n_toks")).collect()[0][0]
     )
+
+
+def test_empty_export_is_total(spark, tmp_path):
+    """Zero packs (an over-aggressive gate, a not-yet-landed partition)
+    must yield a valid empty artifact, not an unreadable directory —
+    partitionBy writes no part files for an empty frame, so the read
+    side pins the manifest's schema instead of inferring."""
+    root = str(tmp_path / "empty")
+    empty = _packs(spark).filter("1 = 0")
+    manifest = write_training_shards(empty, root, rows_per_shard=10)
+    assert manifest["n_shards"] == 0
+    assert manifest["n_rows"] == 0
+    back = read_training_shards(spark, root, verify=True)
+    assert back.count() == 0
+    assert "tokens" in back.columns and "shard" in back.columns
