@@ -178,3 +178,35 @@ def test_corpus_pipeline_op_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         got = plan.count("Exchange")
         assert got <= budget, f"{name}: {got} exchanges > {budget}"
+
+
+def test_semantic_dedup_shape(spark):
+    """semantic_dedup: cell assignment is the broadcast 1-row centroid
+    array (the deliberate BNLJ shared with ann_suite), members build on
+    ONE cell shuffle, pairs come from in-list enumeration — no
+    self-join, no cartesian; the verdict join adds the only other
+    exchanges."""
+    from jde_to_datalake_spark.operators.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, cent_vec array<double>"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = (
+        semantic_dedup(emb, threshold=0.5, centroids=cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the centroid-array broadcast is the only nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # one per consumer
+    # only TWO exchanges move data-sized rows: the cell repartition and
+    # the hits aggregation; the rest are the bounded centroid fold +
+    # its broadcast (paid once per cells consumer — assignment is
+    # row-local, so the second consumer recomputes instead of
+    # shuffling) and the |hits| verdict broadcast
+    got = plan.count("Exchange")
+    assert got <= 7, f"semantic_dedup: {got} exchanges"
+    data_scale = plan.count("REPARTITION_BY_COL") + plan.count(
+        "Exchange hashpartitioning(__dup"
+    )
+    assert data_scale <= 2, plan

@@ -396,3 +396,127 @@ def test_rerank_topk_string_ids(spark):
     assert [r.candidate_id for r in top_a] == ["d1", "d2"]
     assert len(by_q["qb"]) == 2
     assert all(0.0 < r.rerank_score < 1.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_crafted_verdicts(spark):
+    from jde_to_datalake_spark.operators.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, cent_vec array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),      # keeper of the x-axis group
+            (2, [1.0, 0.0]),      # identical -> dup_of 1, cosine 1.0
+            (3, [0.96, 0.28]),    # unit vector, cos 0.96 to 1 -> dup_of 1
+            (10, [0.0, 1.0]),     # keeper of the y-axis group
+            (11, [0.28, 0.96]),   # cos 0.96 to 10 -> dup_of 10
+            (20, [-1.0, -0.1]),   # lands in cell 1, negative cosines -> kept
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_dedup(vecs, threshold=0.95, centroids=cents).collect()
+    }
+    assert set(rows) == {1, 2, 3, 10, 11, 20}
+    assert rows[1]["keep"] and rows[1]["dup_of"] is None
+    assert not rows[2]["keep"] and rows[2]["dup_of"] == 1
+    assert rows[2]["max_cosine"] == 1.0
+    assert not rows[3]["keep"] and rows[3]["dup_of"] == 1
+    assert rows[10]["keep"]
+    assert not rows[11]["keep"] and rows[11]["dup_of"] == 10
+    assert rows[20]["keep"] and rows[20]["max_cosine"] is None
+
+
+def test_semantic_dedup_matches_strict_fold_mirror(spark, corpus, np_corpus):
+    """Full-corpus parity against a python mirror that replays the
+    engine's exact arithmetic (strict left folds, same division
+    order, smallest-cell argmax tie-break) — verdicts, dup_of, and
+    max_cosine bit-identical."""
+    import math
+
+    from jde_to_datalake_spark.operators.similarity import semantic_dedup
+
+    ids, vecs = np_corpus
+    order = np.argsort(ids, kind="stable")
+    cents = spark.createDataFrame(
+        [
+            (c, [float(v) for v in vecs[order[c]]])
+            for c in range(N_CENTROIDS)
+        ],
+        "cell int, cent_vec array<double>",
+    )
+    threshold = 0.3
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"], r["dup_of"], r["max_cosine"])
+        for r in semantic_dedup(
+            corpus, threshold=threshold, centroids=cents
+        ).collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    rows = corpus.select("vec_id", "embedding").collect()
+    cent_vecs = [[float(v) for v in vecs[order[c]]] for c in range(N_CENTROIDS)]
+    cent_norms = [math.sqrt(fold_dot(c, c)) for c in cent_vecs]
+    cells: dict[int, list] = {}
+    norms: dict[int, float] = {}
+    assigned: dict[int, int] = {}
+    for r in rows:
+        v = list(r.embedding)
+        nrm = math.sqrt(fold_dot(v, v))
+        best_cell, best_cos = None, None
+        for c in range(N_CENTROIDS):
+            cos = fold_dot(v, cent_vecs[c]) / nrm / cent_norms[c]
+            if best_cos is None or cos > best_cos:  # tie -> smallest cell
+                best_cell, best_cos = c, cos
+        cells.setdefault(best_cell, []).append((r.vec_id, v))
+        norms[r.vec_id] = nrm
+        assigned[r.vec_id] = best_cell
+    exp = {}
+    for cell, members in cells.items():
+        members.sort()
+        hits: dict[int, tuple] = {}
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ida, va = members[i]
+                idb, vb = members[j]
+                cos = fold_dot(va, vb) / norms[ida] / norms[idb]
+                if cos >= threshold:
+                    prev = hits.get(idb)
+                    hits[idb] = (
+                        ida if prev is None else min(prev[0], ida),
+                        cos if prev is None else max(prev[1], cos),
+                    )
+        for vid, _ in members:
+            h = hits.get(vid)
+            exp[vid] = (
+                cell,
+                h is None,
+                None if h is None else h[0],
+                None if h is None else h[1],
+            )
+    assert got == exp
+    # the test must actually exercise drops at this threshold
+    assert any(not keep for (_, keep, _, _) in exp.values())
+
+
+def test_semantic_dedup_empty_corpus_is_total(spark):
+    from jde_to_datalake_spark.operators.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell int, cent_vec array<double>"
+    )
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    assert semantic_dedup(empty, centroids=cents).count() == 0
