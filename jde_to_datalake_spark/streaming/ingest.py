@@ -40,7 +40,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jde_to_datalake_spark.operators.dedup import incremental_exact_dedup
+from jde_to_datalake_spark.operators.dedup import (
+    band_index,
+    incremental_exact_dedup,
+    incremental_lsh_candidates,
+)
 from jde_to_datalake_spark.sources.versioned import VersionedTable
 
 _VERDICT_COLS = ("is_known", "is_batch_first", "is_novel")
@@ -61,11 +65,29 @@ def ingest_batch(
     index: VersionedTable,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bands: VersionedTable | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
 ) -> dict:
     """Process one micro-batch; returns the verdict counts (the funnel
     row a monitoring sink would record). Usable directly for batch
     backfills — the streaming writer below is this exact function, so
-    stream and backfill share one ingestion semantics."""
+    stream and backfill share one ingestion semantics.
+
+    With ``bands`` (a versioned table holding the ``band_index``
+    near-dup artifact), each NOVEL document is additionally annotated
+    with ``n_near_candidates`` — how many indexed documents share an
+    LSH band with it (exact content dups are already dropped; near-dup
+    POLICY is a downstream threshold decision, so the loop flags and
+    records rather than drops) — and the novel documents' own band
+    keys are appended so the near-dup index grows with the corpus.
+    The band append is id-anti-join guarded, which keeps every crash
+    point idempotent: commit order is corpus -> bands -> index, and a
+    re-delivered batch either re-derives the same novel set (index
+    commit missing — merge upserts, guarded band append adds nothing
+    twice) or finds everything known and commits nothing.
+    """
     spark = batch_df.sparkSession
     verdicts = incremental_exact_dedup(
         batch_df, known_fingerprints(spark, index), text_col, id_col
@@ -78,16 +100,60 @@ def ingest_batch(
         ],
     ).collect()[0]
     novel = verdicts.filter(F.col("is_novel")).drop(*_VERDICT_COLS)
+    n_near_flagged = 0
     if counts["is_novel"]:
-        # corpus first (content-keyed MERGE: re-delivery upserts), the
-        # index second — see the module docstring's crash matrix
+        if bands is not None:
+            if bands.latest_version() is not None:
+                cand_counts = (
+                    incremental_lsh_candidates(
+                        novel, bands.read(spark),
+                        num_hashes=num_hashes, band_size=band_size,
+                        n=shingle_n, text_col=text_col, id_col=id_col,
+                    )
+                    .groupBy("new_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_candidates"))
+                )
+                novel = (
+                    novel.join(
+                        cand_counts, novel[id_col] == cand_counts["new_id"], "left"
+                    )
+                    .drop("new_id")
+                    .withColumn(
+                        "n_near_candidates",
+                        F.coalesce(F.col("n_near_candidates"), F.lit(0).cast("bigint")),
+                    )
+                )
+            else:
+                novel = novel.withColumn(
+                    "n_near_candidates", F.lit(0).cast("bigint")
+                )
+            n_near_flagged = novel.filter(
+                F.col("n_near_candidates") > 0
+            ).count()
+        # corpus first (content-keyed MERGE: re-delivery upserts), then
+        # bands (guarded), the exact index LAST — see the docstrings'
+        # crash matrix
         corpus.merge(spark, novel, key="fingerprint")
+        if bands is not None:
+            new_bands = band_index(
+                novel, num_hashes, band_size, shingle_n, text_col, id_col
+            )
+            if bands.latest_version() is not None:
+                seen = bands.read(spark).select(
+                    F.col(id_col).alias("__seen_id")
+                ).distinct()
+                new_bands = new_bands.join(
+                    seen, new_bands[id_col] == seen["__seen_id"], "left_anti"
+                )
+            if not new_bands.isEmpty():
+                bands.commit(new_bands, mode="append")
         index.commit(novel.select("fingerprint"), mode="append")
     return {
         "n_rows": counts["n_rows"],
         "n_known": counts["is_known"] or 0,
         "n_batch_first": counts["is_batch_first"] or 0,
         "n_novel": counts["is_novel"] or 0,
+        "n_near_flagged": n_near_flagged,
     }
 
 
@@ -96,11 +162,12 @@ def ingest_batch_writer(
     index: VersionedTable,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bands: VersionedTable | None = None,
 ):
     """``foreachBatch`` adapter over :func:`ingest_batch`."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(batch_df, corpus, index, text_col, id_col)
+        ingest_batch(batch_df, corpus, index, text_col, id_col, bands=bands)
 
     return write
 
@@ -112,6 +179,7 @@ def ingest_corpus_stream(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bands: VersionedTable | None = None,
 ):
     """Start the ingestion loop over a streaming document frame
     (availableNow trigger: drain what exists, then stop — the
@@ -119,7 +187,7 @@ def ingest_corpus_stream(
     re-invoke on their schedule, resuming from the checkpoint)."""
     return (
         stream.writeStream.foreachBatch(
-            ingest_batch_writer(corpus, index, text_col, id_col)
+            ingest_batch_writer(corpus, index, text_col, id_col, bands=bands)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

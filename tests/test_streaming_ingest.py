@@ -42,6 +42,7 @@ def test_ingest_batch_novel_only_and_accounting(spark, tmp_path):
     stats = ingest_batch(batch, corpus, index)
     assert stats == {
         "n_rows": 5, "n_known": 1, "n_batch_first": 3, "n_novel": 2,
+        "n_near_flagged": 0,
     }
     rows = {r["doc_id"]: r for r in corpus.read(spark).collect()}
     assert set(rows) == {2, 4}
@@ -134,3 +135,44 @@ def test_empty_index_reader_and_empty_batch(spark, tmp_path):
     )
     assert stats["n_rows"] == 0 and stats["n_novel"] == 0
     assert corpus.latest_version() is None  # nothing committed
+
+
+def test_near_dup_flagging_and_band_index_growth(spark, tmp_path):
+    """With a bands table, novel docs get n_near_candidates verdicts
+    against the indexed corpus, the band index grows with each batch,
+    and re-delivery appends nothing twice."""
+    from jde_to_datalake_spark.operators.dedup import band_index
+
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    bands = VersionedTable(str(tmp_path / "bands"))
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the eager "
+        "young cat watches from the tall green fence near the old barn"
+    )
+    # batch 1: two unrelated docs — founds the indexes
+    b1 = _docs(spark, [(1, base_text), (2, "completely different content here")])
+    s1 = ingest_batch(b1, corpus, index, bands=bands)
+    assert s1["n_novel"] == 2 and s1["n_near_flagged"] == 0
+    n_band_rows = bands.read(spark).count()
+    assert n_band_rows == band_index(b1).count()
+
+    # batch 2: a near-dup of doc 1 (one word changed -> not an exact
+    # dup, but shares almost every shingle band) + a fresh doc
+    near = base_text.replace("old barn", "red barn")
+    b2 = _docs(spark, [(10, near), (11, "yet another unrelated thing")])
+    s2 = ingest_batch(b2, corpus, index, bands=bands)
+    assert s2["n_novel"] == 2
+    assert s2["n_near_flagged"] == 1  # doc 10 flagged against doc 1
+    rows = {r["doc_id"]: r for r in corpus.read(spark).collect()}
+    assert rows[10]["n_near_candidates"] > 0
+    assert rows[11]["n_near_candidates"] == 0
+    # band index grew by exactly batch 2's keys
+    assert bands.read(spark).count() == n_band_rows + band_index(b2).count()
+
+    # re-delivery: nothing novel, nothing appended anywhere
+    v_bands = bands.latest_version()
+    s3 = ingest_batch(b2, corpus, index, bands=bands)
+    assert s3["n_novel"] == 0
+    assert bands.latest_version() == v_bands
