@@ -97,12 +97,29 @@ def write_training_shards(
         "shard", F.expr(f"CAST({id_col} DIV {rows_per_shard} AS BIGINT)")
     )
     data_dir = os.path.join(root, "shards")
+    # stage under a unique name, then atomically rename into place: a
+    # second writer racing this export fails at the rename (target
+    # exists) BEFORE touching the winner's data files — an in-place
+    # overwrite write would clobber them first and only then lose the
+    # manifest race
+    import uuid
+
+    staging = os.path.join(root, f"_shards-{uuid.uuid4().hex}")
     (
         sharded.repartition("shard")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(data_dir)
+        .parquet(staging)
     )
+    try:
+        os.rename(staging, data_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise FileExistsError(
+            f"{data_dir} exists — another export won the race"
+        ) from None
 
     spark = packs.sparkSession
     # read back with the EXPLICIT schema: a zero-pack export writes no

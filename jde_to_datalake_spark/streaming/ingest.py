@@ -89,6 +89,31 @@ def ingest_batch(
     twice) or finds everything known and commits nothing.
     """
     spark = batch_df.sparkSession
+    # the batch feeds several consumers (verdict counts, the merge,
+    # band keys, the flag count); persist it for the batch's lifetime
+    # so the source micro-batch is read once, not once per consumer
+    batch_df = batch_df.persist()
+    try:
+        return _ingest_batch_inner(
+            spark, batch_df, corpus, index, text_col, id_col,
+            bands, num_hashes, band_size, shingle_n,
+        )
+    finally:
+        batch_df.unpersist()
+
+
+def _ingest_batch_inner(
+    spark,
+    batch_df: DataFrame,
+    corpus: VersionedTable,
+    index: VersionedTable,
+    text_col: str,
+    id_col: str,
+    bands: VersionedTable | None,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int,
+) -> dict:
     verdicts = incremental_exact_dedup(
         batch_df, known_fingerprints(spark, index), text_col, id_col
     )

@@ -29,13 +29,25 @@ def empty_sf_dir(spark, tmp_path_factory):
     return str(out)
 
 
+# Fixed-shape outputs: these queries legitimately emit a constant
+# number of rows even over zero-row tables (their DuckDB oracles do
+# the same, so the driver gate stays consistent on empty partitions)
+_FIXED_SHAPE_ROWS = {
+    # the cond branch melts its one global-agg row into 5 metric rows
+    # (all zero); the pivot branch contributes |returnflag| = 0
+    "conditional_agg": 5,
+    # the bucket grid is static: |edges| + 1 rows with zero counts
+    "histogram_drift": 5,
+}
+
+
 @pytest.mark.parametrize("name", sorted(E.queries().keys()))
 def test_query_total_on_empty_inputs(spark, empty_sf_dir, name):
     df = E.queries()[name](spark, empty_sf_dir)
     rows = df.collect()
     # global aggregates may legitimately return one (all-null/zero) row;
     # everything else must be empty — and nothing may raise
-    assert len(rows) <= 1
+    assert len(rows) <= _FIXED_SHAPE_ROWS.get(name, 1)
 
 
 def test_new_pipeline_ops_total_on_empty_docs(spark):
