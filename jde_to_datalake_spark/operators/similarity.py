@@ -808,6 +808,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    emit: str = "verdicts",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): k-means cells localize the pairwise cosine search,
@@ -829,7 +830,11 @@ def semantic_dedup(
     - like the paper, cross-cell near-dups are invisible by design —
       recall comes from cell count ∝ corpus size (50k cells for 100M
       embeddings in the paper), which also bounds |cell| and with it
-      the quadratic in-cell term and the per-cell collected row.
+      the quadratic in-cell term and the per-cell collected row;
+    - ``emit="pairs"`` returns the raw above-threshold edge list
+      (id_a, id_b, cosine; id_a < id_b) instead of verdicts — the
+      input shape ``dedup.duplicate_clusters`` takes for the full
+      transitive grouping.
 
     Plan: centroid training collects only the bounded centroid set;
     assignment is row-local over the broadcast centroid array; ONE
@@ -837,6 +842,8 @@ def semantic_dedup(
     from in-list enumeration (no self-join — the same shape as the
     LSH bucket path); the verdict join is |hits|-sized.
     """
+    if emit not in ("verdicts", "pairs"):
+        raise ValueError("emit must be 'verdicts' or 'pairs'")
     cents = (
         centroids
         if centroids is not None
@@ -868,6 +875,12 @@ def semantic_dedup(
             / F.col("p.a")["nrm"] / F.col("p.b")["nrm"]
         ).alias("__cosine"),
     )
+    if emit == "pairs":
+        return pairs.filter(F.col("__cosine") >= threshold).select(
+            F.col("__keeper").alias("id_a"),
+            F.col("__dup").alias("id_b"),
+            F.col("__cosine").alias("cosine"),
+        )
     hits = (
         pairs.filter(F.col("__cosine") >= threshold)
         .groupBy("__dup")

@@ -221,3 +221,21 @@ def read_training_shards(
             )
             raise ValueError(f"shard integrity check failed: {bad}")
     return df
+
+
+def clean_stale_stagings(root: str) -> list[str]:
+    """Remove `_shards-*` staging directories left by crashed or losing
+    exports (the published `shards` directory and manifest are never
+    touched). Returns the removed paths — the shard-artifact analog of
+    the versioned table's ``vacuum``."""
+    import shutil
+
+    removed = []
+    if not os.path.isdir(root):
+        return removed
+    for name in os.listdir(root):
+        if name.startswith("_shards-"):
+            path = os.path.join(root, name)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed

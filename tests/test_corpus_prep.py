@@ -193,3 +193,31 @@ def test_stage_cache_lake_agrees_and_resumes(spark, tmp_path):
         prepare_corpus(
             docs, docs.filter(is_eval), is_eval, stage_cache="lake"
         )
+
+
+def test_full_recipe_packs_to_shards(spark, tmp_path):
+    """The complete training-data recipe end-to-end: prepare_corpus ->
+    assemble_packs over the train split -> sharded export; the export
+    verifies, and its token total equals the pack plan's."""
+    from jde_to_datalake_spark.operators import corpus as C
+    from jde_to_datalake_spark.sources.training_shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 97 == 0
+    out = prepare_corpus(
+        docs, docs.filter(is_eval), is_eval,
+        pack_budget=64, stage_cache="local",
+    )
+    train = out["documents"].filter("split = 'train'")
+    packs = C.assemble_packs(train, out["train_packs"])
+    root = str(tmp_path / "export")
+    manifest = write_training_shards(packs, root, rows_per_shard=32)
+    back = read_training_shards(spark, root, verify=True)
+    assert back.count() == manifest["n_rows"] > 0
+    assert (
+        manifest["n_tokens"]
+        == out["train_packs"].agg(F.sum("n_toks")).collect()[0][0]
+    )

@@ -520,3 +520,42 @@ def test_semantic_dedup_empty_corpus_is_total(spark):
         [], "vec_id bigint, embedding array<double>"
     )
     assert semantic_dedup(empty, centroids=cents).count() == 0
+
+
+def test_semantic_dedup_pairs_feed_transitive_clustering(spark):
+    """emit='pairs' composes with duplicate_clusters: a chain a~b~c
+    where cos(a,c) < threshold still lands all three in one cluster
+    under the transitive closure, keeper = min id."""
+    import math
+
+    from jde_to_datalake_spark.operators.dedup import duplicate_clusters
+    from jde_to_datalake_spark.operators.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell int, cent_vec array<double>"
+    )
+    # unit vectors at 0, 18 and 36 degrees: cos(18deg)=0.951 links
+    # neighbors, cos(36deg)=0.809 does NOT link the endpoints
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    vecs = spark.createDataFrame(
+        [(1, v(0)), (2, v(18)), (3, v(36))],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = semantic_dedup(
+        vecs, threshold=0.95, centroids=cents, emit="pairs"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (2, 3)}  # the endpoints are not an edge
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, "id_a", "id_b").collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semantic_dedup(vecs, centroids=cents, emit="edges")

@@ -126,3 +126,23 @@ def test_empty_export_is_total(spark, tmp_path):
     back = read_training_shards(spark, root, verify=True)
     assert back.count() == 0
     assert "tokens" in back.columns and "shard" in back.columns
+
+
+def test_clean_stale_stagings_spares_the_artifact(spark, tmp_path):
+    import os
+
+    from jde_to_datalake_spark.sources.training_shards import (
+        clean_stale_stagings,
+    )
+
+    root = str(tmp_path / "shards")
+    write_training_shards(_packs(spark), root, rows_per_shard=10)
+    # simulate a crashed export's leftover staging
+    stale = os.path.join(root, "_shards-deadbeef")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-x.parquet"), "w").close()
+    removed = clean_stale_stagings(root)
+    assert removed == [stale] and not os.path.exists(stale)
+    # the published artifact still reads and verifies
+    assert read_training_shards(spark, root, verify=True).count() == 25
+    assert clean_stale_stagings(str(tmp_path / "nope")) == []
