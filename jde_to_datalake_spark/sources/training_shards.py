@@ -239,3 +239,38 @@ def clean_stale_stagings(root: str) -> list[str]:
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)
     return removed
+
+
+def epoch_shard_order(root: str, seed: int) -> list[int]:
+    """Deterministic per-epoch shard visit order: shards sorted by
+    sha256(seed, shard) — a pure function of the manifest, computed
+    driver-side (|shards| items). Different seeds give different
+    permutations; the same seed always gives the same one, so a
+    training run that restarts mid-epoch resumes the identical order.
+    """
+    import hashlib
+
+    return sorted(
+        (s["shard"] for s in read_manifest(root)["shards"]),
+        key=lambda sh: (
+            hashlib.sha256(f"{seed}\x1f{sh}".encode()).hexdigest(), sh
+        ),
+    )
+
+
+def read_shard_shuffled(
+    spark: SparkSession, root: str, shard: int, seed: int
+) -> DataFrame:
+    """One shard's rows in a seeded deterministic order: sorted by
+    xxhash64(seed, pack_id). A shard is one task's worth of data
+    (one file by construction), so the sort is sortWithinPartitions —
+    no global shuffle; combined with ``epoch_shard_order`` this is the
+    standard two-level training shuffle (shard order x intra-shard
+    order), both replayable from (manifest, seed) alone.
+    """
+    manifest = read_manifest(root)
+    df = read_training_shards(spark, root, shards=[shard])
+    return df.sortWithinPartitions(
+        F.xxhash64(F.lit(int(seed)), F.col(manifest["id_col"])),
+        F.col(manifest["id_col"]),
+    )

@@ -146,3 +146,30 @@ def test_clean_stale_stagings_spares_the_artifact(spark, tmp_path):
     # the published artifact still reads and verifies
     assert read_training_shards(spark, root, verify=True).count() == 25
     assert clean_stale_stagings(str(tmp_path / "nope")) == []
+
+
+def test_epoch_ordering_is_seeded_and_deterministic(spark, tmp_path):
+    from jde_to_datalake_spark.sources.training_shards import (
+        epoch_shard_order,
+        read_shard_shuffled,
+    )
+
+    root = str(tmp_path / "shards")
+    write_training_shards(_packs(spark), root, rows_per_shard=5)  # 5 shards
+    o1 = epoch_shard_order(root, seed=1)
+    o2 = epoch_shard_order(root, seed=2)
+    assert sorted(o1) == sorted(o2) == [0, 1, 2, 3, 4]
+    assert o1 == epoch_shard_order(root, seed=1)  # replayable
+    assert o1 != [0, 1, 2, 3, 4] or o2 != [0, 1, 2, 3, 4]  # some seed permutes
+
+    ids_a = [r["pack_id"] for r in read_shard_shuffled(spark, root, 1, seed=7).collect()]
+    ids_b = [r["pack_id"] for r in read_shard_shuffled(spark, root, 1, seed=8).collect()]
+    assert sorted(ids_a) == sorted(ids_b) == list(range(5, 10))
+    assert ids_a == [r["pack_id"] for r in read_shard_shuffled(spark, root, 1, seed=7).collect()]
+    assert ids_a != ids_b  # different epoch, different order
+    # no exchange: the seeded order is a within-partition sort
+    plan = (
+        read_shard_shuffled(spark, root, 1, seed=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
