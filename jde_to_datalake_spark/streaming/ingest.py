@@ -188,11 +188,33 @@ def ingest_batch_writer(
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: VersionedTable | None = None,
+    metrics: VersionedTable | None = None,
 ):
-    """``foreachBatch`` adapter over :func:`ingest_batch`."""
+    """``foreachBatch`` adapter over :func:`ingest_batch`.
+
+    With ``metrics``, each micro-batch appends its verdict counts as
+    one row (batch_id + the funnel numbers) — the monitoring trail a
+    data team alerts on. Appends are NOT deduplicated on batch_id by
+    design: a re-delivered batch records a second attempt row (with
+    n_novel = 0), which is exactly the observability signal that a
+    recovery happened; dashboards aggregate per batch_id.
+    """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(batch_df, corpus, index, text_col, id_col, bands=bands)
+        stats = ingest_batch(
+            batch_df, corpus, index, text_col, id_col, bands=bands
+        )
+        if metrics is not None:
+            row = batch_df.sparkSession.createDataFrame(
+                [(
+                    int(batch_id), stats["n_rows"], stats["n_known"],
+                    stats["n_batch_first"], stats["n_novel"],
+                    stats["n_near_flagged"],
+                )],
+                "batch_id bigint, n_rows bigint, n_known bigint, "
+                "n_batch_first bigint, n_novel bigint, n_near_flagged bigint",
+            )
+            metrics.commit(row, mode="append")
 
     return write
 
@@ -205,6 +227,7 @@ def ingest_corpus_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: VersionedTable | None = None,
+    metrics: VersionedTable | None = None,
 ):
     """Start the ingestion loop over a streaming document frame
     (availableNow trigger: drain what exists, then stop — the
@@ -212,7 +235,9 @@ def ingest_corpus_stream(
     re-invoke on their schedule, resuming from the checkpoint)."""
     return (
         stream.writeStream.foreachBatch(
-            ingest_batch_writer(corpus, index, text_col, id_col, bands=bands)
+            ingest_batch_writer(
+                corpus, index, text_col, id_col, bands=bands, metrics=metrics
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

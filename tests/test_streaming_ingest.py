@@ -176,3 +176,33 @@ def test_near_dup_flagging_and_band_index_growth(spark, tmp_path):
     s3 = ingest_batch(b2, corpus, index, bands=bands)
     assert s3["n_novel"] == 0
     assert bands.latest_version() == v_bands
+
+
+def test_metrics_table_records_each_micro_batch(spark, tmp_path):
+    all_docs = _docs(spark, [
+        (1, "m content a"), (2, "m content b"), (3, "m content a"),
+        (4, "m content c"),
+    ])
+    src_dir = str(tmp_path / "src")
+    all_docs.filter("doc_id <= 3").coalesce(1).write.parquet(src_dir)
+    all_docs.filter("doc_id > 3").coalesce(1).write.mode("append").parquet(src_dir)
+
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    metrics = VersionedTable(str(tmp_path / "metrics"))
+    stream = (
+        spark.readStream.schema(all_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = ingest_corpus_stream(
+        stream, corpus, index, str(tmp_path / "ckpt"), metrics=metrics
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["batch_id"], r["n_rows"], r["n_novel"])
+        for r in metrics.read(spark).collect()
+    )
+    assert len(rows) == 2  # one metrics row per micro-batch
+    assert sum(n for _, n, _ in rows) == 4
+    assert sum(n for _, _, n in rows) == corpus.read(spark).count() == 3
