@@ -852,9 +852,49 @@ def semantic_dedup(
             vec_col=vec_col, id_col=id_col,
         )
     )
+    cells = assign_cells(corpus, cents, vec_col, id_col)
+    return _semantic_verdicts(cells, threshold, vec_col, id_col, emit)
+
+
+def semantic_dedup_indexed(
+    index,
+    threshold: float = 0.9,
+    emit: str = "verdicts",
+) -> "DataFrame":
+    """:func:`semantic_dedup` over a persisted ``AnnIndex``
+    (operators/ann_index.py): the stored (id, vec, nrm, cell) corpus
+    copy already carries the cell assignment, so the dedup pass skips
+    centroid training AND assignment entirely — it reads the
+    cell-partitioned artifact and goes straight to in-cell pair
+    enumeration. The offline indexing pass is paid once; dedup,
+    search, and incremental append all reuse it.
+    """
+    if emit not in ("verdicts", "pairs"):
+        raise ValueError("emit must be 'verdicts' or 'pairs'")
+    from pyspark.sql import SparkSession
+
+    meta = index.meta
+    spark = SparkSession.getActiveSession()
+    cells = index.corpus(spark).select(
+        meta["id_col"], meta["vec_col"], "nrm", "cell"
+    )
+    return _semantic_verdicts(
+        cells, threshold, meta["vec_col"], meta["id_col"], emit
+    )
+
+
+def _semantic_verdicts(
+    cells: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    emit: str,
+) -> DataFrame:
+    """Shared back half of the SemDeDup pass over an assigned
+    (id, vec, nrm, cell) frame — see :func:`semantic_dedup` for the
+    contract and scale notes."""
     from jde_to_datalake_spark.operators.dedup import pair_enumeration
 
-    cells = assign_cells(corpus, cents, vec_col, id_col)
     members = (
         cells.repartition("cell")
         .groupBy("cell")

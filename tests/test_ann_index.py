@@ -182,3 +182,44 @@ def test_two_stage_search_scores_exact_and_recall(spark, corpus, index):
     for q, rows in got.items():
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         assert len(rows) <= 3
+
+
+def test_semantic_dedup_over_index_matches_on_the_fly(spark, corpus, index):
+    """semantic_dedup_indexed reads the stored (id, vec, nrm, cell)
+    artifact instead of re-training/re-assigning; given the SAME
+    centroids (the index's stored ones), the on-the-fly pass must
+    produce identical verdicts — the artifact is a cache, never a
+    semantics change."""
+    from jde_to_datalake_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_indexed,
+    )
+
+    threshold = 0.3
+    via_index = {
+        r["vec_id"]: (r["cell"], r["keep"], r["dup_of"], r["max_cosine"])
+        for r in semantic_dedup_indexed(index, threshold=threshold).collect()
+    }
+    on_the_fly = {
+        r["vec_id"]: (r["cell"], r["keep"], r["dup_of"], r["max_cosine"])
+        for r in semantic_dedup(
+            corpus, threshold=threshold, centroids=index.centroids(spark)
+        ).collect()
+    }
+    assert via_index == on_the_fly
+    assert any(not keep for (_, keep, _, _) in via_index.values())
+    # pairs emission agrees too
+    pi = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_indexed(
+            index, threshold=threshold, emit="pairs"
+        ).collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup(
+            corpus, threshold=threshold,
+            centroids=index.centroids(spark), emit="pairs",
+        ).collect()
+    }
+    assert pi == pf and pi
