@@ -69,6 +69,51 @@ class AuditFailure(RuntimeError):
         self.failures = failures
 
 
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] for one parquet file, from row-group
+    footer statistics — JSON-storable types only (int/float/str; byte
+    stats are decoded as UTF-8 when possible). Columns with missing or
+    non-storable stats are omitted, which readers treat as
+    "cannot prune" — always conservative."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    out: dict = {}
+    poisoned: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name in poisoned:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                poisoned.add(name)
+                out.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    poisoned.add(name)
+                    out.pop(name, None)
+                    continue
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                poisoned.add(name)
+                out.pop(name, None)
+                continue
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
@@ -199,10 +244,24 @@ class VersionedTable:
         else:
             files = new_files
         version = 0 if prev is None else prev + 1
+        # per-file column stats from the parquet FOOTERS (no data scan)
+        # power manifest-level data skipping (read_where). New files are
+        # footer-read here driver-side — at lake scale Delta collects
+        # these from the writing tasks; footer reads are metadata-sized
+        # either way. Carried-over files keep their previous stats.
+        prev_stats = (
+            self._manifest(prev).get("stats", {}) if prev is not None else {}
+        )
+        stats = {f: prev_stats[f] for f in files if f in prev_stats}
+        for f in new_files:
+            fs = _footer_stats(os.path.join(self.root, f))
+            if fs:
+                stats[f] = fs
         manifest = {
             "version": version,
             "mode": mode,
             "files": files,
+            "stats": stats,
             "committed_at": time.time(),
         }
         # Reader-atomic publish: the manifest is fully written to a
@@ -276,6 +335,67 @@ class VersionedTable:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*[os.path.join(self.root, f) for f in files])
+
+    # -- data skipping ---------------------------------------------------
+    def files_for_range(
+        self,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> list[str]:
+        """The subset of a version's files whose footer [min, max] for
+        ``column`` overlaps [lower, upper] — manifest-level data
+        skipping, the Delta read optimization. Files without stored
+        stats for the column are KEPT (conservative: unknown can never
+        wrongly drop rows); range predicates never match NULLs, so
+        null presence is irrelevant to the overlap test."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        manifest = self._manifest(version)
+        stats = manifest.get("stats", {})
+        keep = []
+        for f in manifest["files"]:
+            s = stats.get(f, {}).get(column)
+            if s is not None:
+                mn, mx = s
+                try:
+                    if lower is not None and mx < lower:
+                        continue
+                    if upper is not None and mn > upper:
+                        continue
+                except TypeError:
+                    pass  # incomparable bound types -> keep the file
+            keep.append(f)
+        return keep
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        column: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """``read`` restricted to ``lower <= column <= upper``: the scan
+        plans over only the stats-overlapping files (a clustered or
+        sorted table reads a fraction of its bytes), and the exact
+        predicate still applies on top — pruning is a file-list
+        optimization, never a semantics change."""
+        files = self.files_for_range(column, lower, upper, version)
+        cond = F.lit(True)
+        if lower is not None:
+            cond = cond & (F.col(column) >= F.lit(lower))
+        if upper is not None:
+            cond = cond & (F.col(column) <= F.lit(upper))
+        if not files:
+            return self.read(spark, version).filter(F.lit(False))
+        df = spark.read.parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+        return df.filter(cond)
 
     # -- upsert ---------------------------------------------------------
     def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:

@@ -422,3 +422,73 @@ def test_thread_race_exactly_one_winner_per_version(spark, table):
     assert table.versions() == [0, 1]
     # the winning batch is readable; losers' files are unreferenced
     assert table.read(spark).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level data skipping (footer stats)
+# ---------------------------------------------------------------------------
+
+def test_read_where_prunes_files_and_keeps_values(spark, tmp_path):
+    """Three commits with disjoint key ranges: a range read must plan
+    over only the overlapping files and return exactly what a full
+    read + filter returns."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "CAST(id * 2 AS DOUBLE) AS v",
+            "concat('name_', lpad(CAST(id AS STRING), 5, '0')) AS name",
+        ).coalesce(1)
+        t.commit(df)
+
+    all_files = t._manifest(t.latest_version())["files"]
+    assert len(all_files) == 3
+    # the middle commit's range touches only its own file
+    picked = t.files_for_range("k", 120, 180)
+    assert len(picked) == 1
+    got = sorted(
+        r["k"] for r in t.read_where(spark, "k", 120, 180).collect()
+    )
+    exp = sorted(
+        r["k"]
+        for r in t.read(spark).filter("k BETWEEN 120 AND 180").collect()
+    )
+    assert got == exp == list(range(120, 181))
+    # string-column pruning works off the decoded byte stats
+    assert len(t.files_for_range("name", "name_00250", None)) == 1
+    # open-ended bounds
+    assert len(t.files_for_range("k", 250, None)) == 1
+    assert len(t.files_for_range("k", None, 50)) == 1
+    # an unknown column keeps every file (conservative)
+    assert len(t.files_for_range("nope", 0, 1)) == 3
+    # a fully out-of-range read is empty but total
+    assert t.read_where(spark, "k", 5000, 6000).count() == 0
+
+
+def test_skipping_stats_survive_merge_and_history(spark, tmp_path):
+    """MERGE rewrites via an overwrite commit — the new files get fresh
+    footer stats, and time travel prunes against each version's own
+    manifest."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 50).selectExpr("id AS k", "id AS val").coalesce(1))
+    v0 = t.latest_version()
+    t.merge(
+        spark,
+        spark.range(10, 12).selectExpr("id AS k", "id + 1000 AS val"),
+        key="k",
+    )
+    # post-merge: pruned read sees the merged values
+    rows = {
+        r["k"]: r["val"]
+        for r in t.read_where(spark, "k", 10, 11).collect()
+    }
+    assert rows == {10: 1010, 11: 1011}
+    # time travel: the pre-merge version prunes with its own stats
+    old = {
+        r["k"]: r["val"]
+        for r in t.read_where(spark, "k", 10, 11, version=v0).collect()
+    }
+    assert old == {10: 10, 11: 11}
