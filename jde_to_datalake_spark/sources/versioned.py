@@ -464,18 +464,35 @@ class VersionedTable:
         return write
 
     # -- maintenance -----------------------------------------------------
-    def compact(self, spark: SparkSession, target_partitions: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        cluster_by: str | None = None,
+    ) -> int:
         """Rewrite the latest version's files into ``target_partitions``
         parquet files (small-file compaction as a normal overwrite
         commit — old versions stay readable until vacuumed). Pinned to
         the snapshot it read: a commit landing mid-compaction fails
-        the compaction (re-run it) rather than being thrown away."""
+        the compaction (re-run it) rather than being thrown away.
+
+        ``cluster_by`` range-partitions and sorts the rewrite on that
+        column — the OPTIMIZE-with-clustering move: each rewritten
+        file covers a narrow disjoint value range, so the footer stats
+        published with the commit make ``read_where`` on that column
+        skip all but the overlapping files. (Costs one range shuffle;
+        plain compaction stays a coalesce.)
+        """
         base = self.latest_version()
         latest = self.read(spark, base, merge_schema=True)
+        if cluster_by is not None:
+            rewritten = latest.repartitionByRange(
+                target_partitions, F.col(cluster_by)
+            ).sortWithinPartitions(cluster_by)
+        else:
+            rewritten = latest.coalesce(target_partitions)
         return self.commit(
-            latest.coalesce(target_partitions),
-            mode="overwrite",
-            expected_base=base,
+            rewritten, mode="overwrite", expected_base=base
         )
 
     def vacuum(

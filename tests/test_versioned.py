@@ -492,3 +492,32 @@ def test_skipping_stats_survive_merge_and_history(spark, tmp_path):
         for r in t.read_where(spark, "k", 10, 11, version=v0).collect()
     }
     assert old == {10: 10, 11: 11}
+
+
+def test_clustered_compaction_enables_skipping(spark, tmp_path):
+    """Interleaved commits leave every file spanning the whole key
+    range (skipping can't help); compact(cluster_by=...) rewrites into
+    disjoint ranges, after which a point-range read plans over one
+    file of four — the OPTIMIZE-with-clustering story end-to-end."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    # each commit holds keys spread across the FULL range (k % 4 == i)
+    for i in range(4):
+        t.commit(
+            spark.range(0, 400)
+            .filter(f"id % 4 = {i}")
+            .selectExpr("id AS k", "id * 10 AS val")
+            .coalesce(1)
+        )
+    # pre-compaction: every file overlaps any range — no skipping
+    assert len(t.files_for_range("k", 100, 150)) == 4
+    v = t.compact(spark, target_partitions=4, cluster_by="k")
+    files = t._manifest(v)["files"]
+    assert len(files) == 4
+    picked = t.files_for_range("k", 120, 140)
+    assert len(picked) == 1, picked
+    got = sorted(r["k"] for r in t.read_where(spark, "k", 120, 140).collect())
+    assert got == list(range(120, 141))
+    # row set unchanged by the clustered rewrite
+    assert t.read(spark).count() == 400
