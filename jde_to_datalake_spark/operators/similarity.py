@@ -860,6 +860,7 @@ def semantic_dedup_indexed(
     index,
     threshold: float = 0.9,
     emit: str = "verdicts",
+    spark: "SparkSession | None" = None,
 ) -> "DataFrame":
     """:func:`semantic_dedup` over a persisted ``AnnIndex``
     (operators/ann_index.py): the stored (id, vec, nrm, cell) corpus
@@ -874,7 +875,12 @@ def semantic_dedup_indexed(
     from pyspark.sql import SparkSession
 
     meta = index.meta
-    spark = SparkSession.getActiveSession()
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "no active SparkSession — pass spark= explicitly"
+            )
     cells = index.corpus(spark).select(
         meta["id_col"], meta["vec_col"], "nrm", "cell"
     )
