@@ -49,6 +49,10 @@ def prepare_corpus(
     shingle_n: int = 5,
     passage_k: int = 5,
     substring_min_len: int | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_centroids: DataFrame | None = None,
+    semantic_n_centroids: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     stage_cache: str = "none",
@@ -65,6 +69,7 @@ def prepare_corpus(
     Gate order is the standard one (cheap row-local gates first, the
     corpus-global dedups last so they see less data): URL blocklist ->
     quality/contamination keep -> exact dedup (min-id keeper) ->
+    optional SemDeDup semantic gate (``embeddings`` given) ->
     passage dedup -> optional exact-substring dedup
     (``substring_min_len``, the Lee et al. finishing pass over the
     already-thinned corpus; both rewrite text, and documents whose
@@ -102,6 +107,11 @@ def prepare_corpus(
             "split_weights": split_weights, "pack_budget": pack_budget,
             "shingle_n": shingle_n, "passage_k": passage_k,
             "substring_min_len": substring_min_len,
+            "semantic": None if embeddings is None else {
+                "threshold": semantic_threshold,
+                "n_centroids": semantic_n_centroids,
+                "explicit_centroids": semantic_centroids is not None,
+            },
             "text_col": text_col, "id_col": id_col,
         })
 
@@ -145,6 +155,30 @@ def prepare_corpus(
     )
     survivors = _st("exact_dedup", survivors.join(keepers, id_col))
     stages.append(("exact_dedup", survivors))
+
+    if embeddings is not None:
+        # SemDeDup gate: embedding-space near-dups of a smaller-id
+        # survivor drop here, between the exact and passage passes
+        # (the standard ordering — cheap hash dedup first, the
+        # vector pass over the already-thinned set). ``embeddings``
+        # must carry (id_col, embedding); survivors without an
+        # embedding row pass through un-judged (LEFT join — a missing
+        # vector must not silently drop a document).
+        from jde_to_datalake_spark.operators.similarity import semantic_dedup
+
+        judged = semantic_dedup(
+            embeddings.join(survivors.select(id_col), id_col),
+            threshold=semantic_threshold,
+            centroids=semantic_centroids,
+            n_centroids=semantic_n_centroids,
+            vec_col="embedding",
+            id_col=id_col,
+        )
+        dropped = judged.filter(~F.col("keep")).select(id_col)
+        survivors = _st(
+            "semantic_dedup", survivors.join(dropped, id_col, "left_anti")
+        )
+        stages.append(("semantic_dedup", survivors))
 
     deduped = C.passage_dedup(
         survivors, k=passage_k, text_col=text_col, id_col=id_col

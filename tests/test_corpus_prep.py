@@ -221,3 +221,46 @@ def test_full_recipe_packs_to_shards(spark, tmp_path):
         manifest["n_tokens"]
         == out["train_packs"].agg(F.sum("n_toks")).collect()[0][0]
     )
+
+
+def test_semantic_gate_drops_embedding_near_dups(spark):
+    """With an embeddings frame, the SemDeDup gate drops embedding-
+    space near-dups of a smaller-id survivor between the exact and
+    passage passes; docs without an embedding pass through un-judged."""
+    def _body(prefix):
+        # 16 distinct tokens: clears the Gopher min-token, avg-length,
+        # and top-token-fraction gates
+        return " ".join(f"{prefix}{i:02d}word" for i in range(16))
+
+    docs = spark.createDataFrame(
+        [
+            (1, _body("alpha")),
+            (2, _body("beta")),
+            (3, _body("gamma")),
+            (4, _body("delta")),
+        ],
+        "doc_id bigint, text string",
+    )
+    # doc 2's vector is nearly doc 1's -> dropped; doc 3 orthogonal
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.0447]),
+            (3, [0.0, 1.0]),
+        ],
+        "doc_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, cent_vec array<double>"
+    )
+    is_eval = F.col("doc_id") < 0
+    out = prepare_corpus(
+        docs, docs.filter(is_eval), is_eval,
+        pack_budget=16, embeddings=emb, semantic_threshold=0.95,
+        semantic_centroids=cents,
+    )
+    ids = {r["doc_id"] for r in out["documents"].collect()}
+    assert ids == {1, 3, 4}  # 2 dropped; 4 (no vector) passes through
+    funnel = {r["stage"]: r for r in out["funnel"].collect()}
+    assert funnel["semantic_dedup"]["n_dropped"] == 1
+    assert funnel["semantic_dedup"]["n_in"] == funnel["exact_dedup"]["n_out"]
