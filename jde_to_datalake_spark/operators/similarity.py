@@ -809,6 +809,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     emit: str = "verdicts",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): k-means cells localize the pairwise cosine search,
@@ -853,7 +854,9 @@ def semantic_dedup(
         )
     )
     cells = assign_cells(corpus, cents, vec_col, id_col)
-    return _semantic_verdicts(cells, threshold, vec_col, id_col, emit)
+    return _semantic_verdicts(
+        cells, threshold, vec_col, id_col, emit, max_cell_size
+    )
 
 
 def semantic_dedup_indexed(
@@ -861,6 +864,7 @@ def semantic_dedup_indexed(
     threshold: float = 0.9,
     emit: str = "verdicts",
     spark: "SparkSession | None" = None,
+    max_cell_size: int | None = None,
 ) -> "DataFrame":
     """:func:`semantic_dedup` over a persisted ``AnnIndex``
     (operators/ann_index.py): the stored (id, vec, nrm, cell) corpus
@@ -885,7 +889,8 @@ def semantic_dedup_indexed(
         meta["id_col"], meta["vec_col"], "nrm", "cell"
     )
     return _semantic_verdicts(
-        cells, threshold, meta["vec_col"], meta["id_col"], emit
+        cells, threshold, meta["vec_col"], meta["id_col"], emit,
+        max_cell_size,
     )
 
 
@@ -895,6 +900,7 @@ def _semantic_verdicts(
     vec_col: str,
     id_col: str,
     emit: str,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Shared back half of the SemDeDup pass over an assigned
     (id, vec, nrm, cell) frame — see :func:`semantic_dedup` for the
@@ -911,6 +917,29 @@ def _semantic_verdicts(
         )
         .filter(F.size("members") > 1)
     )
+    if max_cell_size is not None:
+        # operational guard for the quadratic in-cell term: a cell
+        # larger than the budget means n_centroids is undersized for
+        # this corpus — fail with the remedy instead of letting one
+        # hot cell OOM an executor mid-job. The assert lives in a
+        # FILTER (assert_true yields NULL on success -> coalesce TRUE)
+        # because a projected-then-dropped guard column gets pruned by
+        # the optimizer and never evaluates.
+        members = members.filter(
+            F.coalesce(
+                F.assert_true(
+                    F.size("members") <= F.lit(int(max_cell_size)),
+                    F.concat(
+                        F.lit("semantic_dedup: cell "),
+                        F.col("cell").cast("string"),
+                        F.lit(" holds "), F.size("members").cast("string"),
+                        F.lit(f" vectors (> max_cell_size={max_cell_size})"
+                              " — increase n_centroids"),
+                    ),
+                ).isNull(),
+                F.lit(True),
+            )
+        )
     pairs = members.select(
         F.explode(pair_enumeration("members")).alias("p")
     ).select(

@@ -559,3 +559,26 @@ def test_semantic_dedup_pairs_feed_transitive_clustering(spark):
 
     with _pytest.raises(ValueError):
         semantic_dedup(vecs, centroids=cents, emit="edges")
+
+
+def test_semantic_dedup_cell_size_guard(spark):
+    """An oversized cell fails with the remedy in the message instead
+    of OOMing an executor — and a sufficient budget passes."""
+    from jde_to_datalake_spark.operators.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cell int, cent_vec array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100.0]) for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    ok = semantic_dedup(vecs, threshold=2.0, centroids=cents, max_cell_size=5)
+    assert len(ok.collect()) == 5
+    bad = semantic_dedup(vecs, threshold=2.0, centroids=cents, max_cell_size=3)
+    # NB: a bare count() ELIMINATES the non-expanding left join — and
+    # with it the whole quadratic pair subtree, so there is nothing to
+    # guard; the assert fires exactly when the dangerous work runs
+    # (any evaluation that needs the verdict columns)
+    with pytest.raises(Exception, match="increase n_centroids"):
+        bad.collect()
