@@ -182,6 +182,32 @@ def _ingest_batch_inner(
     }
 
 
+def maintain_index_tables(
+    spark: SparkSession,
+    tables: list[VersionedTable],
+    compact_every: int = 16,
+    vacuum_keep_last: int = 4,
+    retention_seconds: float = 3600.0,
+) -> None:
+    """Periodic maintenance for the loop's append-per-batch artifact
+    tables (fingerprint index, band index): every append commit adds
+    one small file, so after N batches a table is N tiny scans —
+    compact back to one file whenever the version count crosses a
+    multiple of ``compact_every``, then vacuum manifests beyond the
+    newest ``vacuum_keep_last`` (the retention window still protects
+    any in-flight writer's staged files). The corpus table never
+    needs this: its content-keyed MERGE is already a full rewrite.
+    """
+    for t in tables:
+        v = t.latest_version()
+        if v is not None and v > 0 and v % compact_every == 0:
+            t.compact(spark)
+            t.vacuum(
+                keep_last=vacuum_keep_last,
+                retention_seconds=retention_seconds,
+            )
+
+
 def ingest_batch_writer(
     corpus: VersionedTable,
     index: VersionedTable,
@@ -189,6 +215,7 @@ def ingest_batch_writer(
     id_col: str = "doc_id",
     bands: VersionedTable | None = None,
     metrics: VersionedTable | None = None,
+    compact_every: int | None = None,
 ):
     """``foreachBatch`` adapter over :func:`ingest_batch`.
 
@@ -198,6 +225,11 @@ def ingest_batch_writer(
     design: a re-delivered batch records a second attempt row (with
     n_novel = 0), which is exactly the observability signal that a
     recovery happened; dashboards aggregate per batch_id.
+
+    With ``compact_every``, the append-only artifact tables (index,
+    bands, metrics) are compacted + vacuumed whenever their version
+    count crosses a multiple of it — see
+    :func:`maintain_index_tables`.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -215,6 +247,12 @@ def ingest_batch_writer(
                 "n_batch_first bigint, n_novel bigint, n_near_flagged bigint",
             )
             metrics.commit(row, mode="append")
+        if compact_every is not None:
+            maintain_index_tables(
+                batch_df.sparkSession,
+                [t for t in (index, bands, metrics) if t is not None],
+                compact_every=compact_every,
+            )
 
     return write
 

@@ -206,3 +206,34 @@ def test_metrics_table_records_each_micro_batch(spark, tmp_path):
     assert len(rows) == 2  # one metrics row per micro-batch
     assert sum(n for _, n, _ in rows) == 4
     assert sum(n for _, _, n in rows) == corpus.read(spark).count() == 3
+
+
+def test_periodic_compaction_of_append_tables(spark, tmp_path):
+    """After compact_every appends, the index table collapses back to
+    one data file and old manifests vacuum away — with the row set
+    untouched and the loop still correct afterwards."""
+    import os
+
+    from jde_to_datalake_spark.streaming.ingest import ingest_batch_writer
+
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    writer = ingest_batch_writer(corpus, index, compact_every=4)
+
+    for b in range(6):
+        writer(_docs(spark, [(b * 10, f"distinct content number {b}")]), b)
+
+    # 6 novel batches appended; the crossing at version 4 compacted:
+    # the latest manifest references exactly one data file
+    files = index._manifest(index.latest_version())["files"]
+    # versions after the compaction appended on top of the single file
+    assert len(files) <= 3
+    fps = sorted(r["fingerprint"] for r in index.read(spark).collect())
+    assert len(fps) == 6 and len(set(fps)) == 6
+    # vacuum pruned manifests beyond keep_last at the compaction point
+    log = os.path.join(str(tmp_path / "index"), "_log")
+    assert len([f for f in os.listdir(log) if f.endswith(".json")]) <= 6
+    # the loop still behaves after maintenance: re-delivery is a no-op
+    before = index.latest_version()
+    writer(_docs(spark, [(0, "distinct content number 0")]), 0)
+    assert index.latest_version() == before
