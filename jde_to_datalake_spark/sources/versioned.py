@@ -371,6 +371,42 @@ class VersionedTable:
             keep.append(f)
         return keep
 
+    def files_for_ranges(
+        self, ranges: dict, version: int | None = None
+    ) -> list[str]:
+        """Conjunctive multi-column skipping: a file survives only if
+        its stats overlap EVERY ``{column: (lower, upper)}`` range —
+        each additional clustered column prunes further."""
+        files = None
+        for column, (lower, upper) in ranges.items():
+            picked = set(self.files_for_range(column, lower, upper, version))
+            files = picked if files is None else files & picked
+        if files is None:
+            raise ValueError("ranges must name at least one column")
+        # preserve manifest order for deterministic planning
+        manifest = self._manifest(
+            self.latest_version() if version is None else version
+        )
+        return [f for f in manifest["files"] if f in files]
+
+    def read_where_all(
+        self, spark: SparkSession, ranges: dict, version: int | None = None
+    ) -> DataFrame:
+        """``read_where`` over a conjunction of column ranges."""
+        files = self.files_for_ranges(ranges, version)
+        cond = F.lit(True)
+        for column, (lower, upper) in ranges.items():
+            if lower is not None:
+                cond = cond & (F.col(column) >= F.lit(lower))
+            if upper is not None:
+                cond = cond & (F.col(column) <= F.lit(upper))
+        if not files:
+            return self.read(spark, version).filter(F.lit(False))
+        df = spark.read.parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+        return df.filter(cond)
+
     def read_where(
         self,
         spark: SparkSession,

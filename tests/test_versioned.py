@@ -521,3 +521,38 @@ def test_clustered_compaction_enables_skipping(spark, tmp_path):
     assert got == list(range(120, 141))
     # row set unchanged by the clustered rewrite
     assert t.read(spark).count() == 400
+
+
+def test_multi_column_skipping_is_conjunctive(spark, tmp_path):
+    """Files must overlap EVERY requested range: with two clustered
+    columns, the pair of predicates prunes to the single file their
+    intersection lives in."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    # 4 commits over a 2-d grid: k in one of two halves, g likewise
+    for klo, glo in [(0, 0), (0, 100), (50, 0), (50, 100)]:
+        t.commit(
+            spark.range(klo, klo + 50)
+            .selectExpr("id AS k", f"CAST(id - {klo} + {glo} AS BIGINT) AS g")
+            .coalesce(1)
+        )
+    assert len(t.files_for_ranges({"k": (10, 20)})) == 2
+    assert len(t.files_for_ranges({"k": (10, 20), "g": (110, 120)})) == 1
+    got = sorted(
+        (r["k"], r["g"])
+        for r in t.read_where_all(
+            spark, {"k": (10, 20), "g": (110, 120)}
+        ).collect()
+    )
+    exp = sorted(
+        (r["k"], r["g"])
+        for r in t.read(spark)
+        .filter("k BETWEEN 10 AND 20 AND g BETWEEN 110 AND 120")
+        .collect()
+    )
+    assert got == exp and got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.files_for_ranges({})
