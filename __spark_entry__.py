@@ -943,6 +943,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # round-4 promotions / reshapes first: new rows, merged suites,
     # and the queries whose plans changed this round
+    "embedding_dedup_suite",  # fourth session: + seeded SemDeDup branch
+    "snapshot_diff",          # fourth session promotion (reconcile)
+    "text_neardup_suite",     # ngram_jaccard + minhash_lsh merged
     "histogram_drift",    # round-4 second-session promotion (quality)
     "top_ngrams",         # round-4 second-session promotion (corpus)
     "incremental_dedup",  # round-4 second-session promotion (index)
@@ -984,8 +987,7 @@ def _ordered(merged: dict) -> dict:
 # which would make repeated timings reuse data, not just the plan.
 _PLAN_CACHE: "WeakKeyDictionary" = None  # type: ignore[assignment]
 _PLAN_CACHE_SKIP = {
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "text_neardup_suite",  # both branches localCheckpoint their shingles
     "dedup_clusters",
     # round-4 promotions that localCheckpoint a shared projection (or,
     # for sequence_pack, collect per-partition totals at build time)

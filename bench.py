@@ -57,7 +57,7 @@ HEADLINE = [
 for _name in (
     "action_flatten",
     "dedup_fingerprints",   # round 4: dedup_exact + simhash merged
-    "dedup_minhash_lsh",
+    "text_neardup_suite",   # round 4: ngram_jaccard + minhash_lsh merged
     "substring_dedup",      # round 4: exact-substring dedup
     "text_quality",
     "ann_suite",

@@ -464,8 +464,103 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= 0.3).select("id_a", "id_b", "cosine")
 
 
-ORACLE_DEDUP_EMB = """
-WITH vecs AS (
+def q_embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup as one tagged suite (round 4: the
+    SemDeDup pass promoted into the driver registry alongside the
+    sign-bucket LSH row it shares a pair schema with).
+
+    - ``lsh``: the original sign-bucket path (q_dedup_embedding_cosine
+      unchanged) — 8 sign bits prune candidates, exact cosine filters.
+    - ``semdedup``: operators/similarity.py::semantic_dedup
+      (Abbas et al. 2023) with EXPLICIT seed centroids — the 8
+      lowest-id corpus vectors, cell = seed rank — so the whole pass
+      (argmax-cosine cell assignment over the broadcast centroid
+      array, in-cell sorted-member pair enumeration, strict-fold
+      cosine at the threshold) is deterministic and DuckDB-mirrorable.
+      ``emit='pairs'`` is the edge-list form dedup_clusters consumes;
+      the min-id verdict derivation stays mirror-tested in
+      tests/test_similarity_training.py.
+
+    Both branches evaluate genuinely different candidate-pruning
+    structures over the same corpus: LSH buckets (hash locality) vs
+    k-means cells (centroid locality).
+    """
+    from jde_to_datalake_spark.operators.similarity import semantic_dedup
+
+    lsh = q_dedup_embedding_cosine(spark, sf_dir).select(
+        F.lit("lsh").alias("op"), "id_a", "id_b", "cosine"
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("embedding").alias("cent_vec"),
+        )
+    )
+    sem = semantic_dedup(
+        e, threshold=0.3, centroids=cents, emit="pairs"
+    ).select(F.lit("semdedup").alias("op"), "id_a", "id_b", "cosine")
+    return lsh.unionAll(sem)
+
+
+_SQL_NRM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+)
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+# the semdedup oracle mirrors the operator stage by stage: strict
+# left-fold norms/dots (same element order as F.aggregate), argmax
+# cell assignment with ties toward the lowest cell, in-cell a<b pairs.
+# CTE + SELECT kept as separate fragments so the suite oracle can
+# merge them under ONE top-level WITH (DuckDB rejects WITH inside a
+# FROM subquery or after UNION ALL).
+_SEMDEDUP_CTES = f"""
+sem_base AS (
+  SELECT vec_id, embedding, {_SQL_NRM.format(v='embedding')} AS nrm
+  FROM embeddings
+),
+sem_cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         embedding AS cent_vec,
+         {_SQL_NRM.format(v='embedding')} AS cent_norm
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+sem_assigned AS (
+  SELECT vec_id, embedding, nrm, cell FROM (
+    SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_SQL_DOT.format(a='b.embedding', b='c.cent_vec')}
+                      / b.nrm / c.cent_norm DESC,
+                      c.cell
+           ) AS rn
+    FROM sem_base b CROSS JOIN sem_cents c
+  ) WHERE rn = 1
+)"""
+
+_SEMDEDUP_SELECT = f"""
+SELECT 'semdedup' AS op, a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+         / a.nrm / b.nrm AS cosine
+FROM sem_assigned a JOIN sem_assigned b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+        / a.nrm / b.nrm >= 0.3
+"""
+
+ORACLE_SEMDEDUP_PAIRS = f"WITH {_SEMDEDUP_CTES} {_SEMDEDUP_SELECT}"
+
+
+_LSH_CTE = """
+vecs AS (
   SELECT vec_id, embedding,
     (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
     + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
@@ -478,7 +573,9 @@ WITH vecs AS (
     sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)) AS nrm
   FROM embeddings
-)
+)"""
+
+_LSH_SELECT = """
 SELECT q.vec_id AS id_a, c.vec_id AS id_b,
        list_reduce(list_prepend(0.0, list_transform(
            generate_series(1, len(q.embedding)),
@@ -489,6 +586,15 @@ WHERE list_reduce(list_prepend(0.0, list_transform(
          generate_series(1, len(q.embedding)),
          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
        (acc, x) -> acc + x) / q.nrm / c.nrm >= 0.3
+"""
+
+ORACLE_DEDUP_EMB = f"WITH {_LSH_CTE} {_LSH_SELECT}"
+
+ORACLE_EMBEDDING_SUITE = f"""
+WITH {_LSH_CTE}, {_SEMDEDUP_CTES}
+SELECT 'lsh' AS op, * FROM ({_LSH_SELECT})
+UNION ALL
+{_SEMDEDUP_SELECT}
 """
 
 
@@ -792,11 +898,98 @@ FROM points p JOIN intervals i
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (the generalized system-vs-system reconciliation)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff: full per-row inserted/deleted/changed/
+    unchanged verdicts (operators/reconcile.py::snapshot_diff — the
+    generalized form of the reference's JDE-vs-bakery reconciliation,
+    backend/main.py:417-537).
+
+    The 'new' snapshot is a deterministic perturbation of customer:
+    c_custkey%10==3 deleted, %7==0 acctbal+1 (changed), %25==0
+    re-inserted at key+1,000,000. One full-outer shuffle join on the
+    key; the per-column compare is row-local codegen. Balances staged
+    to exact int64 cents (decimal math on both engines);
+    ``changed_cols`` joined to a string in fixed column order.
+    """
+    from jde_to_datalake_spark.operators.reconcile import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    new = cust.filter(F.col("c_custkey") % 10 != 3).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1)
+        .otherwise(F.col("c_acctbal")),
+    )
+    inserted = cust.filter(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        *[F.col(c) for c in cust.columns if c != "c_custkey"],
+    )
+    d = snapshot_diff(
+        cust,
+        new.unionByName(inserted),
+        ["c_custkey"],
+        ["c_acctbal", "c_mktsegment"],
+    )
+    return d.select(
+        "c_custkey",
+        "diff_status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+        (F.col("old_c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").alias("old_bal_cents"),
+        (F.col("new_c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").alias("new_bal_cents"),
+        "old_c_mktsegment",
+        "new_c_mktsegment",
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1 ELSE c_acctbal END
+           AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 <> 3
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 25 = 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+            WHEN n.c_custkey IS NULL THEN 'deleted'
+            WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+              OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+              THEN 'changed'
+            ELSE 'unchanged' END AS diff_status,
+       CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN ''
+            ELSE concat_ws(',',
+              CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                   THEN 'c_acctbal' END,
+              CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                   THEN 'c_mktsegment' END)
+       END AS changed_cols,
+       CAST(CAST(o.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS old_bal_cents,
+       CAST(CAST(n.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS new_bal_cents,
+       o.c_mktsegment AS old_c_mktsegment,
+       n.c_mktsegment AS new_c_mktsegment
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
 # round 4: `sketch_profile` (no oracle by design) was dropped from the
 # registry to free a driver slot — the sketch builders stay available
 # as q_sketch_profile and are sanity-tested against the exact twins in
 # tests/test_quality.py; `json_note_pack` + `notes_membership` merged
-# into `notes_suite` (same proof shapes, one slot)
+# into `notes_suite` (same proof shapes, one slot); fourth session:
+# `dedup_embedding_cosine` widened into `embedding_dedup_suite` (the
+# old lsh branch + the SemDeDup pass with explicit seed centroids),
+# funding the `snapshot_diff` promotion
 QUERIES = {
     "conditional_agg": q_conditional_agg,
     "multimodal_decode": q_multimodal_decode,
@@ -809,7 +1002,8 @@ QUERIES = {
     "status_ladder": q_status_ladder,
     "nan_inf_cleanup": q_nan_inf_cleanup,
     "profiling_stats": q_profiling_stats,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "embedding_dedup_suite": q_embedding_dedup_suite,
+    "snapshot_diff": q_snapshot_diff,
     "rollup_summary": q_rollup_summary,
 }
 
@@ -825,6 +1019,7 @@ ORACLES = {
     "status_ladder": ORACLE_STATUS_LADDER,
     "nan_inf_cleanup": ORACLE_NAN_INF,
     "profiling_stats": ORACLE_PROFILING,
-    "dedup_embedding_cosine": ORACLE_DEDUP_EMB,
+    "embedding_dedup_suite": ORACLE_EMBEDDING_SUITE,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "rollup_summary": ORACLE_ROLLUP,
 }

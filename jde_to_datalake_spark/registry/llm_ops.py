@@ -323,6 +323,61 @@ WHERE j.jaccard >= 0.2
 """
 
 
+def q_text_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pair generation as one tagged suite (fourth
+    round-4 session: the `dedup_ngram_jaccard` + `dedup_minhash_lsh`
+    rows merged to fund the `snapshot_diff` promotion — both branches
+    run their full operators unchanged and share the pair schema).
+
+    - ``ngram``: exact n-gram Jaccard pairs with the ``max_df``
+      stop-shingle guard (the verify/oracle path);
+    - ``lsh``: the full MinHash pipeline end-to-end — row-local
+      signatures, banded buckets, in-bucket candidate enumeration,
+      exact-Jaccard verification on candidates only (the scale path).
+
+    Same structure as ``embedding_dedup_suite``: two genuinely
+    different candidate-pruning strategies over one corpus, one
+    driver row each branch must hash-match through.
+    """
+    ng = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("op"), "id_a", "id_b", "jaccard"
+    )
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("op"), "id_a", "id_b", "jaccard"
+    )
+    return ng.unionAll(lsh)
+
+
+# parenthesized WITH branches: DuckDB rejects a CTE inside a FROM
+# subquery or after a bare UNION ALL, but accepts full parenthesized
+# query expressions on both sides of the union
+ORACLE_TEXT_NEARDUP_SUITE = f"""
+(WITH {_SQL_SHINGLES},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+{_SQL_JACCARD_FROM_SH}
+SELECT 'ngram' AS op, id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2)
+UNION ALL
+(WITH {_SQL_SHINGLES},
+{_SQL_MINHASH_SIG},
+bands AS (
+  SELECT doc_id, hash_idx // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash)) AS band_hash
+  FROM sig GROUP BY doc_id, hash_idx // 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+shr AS (SELECT doc_id, shingle FROM sh),
+{_SQL_JACCARD_FROM_SH}
+SELECT 'lsh' AS op, c.id_a, c.id_b, j.jaccard
+FROM candidates c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.2)
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> canonical keeper.
 
@@ -802,8 +857,7 @@ QUERIES = {
     "corpus_chunking": q_corpus_chunking,
     "corpus_filters": q_corpus_filters,
     "dedup_fingerprints": q_dedup_fingerprints,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "text_neardup_suite": q_text_neardup_suite,
     "dedup_clusters": q_dedup_clusters,
     "substring_dedup": q_substring_dedup,
     "ann_suite": q_ann_suite,
@@ -814,8 +868,7 @@ ORACLES = {
     "corpus_chunking": ORACLE_CORPUS_CHUNKING,
     "corpus_filters": _corpus_filters_oracle(),
     "dedup_fingerprints": _dedup_fingerprints_oracle(),
-    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "text_neardup_suite": ORACLE_TEXT_NEARDUP_SUITE,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "ann_suite": ORACLE_ANN_SUITE,

@@ -21,7 +21,9 @@ SWEEP = [
     "pivot_report",
     "window_suite",
     "collect_group_array",
-    "dedup_minhash_lsh",
+    "text_neardup_suite",
+    "embedding_dedup_suite",
+    "snapshot_diff",
     "ann_suite",
     "sampling_suite",
     "substring_dedup",

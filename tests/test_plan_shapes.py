@@ -42,8 +42,13 @@ def _all_query_names():
 # date_windows joins a broadcast 1-row anchor on a range predicate;
 # histogram_drift cross-joins its broadcast 1-row totals onto the
 # |buckets|-row report (documented in operators/quality.py — chosen
-# over a single-partition global window).
-BNLJ_ALLOWED = {"ann_suite", "date_windows", "histogram_drift"}
+# over a single-partition global window); embedding_dedup_suite's
+# semdedup branch assigns cells via the same broadcast 1-row centroid
+# array crossJoin as ann_suite's ivf branch (assign_cells).
+BNLJ_ALLOWED = {
+    "ann_suite", "date_windows", "histogram_drift",
+    "embedding_dedup_suite",
+}
 
 
 @pytest.mark.parametrize("name", _all_query_names())
@@ -122,8 +127,8 @@ def test_ann_suite_single_window_pass(spark):
     ("name", "max_exchanges"),
     [
         ("action_flatten", 4),       # 2 nesting chains + 2 join sides
-        ("dedup_minhash_lsh", 5),    # spread + bucket agg, distinct, melt join, verify agg
-        ("dedup_ngram_jaccard", 8),  # checkpointed shingles: rare, sizes, self-join
+        # the union of both branches' former budgets (5 lsh + 8 ngram)
+        ("text_neardup_suite", 13),
         ("pricing_summary", 1),      # single agg over one scan
         # transaction_ids/text_quality are pure projections; their one
         # exchange is session.spread widening the unsplittable local
