@@ -1,0 +1,192 @@
+"""Bloom-filter membership: exact-match decontamination at corpus scale.
+
+The missing membership structure next to the repo's LSH/minhash tier:
+an LLM training corpus must not contain benchmark / eval / blocklist
+rows, and at 100 TB the check must not shuffle the corpus. The bloom
+shape does exactly that:
+
+- **build** over the SMALL side (the benchmark set): k bit positions
+  per key, one metadata-scale shuffle on the word index, and ONE
+  bounded collect — the word array is ``num_bits/64`` longs by
+  construction (2^24 bits = 2 MB), never data-scale;
+- **probe** the corpus with a row-local projection over the broadcast
+  word array (the ``_cent_array`` crossJoin pattern from
+  operators/similarity.py) — zero shuffles, the corpus never moves;
+- false positives only (rate set by :func:`optimal_params`), NEVER
+  false negatives — so ``maybe_member = false`` is a safe keep verdict
+  and flagged rows go to an exact broadcast semi-join that touches
+  candidates only (:func:`bloom_decontaminate`), the same two-stage
+  candidates-then-verify discipline as the LSH and ANN paths.
+
+Hashing is the repo's engine-portable sha256 convention
+(operators/sampling.py): ``h1``/``h2`` come from disjoint 15-hex-char
+(60-bit) prefixes of ``sha2(key, 256)``, both reduced mod ``num_bits``
+BEFORE the Kirsch-Mitzenmacher combine ``bit_i = (h1 + i*h2) % m`` so
+the arithmetic stays inside int64 on both engines. Words hold 32 bits
+each (mask <= 2^31): DuckDB raises on ``1::BIGINT << 63`` while Spark
+wraps, so 32-bit masks are the widest form both engines evaluate
+identically — the word array is 2x longer, the semantics are exact.
+
+The reference has no membership tier (its datasets fit in pandas);
+this exists for the training-data pipeline the engine targets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.operators.sampling import _key
+
+_BITS_PER_WORD = 32
+
+
+def optimal_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
+    """Standard bloom sizing: bits m = -n ln p / (ln 2)^2 rounded up to
+    a word multiple, probes k = (m/n) ln 2 (>= 1)."""
+    if n_items <= 0:
+        raise ValueError("n_items must be positive")
+    if not 0.0 < fpr < 1.0:
+        raise ValueError("fpr must be in (0, 1)")
+    m = math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2))
+    m = ((m + _BITS_PER_WORD - 1) // _BITS_PER_WORD) * _BITS_PER_WORD
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _hash_pair(cols: list[str], num_bits: int, salt: str) -> tuple[Column, Column]:
+    digest = F.sha2(_key(cols, salt), 256)
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % num_bits
+    h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("bigint") % num_bits
+    return h1, h2
+
+
+def _positions_sql(num_bits: int, k: int) -> str:
+    """Spark-SQL fragment: array of k bit positions from __h1/__h2."""
+    return (
+        f"transform(sequence(0, {k - 1}), "
+        f"i -> (__h1 + CAST(i AS BIGINT) * __h2) % {num_bits})"
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    cols: list[str],
+    num_bits: int,
+    k: int,
+    salt: str = "",
+) -> list[int]:
+    """Build the filter over ``df``'s key columns; returns the word
+    array (``num_bits / 32`` Python ints, each < 2^32).
+
+    Plan: positions are a row-local projection; the only shuffle is
+    groupBy(word_idx) over at most ``num_bits/32`` groups — metadata
+    scale by the sizing PARAMETER, independent of |df|. The collect is
+    the bounded word aggregate, never the data.
+    """
+    if num_bits % _BITS_PER_WORD != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of {_BITS_PER_WORD}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h1, h2 = _hash_pair(cols, num_bits, salt)
+    words = (
+        df.select(h1.alias("__h1"), h2.alias("__h2"))
+        .select(F.explode(F.expr(_positions_sql(num_bits, k))).alias("p"))
+        .select(
+            F.shiftright("p", 5).cast("int").alias("w"),
+            (F.col("p") % _BITS_PER_WORD).cast("int").alias("b"),
+        )
+        .select("w", F.expr("shiftleft(CAST(1 AS BIGINT), b)").alias("mask"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+        .collect()
+    )
+    out = [0] * (num_bits // _BITS_PER_WORD)
+    for r in words:
+        out[r["w"]] = r["word"]
+    return out
+
+
+def bloom_union(a: list[int], b: list[int]) -> list[int]:
+    """OR-merge two filters built with identical (num_bits, k, salt) —
+    the incremental-ingest composition (per-batch build + union)."""
+    if len(a) != len(b):
+        raise ValueError("bloom_union: filters have different sizes")
+    return [x | y for x, y in zip(a, b)]
+
+
+def bloom_probe(
+    df: DataFrame,
+    cols: list[str],
+    words: list[int],
+    k: int,
+    salt: str = "",
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """Row-local membership probe: ``df`` + a boolean ``flag_col``.
+
+    The word array rides in as a broadcast 1-row frame (a 2^24-bit
+    filter is 2 MB — the ``_cent_array`` shape), and the probe is a
+    forall over the k positions: zero shuffles, the corpus never
+    moves. False positives possible at the sized rate; false negatives
+    never.
+    """
+    num_bits = len(words) * _BITS_PER_WORD
+    spark = df.sparkSession
+    warr = spark.createDataFrame([(words,)], "__bloom_words: array<long>")
+    h1, h2 = _hash_pair(cols, num_bits, salt)
+    hit_all = F.expr(
+        f"forall({_positions_sql(num_bits, k)}, "
+        "p -> (element_at(__bloom_words, CAST(shiftright(p, 5) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(p % {_BITS_PER_WORD} AS INT)))"
+        " != 0)"
+    )
+    return (
+        df.withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .crossJoin(F.broadcast(warr))
+        .withColumn(flag_col, hit_all)
+        .drop("__h1", "__h2", "__bloom_words")
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    on: list[str],
+    fpr: float = 0.01,
+    n_items: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Two-stage exact-match decontamination: bloom probe prunes, an
+    exact broadcast semi-join confirms. Output: ``corpus`` +
+    ``bloom_flagged`` (the probe verdict) + ``is_contaminated`` (exact).
+
+    Scale: the corpus-side cost is the zero-shuffle probe; the exact
+    join's left side is only the flagged sliver (at the sized fpr,
+    ~fpr x |corpus| plus true hits), and the benchmark key set is
+    broadcast — the corpus never shuffles. ``n_items`` sizes the
+    filter; when omitted it is taken from ``benchmark.count()`` (one
+    metadata-scale job over the SMALL side).
+    """
+    if n_items is None:
+        n_items = max(1, benchmark.count())
+    num_bits, k = optimal_params(n_items, fpr)
+    words = bloom_build(benchmark, on, num_bits, k, salt=salt)
+    probed = bloom_probe(corpus, on, words, k, salt=salt, flag_col="bloom_flagged")
+    bench_keys = benchmark.select(
+        _key(on, salt).alias("__bench_key")
+    ).distinct()
+    return (
+        probed.withColumn("__probe_key", _key(on, salt))
+        .join(
+            F.broadcast(bench_keys),
+            (F.col("bloom_flagged"))
+            & (F.col("__probe_key") == F.col("__bench_key")),
+            "left",
+        )
+        .withColumn("is_contaminated", F.col("__bench_key").isNotNull())
+        .drop("__probe_key", "__bench_key")
+    )

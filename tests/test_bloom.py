@@ -1,0 +1,152 @@
+"""Bloom-filter membership (operators/bloom.py): DuckDB parity on the
+build+probe pipeline, the no-false-negatives contract, union
+composition, the two-stage decontamination verdicts, and the
+zero-shuffle probe plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, compare_frames
+from jde_to_datalake_spark.operators.bloom import (
+    _BITS_PER_WORD,
+    bloom_build,
+    bloom_decontaminate,
+    bloom_probe,
+    bloom_union,
+    optimal_params,
+)
+from jde_to_datalake_spark.session import load_table
+
+NUM_BITS = 1 << 12  # deliberately small so false positives occur
+K = 3
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _bench(spark):
+    # benchmark set = every 5th document's text
+    return _docs(spark).filter(F.col("doc_id") % 5 == 0)
+
+
+# DuckDB mirror of build+probe: same sha256 prefixes, same mod-m
+# double hashing, same 32-bit word layout
+_MIRROR_SQL = f"""
+WITH bench AS (
+  SELECT ('0x' || substr(sha256(concat_ws(chr(31), CAST(text AS VARCHAR), '')), 1, 15))::BIGINT % {NUM_BITS} AS h1,
+         ('0x' || substr(sha256(concat_ws(chr(31), CAST(text AS VARCHAR), '')), 17, 15))::BIGINT % {NUM_BITS} AS h2
+  FROM documents WHERE doc_id % 5 = 0
+),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % {NUM_BITS} AS p
+  FROM bench, generate_series(0, {K - 1}) AS t(i)
+),
+words AS (
+  SELECT (p >> 5) AS w, bit_or(1::BIGINT << (p % {_BITS_PER_WORD})::INT) AS word
+  FROM bits GROUP BY 1
+),
+corpus AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(concat_ws(chr(31), CAST(text AS VARCHAR), '')), 1, 15))::BIGINT % {NUM_BITS} AS h1,
+         ('0x' || substr(sha256(concat_ws(chr(31), CAST(text AS VARCHAR), '')), 17, 15))::BIGINT % {NUM_BITS} AS h2
+  FROM documents
+),
+probes AS (
+  SELECT c.doc_id,
+         COALESCE(w.word, 0) & (1::BIGINT << (((c.h1 + i * c.h2) % {NUM_BITS}) % {_BITS_PER_WORD})::INT) AS hit
+  FROM corpus c
+  CROSS JOIN generate_series(0, {K - 1}) AS t(i)
+  LEFT JOIN words w ON w.w = (((c.h1 + i * c.h2) % {NUM_BITS}) >> 5)
+)
+SELECT doc_id, bool_and(hit != 0) AS maybe_member
+FROM probes GROUP BY doc_id
+"""
+
+
+def test_build_probe_matches_duckdb_mirror(spark, duck):
+    words = bloom_build(_bench(spark), ["text"], NUM_BITS, K)
+    got = (
+        bloom_probe(_docs(spark), ["text"], words, K)
+        .select("doc_id", "maybe_member")
+        .toPandas()
+    )
+    exp = duck.execute(_MIRROR_SQL).fetch_df()
+    compare_frames(got, exp, "bloom_mirror")
+
+
+def test_no_false_negatives_and_some_false_positives(spark):
+    # one word (32 bits) for ~10 benchmark keys x 3 probes: mostly
+    # saturated, so non-members collide — the false-positive side of
+    # the contract is observable at any corpus size
+    words = bloom_build(_bench(spark), ["text"], _BITS_PER_WORD, K)
+    rows = (
+        bloom_probe(_docs(spark), ["text"], words, K)
+        .select("doc_id", "maybe_member")
+        .collect()
+    )
+    members = {r["doc_id"] for r in rows if r["doc_id"] % 5 == 0}
+    flagged = {r["doc_id"] for r in rows if r["maybe_member"]}
+    assert members <= flagged, "bloom dropped a true member"
+    # the filter is sized far too small on purpose: non-members MUST
+    # collide (otherwise the mirror test proves nothing about masks)
+    assert flagged - members, "expected false positives at this sizing"
+
+
+def test_union_equals_build_of_union(spark):
+    docs = _docs(spark)
+    a = bloom_build(docs.filter(F.col("doc_id") % 10 == 0), ["text"], NUM_BITS, K)
+    b = bloom_build(docs.filter(F.col("doc_id") % 10 == 5), ["text"], NUM_BITS, K)
+    both = bloom_build(docs.filter(F.col("doc_id") % 5 == 0), ["text"], NUM_BITS, K)
+    assert bloom_union(a, b) == both
+
+
+def test_optimal_params_sizing():
+    m, k = optimal_params(1000, 0.01)
+    assert m % _BITS_PER_WORD == 0
+    # ~9.6 bits/item and ~7 probes at 1% fpr
+    assert 9000 <= m <= 11000
+    assert 6 <= k <= 8
+    with pytest.raises(ValueError):
+        optimal_params(0, 0.01)
+    with pytest.raises(ValueError):
+        optimal_params(10, 1.5)
+
+
+def test_decontaminate_exact_verdicts(spark):
+    docs = _docs(spark)
+    bench = _bench(spark)
+    out = bloom_decontaminate(docs, bench, ["text"], fpr=0.3).collect()
+    bench_texts = {r["text"] for r in bench.collect()}
+    for r in out:
+        assert r["is_contaminated"] == (r["text"] in bench_texts)
+        if r["is_contaminated"]:
+            # exact hits can never have been pruned by the bloom stage
+            assert r["bloom_flagged"]
+    assert len(out) == docs.count()
+
+
+def test_probe_is_zero_shuffle(spark):
+    """100 TB posture: the probe side is a row-local projection over
+    the broadcast word array — no Exchange on the corpus branch, no
+    cartesian product (the 1-row crossJoin broadcasts)."""
+    words = bloom_build(_bench(spark), ["text"], NUM_BITS, K)
+    plan = (
+        bloom_probe(_docs(spark), ["text"], words, K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only exchange is the 1-row word-array broadcast; the corpus
+    # branch itself never partitions
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_build_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        bloom_build(_docs(spark), ["text"], 100, 3)  # not a word multiple
+    with pytest.raises(ValueError):
+        bloom_build(_docs(spark), ["text"], NUM_BITS, 0)
