@@ -468,6 +468,77 @@ def duplicate_clusters(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def apply_keep_policy(
+    docs: DataFrame,
+    clusters: DataFrame,
+    policy: str = "min_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Turn duplicate clusters into per-document keep verdicts under a
+    configurable keeper rule — the last step between pair generation
+    (:func:`minhash_lsh_pairs` et al.), :func:`duplicate_clusters`,
+    and the actual corpus filter.
+
+    ``clusters`` is a ``(id_col, cluster_id)`` frame (the
+    :func:`duplicate_clusters` output) covering only documents that
+    HAVE near-dups; everything else is kept untouched. Policies:
+
+    - ``min_id``   — keeper = the cluster label itself (the min id by
+      construction; the repo's default retry-safe convention);
+    - ``longest``  — keep the longest ``text_col`` per cluster (the
+      C4/RefinedWeb-style rule: prefer the most complete copy);
+    - ``best``     — keep the highest ``score_col`` per cluster (e.g.
+      a quality score from operators/corpus.py).
+    Ties break toward the smallest id, so every policy is
+    deterministic and retry/partitioning-invariant.
+
+    Output: all ``docs`` columns + ``cluster_id`` (null = no dup
+    group), ``keeper_id`` (null for singletons), ``keep`` boolean.
+
+    Scale: one equi-join docs x clusters on the id (the cluster
+    relation is |docs-with-dups|, far smaller than the corpus; AQE
+    broadcasts when it fits), and for the scored policies a per-cluster
+    min-struct aggregate — map-side combinable, skew-safe (the same
+    shape as passage_dedup's firsts agg), never a per-cluster window
+    sort. The verdict join is |clusters|-sized.
+    """
+    if policy not in ("min_id", "longest", "best"):
+        raise ValueError("policy must be 'min_id', 'longest', or 'best'")
+    if policy == "best" and not score_col:
+        raise ValueError("policy='best' requires score_col")
+    joined = docs.join(clusters.select(id_col, "cluster_id"), id_col, "left")
+    if policy == "min_id":
+        out = joined.withColumn(
+            "keeper_id",
+            F.when(F.col("cluster_id").isNotNull(), F.col("cluster_id")),
+        )
+    else:
+        score = (
+            F.col(score_col).cast("double")
+            if policy == "best"
+            else F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("double")
+        )
+        keepers = (
+            joined.filter(F.col("cluster_id").isNotNull())
+            .select(
+                "cluster_id",
+                F.struct(
+                    (-score).alias("negscore"), F.col(id_col).alias("kid")
+                ).alias("__cand"),
+            )
+            .groupBy("cluster_id")
+            .agg(F.min("__cand").alias("__best"))
+            .select("cluster_id", F.col("__best.kid").alias("keeper_id"))
+        )
+        out = joined.join(keepers, "cluster_id", "left")
+    return out.withColumn(
+        "keep",
+        F.col("cluster_id").isNull() | (F.col(id_col) == F.col("keeper_id")),
+    ).select(*docs.columns, "cluster_id", "keeper_id", "keep")
+
+
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
