@@ -754,6 +754,7 @@ def incremental_exact_dedup(
     known_fingerprints: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom: "tuple[list[int], int] | None" = None,
 ) -> DataFrame:
     """Split an incoming batch against a persisted fingerprint index —
     the batch-incremental form of the reference's ledger dedup
@@ -782,6 +783,17 @@ def incremental_exact_dedup(
     output (accounting — every batch row gets a verdict) with all
     three flags false, so nothing NULL is ever ingested or appended
     to the index.
+
+    ``bloom``: an optional ``(words, k)`` filter built over the SAME
+    index relation (operators/bloom.py). Rows whose fingerprint fails
+    the row-local probe CANNOT be in the index (no false negatives),
+    so only the maybe-known sliver joins against it — at 100 TB the
+    index join is the one shuffle whose batch side this prunes; a
+    mostly-novel crawl batch skips it almost entirely. Verdicts are
+    IDENTICAL with and without the filter (parity-tested); a filter
+    built over a STALE index snapshot is NOT safe here (a missing
+    fingerprint would mis-verdict known content as novel) — callers
+    gate on index version (see streaming/ingest.py).
     """
     fp = fingerprint(F.col(text_col))
     batch = new_docs.withColumn("fingerprint", fp)
@@ -794,12 +806,30 @@ def incremental_exact_dedup(
         F.col(known_fingerprints.columns[0]).alias("fingerprint"),
         F.lit(True).alias("__known"),
     ).distinct()
-    out = (
-        # LEFT joins: a NULL fingerprint never equi-joins, and an inner
+    if bloom is not None:
+        from jde_to_datalake_spark.operators.bloom import bloom_probe
+
+        words, k = bloom
+        batch = bloom_probe(
+            batch, ["fingerprint"], words, k, flag_col="__maybe"
+        )
+        # the definitely-unknown slice never shuffles for the index
+        # join; a NULL fingerprint rides with it (its verdict is
+        # all-false either way, and the equi-join would drop it)
+        probed = batch.filter(
+            F.col("__maybe") & F.col("fingerprint").isNotNull()
+        ).join(known, "fingerprint", "left")
+        skipped = batch.filter(
+            ~F.col("__maybe") | F.col("fingerprint").isNull()
+        ).withColumn("__known", F.lit(None).cast("boolean"))
+        joined = probed.unionByName(skipped).drop("__maybe")
+    else:
+        # LEFT join: a NULL fingerprint never equi-joins, and an inner
         # join here silently DROPPED such rows from the output,
         # violating the "batch plus flags" contract
-        batch.join(keepers, "fingerprint", "left")
-        .join(known, "fingerprint", "left")
+        joined = batch.join(known, "fingerprint", "left")
+    out = (
+        joined.join(keepers, "fingerprint", "left")
         .withColumn("is_known", F.coalesce(F.col("__known"), F.lit(False)))
         .withColumn(
             "is_batch_first",

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jde_to_datalake_spark.operators.bloom import bloom_build, bloom_union
 from jde_to_datalake_spark.operators.dedup import (
     band_index,
     incremental_exact_dedup,
@@ -48,6 +49,69 @@ from jde_to_datalake_spark.operators.dedup import (
 from jde_to_datalake_spark.sources.versioned import VersionedTable
 
 _VERDICT_COLS = ("is_known", "is_batch_first", "is_novel")
+
+_BLOOM_SCHEMA = "covers_version bigint, k int, words array<long>"
+
+
+def _load_fresh_bloom(
+    spark: SparkSession,
+    bloom_table: VersionedTable,
+    index_version: int | None,
+    num_bits: int,
+    k: int,
+) -> "tuple[list[int], int] | None":
+    """The stored filter, ONLY if it covers exactly the index version
+    this batch will join against and was built with the current
+    sizing. A stale filter is unusable for verdicts (a fingerprint
+    appended after it was built would probe negative and mis-verdict
+    known content as novel) — staleness falls back to the plain join
+    and the post-append refresh re-engages the filter."""
+    if index_version is None or bloom_table.latest_version() is None:
+        return None
+    rows = bloom_table.read(spark).collect()
+    if not rows:
+        return None
+    r = rows[0]
+    if (
+        r["covers_version"] != index_version
+        or r["k"] != k
+        or len(r["words"]) * 32 != num_bits
+    ):
+        return None
+    return list(r["words"]), r["k"]
+
+
+def _refresh_bloom(
+    spark: SparkSession,
+    bloom_table: VersionedTable,
+    index: VersionedTable,
+    prior: "tuple[list[int], int] | None",
+    novel_fps: DataFrame | None,
+    num_bits: int,
+    k: int,
+) -> None:
+    """Advance the filter to cover the CURRENT index version:
+    incrementally (prior words OR the novel fingerprints' bits — the
+    steady-state path, build cost ∝ |novel|) when the pre-append
+    filter was fresh, else a full rebuild from the index (the recovery
+    path after a crash or sizing change). Commit order puts this LAST,
+    so a crash anywhere leaves a stale-but-detectable filter, never a
+    wrong one."""
+    v = index.latest_version()
+    if v is None:
+        return
+    if prior is not None and novel_fps is not None:
+        words = bloom_union(
+            prior[0], bloom_build(novel_fps, ["fingerprint"], num_bits, k)
+        )
+    else:
+        words = bloom_build(
+            known_fingerprints(spark, index), ["fingerprint"], num_bits, k
+        )
+    bloom_table.commit(
+        spark.createDataFrame([(v, k, words)], _BLOOM_SCHEMA),
+        mode="overwrite",
+    )
 
 
 def known_fingerprints(spark: SparkSession, index: VersionedTable) -> DataFrame:
@@ -69,11 +133,28 @@ def ingest_batch(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    bloom_filter: VersionedTable | None = None,
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 5,
 ) -> dict:
     """Process one micro-batch; returns the verdict counts (the funnel
     row a monitoring sink would record). Usable directly for batch
     backfills — the streaming writer below is this exact function, so
     stream and backfill share one ingestion semantics.
+
+    With ``bloom_filter`` (a versioned table holding ONE row of
+    operators/bloom.py words stamped with the index version it
+    covers), the exact-dedup index join is bloom-prefiltered: the
+    definitely-novel slice of the batch never shuffles against the
+    index — the steady-state win for crawl batches that are mostly
+    new content. The filter is used ONLY when its stamp equals the
+    live index version (fresh); after the index append it is advanced
+    incrementally (prior OR novel bits) or rebuilt if it was stale.
+    Verdicts are identical with and without it, and every crash point
+    stays idempotent: the filter commit is LAST, so a crash leaves a
+    stale stamp, the next delivery falls back to the plain join
+    (exact verdicts, nothing double-committed) and the refresh
+    re-engages the filter.
 
     With ``bands`` (a versioned table holding the ``band_index``
     near-dup artifact), each NOVEL document is additionally annotated
@@ -97,6 +178,7 @@ def ingest_batch(
         return _ingest_batch_inner(
             spark, batch_df, corpus, index, text_col, id_col,
             bands, num_hashes, band_size, shingle_n,
+            bloom_filter, bloom_bits, bloom_k,
         )
     finally:
         batch_df.unpersist()
@@ -113,9 +195,18 @@ def _ingest_batch_inner(
     num_hashes: int,
     band_size: int,
     shingle_n: int,
+    bloom_filter: VersionedTable | None = None,
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 5,
 ) -> dict:
+    pre_bloom = None
+    if bloom_filter is not None:
+        pre_bloom = _load_fresh_bloom(
+            spark, bloom_filter, index.latest_version(), bloom_bits, bloom_k
+        )
     verdicts = incremental_exact_dedup(
-        batch_df, known_fingerprints(spark, index), text_col, id_col
+        batch_df, known_fingerprints(spark, index), text_col, id_col,
+        bloom=pre_bloom,
     )
     counts = verdicts.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -173,13 +264,28 @@ def _ingest_batch_inner(
             if not new_bands.isEmpty():
                 bands.commit(new_bands, mode="append")
         index.commit(novel.select("fingerprint"), mode="append")
-    return {
+        if bloom_filter is not None:
+            _refresh_bloom(
+                spark, bloom_filter, index, pre_bloom,
+                novel.select("fingerprint"), bloom_bits, bloom_k,
+            )
+    elif bloom_filter is not None and pre_bloom is None:
+        # nothing appended but the filter is stale/absent (e.g. after a
+        # crash between index append and filter commit) — rebuild now
+        # so the NEXT batch gets the prefilter back
+        _refresh_bloom(
+            spark, bloom_filter, index, None, None, bloom_bits, bloom_k
+        )
+    stats = {
         "n_rows": counts["n_rows"],
         "n_known": counts["is_known"] or 0,
         "n_batch_first": counts["is_batch_first"] or 0,
         "n_novel": counts["is_novel"] or 0,
         "n_near_flagged": n_near_flagged,
     }
+    if bloom_filter is not None:
+        stats["bloom_prefiltered"] = pre_bloom is not None
+    return stats
 
 
 def maintain_index_tables(
@@ -216,6 +322,7 @@ def ingest_batch_writer(
     bands: VersionedTable | None = None,
     metrics: VersionedTable | None = None,
     compact_every: int | None = None,
+    bloom_filter: VersionedTable | None = None,
 ):
     """``foreachBatch`` adapter over :func:`ingest_batch`.
 
@@ -234,7 +341,8 @@ def ingest_batch_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         stats = ingest_batch(
-            batch_df, corpus, index, text_col, id_col, bands=bands
+            batch_df, corpus, index, text_col, id_col, bands=bands,
+            bloom_filter=bloom_filter,
         )
         if metrics is not None:
             row = batch_df.sparkSession.createDataFrame(
@@ -266,6 +374,7 @@ def ingest_corpus_stream(
     id_col: str = "doc_id",
     bands: VersionedTable | None = None,
     metrics: VersionedTable | None = None,
+    bloom_filter: VersionedTable | None = None,
 ):
     """Start the ingestion loop over a streaming document frame
     (availableNow trigger: drain what exists, then stop — the
@@ -274,7 +383,8 @@ def ingest_corpus_stream(
     return (
         stream.writeStream.foreachBatch(
             ingest_batch_writer(
-                corpus, index, text_col, id_col, bands=bands, metrics=metrics
+                corpus, index, text_col, id_col, bands=bands,
+                metrics=metrics, bloom_filter=bloom_filter,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -237,3 +237,110 @@ def test_periodic_compaction_of_append_tables(spark, tmp_path):
     before = index.latest_version()
     writer(_docs(spark, [(0, "distinct content number 0")]), 0)
     assert index.latest_version() == before
+
+
+def test_bloom_prefiltered_loop_matches_plain(spark, tmp_path):
+    """The same batch sequence through a bloom-prefiltered loop and a
+    plain loop lands identical corpora, indexes, and verdict counts;
+    the filter engages from the first batch that finds a fresh stamp."""
+    from jde_to_datalake_spark.streaming.ingest import _load_fresh_bloom
+
+    plain_c = VersionedTable(str(tmp_path / "pc"))
+    plain_i = VersionedTable(str(tmp_path / "pi"))
+    bloom_c = VersionedTable(str(tmp_path / "bc"))
+    bloom_i = VersionedTable(str(tmp_path / "bi"))
+    bloom_t = VersionedTable(str(tmp_path / "bloom"))
+
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "alpha"), (4, "gamma"), (5, "gamma")],
+        [(6, "beta"), (7, "delta"), (8, None)],
+    ]
+    engaged = []
+    for rows in batches:
+        sp = ingest_batch(_docs(spark, rows), plain_c, plain_i)
+        sb = ingest_batch(
+            _docs(spark, rows), bloom_c, bloom_i,
+            bloom_filter=bloom_t, bloom_bits=1024, bloom_k=3,
+        )
+        engaged.append(sb.pop("bloom_prefiltered"))
+        assert sb == sp
+    # batch 1 ran against an empty index (no filter to be fresh);
+    # batches 2 and 3 must have used the prefilter
+    assert engaged == [False, True, True]
+    assert sorted(tuple(r) for r in bloom_c.read(spark).collect()) == sorted(
+        tuple(r) for r in plain_c.read(spark).collect()
+    )
+    assert sorted(r["fingerprint"] for r in bloom_i.read(spark).collect()) == sorted(
+        r["fingerprint"] for r in plain_i.read(spark).collect()
+    )
+    # the stored filter covers the live index version
+    assert (
+        _load_fresh_bloom(spark, bloom_t, bloom_i.latest_version(), 1024, 3)
+        is not None
+    )
+
+
+def test_bloom_crash_recovery_and_stale_rebuild(spark, tmp_path):
+    """Crash between index append and filter commit: the stale filter
+    is ignored (plain-join fallback, exact verdicts, nothing
+    double-committed) and the next delivery rebuilds it."""
+    import os
+
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    bloom_t = VersionedTable(str(tmp_path / "bloom"))
+    kw = dict(bloom_filter=bloom_t, bloom_bits=1024, bloom_k=3)
+
+    b1 = _docs(spark, [(1, "one content"), (2, "two content")])
+    ingest_batch(b1, corpus, index, **kw)
+    assert bloom_t.latest_version() is not None
+
+    # simulate the crash: the filter commit is lost
+    log = os.path.join(str(tmp_path / "bloom"), "_log")
+    for f in os.listdir(log):
+        os.remove(os.path.join(log, f))
+
+    # re-delivery: all known, stale filter unused, nothing committed to
+    # corpus/index — and the stale-rebuild path re-engages the filter
+    v_c, v_i = corpus.latest_version(), index.latest_version()
+    s2 = ingest_batch(b1, corpus, index, **kw)
+    assert s2["n_novel"] == 0 and s2["bloom_prefiltered"] is False
+    assert (corpus.latest_version(), index.latest_version()) == (v_c, v_i)
+    assert bloom_t.latest_version() is not None
+
+    # next novel batch probes through the rebuilt filter
+    s3 = ingest_batch(
+        _docs(spark, [(3, "three content"), (4, "one content")]),
+        corpus, index, **kw,
+    )
+    assert s3["bloom_prefiltered"] is True
+    assert s3["n_novel"] == 1 and s3["n_known"] == 1
+
+
+def test_incremental_dedup_bloom_verdict_parity(spark):
+    """incremental_exact_dedup(bloom=...) returns byte-identical
+    verdicts to the plain join, including under a deliberately
+    saturated 32-bit filter (false positives) and NULL texts."""
+    from jde_to_datalake_spark.operators.bloom import bloom_build
+    from jde_to_datalake_spark.operators.dedup import incremental_exact_dedup
+
+    known_docs = _docs(
+        spark, [(i, f"known content {i}") for i in range(10)]
+    )
+    known = known_docs.select(fingerprint(F.col("text")).alias("fingerprint"))
+    batch = _docs(
+        spark,
+        [(100, "known content 3"), (101, "brand new"), (102, "brand new"),
+         (103, None), (104, "known content 7"), (105, "other new")],
+    )
+    for bits in (32, 1024):
+        words = bloom_build(known, ["fingerprint"], bits, 3)
+        plain = incremental_exact_dedup(batch, known).toPandas()
+        pre = incremental_exact_dedup(
+            batch, known, bloom=(words, 3)
+        ).toPandas()
+        cols = sorted(plain.columns)
+        a = plain[cols].sort_values("doc_id").reset_index(drop=True)
+        b = pre[cols].sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b), (bits, a.compare(b))
