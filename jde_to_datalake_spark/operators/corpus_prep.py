@@ -49,6 +49,8 @@ def prepare_corpus(
     shingle_n: int = 5,
     passage_k: int = 5,
     substring_min_len: int | None = None,
+    quality_model: dict | None = None,
+    quality_model_min: float = 0.5,
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
     semantic_centroids: DataFrame | None = None,
@@ -68,7 +70,11 @@ def prepare_corpus(
 
     Gate order is the standard one (cheap row-local gates first, the
     corpus-global dedups last so they see less data): URL blocklist ->
-    quality/contamination keep -> exact dedup (min-id keeper) ->
+    quality/contamination keep -> optional learned quality gate
+    (``quality_model``: an operators/quality_model.py artifact; rows
+    scoring below ``quality_model_min`` drop — still a row-local
+    codegen projection, so it stays in the cheap tier) ->
+    exact dedup (min-id keeper) ->
     optional SemDeDup semantic gate (``embeddings`` given) ->
     passage dedup -> optional exact-substring dedup
     (``substring_min_len``, the Lee et al. finishing pass over the
@@ -107,6 +113,11 @@ def prepare_corpus(
             "split_weights": split_weights, "pack_budget": pack_budget,
             "shingle_n": shingle_n, "passage_k": passage_k,
             "substring_min_len": substring_min_len,
+            "quality_model": None if quality_model is None else {
+                "weights": quality_model["weights"],
+                "intercept": quality_model["intercept"],
+                "min": quality_model_min,
+            },
             "semantic": None if embeddings is None else {
                 "threshold": semantic_threshold,
                 "n_centroids": semantic_n_centroids,
@@ -149,6 +160,21 @@ def prepare_corpus(
         survivors.join(quality.filter(F.col("keep")).select(id_col), id_col),
     )
     stages.append(("quality_filter", survivors))
+
+    if quality_model is not None:
+        from jde_to_datalake_spark.operators.quality_model import (
+            score_quality_model,
+        )
+
+        survivors = _st(
+            "model_quality_filter",
+            score_quality_model(
+                survivors, quality_model, text_col, score_col="__q"
+            )
+            .filter(F.col("__q") >= F.lit(float(quality_model_min)))
+            .drop("__q"),
+        )
+        stages.append(("model_quality_filter", survivors))
 
     keepers = exact_dedup(survivors, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)

@@ -264,3 +264,56 @@ def test_semantic_gate_drops_embedding_near_dups(spark):
     funnel = {r["stage"]: r for r in out["funnel"].collect()}
     assert funnel["semantic_dedup"]["n_dropped"] == 1
     assert funnel["semantic_dedup"]["n_in"] == funnel["exact_dedup"]["n_out"]
+
+
+def test_model_quality_gate_fires_and_is_honored(spark):
+    """The learned-quality gate drops below-threshold survivors of the
+    heuristic gate, shows up in the funnel, and every surviving
+    document re-scores at or above the threshold."""
+    import pandas as pd
+
+    from jde_to_datalake_spark.operators import corpus as C
+    from jde_to_datalake_spark.operators.quality_model import (
+        FEATURE_NAMES,
+        score_quality_model,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_docs = docs.filter(is_eval)
+    model = {
+        "features": list(FEATURE_NAMES),
+        "weights": [1.0, 0.2, -0.5, -2.0, -1.0],
+        "intercept": -2.0,
+    }
+    # pick the threshold from the data: the median score of the
+    # heuristic gate's survivors — guarantees the gate both fires and
+    # spares, whatever the synthetic corpus looks like
+    heur = docs.join(
+        C.filter_report(docs, eval_docs, is_eval)
+        .filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+    )
+    scores = sorted(
+        r["__q"]
+        for r in score_quality_model(heur, model, score_col="__q")
+        .select("__q").collect()
+    )
+    cut = scores[len(scores) // 2]
+
+    out = prepare_corpus(
+        docs, eval_docs, is_eval,
+        quality_model=model, quality_model_min=cut,
+    )
+    funnel = {r["stage"]: r for r in out["funnel"].collect()}
+    assert "model_quality_filter" in funnel
+    gate = funnel["model_quality_filter"]
+    assert 0 < gate["n_dropped"] < gate["n_in"], dict(gate.asDict())
+    # gate honored: every surviving document re-scores >= threshold
+    # (scored on the ORIGINAL text — passage rewriting can only have
+    # happened after this gate, so re-score pre-rewrite survivors)
+    final_ids = [r["doc_id"] for r in out["documents"].select("doc_id").collect()]
+    rescored = score_quality_model(
+        docs.filter(F.col("doc_id").isin(final_ids)), model, score_col="__q"
+    )
+    assert rescored.filter(F.col("__q") < cut).count() == 0
