@@ -148,6 +148,7 @@ def ngram_jaccard_pairs(
     max_df: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
@@ -155,6 +156,12 @@ def ngram_jaccard_pairs(
     before the self-join — the standard guard against the quadratic
     blowup on boilerplate n-grams. At 100 TB this operator is only run
     on LSH candidates; standalone it is the small-corpus/oracle path.
+
+    ``shingle_base``: a prebuilt (ideally checkpointed)
+    :func:`with_shingle_col` frame for the SAME (docs, n) — callers
+    running several near-dup algorithms over one corpus (the
+    text_neardup_suite shape) pass it so the tokenize+gram scan is
+    paid once, not once per algorithm.
     """
     # The shingle projection feeds the rare-filter AND the join; the
     # filtered set then feeds sizes AND both self-join sides. Without
@@ -162,7 +169,16 @@ def ngram_jaccard_pairs(
     # tokenize+shingle+explode pipeline (22 exchanges in the executed
     # plan); lazily checkpointing the two shared relations computes
     # each once (plan drops to 6 exchanges).
-    sh = shingles(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    src = (
+        shingle_base
+        if shingle_base is not None
+        else with_shingle_col(docs, n, text_col, id_col)
+    )
+    sh = (
+        src.select(F.col(id_col), F.explode_outer("sh_arr").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -324,6 +340,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_base: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
@@ -331,6 +348,9 @@ def minhash_lsh_pairs(
     candidates (bucket join — work proportional to bucket sizes, not
     |docs|^2), then candidates are verified with exact n-gram Jaccard
     and filtered by ``threshold``.
+
+    ``shingle_base``: a prebuilt :func:`with_shingle_col` frame for the
+    same (docs, n) — see :func:`ngram_jaccard_pairs`.
     """
     # Signatures AND band keys are row-local expressions over the doc's
     # shingle set — the whole pre-join pipeline is a projection with
@@ -344,9 +364,11 @@ def minhash_lsh_pairs(
     # blocks — the standard "persist the signature projection" move for
     # MinHash at scale. Deliberate trade: on executor loss those blocks
     # recompute from the truncated lineage's source scan.
-    base = _with_shingle_hashes(docs, n, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    base = (
+        shingle_base.withColumn("h0", _h0_col())
+        if shingle_base is not None
+        else _with_shingle_hashes(docs, n, text_col, id_col)
+    ).localCheckpoint(eager=False)
     sig = base.select(F.col(id_col), F.col("sh_arr"), *_min_cols(num_hashes))
     band_keys = sig.select(
         F.col(id_col), F.explode(_bands_arr(num_hashes, band_size)).alias("bb")

@@ -337,14 +337,20 @@ def q_text_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same structure as ``embedding_dedup_suite``: two genuinely
     different candidate-pruning strategies over one corpus, one
-    driver row each branch must hash-match through.
+    driver row each branch must hash-match through. Both branches run
+    off ONE checkpointed tokenize+gram base (``shingle_base``) — the
+    shared-prefix move that makes the suite cost branch-work, not
+    2x the corpus scan.
     """
-    ng = q_dedup_ngram_jaccard(spark, sf_dir).select(
-        F.lit("ngram").alias("op"), "id_a", "id_b", "jaccard"
-    )
-    lsh = q_dedup_minhash_lsh(spark, sf_dir).select(
-        F.lit("lsh").alias("op"), "id_a", "id_b", "jaccard"
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    base = D.with_shingle_col(docs, n=3).localCheckpoint(eager=False)
+    ng = D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=1000, shingle_base=base
+    ).select(F.lit("ngram").alias("op"), "id_a", "id_b", "jaccard")
+    lsh = D.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, n=3, threshold=0.2,
+        shingle_base=base,
+    ).select(F.lit("lsh").alias("op"), "id_a", "id_b", "jaccard")
     return ng.unionAll(lsh)
 
 
