@@ -133,6 +133,8 @@ def bloom_probe(
     moves. False positives possible at the sized rate; false negatives
     never.
     """
+    if not words:
+        raise ValueError("bloom_probe: empty word array (build with num_bits > 0)")
     num_bits = len(words) * _BITS_PER_WORD
     spark = df.sparkSession
     warr = spark.createDataFrame([(words,)], "__bloom_words: array<long>")
@@ -149,6 +151,59 @@ def bloom_probe(
         .crossJoin(F.broadcast(warr))
         .withColumn(flag_col, hit_all)
         .drop("__h1", "__h2", "__bloom_words")
+    )
+
+
+def bloom_decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    fpr: float = 0.001,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_items: int | None = None,
+) -> DataFrame:
+    """N-gram-overlap decontamination through a bloom filter: per
+    corpus document, how many of its token n-grams MIGHT appear in the
+    benchmark set (``n_maybe_hits``) and the ``maybe_contaminated``
+    flag (any hit).
+
+    The broadcast-set form (operators/corpus.py::decontaminate) ships
+    the eval shingle set itself to every executor — right up to the
+    point where a large benchmark's shingle set no longer fits a
+    broadcast. This is the scale form: the shingle set compresses to
+    ``~1.44 log2(1/fpr)`` bits per shingle (2.4 MB per 10M shingles at
+    0.1%), the probe stays a zero-shuffle row-local pass over the
+    corpus shingles, and the no-false-negative contract means
+    ``maybe_contaminated = false`` is PROOF of no n-gram overlap —
+    flagged docs go to the exact broadcast path (or human review)
+    while the clean bulk flows on. One sized false-positive rate per
+    SHINGLE inflates n_maybe_hits slightly; it never clears a truly
+    contaminated document.
+
+    ``n_items`` sizes the filter (default: one count of the distinct
+    benchmark shingles — a metadata-scale job over the small side).
+    """
+    from jde_to_datalake_spark.operators.dedup import shingles
+
+    bench_sh = shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    if n_items is None:
+        n_items = max(1, bench_sh.count())
+    num_bits, k = optimal_params(n_items, fpr)
+    words = bloom_build(bench_sh, ["shingle"], num_bits, k)
+    corpus_sh = shingles(corpus, n, text_col, id_col)
+    hits = (
+        bloom_probe(corpus_sh, ["shingle"], words, k, flag_col="__hit")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__hit").cast("bigint")).alias("n_maybe_hits"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn(
+            "n_maybe_hits",
+            F.coalesce(F.col("n_maybe_hits"), F.lit(0).cast("bigint")),
+        )
+        .withColumn("maybe_contaminated", F.col("n_maybe_hits") > 0)
     )
 
 

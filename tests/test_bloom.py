@@ -128,6 +128,40 @@ def test_decontaminate_exact_verdicts(spark):
     assert len(out) == docs.count()
 
 
+def test_ngram_decontamination_contract(spark):
+    """Shingle-level bloom decontamination: every document with a TRUE
+    n-gram overlap against the benchmark is flagged (no false
+    negatives), a clean verdict proves no overlap, and n_maybe_hits
+    >= the true hit count per doc."""
+    from jde_to_datalake_spark.operators.bloom import bloom_decontaminate_ngrams
+    from jde_to_datalake_spark.operators.dedup import shingles
+
+    docs = _docs(spark)
+    bench = _bench(spark)
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate_ngrams(docs, bench, n=5).collect()
+    }
+    # ground truth: exact shingle intersection per doc
+    true_hits = {
+        r["doc_id"]: r["n"]
+        for r in shingles(docs, 5)
+        .join(shingles(bench, 5).select("shingle").distinct(), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(true_hits) <= {
+        d for d, r in out.items() if r["maybe_contaminated"]
+    }
+    for d, n in true_hits.items():
+        assert out[d]["n_maybe_hits"] >= n
+    # benchmark docs ARE corpus docs here -> all flagged; and every
+    # corpus row got a verdict
+    assert len(out) == docs.count()
+    assert all(out[r["doc_id"]]["maybe_contaminated"] for r in bench.collect())
+
+
 def test_probe_is_zero_shuffle(spark):
     """100 TB posture: the probe side is a row-local projection over
     the broadcast word array — no Exchange on the corpus branch, no
@@ -150,3 +184,5 @@ def test_build_rejects_bad_params(spark):
         bloom_build(_docs(spark), ["text"], 100, 3)  # not a word multiple
     with pytest.raises(ValueError):
         bloom_build(_docs(spark), ["text"], NUM_BITS, 0)
+    with pytest.raises(ValueError):
+        bloom_probe(_docs(spark), ["text"], [], 3)  # empty word array
