@@ -32,8 +32,11 @@ from pyspark.sql import functions as F
 from jde_to_datalake_spark.functions import urls as U
 from jde_to_datalake_spark.operators import corpus as C
 from jde_to_datalake_spark.operators.dedup import (
+    apply_keep_policy,
+    duplicate_clusters,
     exact_dedup,
     exact_substring_dedup,
+    minhash_lsh_pairs,
 )
 from jde_to_datalake_spark.operators.sampling import hash_split
 
@@ -51,6 +54,8 @@ def prepare_corpus(
     substring_min_len: int | None = None,
     quality_model: dict | None = None,
     quality_model_min: float = 0.5,
+    near_dedup_threshold: float | None = None,
+    near_dedup_policy: str = "min_id",
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
     semantic_centroids: DataFrame | None = None,
@@ -75,6 +80,10 @@ def prepare_corpus(
     scoring below ``quality_model_min`` drop — still a row-local
     codegen projection, so it stays in the cheap tier) ->
     exact dedup (min-id keeper) ->
+    optional MinHash near-dup gate (``near_dedup_threshold``: LSH
+    pairs -> connected components -> ``apply_keep_policy`` under
+    ``near_dedup_policy``, so a fuzzy-duplicate group keeps exactly
+    one copy — min-id, longest, or best-quality) ->
     optional SemDeDup semantic gate (``embeddings`` given) ->
     passage dedup -> optional exact-substring dedup
     (``substring_min_len``, the Lee et al. finishing pass over the
@@ -117,6 +126,10 @@ def prepare_corpus(
                 "weights": quality_model["weights"],
                 "intercept": quality_model["intercept"],
                 "min": quality_model_min,
+            },
+            "near_dedup": None if near_dedup_threshold is None else {
+                "threshold": near_dedup_threshold,
+                "policy": near_dedup_policy,
             },
             "semantic": None if embeddings is None else {
                 "threshold": semantic_threshold,
@@ -181,6 +194,36 @@ def prepare_corpus(
     )
     survivors = _st("exact_dedup", survivors.join(keepers, id_col))
     stages.append(("exact_dedup", survivors))
+
+    if near_dedup_threshold is not None:
+        # MinHash near-dup gate over the exact-deduped survivors:
+        # pair generation and clustering see only docs that HAVE
+        # near-dups (the cluster relation is far smaller than the
+        # corpus), and the policy keeps exactly one copy per group
+        if near_dedup_policy not in ("min_id", "longest"):
+            # 'best' needs a score column the pipeline doesn't carry
+            # at this stage — callers wanting it run the three
+            # operators directly with their own scored frame
+            raise ValueError(
+                "near_dedup_policy must be 'min_id' or 'longest'"
+            )
+        pairs = minhash_lsh_pairs(
+            survivors, threshold=near_dedup_threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        clusters = duplicate_clusters(pairs).withColumnRenamed(
+            "doc_id", id_col
+        )
+        survivors = _st(
+            "near_dedup",
+            apply_keep_policy(
+                survivors, clusters, policy=near_dedup_policy,
+                id_col=id_col, text_col=text_col,
+            )
+            .filter(F.col("keep"))
+            .drop("cluster_id", "keeper_id", "keep"),
+        )
+        stages.append(("near_dedup", survivors))
 
     if embeddings is not None:
         # SemDeDup gate: embedding-space near-dups of a smaller-id

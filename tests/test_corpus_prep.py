@@ -317,3 +317,47 @@ def test_model_quality_gate_fires_and_is_honored(spark):
         docs.filter(F.col("doc_id").isin(final_ids)), model, score_col="__q"
     )
     assert rescored.filter(F.col("__q") < cut).count() == 0
+
+
+def test_near_dedup_gate_drops_one_copy_per_group(spark):
+    """MinHash near-dup gate: appended-token variants of corpus docs
+    are NOT exact dups (different fingerprints) but are near-dups; the
+    gate fires, and under keep-longest no (original, variant) pair
+    survives together — the longer variant wins whenever both reach
+    the gate."""
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    variants = base.filter(F.col("doc_id") % 40 == 2).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat("text", F.lit(" trailing marker token")).alias("text"),
+    )
+    n_variants = variants.count()
+    assert n_variants > 0
+    docs = base.unionByName(variants)
+    is_eval = F.col("doc_id") % 97 == 0
+    out = prepare_corpus(
+        docs, docs.filter(is_eval), is_eval,
+        near_dedup_threshold=0.2, near_dedup_policy="longest",
+    )
+    funnel = {r["stage"]: r for r in out["funnel"].collect()}
+    assert "near_dedup" in funnel
+    assert funnel["near_dedup"]["n_dropped"] > 0
+    final_ids = {r["doc_id"] for r in out["documents"].select("doc_id").collect()}
+    originals = {r["doc_id"] for r in base.filter(F.col("doc_id") % 40 == 2).collect()}
+    both = {o for o in originals if o in final_ids and o + 20_000 in final_ids}
+    assert not both, f"near-dup pairs survived together: {sorted(both)[:5]}"
+    # the policy favored the longer variant at least once
+    assert any(
+        o + 20_000 in final_ids and o not in final_ids for o in originals
+    )
+
+
+def test_near_dedup_policy_validation(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 97 == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        prepare_corpus(
+            docs, docs.filter(is_eval), is_eval,
+            near_dedup_threshold=0.2, near_dedup_policy="best",
+        )
