@@ -148,3 +148,41 @@ def score_quality_model(
         .withColumn(score_col, quality_model_score(model, text_col))
         .drop(*FEATURE_NAMES)
     )
+
+
+_MODEL_SCHEMA = (
+    "features array<string>, weights array<double>, intercept double"
+)
+
+
+def save_model(spark, table, model: dict) -> int:
+    """Version the model artifact in a 1-row VersionedTable
+    (sources/versioned.py) — the "export once, score forever" half of
+    the module contract. Doubles round-trip parquet exactly, so a
+    loaded model scores bit-identically to the saved one; every
+    retrain is a new version, and time travel pins any corpus release
+    to the exact filter that built it."""
+    df = spark.createDataFrame(
+        [(
+            list(model["features"]),
+            [float(w) for w in model["weights"]],
+            float(model["intercept"]),
+        )],
+        _MODEL_SCHEMA,
+    )
+    return table.commit(df, mode="overwrite")
+
+
+def load_model(spark, table, version: int | None = None) -> dict:
+    """The saved artifact (optionally a historical ``version``)."""
+    rows = table.read(spark, version=version).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{table.root}: expected exactly 1 model row, got {len(rows)}"
+        )
+    r = rows[0]
+    return {
+        "features": list(r["features"]),
+        "weights": [float(w) for w in r["weights"]],
+        "intercept": float(r["intercept"]),
+    }

@@ -176,3 +176,32 @@ def test_feature_contract_enforced():
         quality_model_score(
             {"features": ["other"], "weights": [1.0], "intercept": 0.0}
         )
+
+
+def test_model_artifact_round_trip_and_time_travel(spark, tmp_path):
+    from jde_to_datalake_spark.operators.quality_model import (
+        load_model,
+        save_model,
+    )
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    table = VersionedTable(str(tmp_path / "model"))
+    m0 = {
+        "features": list(FEATURE_NAMES),
+        "weights": [0.1, -0.2, 0.3, -0.4, 0.5],
+        "intercept": 1.25,
+    }
+    v0 = save_model(spark, table, m0)
+    assert load_model(spark, table) == m0
+    m1 = dict(m0, intercept=-7.5)
+    save_model(spark, table, m1)
+    # latest is the retrain; time travel pins the original
+    assert load_model(spark, table) == m1
+    assert load_model(spark, table, version=v0) == m0
+    # a loaded model scores bit-identically to the in-memory one
+    docs = _labeled(spark)
+    a = {r["doc_id"]: r["quality_prob"]
+         for r in score_quality_model(docs, m1).collect()}
+    b = {r["doc_id"]: r["quality_prob"]
+         for r in score_quality_model(docs, load_model(spark, table)).collect()}
+    assert a == b
