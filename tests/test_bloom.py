@@ -186,3 +186,25 @@ def test_build_rejects_bad_params(spark):
         bloom_build(_docs(spark), ["text"], NUM_BITS, 0)
     with pytest.raises(ValueError):
         bloom_probe(_docs(spark), ["text"], [], 3)  # empty word array
+
+
+def test_empty_inputs_total(spark):
+    """Totality: an empty benchmark builds an all-zero filter that
+    flags nothing; an empty corpus probes/decontaminates to empty."""
+    from jde_to_datalake_spark.operators.bloom import (
+        bloom_decontaminate,
+        bloom_decontaminate_ngrams,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = _docs(spark)
+    words = bloom_build(empty, ["text"], NUM_BITS, K)
+    assert all(w == 0 for w in words)
+    flagged = bloom_probe(docs, ["text"], words, K).filter("maybe_member")
+    assert flagged.count() == 0
+    assert bloom_probe(empty, ["text"], words, K).count() == 0
+    out = bloom_decontaminate(docs, empty, ["text"])
+    assert out.filter("is_contaminated OR bloom_flagged").count() == 0
+    ng = bloom_decontaminate_ngrams(docs, empty, n=5)
+    assert ng.filter("maybe_contaminated").count() == 0
+    assert bloom_decontaminate_ngrams(empty, docs, n=5).count() == 0

@@ -145,3 +145,19 @@ def test_policy_validation(spark):
         apply_keep_policy(docs, clusters, policy="nope")
     with pytest.raises(ValueError):
         apply_keep_policy(docs, clusters, policy="best")  # no score_col
+
+
+def test_empty_inputs_total(spark):
+    """Totality: empty cluster relation -> everything kept untouched;
+    empty docs -> empty verdicts, schema intact."""
+    docs, clusters = _frames(spark)
+    no_clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
+    rows = apply_keep_policy(docs, no_clusters, policy="longest").collect()
+    assert len(rows) == len(DOCS)
+    assert all(r["keep"] and r["cluster_id"] is None for r in rows)
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, q double")
+    out = apply_keep_policy(empty_docs, clusters, policy="longest")
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "text", "q", "cluster_id", "keeper_id", "keep",
+    }
