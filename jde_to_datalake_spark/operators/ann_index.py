@@ -184,6 +184,57 @@ class AnnIndex:
             "query_id", "cell", "candidate_id", "cosine", "rank"
         )
 
+    def probe_semantic(
+        self, new_vectors: DataFrame, threshold: float = 0.9
+    ) -> DataFrame:
+        """Incremental SemDeDup probe: ``(new_id, indexed_id, cell,
+        cosine)`` for every NEW vector whose cosine to an
+        already-indexed vector in its assigned cell reaches
+        ``threshold`` — the embedding-space twin of
+        ``dedup.incremental_lsh_candidates``: flag a novel batch's
+        semantic near-dups against the persisted artifact instead of
+        re-running the corpus-wide pass. (``semantic_dedup_indexed``
+        judges the index against ITSELF; this judges new content
+        against the index.)
+
+        Same direct-cell visibility contract as ``semantic_dedup``
+        (cross-cell near-dups invisible by design; recall comes from
+        cell count ∝ corpus size). Plan: the batch assigns to the
+        STORED centroids row-locally over the broadcast centroid
+        array, then broadcasts onto the cell-partitioned corpus — the
+        equi-join on the partition column prunes the scan to the
+        batch's cells and the indexed corpus never shuffles. Flags are
+        advisory by the loop's convention (flag-and-record, never
+        drop — near-dup policy is a downstream threshold decision).
+        """
+        vec, idc = self.meta["vec_col"], self.meta["id_col"]
+        spark = new_vectors.sparkSession
+        assigned = assign_cells(
+            new_vectors, self.centroids(spark), vec, idc
+        ).select(
+            F.col(idc).alias("new_id"),
+            F.col(vec).alias("q_vec"),
+            F.col("nrm").alias("q_norm"),
+            "cell",
+        )
+        c = self.corpus(spark).select(
+            F.col(idc).alias("indexed_id"),
+            F.col(vec).alias("c_vec"),
+            F.col("nrm").alias("c_norm"),
+            "cell",
+        )
+        return (
+            c.join(F.broadcast(assigned), "cell")
+            .filter(F.col("indexed_id") != F.col("new_id"))
+            .withColumn(
+                "cosine",
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / F.col("q_norm") / F.col("c_norm"),
+            )
+            .filter(F.col("cosine") >= F.lit(float(threshold)))
+            .select("new_id", "indexed_id", "cell", "cosine")
+        )
+
     def search_hamming(self, queries: DataFrame, k: int = 5) -> DataFrame:
         """Binary first stage over the stored codes (1/32nd of the
         float bytes); compose with ``search_exact``/``rerank_topk`` on

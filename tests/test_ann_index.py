@@ -223,3 +223,61 @@ def test_semantic_dedup_over_index_matches_on_the_fly(spark, corpus, index):
         ).collect()
     }
     assert pi == pf and pi
+
+
+def test_probe_semantic_matches_strict_fold_mirror(spark, corpus, index):
+    """Incremental SemDeDup probe vs a bit-exact python mirror: same
+    strict left-fold dots, same argmax-cosine cell assignment (ties to
+    the lowest cell), stored norms on the indexed side."""
+    import math
+
+    new = corpus.filter(F.col("vec_id") % 7 == 3)
+    got = {
+        (r["new_id"], r["indexed_id"]): r["cosine"]
+        for r in index.probe_semantic(new, threshold=0.3).collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    cents = sorted(index.centroids(spark).collect(), key=lambda r: r["cell"])
+    cnorm = {r["cell"]: math.sqrt(dot(r["cent_vec"], r["cent_vec"])) for r in cents}
+    stored = index.corpus(spark).collect()
+    by_cell: dict = {}
+    for s in stored:
+        by_cell.setdefault(s["cell"], []).append(s)
+
+    want = {}
+    for r in new.collect():
+        v = r["embedding"]
+        vn = math.sqrt(dot(v, v))
+        best = None
+        for c in cents:  # ascending cell: strict > keeps lowest on ties
+            cos = dot(v, c["cent_vec"]) / vn / cnorm[c["cell"]]
+            if best is None or cos > best[0]:
+                best = (cos, c["cell"])
+        for s in by_cell.get(best[1], []):
+            if s["vec_id"] == r["vec_id"]:
+                continue
+            cos = dot(v, s["embedding"]) / vn / s["nrm"]
+            if cos >= 0.3:
+                want[(r["vec_id"], s["vec_id"])] = cos
+    assert got == want
+    assert want, "fixture produced no candidates — threshold too high"
+
+
+def test_probe_semantic_scan_is_partition_pruned(spark, corpus, index):
+    """The probe's corpus scan must be dynamically pruned to the
+    batch's assigned cells — the same layout payoff as the IVF path —
+    and stay free of cartesian products."""
+    new = corpus.filter(F.col("vec_id") < 3)
+    plan = (
+        index.probe_semantic(new, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters: [" in plan
+    assert "CartesianProduct" not in plan
