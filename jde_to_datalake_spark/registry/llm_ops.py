@@ -385,20 +385,31 @@ WHERE j.jaccard >= 0.2)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs -> connected components -> canonical keeper.
+    """Near-dup pairs -> connected components -> keep-policy verdicts.
 
     The dedup finisher: transitive closure over the LSH pair graph
-    (same params as ``dedup_minhash_lsh``), one row per doc that has a
-    near-dup, labeled with the min doc_id of its cluster. The oracle
-    recomputes the closure with a recursive CTE over the identical
-    pair set — so both the pair generation AND the iterative label
-    propagation are value-checked end-to-end.
+    (same params as the ``text_neardup_suite`` lsh branch), one row
+    per doc that has a near-dup, labeled with the min doc_id of its
+    cluster PLUS the keep-longest policy verdict (fourth round-4
+    session: ``apply_keep_policy`` joined the row so the keeper rule
+    is driver-checked, not just mirror-tested). The oracle recomputes
+    the closure with a recursive CTE over the identical pair set and
+    the keeper with a per-cluster length argmax — pair generation,
+    iterative label propagation, AND the policy are value-checked
+    end-to-end.
     """
+    docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        num_hashes=8, band_size=2, n=3, threshold=0.2,
+        docs, num_hashes=8, band_size=2, n=3, threshold=0.2,
     )
-    return D.duplicate_clusters(pairs)
+    clusters = D.duplicate_clusters(pairs)
+    return (
+        D.apply_keep_policy(
+            docs.select("doc_id", "text"), clusters, policy="longest"
+        )
+        .filter(F.col("cluster_id").isNotNull())
+        .select("doc_id", "cluster_id", "keeper_id", "keep")
+    )
 
 
 # the recursive closure must be the outermost WITH RECURSIVE, so the
@@ -433,8 +444,21 @@ reach AS (
   SELECT id, id AS r FROM nodes
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+keepers AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM (
+    SELECT comp.cluster_id, comp.doc_id,
+           row_number() OVER (
+             PARTITION BY comp.cluster_id
+             ORDER BY length(coalesce(d.text, '')) DESC, comp.doc_id
+           ) AS rn
+    FROM comp JOIN documents d USING (doc_id)
+  ) WHERE rn = 1
 )
-SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+SELECT c.doc_id, c.cluster_id, k.keeper_id,
+       (c.doc_id = k.keeper_id) AS keep
+FROM comp c JOIN keepers k USING (cluster_id)
 """
 
 
