@@ -38,9 +38,41 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jde_to_datalake_spark.operators.sampling import _key
+from jde_to_datalake_spark.operators.sampling import _SEP
 
 _BITS_PER_WORD = 32
+
+
+def _key(cols: list[str], salt: str) -> Column:
+    """Null-safe multi-column key: each column is tagged with a
+    presence byte (\\x01 + value, or \\x00 alone for NULL) before the
+    separator join, so ``('x', NULL)`` and ``(NULL, 'x')`` can never
+    collide (plain ``concat_ws`` silently SKIPS nulls — round-4
+    advisor finding). NULL therefore compares as a value here: a NULL
+    benchmark key matches a NULL corpus key, the right semantics for
+    membership/decontamination."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.concat_ws(_SEP, *parts, F.lit(salt))
+
+
+def key_sql(cols: list[str], salt: str = "") -> str:
+    """The DuckDB-equivalent null-safe key expression, for oracle SQL
+    construction (tests and registry share this so the two engines'
+    keys can never skew)."""
+    parts = ", ".join(
+        [
+            f"CASE WHEN {c} IS NULL THEN chr(0) "
+            f"ELSE chr(1) || CAST({c} AS VARCHAR) END"
+            for c in cols
+        ]
+        + [f"'{salt}'"]
+    )
+    return f"concat_ws(chr(31), {parts})"
 
 
 def optimal_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:

@@ -129,6 +129,13 @@ def quality_model_score(model: dict, text_col: str = "text") -> Column:
             f"model features {model['features']} do not match this "
             f"build's contract {list(FEATURE_NAMES)}"
         )
+    if len(model["weights"]) != len(FEATURE_NAMES):
+        # zip would silently truncate a corrupted artifact and score
+        # with missing terms (round-4 advisor finding)
+        raise ValueError(
+            f"model has {len(model['weights'])} weights for "
+            f"{len(FEATURE_NAMES)} features — corrupted artifact"
+        )
     z = F.lit(float(model["intercept"]))
     for name, w in zip(FEATURE_NAMES, model["weights"]):
         z = z + F.col(name) * F.lit(float(w))

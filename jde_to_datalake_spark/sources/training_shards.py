@@ -262,15 +262,19 @@ def read_shard_shuffled(
     spark: SparkSession, root: str, shard: int, seed: int
 ) -> DataFrame:
     """One shard's rows in a seeded deterministic order: sorted by
-    xxhash64(seed, pack_id). A shard is one task's worth of data
-    (one file by construction), so the sort is sortWithinPartitions —
-    no global shuffle; combined with ``epoch_shard_order`` this is the
-    standard two-level training shuffle (shard order x intra-shard
-    order), both replayable from (manifest, seed) alone.
+    xxhash64(seed, pack_id). The sort is a GLOBAL orderBy — a shard
+    file larger than ``spark.sql.files.maxPartitionBytes`` is split
+    into several input partitions, and a per-partition sort would
+    order each split independently, making the overall row order
+    depend on split/config (round-4 advisor finding). A shard is one
+    task's worth of data by construction, so the global sort stays
+    cheap; combined with ``epoch_shard_order`` this is the standard
+    two-level training shuffle (shard order x intra-shard order),
+    both replayable from (manifest, seed) alone.
     """
     manifest = read_manifest(root)
     df = read_training_shards(spark, root, shards=[shard])
-    return df.sortWithinPartitions(
+    return df.orderBy(
         F.xxhash64(F.lit(int(seed)), F.col(manifest["id_col"])),
         F.col(manifest["id_col"]),
     )

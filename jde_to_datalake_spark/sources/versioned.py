@@ -23,8 +23,10 @@ naming immutable parquet data files — with single-table scope:
   rule, both halves (optimistic concurrency, as in Delta).
 - ``read(version=...)``  latest by default; any historical version
   while its files remain (time travel).
-- ``merge(updates, key)``  keyed upsert = read-latest ⟕ updates →
-  overwrite commit. MERGE semantics with full history retained.
+- ``merge(updates, key)``  keyed upsert as a PARTIAL file rewrite:
+  footer stats decide which files can hold a batch key; untouched
+  files are carried by reference, touched ones are anti-joined and
+  rewritten. MERGE semantics with full history retained.
 - ``history()`` / ``vacuum(keep_last)``  audit log; physical removal
   of files unreferenced by retained versions.
 
@@ -205,7 +207,11 @@ class VersionedTable:
         return self.publish(self.stage(df), mode=mode, expected_base=expected_base)
 
     def publish(
-        self, staged: list[str], mode: str = "append", expected_base=_UNSET
+        self,
+        staged: list[str],
+        mode: str = "append",
+        expected_base=_UNSET,
+        carry: list[str] | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -223,9 +229,19 @@ class VersionedTable:
         wrong for upserts. A rejected publish leaves its staged files
         unreferenced; ``vacuum`` reclaims them (retry = re-read +
         re-stage, never re-publish stale files).
+
+        ``carry`` (overwrite mode only) names files from the PREVIOUS
+        version carried into the new one BY REFERENCE — no data copied,
+        their footer stats reused. This is the partial-rewrite
+        primitive ``merge`` uses: the new version = carried files +
+        staged files. Every carried file must be referenced by the
+        base manifest (a typo'd path would publish a version pointing
+        at bytes ``vacuum`` considers unreferenced).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if carry is not None and mode != "overwrite":
+            raise ValueError("carry requires mode='overwrite'")
         new_files = staged
         if expected_base is _UNSET:
             prev = self.latest_version()
@@ -239,7 +255,18 @@ class VersionedTable:
                     f"stale snapshot: read version {prev}, but latest is "
                     f"{latest} — re-read and retry the merge/compact"
                 )
-        if mode == "append" and prev is not None:
+        if carry is not None:
+            if prev is None:
+                raise ValueError("carry requires an existing base version")
+            prev_files = set(self._manifest(prev)["files"])
+            missing = [f for f in carry if f not in prev_files]
+            if missing:
+                raise ValueError(
+                    f"carry names files absent from version {prev}: "
+                    f"{missing[:5]}"
+                )
+            files = list(carry) + new_files
+        elif mode == "append" and prev is not None:
             files = self._manifest(prev)["files"] + new_files
         else:
             files = new_files
@@ -377,20 +404,29 @@ class VersionedTable:
         """Conjunctive multi-column skipping: a file survives only if
         its stats overlap EVERY ``{column: (lower, upper)}`` range —
         each additional clustered column prunes further."""
+        if not ranges:
+            raise ValueError("ranges must name at least one column")
+        # pin the version ONCE: per-column latest_version() re-resolution
+        # could mix file lists from two versions if a commit lands
+        # mid-call (round-4 advisor finding)
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"{self.root}: no commits yet")
         files = None
         for column, (lower, upper) in ranges.items():
             picked = set(self.files_for_range(column, lower, upper, version))
             files = picked if files is None else files & picked
-        if files is None:
-            raise ValueError("ranges must name at least one column")
         # preserve manifest order for deterministic planning
-        manifest = self._manifest(
-            self.latest_version() if version is None else version
-        )
+        manifest = self._manifest(version)
         return [f for f in manifest["files"] if f in files]
 
     def read_where_all(
-        self, spark: SparkSession, ranges: dict, version: int | None = None
+        self,
+        spark: SparkSession,
+        ranges: dict,
+        version: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """``read_where`` over a conjunction of column ranges."""
         files = self.files_for_ranges(ranges, version)
@@ -401,8 +437,14 @@ class VersionedTable:
             if upper is not None:
                 cond = cond & (F.col(column) <= F.lit(upper))
         if not files:
-            return self.read(spark, version).filter(F.lit(False))
-        df = spark.read.parquet(
+            return self.read(spark, version, merge_schema).filter(F.lit(False))
+        reader = spark.read
+        if merge_schema:
+            # match read() semantics on schema-evolved tables: without
+            # this the pruned scan resolves to one file's schema and
+            # silently drops evolved columns (round-4 advisor finding)
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(
             *[os.path.join(self.root, f) for f in files]
         )
         return df.filter(cond)
@@ -414,69 +456,134 @@ class VersionedTable:
         lower=None,
         upper=None,
         version: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """``read`` restricted to ``lower <= column <= upper``: the scan
         plans over only the stats-overlapping files (a clustered or
         sorted table reads a fraction of its bytes), and the exact
         predicate still applies on top — pruning is a file-list
-        optimization, never a semantics change."""
-        files = self.files_for_range(column, lower, upper, version)
-        cond = F.lit(True)
-        if lower is not None:
-            cond = cond & (F.col(column) >= F.lit(lower))
-        if upper is not None:
-            cond = cond & (F.col(column) <= F.lit(upper))
-        if not files:
-            return self.read(spark, version).filter(F.lit(False))
-        df = spark.read.parquet(
-            *[os.path.join(self.root, f) for f in files]
+        optimization, never a semantics change. ``merge_schema``
+        matches ``read()``'s schema-evolution behavior."""
+        return self.read_where_all(
+            spark, {column: (lower, upper)}, version, merge_schema
         )
-        return df.filter(cond)
 
     # -- upsert ---------------------------------------------------------
     def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
-        """Keyed MERGE: matched rows replaced, new rows inserted.
+        """Keyed MERGE: matched rows replaced, new rows inserted —
+        rewriting ONLY the files the batch can touch.
 
-        Implemented as read-latest anti-join + union + overwrite
-        commit — the Delta MERGE contract with history retained (the
-        pre-merge version stays readable). The anti-join is keyed on
-        ``key``; the updates side is a micro-batch by convention, so
-        AQE broadcasts it.
+        The partial-rewrite form of Delta's file-level MERGE: each
+        file's footer [min, max] for ``key`` becomes one row of a
+        metadata-scale ranges relation, and a single broadcast range
+        join probes the batch's DISTINCT keys against it — a file is
+        touched only when at least one batch key falls inside its
+        range. Untouched files are carried into the new version BY
+        REFERENCE (``publish(carry=...)``); only touched files are
+        read, anti-joined, and rewritten. Per-key membership (not
+        batch-range overlap) matters because hash-valued keys span the
+        whole key space in any batch: on a table kept key-clustered
+        (``compact(cluster_by=key)``) a B-key micro-batch rewrites at
+        most B files, not O(corpus) — the property that makes
+        continuous ingestion viable at 100 TB. Files lacking stats for
+        ``key`` are conservatively rewritten (unknown range = may
+        match), so semantics never depend on stats being present.
 
         Delta-matching edges:
         - duplicate keys in ``updates`` raise ``ValueError`` (Delta
           errors on multiple source matches — silently inserting both
           copies would corrupt the key invariant);
-        - the current version is read with ``merge_schema=True`` and
-          the union allows missing columns, so MERGE composes with
-          schema evolution instead of dropping evolved columns (which
-          columns each side lacks read as null).
+        - an EMPTY updates frame is a no-op returning the current
+          version (no empty commit);
+        - touched files are read with ``merge_schema=True`` and the
+          union allows missing columns, so MERGE composes with schema
+          evolution. Because untouched files are carried unrewritten,
+          a schema-evolved table must be read with
+          ``merge_schema=True`` (exactly Delta's contract — old files
+          keep their written schema until rewritten);
+        - the publish is pinned to the version this merge READ
+          (snapshot isolation): an intervening commit fails this merge
+          instead of being silently overwritten.
         """
-        dup = (
-            updates.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
+        prev = self.latest_version()
+        if prev is None:
+            return self.commit(updates, mode="overwrite", expected_base=None)
+        # one job: duplicate-key guard + the batch key range. NULL keys
+        # are exempt from the guard: they match no existing row under
+        # equi-join semantics (pure inserts), so several NULL-key rows
+        # cannot violate the one-match-per-key invariant — Delta's rule.
+        grouped = updates.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+        s = grouped.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max(F.when(F.col(key).isNotNull(), F.col("__n"))).alias("max_n"),
+            F.min(key).alias("kmin"),
+            F.max(key).alias("kmax"),
+        ).collect()[0]
+        if s["n_groups"] == 0:
+            return prev  # empty batch: nothing to merge
+        if s["max_n"] is not None and s["max_n"] > 1:
+            dup = (
+                grouped.filter(F.col("__n") > 1)
+                .filter(F.col(key).isNotNull())
+                .limit(1)
+                .collect()
+            )
             raise ValueError(
                 f"merge: updates contain duplicate key {dup[0][0]!r} — "
                 "a key may match at most one update row (Delta MERGE "
                 "contract); dedupe the batch first"
             )
-        # snapshot isolation: the publish is pinned to the version this
-        # merge READ — an intervening commit fails this merge instead
-        # of being silently overwritten (round-3 advisor finding)
-        prev = self.latest_version()
-        if prev is None:
-            return self.commit(updates, mode="overwrite", expected_base=None)
-        current = self.read(spark, prev, merge_schema=True)
+        manifest = self._manifest(prev)
+        manifest_files = manifest["files"]
+        file_stats = manifest.get("stats", {})
+        ranged, touched = [], []
+        for f in manifest_files:
+            st = file_stats.get(f, {}).get(key)
+            if st is not None:
+                ranged.append((f, st[0], st[1]))
+            else:
+                touched.append(f)  # no stats: may match, must rewrite
+        if ranged and s["kmin"] is not None:
+            # one broadcast range-join job: which files hold >=1 batch
+            # key. The ranges side is |files| rows (metadata scale);
+            # the keys side is the dup-guard's per-key frame reused.
+            rdf = spark.createDataFrame(ranged, ["__file", "__mn", "__mx"])
+            hits = (
+                grouped.select(F.col(key).alias("__k"))
+                .dropna()
+                .join(
+                    F.broadcast(rdf),
+                    (F.col("__k") >= F.col("__mn"))
+                    & (F.col("__k") <= F.col("__mx")),
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            touched.extend(r["__file"] for r in hits)
+        # s["kmin"] is None (all update keys NULL) leaves ranged files
+        # untouched: an equi-anti-join matches no existing row, so the
+        # merge is a pure insert
+        touched_set = set(touched)
+        touched = [f for f in manifest_files if f in touched_set]
+        untouched = [f for f in manifest_files if f not in touched_set]
+        if not touched:
+            return self.publish(
+                self.stage(updates),
+                mode="overwrite",
+                expected_base=prev,
+                carry=untouched,
+            )
+        reader = spark.read.option("mergeSchema", "true")
+        current = reader.parquet(
+            *[os.path.join(self.root, f) for f in touched]
+        )
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
-        return self.commit(
-            kept.unionByName(updates, allowMissingColumns=True),
+        return self.publish(
+            self.stage(kept.unionByName(updates, allowMissingColumns=True)),
             mode="overwrite",
             expected_base=prev,
+            carry=untouched,
         )
 
     # -- streaming sink ---------------------------------------------------

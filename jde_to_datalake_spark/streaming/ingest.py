@@ -174,19 +174,37 @@ def ingest_batch(
     # band keys, the flag count); persist it for the batch's lifetime
     # so the source micro-batch is read once, not once per consumer
     batch_df = batch_df.persist()
+    pre_bloom = None
+    if bloom_filter is not None:
+        pre_bloom = _load_fresh_bloom(
+            spark, bloom_filter, index.latest_version(), bloom_bits, bloom_k
+        )
+    # the EXPENSIVE shared frame is the verdict join against the
+    # fingerprint index, not the raw batch: counts, the near-dup flag
+    # count, the corpus MERGE (dup guard + write), the band append and
+    # the index append all consume it. Persist it too, so the
+    # index-side scan + join runs ONCE per micro-batch instead of once
+    # per downstream action (~6 index scans per batch at a
+    # billions-row index without this).
+    verdicts = incremental_exact_dedup(
+        batch_df, known_fingerprints(spark, index), text_col, id_col,
+        bloom=pre_bloom,
+    ).persist()
     try:
         return _ingest_batch_inner(
-            spark, batch_df, corpus, index, text_col, id_col,
+            spark, verdicts, pre_bloom, corpus, index, text_col, id_col,
             bands, num_hashes, band_size, shingle_n,
             bloom_filter, bloom_bits, bloom_k,
         )
     finally:
+        verdicts.unpersist()
         batch_df.unpersist()
 
 
 def _ingest_batch_inner(
     spark,
-    batch_df: DataFrame,
+    verdicts: DataFrame,
+    pre_bloom: "tuple[list[int], int] | None",
     corpus: VersionedTable,
     index: VersionedTable,
     text_col: str,
@@ -199,15 +217,6 @@ def _ingest_batch_inner(
     bloom_bits: int = 1 << 20,
     bloom_k: int = 5,
 ) -> dict:
-    pre_bloom = None
-    if bloom_filter is not None:
-        pre_bloom = _load_fresh_bloom(
-            spark, bloom_filter, index.latest_version(), bloom_bits, bloom_k
-        )
-    verdicts = incremental_exact_dedup(
-        batch_df, known_fingerprints(spark, index), text_col, id_col,
-        bloom=pre_bloom,
-    )
     counts = verdicts.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
@@ -294,20 +303,34 @@ def maintain_index_tables(
     compact_every: int = 16,
     vacuum_keep_last: int = 4,
     retention_seconds: float = 3600.0,
+    cluster_by: "dict[str, tuple[str, int]] | None" = None,
 ) -> None:
-    """Periodic maintenance for the loop's append-per-batch artifact
-    tables (fingerprint index, band index): every append commit adds
-    one small file, so after N batches a table is N tiny scans —
-    compact back to one file whenever the version count crosses a
-    multiple of ``compact_every``, then vacuum manifests beyond the
-    newest ``vacuum_keep_last`` (the retention window still protects
-    any in-flight writer's staged files). The corpus table never
-    needs this: its content-keyed MERGE is already a full rewrite.
+    """Periodic maintenance for the loop's per-batch-commit tables:
+    every commit adds files, so after N batches a table is N small
+    scans — compact whenever the version count crosses a multiple of
+    ``compact_every``, then vacuum manifests beyond the newest
+    ``vacuum_keep_last`` (the retention window still protects any
+    in-flight writer's staged files).
+
+    ``cluster_by`` maps a table ROOT to ``(column, n_files)``: that
+    table is compacted range-clustered on the column into ``n_files``
+    files instead of coalesced to one. This is what keeps the corpus
+    table's partial-rewrite MERGE cheap: clustered files carry narrow
+    disjoint key ranges in their footer stats, so each micro-batch
+    merge rewrites only the few files its keys land in, and the
+    clustering compaction amortizes the accumulated merge output files
+    back into tight ranges.
     """
     for t in tables:
         v = t.latest_version()
         if v is not None and v > 0 and v % compact_every == 0:
-            t.compact(spark)
+            spec = (cluster_by or {}).get(t.root)
+            if spec is not None:
+                t.compact(
+                    spark, target_partitions=spec[1], cluster_by=spec[0]
+                )
+            else:
+                t.compact(spark)
             t.vacuum(
                 keep_last=vacuum_keep_last,
                 retention_seconds=retention_seconds,
@@ -333,9 +356,11 @@ def ingest_batch_writer(
     n_novel = 0), which is exactly the observability signal that a
     recovery happened; dashboards aggregate per batch_id.
 
-    With ``compact_every``, the append-only artifact tables (index,
-    bands, metrics) are compacted + vacuumed whenever their version
-    count crosses a multiple of it — see
+    With ``compact_every``, the per-batch-commit tables (corpus,
+    index, bands, metrics) are compacted + vacuumed whenever their
+    version count crosses a multiple of it; the corpus is compacted
+    CLUSTERED on the fingerprint key, which is what keeps its
+    partial-rewrite MERGE touching only a few files per batch — see
     :func:`maintain_index_tables`.
     """
 
@@ -358,8 +383,11 @@ def ingest_batch_writer(
         if compact_every is not None:
             maintain_index_tables(
                 batch_df.sparkSession,
-                [t for t in (index, bands, metrics) if t is not None],
+                [t for t in (corpus, index, bands, metrics) if t is not None],
                 compact_every=compact_every,
+                # keep the corpus key-clustered so each batch's MERGE
+                # stays a partial rewrite (few files, narrow ranges)
+                cluster_by={corpus.root: ("fingerprint", 8)},
             )
 
     return write

@@ -15,6 +15,7 @@ from jde_to_datalake_spark.operators.bloom import (
     bloom_decontaminate,
     bloom_probe,
     bloom_union,
+    key_sql,
     optimal_params,
 )
 from jde_to_datalake_spark.session import load_table
@@ -34,10 +35,11 @@ def _bench(spark):
 
 # DuckDB mirror of build+probe: same sha256 prefixes, same mod-m
 # double hashing, same 32-bit word layout
+_KEY = key_sql(["text"])
 _MIRROR_SQL = f"""
 WITH bench AS (
-  SELECT ('0x' || substr(sha256(concat_ws(chr(31), CAST(text AS VARCHAR), '')), 1, 15))::BIGINT % {NUM_BITS} AS h1,
-         ('0x' || substr(sha256(concat_ws(chr(31), CAST(text AS VARCHAR), '')), 17, 15))::BIGINT % {NUM_BITS} AS h2
+  SELECT ('0x' || substr(sha256({_KEY}), 1, 15))::BIGINT % {NUM_BITS} AS h1,
+         ('0x' || substr(sha256({_KEY}), 17, 15))::BIGINT % {NUM_BITS} AS h2
   FROM documents WHERE doc_id % 5 = 0
 ),
 bits AS (
@@ -50,8 +52,8 @@ words AS (
 ),
 corpus AS (
   SELECT doc_id,
-         ('0x' || substr(sha256(concat_ws(chr(31), CAST(text AS VARCHAR), '')), 1, 15))::BIGINT % {NUM_BITS} AS h1,
-         ('0x' || substr(sha256(concat_ws(chr(31), CAST(text AS VARCHAR), '')), 17, 15))::BIGINT % {NUM_BITS} AS h2
+         ('0x' || substr(sha256({_KEY}), 1, 15))::BIGINT % {NUM_BITS} AS h1,
+         ('0x' || substr(sha256({_KEY}), 17, 15))::BIGINT % {NUM_BITS} AS h2
   FROM documents
 ),
 probes AS (
@@ -208,3 +210,21 @@ def test_empty_inputs_total(spark):
     ng = bloom_decontaminate_ngrams(docs, empty, n=5)
     assert ng.filter("maybe_contaminated").count() == 0
     assert bloom_decontaminate_ngrams(empty, docs, n=5).count() == 0
+
+
+def test_null_keys_do_not_collide_across_positions(spark):
+    """Round-4 advisor finding: under plain concat_ws the tuples
+    ('x', NULL) and (NULL, 'x') produced identical keys, so a clean
+    corpus row could be flagged as contaminated. The presence-tagged
+    key keeps the positions distinct, and NULL still matches NULL
+    (value semantics for membership)."""
+    a = spark.createDataFrame([("x", None)], "c1 string, c2 string")
+    b = spark.createDataFrame([(None, "x")], "c1 string, c2 string")
+    wa = bloom_build(a, ["c1", "c2"], NUM_BITS, K)
+    wb = bloom_build(b, ["c1", "c2"], NUM_BITS, K)
+    assert wa != wb
+    out = bloom_decontaminate(a, b, ["c1", "c2"]).collect()[0]
+    assert not out["is_contaminated"]
+    # NULL == NULL under the membership semantics
+    same = bloom_decontaminate(a, a, ["c1", "c2"]).collect()[0]
+    assert same["is_contaminated"] and same["bloom_flagged"]

@@ -167,9 +167,27 @@ def test_epoch_ordering_is_seeded_and_deterministic(spark, tmp_path):
     assert sorted(ids_a) == sorted(ids_b) == list(range(5, 10))
     assert ids_a == [r["pack_id"] for r in read_shard_shuffled(spark, root, 1, seed=7).collect()]
     assert ids_a != ids_b  # different epoch, different order
-    # no exchange: the seeded order is a within-partition sort
+    # the seeded order must be a GLOBAL sort: a per-partition sort
+    # would order each input split independently, so the row order
+    # would depend on spark.sql.files.maxPartitionBytes for shard
+    # files larger than one split (round-4 advisor finding). One shard
+    # is one task's data, so the range exchange is bounded by shard
+    # size.
     plan = (
         read_shard_shuffled(spark, root, 1, seed=7)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan
+    assert "rangepartitioning" in plan
+
+    # and the order is split-invariant: force multi-split reads of the
+    # same shard file and require the identical sequence
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "256")
+        ids_split = [
+            r["pack_id"]
+            for r in read_shard_shuffled(spark, root, 1, seed=7).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert ids_split == ids_a
