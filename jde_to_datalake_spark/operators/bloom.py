@@ -246,6 +246,8 @@ def bloom_decontaminate(
     fpr: float = 0.01,
     n_items: int | None = None,
     salt: str = "",
+    num_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Two-stage exact-match decontamination: bloom probe prunes, an
     exact broadcast semi-join confirms. Output: ``corpus`` +
@@ -256,11 +258,15 @@ def bloom_decontaminate(
     ~fpr x |corpus| plus true hits), and the benchmark key set is
     broadcast — the corpus never shuffles. ``n_items`` sizes the
     filter; when omitted it is taken from ``benchmark.count()`` (one
-    metadata-scale job over the SMALL side).
+    metadata-scale job over the SMALL side). Passing ``num_bits`` and
+    ``k`` explicitly pins the sizing (e.g. for a scale-independent
+    oracle mirror) and skips the count.
     """
-    if n_items is None:
-        n_items = max(1, benchmark.count())
-    num_bits, k = optimal_params(n_items, fpr)
+    if num_bits is None or k is None:
+        if n_items is None:
+            n_items = max(1, benchmark.count())
+        nb, nk = optimal_params(n_items, fpr)
+        num_bits, k = num_bits or nb, k or nk
     words = bloom_build(benchmark, on, num_bits, k, salt=salt)
     probed = bloom_probe(corpus, on, words, k, salt=salt, flag_col="bloom_flagged")
     bench_keys = benchmark.select(

@@ -47,9 +47,15 @@ from jde_to_datalake_spark.functions.text import (
     token_count,
 )
 
-# fixed feature order — the contract between train and score
+# fixed feature order — the contract between train and score.
+# The length feature is sqrt(token_count), not log1p: IEEE-754
+# requires sqrt to be CORRECTLY rounded, so the whole feature vector
+# (sqrt + exact int-ratio divisions) is bit-identical across engines
+# and runtimes — measured: Spark log1p vs DuckDB ln(1+n) disagreed in
+# the last ulp on ~0.8% of integer inputs, sqrt on none. Same
+# heavy-tail compression role, zero cross-engine skew.
 FEATURE_NAMES = (
-    "f_log_tokens",
+    "f_sqrt_tokens",
     "f_avg_token_len",
     "f_stopword_ratio",
     "f_punct_ratio",
@@ -69,8 +75,9 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     nonempty = t.isNotNull() & (F.length(F.trim(t)) > 0)
     feats = {
-        # log1p compresses the heavy-tailed length feature
-        "f_log_tokens": F.when(nonempty, F.log1p(token_count(t))),
+        # sqrt compresses the heavy-tailed length feature (and is
+        # bit-exact cross-engine, unlike log1p — see FEATURE_NAMES)
+        "f_sqrt_tokens": F.when(nonempty, F.sqrt(token_count(t))),
         "f_avg_token_len": F.when(nonempty, avg_token_len(t)),
         "f_stopword_ratio": F.when(nonempty, stopword_ratio(t)),
         "f_punct_ratio": F.when(nonempty, punct_ratio(t)),
@@ -120,10 +127,12 @@ def train_quality_classifier(
     }
 
 
-def quality_model_score(model: dict, text_col: str = "text") -> Column:
-    """The scoring EXPRESSION for a model artifact — usable inside any
-    select/filter. Left-fold multiply-add in the fixed feature order,
-    then the logistic link: deterministic, pure codegen."""
+def quality_model_linear(model: dict) -> Column:
+    """The monotone linear score ``z = b + Σ w_i f_i`` as a Column —
+    the runtime-bit-stable decision value (the logistic link goes
+    through exp(), which libms round differently in the final ulp;
+    z is a fixed-order multiply-add chain of IEEE-exact ops, so
+    thresholds and cross-engine oracles on z are bit-reproducible)."""
     if list(model["features"]) != list(FEATURE_NAMES):
         raise ValueError(
             f"model features {model['features']} do not match this "
@@ -139,6 +148,31 @@ def quality_model_score(model: dict, text_col: str = "text") -> Column:
     z = F.lit(float(model["intercept"]))
     for name, w in zip(FEATURE_NAMES, model["weights"]):
         z = z + F.col(name) * F.lit(float(w))
+    return z
+
+
+def quality_model_linear_sql(model: dict) -> str:
+    """The DuckDB-equivalent z fold (same order, same double literals)
+    over columns named as FEATURE_NAMES — for oracle construction."""
+    if list(model["features"]) != list(FEATURE_NAMES):
+        raise ValueError("model features do not match the build contract")
+    # literals as CAST('...' AS DOUBLE): DuckDB parses a bare decimal
+    # literal as DECIMAL, and even CAST(<decimal literal> AS DOUBLE)
+    # does not round-trip the shortest repr (measured:
+    # 11.012497425587101 came back one ulp off). The string cast goes
+    # through strtod, which IS correctly rounded.
+    terms = "".join(
+        f" + {name} * CAST('{float(w)!r}' AS DOUBLE)"
+        for name, w in zip(FEATURE_NAMES, model["weights"])
+    )
+    return f"(CAST('{float(model['intercept'])!r}' AS DOUBLE){terms})"
+
+
+def quality_model_score(model: dict, text_col: str = "text") -> Column:
+    """The scoring EXPRESSION for a model artifact — usable inside any
+    select/filter. Left-fold multiply-add in the fixed feature order,
+    then the logistic link: deterministic, pure codegen."""
+    z = quality_model_linear(model)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 

@@ -770,10 +770,37 @@ FROM c
 """
 
 
+# the learned quality filter's pinned artifact: exported once by
+# operators/quality_model.train_quality_classifier on the fixed
+# GOOD/JUNK seed set (tests/test_quality_model.py), then versioned
+# here as literals — the "export once, score forever" contract. The
+# driver row checks the monotone linear score z (bit-exact
+# cross-engine: sqrt + ratio features, fixed-order multiply-add), not
+# the sigmoid (exp() ulp caveat, quality_model.py docstring).
+QUALITY_MODEL = {
+    "features": [
+        "f_sqrt_tokens", "f_avg_token_len", "f_stopword_ratio",
+        "f_punct_ratio", "f_digit_ratio",
+    ],
+    "weights": [
+        11.012497425587101, 0.20577592720281251, 67.69434434338586,
+        -7.635871180396483, -18.389878942754848,
+    ],
+    "intercept": -43.4885512231035,
+}
+
+# pinned bloom sizing for the corpus_filters branch: fixed (not
+# fpr-derived) so the oracle mirror is scale-independent
+_CF_BLOOM_BITS = 1 << 15
+_CF_BLOOM_K = 5
+
+
 def q_corpus_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style corpus filter report: repetition metrics + PII
-    counts + benchmark decontamination + composite keep/drop + (round
-    4) CCNet-style token-rarity signals, one row per document.
+    counts + benchmark decontamination + composite keep/drop +
+    CCNet-style token-rarity signals + (round 5) the learned quality
+    model's linear score and the bloom two-stage exact-text
+    decontamination verdicts, one row per document.
 
     Plan: all per-doc metrics are ONE zero-shuffle projection
     (row-local array folds); decontamination joins the doc shingles
@@ -784,18 +811,107 @@ def q_corpus_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies, operators/corpus.py:rarity_metrics) join on the same
     doc key — the integer-rational stand-in for LM-perplexity quality
     bucketing, chosen because it is exactly cross-engine reproducible.
+    The quality_z / model_keep columns are the operators/quality_model
+    codegen fold over the pinned artifact above; bloom_flagged /
+    bloom_contaminated are operators/bloom.bloom_decontaminate against
+    the eval slice (probe = zero-shuffle broadcast-word projection,
+    exact stage touches only the flagged sliver).
     """
+    from jde_to_datalake_spark.operators.bloom import bloom_decontaminate
+    from jde_to_datalake_spark.operators.quality_model import (
+        quality_features,
+        quality_model_linear,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 97 == 0
     report = C.filter_report(docs, docs.filter(is_eval), is_eval, shingle_n=5)
     rarity = C.rarity_metrics(docs, rare_df_threshold=2)
-    return report.join(rarity, "doc_id")
+    qz = quality_features(docs.select("doc_id", "text")).select(
+        "doc_id",
+        quality_model_linear(QUALITY_MODEL).alias("quality_z"),
+    ).withColumn("model_keep", F.col("quality_z") > F.lit(0.0))
+    bloomed = bloom_decontaminate(
+        docs.select("doc_id", "text"),
+        docs.filter(is_eval).select("text"),
+        ["text"],
+        num_bits=_CF_BLOOM_BITS,
+        k=_CF_BLOOM_K,
+    ).select(
+        "doc_id",
+        "bloom_flagged",
+        F.col("is_contaminated").alias("bloom_contaminated"),
+    )
+    return (
+        report.join(rarity, "doc_id").join(qz, "doc_id").join(bloomed, "doc_id")
+    )
 
 
 def _corpus_filters_oracle() -> str:
+    from jde_to_datalake_spark.operators.bloom import key_sql
+    from jde_to_datalake_spark.operators.quality_model import (
+        quality_model_linear_sql,
+    )
+
     email, phone, ip = C.EMAIL_RE, C.PHONE_RE, C.IP_RE
+    stops = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+    nonempty = "text IS NOT NULL AND length(trim(text)) > 0"
+    bkey = key_sql(["text"])
+    nb, bk = _CF_BLOOM_BITS, _CF_BLOOM_K
     return f"""
 WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS tk FROM documents),
+qf AS (
+  SELECT doc_id,
+    CASE WHEN {nonempty} THEN sqrt(len(tk)) ELSE 0.0 END AS f_sqrt_tokens,
+    CASE WHEN {nonempty}
+         THEN list_sum(list_transform(tk, x -> length(x))) / len(tk)
+         ELSE 0.0 END AS f_avg_token_len,
+    CASE WHEN {nonempty}
+         THEN len(list_filter(tk, x -> x IN ({stops}))) / len(tk)
+         ELSE 0.0 END AS f_stopword_ratio,
+    CASE WHEN {nonempty}
+         THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+              / length(text)
+         ELSE 0.0 END AS f_punct_ratio,
+    CASE WHEN {nonempty}
+         THEN len(regexp_extract_all(text, '[0-9]')) / length(text)
+         ELSE 0.0 END AS f_digit_ratio
+  FROM t
+),
+qz AS (
+  SELECT doc_id, {quality_model_linear_sql(QUALITY_MODEL)} AS quality_z
+  FROM qf
+),
+bl_bench AS (
+  SELECT ('0x' || substr(sha256({bkey}), 1, 15))::BIGINT % {nb} AS h1,
+         ('0x' || substr(sha256({bkey}), 17, 15))::BIGINT % {nb} AS h2
+  FROM documents WHERE doc_id % 97 = 0
+),
+bl_bits AS (
+  SELECT DISTINCT (h1 + i * h2) % {nb} AS p
+  FROM bl_bench, generate_series(0, {bk - 1}) AS g(i)
+),
+bl_words AS (
+  SELECT (p >> 5) AS w, bit_or(1::BIGINT << (p % 32)::INT) AS word
+  FROM bl_bits GROUP BY 1
+),
+bl_corpus AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256({bkey}), 1, 15))::BIGINT % {nb} AS h1,
+         ('0x' || substr(sha256({bkey}), 17, 15))::BIGINT % {nb} AS h2
+  FROM documents
+),
+bl_probe AS (
+  SELECT c.doc_id,
+         COALESCE(w.word, 0) & (1::BIGINT << (((c.h1 + i * c.h2) % {nb}) % 32)::INT) AS hit
+  FROM bl_corpus c
+  CROSS JOIN generate_series(0, {bk - 1}) AS g(i)
+  LEFT JOIN bl_words w ON w.w = (((c.h1 + i * c.h2) % {nb}) >> 5)
+),
+bl AS (
+  SELECT doc_id, bool_and(hit != 0) AS bloom_flagged
+  FROM bl_probe GROUP BY doc_id
+),
 bg AS (
   SELECT doc_id,
          CASE WHEN len(tk) >= 2 THEN
@@ -862,12 +978,19 @@ SELECT t.doc_id,
     AS keep,
   rar.mean_token_df,
   CAST(COALESCE(rar.n_rare_tokens, 0) AS BIGINT) AS n_rare_tokens,
-  rar.rare_frac
+  rar.rare_frac,
+  qz.quality_z,
+  qz.quality_z > 0.0 AS model_keep,
+  bl.bloom_flagged,
+  bl.bloom_flagged AND t.text IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
+    AS bloom_contaminated
 FROM t
 LEFT JOIN bg USING (doc_id)
 LEFT JOIN top_tok USING (doc_id)
 LEFT JOIN hits ON hits.doc_id = t.doc_id
 LEFT JOIN rar ON rar.doc_id = t.doc_id
+JOIN qz ON qz.doc_id = t.doc_id
+JOIN bl ON bl.doc_id = t.doc_id
 """
 
 
