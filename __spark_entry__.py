@@ -955,14 +955,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # the entries that most need fresh driver evidence: previously
 # unchecked, new, or changed this round.
 _PRIORITY = [
-    # round-4 promotions / reshapes first: new rows, merged suites,
+    # round-5 promotions / reshapes first: new rows, merged suites,
     # and the queries whose plans changed this round
-    "embedding_dedup_suite",  # fourth session: + seeded SemDeDup branch
-    "snapshot_diff",          # fourth session promotion (reconcile)
+    "sketch_suite",       # NEW: §2.4 sketches + exact anchors + contract bools
+    "monitor_suite",      # histogram_drift + top_ngrams merged (funds the slot)
+    "corpus_filters",     # + quality_z/model_keep + bloom_* columns
+    "expand_json",        # regexp scalar fast path (perf, r4 directive)
+    # round-4 promotions still leading the evidence queue
+    "embedding_dedup_suite",
+    "snapshot_diff",
     "text_neardup_suite",     # ngram_jaccard + minhash_lsh merged
-    "histogram_drift",    # round-4 second-session promotion (quality)
-    "top_ngrams",         # round-4 second-session promotion (corpus)
-    "incremental_dedup",  # round-4 second-session promotion (index)
+    "incremental_dedup",
     "flag_join_suite",    # semi_anti_join + exists_flag_join merged
     "conditional_agg",    # conditional_counts + pivot_wide merged
     "unit_conversion",    # + is_valid col (absorbed validation_split)
@@ -976,10 +979,8 @@ _PRIORITY = [
     "ann_suite",          # + hamming branch (cosine -> score)
     "time_windows",       # + session branch (event_type -> grp)
     "notes_suite",        # json_note_pack + notes_membership merged
-    "expand_json",        # from_json rewrite (perf)
-    "pricing_summary",    # spread_by re-measure (perf)
+    "pricing_summary",
     "corpus_chunking",
-    "corpus_filters",
     "dedup_clusters",
     "text_quality",
 ]

@@ -33,9 +33,10 @@ SWEEP = [
     "fuzzy_join",
     # round-4 second-session promotions: top-k tie-breaks, index joins,
     # and ratio arithmetic must also be partitioning-invariant
-    "top_ngrams",
     "incremental_dedup",
-    "histogram_drift",
+    "monitor_suite",
+    # round-5: merged monitoring suite + sketch contract row
+    "sketch_suite",
 ]
 
 

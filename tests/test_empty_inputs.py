@@ -37,7 +37,7 @@ _FIXED_SHAPE_ROWS = {
     # (all zero); the pivot branch contributes |returnflag| = 0
     "conditional_agg": 5,
     # the bucket grid is static: |edges| + 1 rows with zero counts
-    "histogram_drift": 5,
+    "monitor_suite": 5,
 }
 
 

@@ -46,8 +46,12 @@ def _all_query_names():
 # semdedup branch assigns cells via the same broadcast 1-row centroid
 # array crossJoin as ann_suite's ivf branch (assign_cells).
 BNLJ_ALLOWED = {
-    "ann_suite", "date_windows", "histogram_drift",
+    "ann_suite", "date_windows", "monitor_suite",
     "embedding_dedup_suite",
+    # round 5: corpus_filters carries the bloom probe's broadcast
+    # 1-row word-array crossJoin (operators/bloom.py — the _cent_array
+    # pattern; the corpus branch itself never partitions)
+    "corpus_filters",
 }
 
 
@@ -138,7 +142,10 @@ def test_ann_suite_single_window_pass(spark):
         ("multimodal_decode", 0),    # mapInPandas over the scan, no shuffle
         ("range_join", 1),           # bin equi-join, no BNL
         # round-4 second-session promotions
-        ("top_ngrams", 3),           # spread + ngram agg + TakeOrdered
+        # every monitor_suite exchange is metadata-scale: 5-bucket
+        # aggs + broadcast grids + 1-row totals on the drift branch
+        # (evaluated once per consumer side), ngram agg pair, spread
+        ("monitor_suite", 13),
         ("incremental_dedup", 4),    # keeper agg + index/keeper joins
         ("flag_join_suite", 4),      # anti join + exists join + rollup
         ("conditional_agg", 3),      # two tiny agg branches + union
