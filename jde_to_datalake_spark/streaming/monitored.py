@@ -1,0 +1,153 @@
+"""Monitored continuous ingestion: the ingestion loop plus the
+operations reports a data team actually alerts on, in one composition.
+
+    document stream
+      -> streaming/ingest.ingest_corpus_stream
+           (exact+near-dup dedup vs the persisted index, bloom
+            prefilter, per-batch funnel metrics appended)
+      -> post-drain operations report:
+           - per-batch funnel trail + run totals (the metrics table)
+           - distribution drift of a document statistic between the
+             pre-run corpus snapshot and the post-run corpus
+             (operators/quality.histogram_drift, fixed edges)
+           - per-domain corpus composition when documents carry URLs
+             (functions/urls.url_report + domain_stats, optionally
+             against a loadable public-suffix table)
+
+Reference anchor: the DAG loops pair every dispatch poll with ledger
+accounting the operators can be alerted on
+(dag_bakery_system_to_jde.py:38-59,383-423); this is that operational
+pairing for corpus ingestion at lake scale.
+
+Scale posture: the loop itself is the audited streaming/ingest.py path
+(index joined once per batch, corpus MERGE partial-rewrite); every
+report is metadata-scale output — the metrics table is one row per
+batch, the drift report is |buckets| rows from two single-scan
+conditional aggregations, domain_stats collapses to |domains| rows via
+one map-side-combined groupBy. Nothing here adds a corpus-sized
+shuffle or a driver-side collect of data-scale rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.functions.urls import domain_stats, url_report
+from jde_to_datalake_spark.operators.quality import histogram_drift
+from jde_to_datalake_spark.sources.versioned import VersionedTable
+from jde_to_datalake_spark.streaming.ingest import ingest_corpus_stream
+
+
+def run_monitored_ingestion(
+    stream: DataFrame,
+    corpus: VersionedTable,
+    index: VersionedTable,
+    metrics: VersionedTable,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: VersionedTable | None = None,
+    bloom_filter: VersionedTable | None = None,
+    drift_edges: "list[float] | None" = None,
+    url_col: str | None = None,
+    blocklist: "list[str] | DataFrame | None" = None,
+    suffixes: DataFrame | None = None,
+) -> dict:
+    """Drain ``stream`` through the ingestion loop (availableNow), then
+    assemble the operations report. Returns lazy frames (callers sink
+    them to their dashboard tables) plus run bookkeeping:
+
+    - ``batches``     the per-micro-batch funnel trail (one row per
+      delivery attempt — recovery re-deliveries stay visible);
+    - ``funnel``      run totals over the NEW batch rows: documents
+      seen / known / intra-batch dups / ingested / near-dup flagged;
+    - ``drift``       histogram_drift of the per-document token count
+      between the pre-run corpus snapshot and the post-run corpus
+      (None on a first run — no baseline to drift from). Fixed
+      ``drift_edges`` (default token-count decades) keep the report
+      exactly reproducible;
+    - ``domains``     per-domain document/kept/blocked counts over the
+      post-run corpus when ``url_col`` is given (None otherwise);
+    - ``base_version`` / ``version``  the corpus snapshot pair the
+      drift report compares.
+    """
+    spark = stream.sparkSession
+    base_version = corpus.latest_version()
+    base_metrics_version = metrics.latest_version()
+    q = ingest_corpus_stream(
+        stream, corpus, index, checkpoint_dir,
+        text_col=text_col, id_col=id_col,
+        bands=bands, metrics=metrics, bloom_filter=bloom_filter,
+    )
+    q.awaitTermination()
+
+    report: dict = {
+        "base_version": base_version,
+        "version": corpus.latest_version(),
+    }
+    batch_trail = (
+        metrics.read(spark) if metrics.latest_version() is not None
+        else None
+    )
+    report["batches"] = batch_trail
+    if batch_trail is not None:
+        # run totals over only THIS run's batch rows: the trail is
+        # append-only across runs, so "this run" = current table MINUS
+        # the pre-drain snapshot (exceptAll — exact multiset
+        # difference via the metrics table's own time travel; batch_id
+        # alone can't distinguish runs when a fresh checkpoint resets
+        # it to 0)
+        this_run = batch_trail
+        if base_metrics_version is not None:
+            this_run = batch_trail.exceptAll(
+                metrics.read(spark, base_metrics_version)
+            )
+        report["funnel"] = this_run.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_known").alias("n_known"),
+            F.sum("n_batch_first").alias("n_batch_first"),
+            F.sum("n_novel").alias("n_novel"),
+            F.sum("n_near_flagged").alias("n_near_flagged"),
+        )
+    else:
+        report["funnel"] = None
+
+    def _with_tokens(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__n_tokens",
+            F.when(
+                F.col(text_col).isNull(), F.lit(0)
+            ).otherwise(F.size(F.split(F.trim(text_col), "\\s+"))).cast(
+                "double"
+            ),
+        )
+
+    if (
+        base_version is not None
+        and corpus.latest_version() is not None
+        and corpus.latest_version() != base_version
+    ):
+        report["drift"] = histogram_drift(
+            _with_tokens(corpus.read(spark, base_version)),
+            _with_tokens(corpus.read(spark)),
+            "__n_tokens",
+            edges=drift_edges or [10.0, 30.0, 100.0, 300.0, 1000.0],
+        )
+    else:
+        report["drift"] = None
+
+    if url_col is not None and corpus.latest_version() is not None:
+        report["domains"] = domain_stats(
+            url_report(
+                corpus.read(spark),
+                url_col=url_col,
+                blocklist=blocklist,
+                id_col=id_col,
+                suffixes=suffixes,
+            )
+        )
+    else:
+        report["domains"] = None
+    return report

@@ -1,0 +1,98 @@
+"""Monitored end-to-end ingestion (streaming/monitored.py): the loop
+drains a streamed source, and the operations report — per-batch funnel
+trail, run totals, snapshot drift, domain composition — is consistent
+with what actually landed in the corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.sources.versioned import VersionedTable
+from jde_to_datalake_spark.streaming.monitored import run_monitored_ingestion
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, url string"
+    )
+
+
+def _tables(tmp_path, tag):
+    return (
+        VersionedTable(str(tmp_path / f"corpus{tag}")),
+        VersionedTable(str(tmp_path / f"index{tag}")),
+        VersionedTable(str(tmp_path / f"metrics{tag}")),
+    )
+
+
+def _stream(spark, schema, src_dir):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def test_monitored_run_reports_funnel_drift_and_domains(spark, tmp_path):
+    run1 = _docs(spark, [
+        (1, "alpha beta gamma", "https://ok.site.com/a"),
+        (2, "alpha beta gamma", "https://ok.site.com/b"),      # dup of 1
+        (3, "delta " * 40, "https://big.example.com.br/x"),
+    ])
+    run2 = _docs(spark, [
+        (4, "alpha beta gamma", "https://ok.site.com/c"),      # known
+        (5, "epsilon zeta", "https://spam.bad.com/y"),
+        (6, "eta theta iota " * 200, "https://big.example.com.br/z"),
+    ])
+    src1, src2 = str(tmp_path / "src1"), str(tmp_path / "src2")
+    run1.coalesce(1).write.parquet(src1)
+    run2.coalesce(1).write.parquet(src2)
+    corpus, index, metrics = _tables(tmp_path, "")
+
+    # first run: no baseline, so no drift report
+    rep1 = run_monitored_ingestion(
+        _stream(spark, run1.schema, src1), corpus, index, metrics,
+        str(tmp_path / "ckpt1"), url_col="url",
+        blocklist=["bad.com"],
+    )
+    assert rep1["base_version"] is None and rep1["drift"] is None
+    f1 = rep1["funnel"].collect()[0]
+    assert (f1["n_rows"], f1["n_known"], f1["n_novel"]) == (3, 0, 2)
+    assert corpus.read(spark).count() == 2
+
+    # second run over a fresh checkpoint/source, same tables
+    rep2 = run_monitored_ingestion(
+        _stream(spark, run2.schema, src2), corpus, index, metrics,
+        str(tmp_path / "ckpt2"), url_col="url",
+        blocklist=["bad.com"],
+    )
+    f2 = rep2["funnel"].collect()[0]
+    # doc 4 is known; docs 5 and 6 are novel
+    assert (f2["n_rows"], f2["n_known"], f2["n_novel"]) == (3, 1, 2)
+    # the funnel is THIS run's totals, not the lifetime trail
+    assert rep2["batches"].count() == 2  # one batch per run
+    # drift: baseline snapshot vs post-run corpus, token-count buckets
+    drift = {r["bucket"]: r for r in rep2["drift"].collect()}
+    assert sum(r["n_base"] for r in drift.values()) == 2
+    assert sum(r["n_cur"] for r in drift.values()) == 4
+    # the 600-token doc lands in a bucket the baseline never touched
+    moved = [r for r in drift.values() if r["n_cur"] > 0 and r["n_base"] == 0]
+    assert moved
+    # domains: post-run corpus composition with the blocklist applied
+    domains = {r["domain"]: r for r in rep2["domains"].collect()}
+    assert domains["example.com.br"]["n_docs"] == 2
+    assert domains["bad.com"]["n_blocked"] == 1
+    assert domains["site.com"]["n_kept"] == 1
+
+
+def test_monitored_run_accepts_suffix_table_and_no_urls(spark, tmp_path):
+    docs = _docs(spark, [(1, "plain text", None)]).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    corpus, index, metrics = _tables(tmp_path, "n")
+    rep = run_monitored_ingestion(
+        _stream(spark, docs.schema, src), corpus, index, metrics,
+        str(tmp_path / "ckptn"),
+    )
+    assert rep["domains"] is None and rep["drift"] is None
+    assert rep["funnel"].collect()[0]["n_novel"] == 1
