@@ -148,6 +148,19 @@ class VersionedTable:
         with open(_manifest_path(self.root, version)) as fh:
             return json.load(fh)
 
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest txn version this writer app has committed (None if
+        never) — the read half of the idempotent-writer protocol: a
+        retrying writer skips any txn version <= this. The per-app map
+        is carried forward into EVERY manifest (the same reason Delta
+        checkpoints setTransaction actions), so the lookup is one
+        newest-manifest read and survives vacuum and compaction."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        t = self._manifest(v).get("txns", {}).get(str(app_id))
+        return None if t is None else int(t)
+
     def history(self) -> list[dict]:
         """Commit audit trail, newest first (mode, file count, ts)."""
         return [
@@ -196,7 +209,11 @@ class VersionedTable:
                 os.remove(p)
 
     def commit(
-        self, df: DataFrame, mode: str = "append", expected_base=_UNSET
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        expected_base=_UNSET,
+        txn: "tuple[str, int] | None" = None,
     ) -> int:
         """Write data files, then publish the next manifest atomically.
 
@@ -204,7 +221,9 @@ class VersionedTable:
         losing writer leaves only unreferenced files (cleaned by
         ``vacuum``), never a torn table.
         """
-        return self.publish(self.stage(df), mode=mode, expected_base=expected_base)
+        return self.publish(
+            self.stage(df), mode=mode, expected_base=expected_base, txn=txn
+        )
 
     def publish(
         self,
@@ -212,6 +231,7 @@ class VersionedTable:
         mode: str = "append",
         expected_base=_UNSET,
         carry: list[str] | None = None,
+        txn: "tuple[str, int] | None" = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -237,6 +257,14 @@ class VersionedTable:
         staged files. Every carried file must be referenced by the
         base manifest (a typo'd path would publish a version pointing
         at bytes ``vacuum`` considers unreferenced).
+
+        ``txn`` = (app_id, txn_version) stamps the commit with an
+        idempotent-writer transaction (Delta's txnAppId/txnVersion
+        action): a retrying writer checks ``last_txn_version(app_id)``
+        before committing and SKIPS work already recorded — the O(1)
+        effectively-once mechanism for append-shaped streaming sinks,
+        where a keyed MERGE would pay a data-sized anti-join for
+        idempotency alone.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -284,6 +312,18 @@ class VersionedTable:
             fs = _footer_stats(os.path.join(self.root, f))
             if fs:
                 stats[f] = fs
+        # the per-app idempotent-txn map is ACCUMULATED across commits
+        # (every manifest carries the full map), so lookups read one
+        # manifest and the record survives vacuum/compaction — the
+        # manifest-embedded form of Delta's checkpointed setTransaction
+        txns = dict(
+            self._manifest(prev).get("txns", {}) if prev is not None else {}
+        )
+        if txn is not None:
+            app_id, txn_version = txn
+            txns[str(app_id)] = max(
+                int(txn_version), int(txns.get(str(app_id), int(txn_version)))
+            )
         manifest = {
             "version": version,
             "mode": mode,
@@ -291,6 +331,8 @@ class VersionedTable:
             "stats": stats,
             "committed_at": time.time(),
         }
+        if txns:
+            manifest["txns"] = txns
         # Reader-atomic publish: the manifest is fully written to a
         # temp name first, then os.link'd into place — link is atomic
         # AND fails with FileExistsError when the target exists, which

@@ -16,9 +16,13 @@ for corpus ingestion, with the ledger itself a versioned table.
 Crash-safety contract (Structured Streaming re-delivers a micro-batch
 after recovery with the SAME batch contents):
 
-- the corpus write is a MERGE keyed on the content fingerprint, so a
-  re-delivered batch upserts the rows it already wrote — row set
-  unchanged, the retry is visible only as a new table version;
+- the corpus write is idempotent under re-delivery: streamed batches
+  carry a (checkpoint, batch_id) txn stamp and APPEND — a re-delivered
+  batch whose corpus commit already landed is skipped outright
+  (O(batch) steady-state cost, Delta's txnAppId/txnVersion design);
+  txn-less backfills MERGE on the content fingerprint instead, so a
+  re-delivered backfill upserts the rows it already wrote — row set
+  unchanged either way;
 - the index append happens AFTER the corpus merge: a crash between
   the two re-runs the batch against an index that still lacks those
   fingerprints, re-derives the same novel set, and re-upserts — no
@@ -36,6 +40,8 @@ incremental_exact_dedup contract).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -136,6 +142,7 @@ def ingest_batch(
     bloom_filter: VersionedTable | None = None,
     bloom_bits: int = 1 << 20,
     bloom_k: int = 5,
+    txn: "tuple[str, int] | None" = None,
 ) -> dict:
     """Process one micro-batch; returns the verdict counts (the funnel
     row a monitoring sink would record). Usable directly for batch
@@ -168,6 +175,25 @@ def ingest_batch(
     re-delivered batch either re-derives the same novel set (index
     commit missing — merge upserts, guarded band append adds nothing
     twice) or finds everything known and commits nothing.
+
+    With ``txn`` = (app_id, batch_id) — the streaming writer always
+    passes it — the corpus write is an idempotent-txn APPEND instead
+    of a content-keyed MERGE: novel rows are absent from the corpus by
+    the verdict invariant, so the anti-join bought nothing in steady
+    state, and for hash-valued content keys footer-range pruning
+    cannot bound a rewrite (a uniform batch's keys land inside every
+    clustered file's range — measured: a 100-key batch touched 16/16
+    files). The txn stamp supplies the idempotency the MERGE used to:
+    a re-delivered batch whose corpus commit already landed (crash
+    between corpus commit and index append — the only window where
+    corpus content is ahead of the index) sees
+    ``last_txn_version(app_id) >= batch_id`` and SKIPS the corpus
+    write, so nothing duplicates. Per-batch corpus cost drops from
+    O(corpus) rewrite to O(batch) append — Delta's
+    txnAppId/txnVersion design. Requires the loop's single-writer
+    contract per (corpus, app); the ``txn=None`` backfill path keeps
+    the content-keyed MERGE, and a crashed backfill must be re-run
+    before switching cadence to streamed appends over the same tables.
     """
     spark = batch_df.sparkSession
     # the batch feeds several consumers (verdict counts, the merge,
@@ -194,7 +220,7 @@ def ingest_batch(
         return _ingest_batch_inner(
             spark, verdicts, pre_bloom, corpus, index, text_col, id_col,
             bands, num_hashes, band_size, shingle_n,
-            bloom_filter, bloom_bits, bloom_k,
+            bloom_filter, bloom_bits, bloom_k, txn,
         )
     finally:
         verdicts.unpersist()
@@ -216,6 +242,7 @@ def _ingest_batch_inner(
     bloom_filter: VersionedTable | None = None,
     bloom_bits: int = 1 << 20,
     bloom_k: int = 5,
+    txn: "tuple[str, int] | None" = None,
 ) -> dict:
     counts = verdicts.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -255,10 +282,18 @@ def _ingest_batch_inner(
             n_near_flagged = novel.filter(
                 F.col("n_near_candidates") > 0
             ).count()
-        # corpus first (content-keyed MERGE: re-delivery upserts), then
-        # bands (guarded), the exact index LAST — see the docstrings'
-        # crash matrix
-        corpus.merge(spark, novel, key="fingerprint")
+        # corpus first, then bands (guarded), the exact index LAST —
+        # see the docstrings' crash matrix. Streamed batches carry a
+        # txn stamp: O(batch) append, re-delivery after a post-corpus
+        # crash skips the write. Backfills (txn=None) keep the
+        # content-keyed MERGE.
+        if txn is not None:
+            app_id, txn_version = txn
+            recorded = corpus.last_txn_version(app_id)
+            if recorded is None or recorded < int(txn_version):
+                corpus.commit(novel, mode="append", txn=txn)
+        else:
+            corpus.merge(spark, novel, key="fingerprint")
         if bands is not None:
             new_bands = band_index(
                 novel, num_hashes, band_size, shingle_n, text_col, id_col
@@ -346,8 +381,17 @@ def ingest_batch_writer(
     metrics: VersionedTable | None = None,
     compact_every: int | None = None,
     bloom_filter: VersionedTable | None = None,
+    app_id: str = "ingest",
 ):
     """``foreachBatch`` adapter over :func:`ingest_batch`.
+
+    Each micro-batch is stamped ``txn=(app_id, batch_id)`` so the
+    corpus write is an idempotent O(batch) APPEND (see
+    :func:`ingest_batch`). ``app_id`` must be unique per checkpoint
+    lineage: Structured Streaming's batch_id restarts at 0 on a fresh
+    checkpoint, so reusing an app_id across checkpoints against the
+    same corpus would wrongly skip the new run's early batches —
+    :func:`ingest_corpus_stream` derives it from the checkpoint dir.
 
     With ``metrics``, each micro-batch appends its verdict counts as
     one row (batch_id + the funnel numbers) — the monitoring trail a
@@ -367,7 +411,7 @@ def ingest_batch_writer(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         stats = ingest_batch(
             batch_df, corpus, index, text_col, id_col, bands=bands,
-            bloom_filter=bloom_filter,
+            bloom_filter=bloom_filter, txn=(app_id, int(batch_id)),
         )
         if metrics is not None:
             row = batch_df.sparkSession.createDataFrame(
@@ -407,12 +451,16 @@ def ingest_corpus_stream(
     """Start the ingestion loop over a streaming document frame
     (availableNow trigger: drain what exists, then stop — the
     poll-style cadence of the reference's DAGs; long-lived services
-    re-invoke on their schedule, resuming from the checkpoint)."""
+    re-invoke on their schedule, resuming from the checkpoint). The
+    idempotent-txn app id is the checkpoint path: batch_id lineage and
+    app identity then rotate together, which is exactly the pairing
+    the txn protocol needs."""
     return (
         stream.writeStream.foreachBatch(
             ingest_batch_writer(
                 corpus, index, text_col, id_col, bands=bands,
                 metrics=metrics, bloom_filter=bloom_filter,
+                app_id=os.path.abspath(checkpoint_dir),
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -634,3 +634,50 @@ def test_publish_carry_validation(spark, table):
     prior = table._manifest(table.latest_version())["files"]
     v = table.publish(staged, mode="overwrite", carry=prior)
     assert {r.k for r in table.read(spark, v).collect()} == {1, 2}
+
+
+def test_partial_merge_composes_with_vacuum_and_time_travel(spark, table):
+    """Carried files are REFERENCED by the new version: vacuum after a
+    partial merge must keep them (only the replaced file's old bytes
+    become unreferenced once history is dropped), and time travel to
+    the pre-merge version works until vacuumed."""
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    table.commit(
+        base.repartitionByRange(3, "k").sortWithinPartitions("k"),
+        mode="overwrite",
+    )
+    v0_files = set(table._manifest(0)["files"])
+    v = table.merge(
+        spark, spark.createDataFrame([(5, -5)], ["k", "v"]), key="k"
+    )
+    removed = table.vacuum(keep_last=1, retention_seconds=0)
+    # exactly the rewritten file's old bytes go; carried files survive
+    carried = v0_files & set(table._manifest(v)["files"])
+    assert carried and not (set(removed) & carried)
+    assert set(removed) == v0_files - carried
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got[5] == -5 and len(got) == 300
+
+
+def test_idempotent_txn_protocol(spark, table):
+    """Delta-style txnAppId/txnVersion: the per-app map accumulates
+    into every manifest, so lookups are one newest-manifest read and
+    survive later commits, compaction, and vacuum."""
+    assert table.last_txn_version("app") is None
+    table.commit(_df(spark, [(1, "a")]), mode="append", txn=("app", 0))
+    assert table.last_txn_version("app") == 0
+    # a foreign app's commit does not disturb the record
+    table.commit(_df(spark, [(2, "b")]), mode="append", txn=("other", 7))
+    assert table.last_txn_version("app") == 0
+    assert table.last_txn_version("other") == 7
+    # an untagged commit (e.g. compaction) carries the map forward
+    table.compact(spark)
+    assert table.last_txn_version("app") == 0
+    table.commit(_df(spark, [(3, "c")]), mode="append", txn=("app", 1))
+    table.vacuum(keep_last=1, retention_seconds=0)
+    assert table.last_txn_version("app") == 1
+    assert table.last_txn_version("other") == 7
+    # the writer-side skip rule
+    assert table.last_txn_version("app") >= 1  # retry of batch 1 skips
