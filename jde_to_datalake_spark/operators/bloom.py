@@ -42,6 +42,14 @@ from jde_to_datalake_spark.operators.sampling import _SEP
 
 _BITS_PER_WORD = 32
 
+# Version stamp of the key encoding below. Any change to _key's byte
+# layout MUST bump this: persisted filters built under another format
+# hash differently, and probing them would return false NEGATIVES —
+# the one failure mode a bloom filter must never have. Consumers that
+# store filters (streaming/ingest.py) persist this stamp next to the
+# words and treat a mismatch as stale (rebuild), never as fresh.
+KEY_FORMAT = "nskey-v1"
+
 
 def _key(cols: list[str], salt: str) -> Column:
     """Null-safe multi-column key: each column is tagged with a

@@ -125,8 +125,22 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 class VersionedTable:
-    def __init__(self, root: str):
+    #: how long an idle writer app's idempotent-txn record is retained
+    #: in the manifest map (Delta's setTransaction retention). Entries
+    #: older than this are pruned at the next publish: the map stays
+    #: bounded by the number of RECENTLY-active writer apps instead of
+    #: growing one entry per checkpoint lineage ever used. A writer
+    #: idle longer than the window loses replay protection for its
+    #: in-flight batch — the same documented trade Delta makes.
+    TXN_RETENTION_SECONDS: float = 30 * 24 * 3600.0
+
+    def __init__(self, root: str, txn_retention_seconds: float | None = None):
         self.root = root
+        self.txn_retention_seconds = (
+            self.TXN_RETENTION_SECONDS
+            if txn_retention_seconds is None
+            else txn_retention_seconds
+        )
         os.makedirs(_log_dir(root), exist_ok=True)
 
     # -- log ------------------------------------------------------------
@@ -159,7 +173,9 @@ class VersionedTable:
         if v is None:
             return None
         t = self._manifest(v).get("txns", {}).get(str(app_id))
-        return None if t is None else int(t)
+        if t is None:
+            return None
+        return int(t["version"]) if isinstance(t, dict) else int(t)
 
     def history(self) -> list[dict]:
         """Commit audit trail, newest first (mode, file count, ts)."""
@@ -315,15 +331,28 @@ class VersionedTable:
         # the per-app idempotent-txn map is ACCUMULATED across commits
         # (every manifest carries the full map), so lookups read one
         # manifest and the record survives vacuum/compaction — the
-        # manifest-embedded form of Delta's checkpointed setTransaction
-        txns = dict(
-            self._manifest(prev).get("txns", {}) if prev is not None else {}
-        )
+        # manifest-embedded form of Delta's checkpointed setTransaction.
+        # Entries idle past the retention window are pruned here, so
+        # the map is bounded by recently-active writer apps.
+        now = time.time()
+        cutoff = now - self.txn_retention_seconds
+        txns: dict = {}
+        if prev is not None:
+            for app, entry in self._manifest(prev).get("txns", {}).items():
+                at = entry.get("at", now) if isinstance(entry, dict) else now
+                if at > cutoff:
+                    txns[app] = (
+                        dict(entry)
+                        if isinstance(entry, dict)
+                        else {"version": int(entry), "at": now}
+                    )
         if txn is not None:
             app_id, txn_version = txn
-            txns[str(app_id)] = max(
-                int(txn_version), int(txns.get(str(app_id), int(txn_version)))
-            )
+            old = txns.get(str(app_id), {}).get("version", int(txn_version))
+            txns[str(app_id)] = {
+                "version": max(int(txn_version), int(old)),
+                "at": now,
+            }
         manifest = {
             "version": version,
             "mode": mode,
@@ -536,7 +565,8 @@ class VersionedTable:
           errors on multiple source matches — silently inserting both
           copies would corrupt the key invariant);
         - an EMPTY updates frame is a no-op returning the current
-          version (no empty commit);
+          version (no empty commit; ``None`` when the table has no
+          commits either);
         - touched files are read with ``merge_schema=True`` and the
           union allows missing columns, so MERGE composes with schema
           evolution. Because untouched files are carried unrewritten,
@@ -548,21 +578,21 @@ class VersionedTable:
           instead of being silently overwritten.
         """
         prev = self.latest_version()
-        if prev is None:
-            return self.commit(updates, mode="overwrite", expected_base=None)
-        # one job: duplicate-key guard + the batch key range. NULL keys
+        # one job: duplicate-key guard + the batch key floor. NULL keys
         # are exempt from the guard: they match no existing row under
         # equi-join semantics (pure inserts), so several NULL-key rows
         # cannot violate the one-match-per-key invariant — Delta's rule.
+        # The guard runs BEFORE the empty-table fast path: a first
+        # merge must reject duplicate keys exactly like every later one
+        # (round-5 self-review finding).
         grouped = updates.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
         s = grouped.agg(
             F.count(F.lit(1)).alias("n_groups"),
             F.max(F.when(F.col(key).isNotNull(), F.col("__n"))).alias("max_n"),
             F.min(key).alias("kmin"),
-            F.max(key).alias("kmax"),
         ).collect()[0]
         if s["n_groups"] == 0:
-            return prev  # empty batch: nothing to merge
+            return prev  # empty batch: nothing to merge (None if no table yet)
         if s["max_n"] is not None and s["max_n"] > 1:
             dup = (
                 grouped.filter(F.col("__n") > 1)
@@ -575,6 +605,8 @@ class VersionedTable:
                 "a key may match at most one update row (Delta MERGE "
                 "contract); dedupe the batch first"
             )
+        if prev is None:
+            return self.commit(updates, mode="overwrite", expected_base=None)
         manifest = self._manifest(prev)
         manifest_files = manifest["files"]
         file_stats = manifest.get("stats", {})

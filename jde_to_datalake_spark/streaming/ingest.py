@@ -46,7 +46,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jde_to_datalake_spark.operators.bloom import bloom_build, bloom_union
+from jde_to_datalake_spark.operators.bloom import (
+    KEY_FORMAT,
+    bloom_build,
+    bloom_union,
+)
 from jde_to_datalake_spark.operators.dedup import (
     band_index,
     incremental_exact_dedup,
@@ -56,7 +60,9 @@ from jde_to_datalake_spark.sources.versioned import VersionedTable
 
 _VERDICT_COLS = ("is_known", "is_batch_first", "is_novel")
 
-_BLOOM_SCHEMA = "covers_version bigint, k int, words array<long>"
+_BLOOM_SCHEMA = (
+    "covers_version bigint, k int, key_format string, words array<long>"
+)
 
 
 def _load_fresh_bloom(
@@ -67,24 +73,27 @@ def _load_fresh_bloom(
     k: int,
 ) -> "tuple[list[int], int] | None":
     """The stored filter, ONLY if it covers exactly the index version
-    this batch will join against and was built with the current
-    sizing. A stale filter is unusable for verdicts (a fingerprint
-    appended after it was built would probe negative and mis-verdict
-    known content as novel) — staleness falls back to the plain join
-    and the post-append refresh re-engages the filter."""
+    this batch will join against, was built with the current sizing,
+    AND was hashed under the current key encoding. A stale filter is
+    unusable for verdicts (a fingerprint appended after it was built —
+    or one hashed under a different key format — would probe negative
+    and mis-verdict known content as novel) — staleness falls back to
+    the plain join and the post-append refresh re-engages the filter.
+    """
     if index_version is None or bloom_table.latest_version() is None:
         return None
     rows = bloom_table.read(spark).collect()
     if not rows:
         return None
-    r = rows[0]
+    d = rows[0].asDict()
     if (
-        r["covers_version"] != index_version
-        or r["k"] != k
-        or len(r["words"]) * 32 != num_bits
+        d["covers_version"] != index_version
+        or d["k"] != k
+        or d.get("key_format") != KEY_FORMAT
+        or len(d["words"]) * 32 != num_bits
     ):
         return None
-    return list(r["words"]), r["k"]
+    return list(d["words"]), d["k"]
 
 
 def _refresh_bloom(
@@ -115,7 +124,7 @@ def _refresh_bloom(
             known_fingerprints(spark, index), ["fingerprint"], num_bits, k
         )
     bloom_table.commit(
-        spark.createDataFrame([(v, k, words)], _BLOOM_SCHEMA),
+        spark.createDataFrame([(v, k, KEY_FORMAT, words)], _BLOOM_SCHEMA),
         mode="overwrite",
     )
 
@@ -196,9 +205,11 @@ def ingest_batch(
     before switching cadence to streamed appends over the same tables.
     """
     spark = batch_df.sparkSession
-    # the batch feeds several consumers (verdict counts, the merge,
-    # band keys, the flag count); persist it for the batch's lifetime
-    # so the source micro-batch is read once, not once per consumer
+    # the batch feeds several consumers (verdict counts, the corpus
+    # write — txn append for streams, content-keyed merge for
+    # backfills — band keys, the flag count); persist it for the
+    # batch's lifetime so the source micro-batch is read once, not
+    # once per consumer
     batch_df = batch_df.persist()
     pre_bloom = None
     if bloom_filter is not None:

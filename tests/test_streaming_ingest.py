@@ -454,3 +454,45 @@ def test_txn_redelivery_after_post_corpus_crash_never_duplicates(spark, tmp_path
     assert sorted(tuple(r) for r in corpus.read(spark).collect()) == rows_before
     # the index is healed
     assert index.read(spark).count() == 2
+
+
+def test_stale_bloom_key_format_is_rebuilt_not_trusted(spark, tmp_path):
+    """Round-5 self-review finding: a persisted filter hashed under a
+    different key encoding must read as STALE (rebuild), never fresh —
+    a format mismatch would probe false-negative and re-ingest known
+    content. Simulated by stamping a filter row with a foreign
+    key_format over otherwise-fresh metadata."""
+    from jde_to_datalake_spark.streaming.ingest import (
+        _BLOOM_SCHEMA,
+        _load_fresh_bloom,
+    )
+
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    bloom = VersionedTable(str(tmp_path / "bloom"))
+    batch = _docs(spark, [(1, "known content")])
+    ingest_batch(batch, corpus, index, bloom_filter=bloom,
+                 bloom_bits=1 << 10, bloom_k=3)
+    fresh = _load_fresh_bloom(spark, bloom, index.latest_version(), 1 << 10, 3)
+    assert fresh is not None  # current format: trusted
+    # rewrite the row under a foreign format, same version/sizing
+    row = bloom.read(spark).collect()[0].asDict()
+    bloom.commit(
+        spark.createDataFrame(
+            [(row["covers_version"], row["k"], "other-fmt", row["words"])],
+            _BLOOM_SCHEMA,
+        ),
+        mode="overwrite",
+    )
+    assert _load_fresh_bloom(
+        spark, bloom, index.latest_version(), 1 << 10, 3
+    ) is None
+    # and the loop still verdicts correctly via the plain-join fallback
+    again = ingest_batch(batch, corpus, index, bloom_filter=bloom,
+                         bloom_bits=1 << 10, bloom_k=3)
+    assert again["n_known"] == 1 and again["n_novel"] == 0
+    assert again["bloom_prefiltered"] is False
+    # the fallback pass rebuilt the filter under the current format
+    assert _load_fresh_bloom(
+        spark, bloom, index.latest_version(), 1 << 10, 3
+    ) is not None

@@ -681,3 +681,29 @@ def test_idempotent_txn_protocol(spark, table):
     assert table.last_txn_version("other") == 7
     # the writer-side skip rule
     assert table.last_txn_version("app") >= 1  # retry of batch 1 skips
+
+
+def test_first_merge_into_empty_table_rejects_duplicates(spark, table):
+    """Round-5 self-review finding: the empty-table fast path must not
+    bypass the duplicate-key guard, and an empty batch on an empty
+    table is a no-op returning None (no unreadable empty commit)."""
+    with pytest.raises(ValueError, match="duplicate key"):
+        table.merge(spark, _df(spark, [(1, "a"), (1, "b")]), key="k")
+    assert table.latest_version() is None  # nothing committed
+    empty = spark.createDataFrame([], "k long, v string")
+    assert table.merge(spark, empty, key="k") is None
+    assert table.latest_version() is None
+
+
+def test_txn_retention_prunes_idle_apps(spark, tmp_path):
+    """The txn map is bounded: entries idle past the retention window
+    drop at the next publish; active apps survive."""
+    table = VersionedTable(str(tmp_path / "t"), txn_retention_seconds=0.5)
+    table.commit(_df(spark, [(1, "a")]), mode="append", txn=("old-app", 3))
+    assert table.last_txn_version("old-app") == 3
+    import time as _time
+
+    _time.sleep(0.6)
+    table.commit(_df(spark, [(2, "b")]), mode="append", txn=("new-app", 0))
+    assert table.last_txn_version("new-app") == 0
+    assert table.last_txn_version("old-app") is None  # pruned
