@@ -827,24 +827,24 @@ def q_corpus_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % 97 == 0
     report = C.filter_report(docs, docs.filter(is_eval), is_eval, shingle_n=5)
     rarity = C.rarity_metrics(docs, rare_df_threshold=2)
-    qz = quality_features(docs.select("doc_id", "text")).select(
-        "doc_id",
-        quality_model_linear(QUALITY_MODEL).alias("quality_z"),
-    ).withColumn("model_keep", F.col("quality_z") > F.lit(0.0))
-    bloomed = bloom_decontaminate(
-        docs.select("doc_id", "text"),
-        docs.filter(is_eval).select("text"),
-        ["text"],
-        num_bits=_CF_BLOOM_BITS,
-        k=_CF_BLOOM_K,
+    # quality features and the bloom probe are BOTH row-local over the
+    # documents scan, so they compose into ONE projection frame and
+    # attach with a single doc_id join (not one join per family)
+    extra = quality_features(
+        bloom_decontaminate(
+            docs.select("doc_id", "text"),
+            docs.filter(is_eval).select("text"),
+            ["text"],
+            num_bits=_CF_BLOOM_BITS,
+            k=_CF_BLOOM_K,
+        )
     ).select(
         "doc_id",
+        quality_model_linear(QUALITY_MODEL).alias("quality_z"),
         "bloom_flagged",
         F.col("is_contaminated").alias("bloom_contaminated"),
-    )
-    return (
-        report.join(rarity, "doc_id").join(qz, "doc_id").join(bloomed, "doc_id")
-    )
+    ).withColumn("model_keep", F.col("quality_z") > F.lit(0.0))
+    return report.join(rarity, "doc_id").join(extra, "doc_id")
 
 
 def _corpus_filters_oracle() -> str:
