@@ -149,6 +149,49 @@ def with_registered_domain(
     )
 
 
+# query parameters that carry tracking state, not content identity —
+# the standard strip set for crawl URL canonicalization
+TRACKING_PARAMS_RE = "^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)(=.*)?$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup and frontier
+    keys: lowercased scheme and host, duplicate slashes collapsed and
+    the trailing slash stripped from the path, the fragment dropped,
+    tracking parameters (``TRACKING_PARAMS_RE``) removed, and the
+    remaining query parameters SORTED — so two spellings of the same
+    resource compare equal. NULL for an unparseable URL (``try_``
+    semantics: junk rows become NULL keys, never dead jobs).
+
+    Scope: authority = plain host (no port/userinfo — ``parse_url
+    HOST`` drops them, which for canonicalization is the right
+    default). Pure codegen built-ins: linear over a 100 TB scan.
+    """
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/$", "")
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(query, F.lit("")), "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_RE),
+            )
+        ),
+        "&",
+    )
+    return F.when(
+        scheme.isNull() | host.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+        )
+    )
+
+
 def url_report(
     df: DataFrame,
     url_col: str = "url",

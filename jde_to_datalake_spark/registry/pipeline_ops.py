@@ -98,15 +98,18 @@ def q_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         host_col="host",
         out_col="domain_psl",
     )
+    canon = with_url.select(
+        "doc_id", U.canonical_url(F.col("url")).alias("url_canonical")
+    )
     stats = U.domain_stats(report).select(
         "domain",
         F.col("n_docs").alias("n_domain_docs"),
         F.col("n_kept").alias("n_domain_kept"),
     )
-    return report.join(stats, "domain").select(
-        "doc_id", "host", "domain", "domain_psl", "path_depth",
-        "has_query", "is_blocked", "keep", "n_domain_docs",
-        "n_domain_kept",
+    return report.join(canon, "doc_id").join(stats, "domain").select(
+        "doc_id", "host", "domain", "domain_psl", "url_canonical",
+        "path_depth", "has_query", "is_blocked", "keep",
+        "n_domain_docs", "n_domain_kept",
     )
 
 
@@ -114,6 +117,7 @@ def _url_oracle() -> str:
     block = ", ".join(f"'{d}'" for d in URL_BLOCKLIST)
     multi = ", ".join(f"'{s}'" for s in U.MULTI_PART_SUFFIXES)
     psl = ", ".join(f"'{s}'" for s in _PSL_SUFFIXES)
+    track = U.TRACKING_PARAMS_RE
     return f"""
 WITH u AS (
   SELECT doc_id,
@@ -168,6 +172,20 @@ mk AS (
     ON r.host = p.suffix OR ends_with(r.host, '.' || p.suffix)
   GROUP BY r.doc_id
 ),
+canon AS (
+  SELECT p.doc_id,
+    'https://' || p.host
+    || regexp_replace(regexp_replace(p.path, '/{{2,}}', '/', 'g'), '/$', '')
+    || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS url_canonical
+  FROM (
+    SELECT doc_id, host, path,
+      array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        q -> q <> '' AND NOT regexp_matches(q, '{track}')
+      )), '&') AS kept
+    FROM parsed
+  ) p
+),
 withpsl AS (
   SELECT r.*,
     CASE
@@ -190,9 +208,12 @@ stats AS (
          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_domain_kept
   FROM rep GROUP BY domain
 )
-SELECT r.doc_id, r.host, r.domain, r.domain_psl, r.path_depth, r.has_query,
+SELECT r.doc_id, r.host, r.domain, r.domain_psl, c.url_canonical,
+       r.path_depth, r.has_query,
        r.is_blocked, r.keep, s.n_domain_docs, s.n_domain_kept
-FROM withpsl r JOIN stats s USING (domain)
+FROM withpsl r
+JOIN canon c ON c.doc_id = r.doc_id
+JOIN stats s USING (domain)
 """
 
 

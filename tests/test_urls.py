@@ -295,3 +295,38 @@ def test_url_report_accepts_suffix_table(spark):
     assert rows[1]["domain"] == "example.com.br"
     assert rows[2]["domain"] == "ok.com"
     assert rows[1]["keep"] and rows[2]["keep"]
+
+
+def test_canonical_url_normalization(spark):
+    cases = [
+        (1, "HTTPS://WWW.Site.COM//a//b/?utm_source=x&b=2&a=1#frag",
+         "https://www.site.com/a/b?a=1&b=2"),
+        (2, "https://site.com/docs/", "https://site.com/docs"),
+        (3, "https://site.com/?ref=feed", "https://site.com"),
+        (4, "https://site.com/x?z=1&y=2&fbclid=abc",
+         "https://site.com/x?y=2&z=1"),
+        (5, "not a url", None),
+        (6, None, None),
+        (7, "https://site.com", "https://site.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", U.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # idempotence: canonicalizing a canonical URL is a fixed point
+    canon = df.select("doc_id", U.canonical_url(F.col("url")).alias("url"))
+    twice = {
+        r["doc_id"]: r["c"]
+        for r in canon.select(
+            "doc_id", U.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert twice[i] == want
