@@ -859,6 +859,80 @@ def semantic_dedup(
     )
 
 
+def prototypicality(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents_arr: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cell, cent_cos): each vector's nearest cell and its cosine
+    to that cell's centroid — the PROTOTYPICALITY score (high = the
+    vector sits near the center of a semantic cluster; low = an
+    outlier/diverse point). The signal behind D4-style diversity
+    pruning (Tirumala et al. 2023, arXiv 2308.12284): after dedup,
+    dropping the most prototypical points re-weights the corpus
+    toward its diverse tail.
+
+    Same plan shape as :func:`assign_cells` (which discards the
+    score): one row-local reduction over the broadcast centroid
+    array — zero shuffles, corpus never moves."""
+    if cents_arr is None:
+        cents_arr = _cent_array(centroids)
+    best = F.array_max(_cell_scores(F.col(vec_col), F.col("nrm")))
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(cents_arr))
+        .select(
+            id_col,
+            best["cell"].alias("cell"),
+            best["cos"].alias("cent_cos"),
+        )
+    )
+
+
+def diversity_filter(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    drop_frac: float = 0.25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """D4-style diversity pruning verdicts: per cell, the
+    ``drop_frac`` most-prototypical vectors (highest centroid cosine,
+    ties broken by id — deterministic, retry-safe) are marked
+    ``keep = false``. One verdict row per input vector:
+    (id, cell, cent_cos, keep).
+
+    Plan: the prototypicality pass is row-local; the per-cell ranking
+    is ONE shuffle on the cell key with two window functions over it —
+    cells are bounded by construction (cell count ∝ corpus size keeps
+    |cell| manageable, the SemDeDup sizing rule), so no single
+    partition degenerates. Keep-side selection composes after
+    :func:`semantic_dedup` the way the D4 recipe orders its stages
+    (dedup first, then prune prototypes)."""
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError("drop_frac must be in [0, 1)")
+    proto = prototypicality(corpus, centroids, vec_col, id_col)
+    w = Window.partitionBy("cell")
+    rank_w = w.orderBy(F.desc("cent_cos"), F.col(id_col))
+    ranked = proto.select(
+        id_col, "cell", "cent_cos",
+        F.row_number().over(rank_w).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    return ranked.select(
+        id_col, "cell", "cent_cos",
+        (
+            F.col("__rn") > F.ceil(F.lit(float(drop_frac)) * F.col("__n"))
+        ).alias("keep"),
+    )
+
+
 def semantic_dedup_indexed(
     index,
     threshold: float = 0.9,

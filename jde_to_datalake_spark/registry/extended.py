@@ -481,11 +481,23 @@ def q_embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       the min-id verdict derivation stays mirror-tested in
       tests/test_similarity_training.py.
 
-    Both branches evaluate genuinely different candidate-pruning
+    - ``proto_drop`` (round 5): the D4-style diversity-pruning
+      verdicts (operators/similarity.py::diversity_filter) over the
+      SAME seed cells — the 25% most-prototypical vectors per cell
+      (highest centroid cosine, id tie-break), emitted as
+      (id_a = vec_id, id_b = cell, cosine = centroid cosine). The
+      assignment arithmetic is the branch the semdedup oracle already
+      mirrors, so the prototypicality score rides the same
+      strict-fold parity.
+
+    The branches evaluate genuinely different candidate/selection
     structures over the same corpus: LSH buckets (hash locality) vs
-    k-means cells (centroid locality).
+    k-means cells (centroid locality) vs per-cell prototype ranking.
     """
-    from jde_to_datalake_spark.operators.similarity import semantic_dedup
+    from jde_to_datalake_spark.operators.similarity import (
+        diversity_filter,
+        semantic_dedup,
+    )
 
     lsh = q_dedup_embedding_cosine(spark, sf_dir).select(
         F.lit("lsh").alias("op"), "id_a", "id_b", "cosine"
@@ -502,7 +514,17 @@ def q_embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = semantic_dedup(
         e, threshold=0.3, centroids=cents, emit="pairs"
     ).select(F.lit("semdedup").alias("op"), "id_a", "id_b", "cosine")
-    return lsh.unionAll(sem)
+    proto = (
+        diversity_filter(e, cents, drop_frac=0.25)
+        .filter(~F.col("keep"))
+        .select(
+            F.lit("proto_drop").alias("op"),
+            F.col("vec_id").alias("id_a"),
+            F.col("cell").cast("long").alias("id_b"),
+            F.col("cent_cos").alias("cosine"),
+        )
+    )
+    return lsh.unionAll(sem).unionAll(proto)
 
 
 _SQL_NRM = (
@@ -534,8 +556,10 @@ sem_cents AS (
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
 ),
 sem_assigned AS (
-  SELECT vec_id, embedding, nrm, cell FROM (
+  SELECT vec_id, embedding, nrm, cell, cent_cos FROM (
     SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+           {_SQL_DOT.format(a='b.embedding', b='c.cent_vec')}
+             / b.nrm / c.cent_norm AS cent_cos,
            ROW_NUMBER() OVER (
              PARTITION BY b.vec_id
              ORDER BY {_SQL_DOT.format(a='b.embedding', b='c.cent_vec')}
@@ -545,6 +569,22 @@ sem_assigned AS (
     FROM sem_base b CROSS JOIN sem_cents c
   ) WHERE rn = 1
 )"""
+
+# D4-style diversity pruning over the same assignment: the 25%
+# most-prototypical vectors per cell (ties toward the lower id), as
+# drop rows. Mirrors operators/similarity.py::diversity_filter.
+_PROTO_SELECT = """
+SELECT 'proto_drop' AS op, vec_id AS id_a, CAST(cell AS BIGINT) AS id_b,
+       cent_cos AS cosine
+FROM (
+  SELECT vec_id, cell, cent_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell ORDER BY cent_cos DESC, vec_id
+         ) AS prn,
+         COUNT(*) OVER (PARTITION BY cell) AS pcnt
+  FROM sem_assigned
+) WHERE prn <= CAST(ceil(0.25 * pcnt) AS BIGINT)
+"""
 
 _SEMDEDUP_SELECT = f"""
 SELECT 'semdedup' AS op, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -595,6 +635,8 @@ WITH {_LSH_CTE}, {_SEMDEDUP_CTES}
 SELECT 'lsh' AS op, * FROM ({_LSH_SELECT})
 UNION ALL
 {_SEMDEDUP_SELECT}
+UNION ALL
+{_PROTO_SELECT}
 """
 
 

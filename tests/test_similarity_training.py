@@ -582,3 +582,58 @@ def test_semantic_dedup_cell_size_guard(spark):
     # (any evaluation that needs the verdict columns)
     with pytest.raises(Exception, match="increase n_centroids"):
         bad.collect()
+
+
+def test_diversity_filter_contracts(spark):
+    """D4-style pruning (operators/similarity.py::diversity_filter):
+    exactly ceil(drop_frac * |cell|) vectors drop per cell, the
+    dropped set is the per-cell prototypicality top (highest centroid
+    cosine, id tie-break), verdicts are total and partitioning-
+    invariant."""
+    import math
+
+    from jde_to_datalake_spark.operators.similarity import (
+        diversity_filter,
+        prototypicality,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell int, cent_vec array<double>",
+    )
+    # cell 0: ids 0..6 increasingly off-axis; cell 1: ids 10..13
+    rows = [(i, [1.0, 0.05 * i]) for i in range(7)] + [
+        (10 + j, [0.05 * j, 1.0]) for j in range(4)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in diversity_filter(vecs, cents, 0.25).collect()}
+    assert len(out) == len(rows)  # total: one verdict per vector
+    for cell, ids in ((0, range(7)), (1, range(10, 14))):
+        dropped = [i for i in ids if not out[i]["keep"]]
+        assert len(dropped) == math.ceil(0.25 * len(list(ids)))
+        # dropped = the most prototypical (highest cent_cos) of the cell
+        worst_kept = min(
+            (out[i]["cent_cos"], -i) for i in ids if out[i]["keep"]
+        )
+        for i in dropped:
+            assert (out[i]["cent_cos"], -i) >= worst_kept
+    # prototypicality scores agree with the filter's
+    proto = {r["vec_id"]: r for r in prototypicality(vecs, cents).collect()}
+    for i in proto:
+        assert proto[i]["cell"] == out[i]["cell"]
+        assert proto[i]["cent_cos"] == out[i]["cent_cos"]
+    # partitioning invariance
+    again = {
+        r["vec_id"]: r["keep"]
+        for r in diversity_filter(vecs.repartition(5), cents, 0.25).collect()
+    }
+    assert again == {k: v["keep"] for k, v in out.items()}
+    # drop_frac=0 keeps everything; bad fractions rejected
+    allkeep = diversity_filter(vecs, cents, 0.0).filter("NOT keep").count()
+    assert allkeep == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        diversity_filter(vecs, cents, 1.0)
