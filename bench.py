@@ -131,8 +131,55 @@ def main() -> None:
             "queries": sec_timings,
         }
 
+    # same-minute DuckDB reference over the same queries' oracle SQL:
+    # absolutes on this microVM are only meaningful as same-window
+    # Spark/DuckDB pairs (host steal inflates both proportionally), so
+    # the ratio is recorded next to the Spark numbers it belongs with
+    try:
+        result["duckdb"] = _duckdb_reference(sf_dir)
+        if result["duckdb"] and result["duckdb"].get("value"):
+            result["spark_vs_duckdb"] = round(
+                total / result["duckdb"]["value"], 3
+            )
+    except Exception as exc:  # reference timing must never fail the bench
+        result["duckdb_error"] = str(exc)[:200]
+
     print(json.dumps(result))
     spark.stop()
+
+
+def _duckdb_reference(sf_dir: str, runs: int = 2) -> dict:
+    """Min-of-N per-query DuckDB timings of the SAME headline queries'
+    oracle SQL on the same parquet (full materialization via
+    fetchall), taken in the same process window as the Spark pass."""
+    import duckdb
+
+    oracles = E.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in oracles]
+    for _ in range(runs):
+        for name in names:
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            prev = timings.get(name)
+            timings[name] = dt if prev is None else min(prev, dt)
+    con.close()
+    return {
+        "value": round(sum(timings.values()), 3),
+        "queries": {n: round(v, 3) for n, v in timings.items()},
+    }
 
 
 if __name__ == "__main__":
