@@ -18,6 +18,8 @@ Java regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from jde_to_datalake_spark.functions.text import tokens
@@ -713,3 +715,46 @@ def top_ngrams(
             F.col("n_occurrences").desc(), F.col("ngram")
         ).limit(k)
     )
+
+
+def compression_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+    out_col: str = "compression_ratio",
+) -> DataFrame:
+    """``docs`` + the zlib compression ratio of the text
+    (compressed bytes / utf-8 bytes) — the classic cheap quality
+    signal: highly repetitive/boilerplate text compresses far below
+    ~0.4, while natural prose sits higher and random noise near (or
+    above) 1.0. Used alongside the repetition fractions as a
+    keep/drop feature (quality_model can take it as an extra input).
+
+    NULL/empty text yields NULL (total over crawl data). This is the
+    one text metric that genuinely needs Python — there is no zlib in
+    Spark SQL — so it runs as an Arrow-batched ``pandas_udf``
+    (one vectorized batch per Arrow block, never per-row Python
+    round-trips). Deterministic for a fixed zlib build; NOT
+    cross-engine oracle-able (zlib output varies across library
+    builds), hence pytest-mirror proven, not driver-row proven.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # hint names the module-level `pandas` import: under
+    # `from __future__ import annotations` pyspark resolves the
+    # stringified hints against the function's globals
+    @pandas_udf("double")
+    def _ratio(texts: pandas.Series) -> pandas.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return texts.map(one)
+
+    return docs.withColumn(out_col, _ratio(F.col(text_col)))
