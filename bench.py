@@ -148,10 +148,13 @@ def main() -> None:
     spark.stop()
 
 
-def _duckdb_reference(sf_dir: str, runs: int = 2) -> dict:
+def _duckdb_reference(sf_dir: str, runs: int = 3) -> dict:
     """Min-of-N per-query DuckDB timings of the SAME headline queries'
-    oracle SQL on the same parquet (full materialization via
-    fetchall), taken in the same process window as the Spark pass."""
+    oracle SQL on the same parquet, taken in the same process window
+    as the Spark pass. Materialization is `.arrow()` — full engine
+    execution into C-level Arrow buffers, the closest analogue of
+    Spark's noop sink (fetchall would charge Python tuple construction
+    only to DuckDB and flatter Spark on row-heavy outputs)."""
     import duckdb
 
     oracles = E.oracle_sql()
@@ -171,7 +174,7 @@ def _duckdb_reference(sf_dir: str, runs: int = 2) -> dict:
     for _ in range(runs):
         for name in names:
             t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
+            con.execute(oracles[name]).arrow()
             dt = time.perf_counter() - t0
             prev = timings.get(name)
             timings[name] = dt if prev is None else min(prev, dt)

@@ -168,8 +168,8 @@ def canonical_url(url: Column) -> Column:
     default). Pure codegen built-ins: linear over a 100 TB scan.
     """
     scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
-    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
-    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    host = host_of(url)  # ONE host definition across report/PSL/canonical
+    path = F.coalesce(path_of(url), F.lit(""))
     path = F.regexp_replace(path, "/{2,}", "/")
     path = F.regexp_replace(path, "/$", "")
     query = F.try_parse_url(url, F.lit("QUERY"))

@@ -18,8 +18,6 @@ Java regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
 
 from __future__ import annotations
 
-import pandas
-
 from pyspark.sql import DataFrame, Window, functions as F
 
 from jde_to_datalake_spark.functions.text import tokens
@@ -738,13 +736,11 @@ def compression_metrics(
     cross-engine oracle-able (zlib output varies across library
     builds), hence pytest-mirror proven, not driver-row proven.
     """
+    import pandas as pd  # function-scoped: the pure-SQL corpus
+    # operators must stay importable on images without pandas
     from pyspark.sql.functions import pandas_udf
 
-    # hint names the module-level `pandas` import: under
-    # `from __future__ import annotations` pyspark resolves the
-    # stringified hints against the function's globals
-    @pandas_udf("double")
-    def _ratio(texts: pandas.Series) -> pandas.Series:
+    def _ratio(texts):
         import zlib
 
         def one(t):
@@ -757,4 +753,10 @@ def compression_metrics(
 
         return texts.map(one)
 
-    return docs.withColumn(out_col, _ratio(F.col(text_col)))
+    # real-object annotations (not __future__ strings), set after
+    # definition so pyspark's type-hint inference sees pd.Series
+    # without pandas being a module-level import
+    _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return docs.withColumn(
+        out_col, pandas_udf("double")(_ratio)(F.col(text_col))
+    )

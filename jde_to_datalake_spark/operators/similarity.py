@@ -178,6 +178,15 @@ def lsh_bucketed_topk(
     ).select("query_id", "bucket", "candidate_id", "cosine", "rank")
 
 
+def centroid_array(centroids: DataFrame) -> DataFrame:
+    """Public form of the centroid fold: build it ONCE and pass it via
+    the ``cents_arr`` hooks (assign_cells / ivf_scored /
+    prototypicality / diversity_filter / semantic_dedup) when several
+    passes share the same centroid set, so the seed/fold pipeline is
+    one shared subplan instead of one copy per consumer."""
+    return _cent_array(centroids)
+
+
 def _cent_array(centroids: DataFrame) -> DataFrame:
     """Fold the (bounded-by-construction) centroid set into ONE array
     row for broadcasting: cell assignment/probing become ROW-LOCAL
@@ -810,6 +819,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     emit: str = "verdicts",
     max_cell_size: int | None = None,
+    cents_arr: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): k-means cells localize the pairwise cosine search,
@@ -853,7 +863,7 @@ def semantic_dedup(
             vec_col=vec_col, id_col=id_col,
         )
     )
-    cells = assign_cells(corpus, cents, vec_col, id_col)
+    cells = assign_cells(corpus, cents, vec_col, id_col, cents_arr=cents_arr)
     return _semantic_verdicts(
         cells, threshold, vec_col, id_col, emit, max_cell_size
     )
@@ -901,6 +911,7 @@ def diversity_filter(
     drop_frac: float = 0.25,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents_arr: DataFrame | None = None,
 ) -> DataFrame:
     """D4-style diversity pruning verdicts: per cell, the
     ``drop_frac`` most-prototypical vectors (highest centroid cosine,
@@ -917,7 +928,9 @@ def diversity_filter(
     (dedup first, then prune prototypes)."""
     if not 0.0 <= drop_frac < 1.0:
         raise ValueError("drop_frac must be in [0, 1)")
-    proto = prototypicality(corpus, centroids, vec_col, id_col)
+    proto = prototypicality(
+        corpus, centroids, vec_col, id_col, cents_arr=cents_arr
+    )
     w = Window.partitionBy("cell")
     rank_w = w.orderBy(F.desc("cent_cos"), F.col(id_col))
     ranked = proto.select(

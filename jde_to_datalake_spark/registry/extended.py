@@ -495,6 +495,7 @@ def q_embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means cells (centroid locality) vs per-cell prototype ranking.
     """
     from jde_to_datalake_spark.operators.similarity import (
+        centroid_array,
         diversity_filter,
         semantic_dedup,
     )
@@ -511,11 +512,13 @@ def q_embedding_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("cent_vec"),
         )
     )
+    # one shared centroid fold for both cell-based branches
+    ca = centroid_array(cents)
     sem = semantic_dedup(
-        e, threshold=0.3, centroids=cents, emit="pairs"
+        e, threshold=0.3, centroids=cents, emit="pairs", cents_arr=ca
     ).select(F.lit("semdedup").alias("op"), "id_a", "id_b", "cosine")
     proto = (
-        diversity_filter(e, cents, drop_frac=0.25)
+        diversity_filter(e, cents, drop_frac=0.25, cents_arr=ca)
         .filter(~F.col("keep"))
         .select(
             F.lit("proto_drop").alias("op"),

@@ -299,10 +299,13 @@ class VersionedTable:
                     f"stale snapshot: read version {prev}, but latest is "
                     f"{latest} — re-read and retry the merge/compact"
                 )
+        # the base manifest is consulted for the file list, the
+        # carried stats, and the txn map — read and parse it ONCE
+        prev_manifest = self._manifest(prev) if prev is not None else {}
         if carry is not None:
             if prev is None:
                 raise ValueError("carry requires an existing base version")
-            prev_files = set(self._manifest(prev)["files"])
+            prev_files = set(prev_manifest["files"])
             missing = [f for f in carry if f not in prev_files]
             if missing:
                 raise ValueError(
@@ -311,7 +314,7 @@ class VersionedTable:
                 )
             files = list(carry) + new_files
         elif mode == "append" and prev is not None:
-            files = self._manifest(prev)["files"] + new_files
+            files = prev_manifest["files"] + new_files
         else:
             files = new_files
         version = 0 if prev is None else prev + 1
@@ -320,9 +323,7 @@ class VersionedTable:
         # footer-read here driver-side — at lake scale Delta collects
         # these from the writing tasks; footer reads are metadata-sized
         # either way. Carried-over files keep their previous stats.
-        prev_stats = (
-            self._manifest(prev).get("stats", {}) if prev is not None else {}
-        )
+        prev_stats = prev_manifest.get("stats", {})
         stats = {f: prev_stats[f] for f in files if f in prev_stats}
         for f in new_files:
             fs = _footer_stats(os.path.join(self.root, f))
@@ -338,7 +339,7 @@ class VersionedTable:
         cutoff = now - self.txn_retention_seconds
         txns: dict = {}
         if prev is not None:
-            for app, entry in self._manifest(prev).get("txns", {}).items():
+            for app, entry in prev_manifest.get("txns", {}).items():
                 at = entry.get("at", now) if isinstance(entry, dict) else now
                 if at > cutoff:
                     txns[app] = (

@@ -613,12 +613,15 @@ def test_diversity_filter_contracts(spark):
     for cell, ids in ((0, range(7)), (1, range(10, 14))):
         dropped = [i for i in ids if not out[i]["keep"]]
         assert len(dropped) == math.ceil(0.25 * len(list(ids)))
-        # dropped = the most prototypical (highest cent_cos) of the cell
-        worst_kept = min(
+        # dropped = EXACTLY the per-cell prototypicality top: every
+        # dropped sort key must outrank every kept one (min over
+        # dropped vs max over kept — a wrong selection like ranks
+        # {1,5} would slip past a min-vs-each comparison)
+        best_kept = max(
             (out[i]["cent_cos"], -i) for i in ids if out[i]["keep"]
         )
-        for i in dropped:
-            assert (out[i]["cent_cos"], -i) >= worst_kept
+        worst_dropped = min((out[i]["cent_cos"], -i) for i in dropped)
+        assert worst_dropped >= best_kept
     # prototypicality scores agree with the filter's
     proto = {r["vec_id"]: r for r in prototypicality(vecs, cents).collect()}
     for i in proto:
