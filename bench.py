@@ -144,8 +144,61 @@ def main() -> None:
     except Exception as exc:  # reference timing must never fail the bench
         result["duckdb_error"] = str(exc)[:200]
 
+    try:
+        result["host_probe"] = _host_probe(spark)
+    except Exception as exc:  # diagnostics must never fail the bench
+        result["host_probe_error"] = str(exc)[:200]
+
     print(json.dumps(result))
     spark.stop()
+
+
+def _host_probe(spark) -> dict:
+    """Boot-health diagnostics recorded NEXT TO the numbers they
+    qualify. This microVM's host varies per boot in virtual-timer /
+    wakeup delivery; when it is sick, every blocking wait (thread
+    park, futex timeout, socket wakeup) costs ~100-200 us instead of
+    ~5-20 us. That taxes exactly Spark's scheduling-heavy execution
+    (task dispatch/completion handoffs, py4j command round-trips)
+    while leaving busy-loop engines (DuckDB) and raw CPU untouched —
+    measured on one sick boot: Spark uniformly ~1.8x slower at BOTH
+    SFs with pure-JVM 32-thread compute and DuckDB unchanged, i.e.
+    the spark_vs_duckdb ratio moves for reasons that are not plan
+    quality. The three numbers below separate the cases:
+
+    - sleep0_us: clock_nanosleep(0) wakeup latency — the kernel/
+      hypervisor timer path. Healthy ~5-30 us; sick ~100+ us.
+    - py4j_us: one JVM command round-trip (socket + reflection) —
+      the driver-side plan-construction cost unit. Healthy
+      ~150-400 us on this box; sick ~1500-2500 us.
+    - cpu_ms: fixed single-thread Python arithmetic loop — pure
+      compute, ~stable across boots (~35-45 ms quiet); if THIS
+      moves, inflation is real CPU steal and hits DuckDB too.
+    """
+    n = 2000
+    t0 = time.perf_counter()
+    for _ in range(n):
+        time.sleep(0)
+    sleep0_us = (time.perf_counter() - t0) / n * 1e6
+
+    jvm = spark._jvm
+    n = 200
+    t0 = time.perf_counter()
+    for _ in range(n):
+        jvm.java.lang.System.currentTimeMillis()
+    py4j_us = (time.perf_counter() - t0) / n * 1e6
+
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_000_000):
+        x += i
+    cpu_ms = (time.perf_counter() - t0) * 1e3
+
+    return {
+        "sleep0_us": round(sleep0_us, 1),
+        "py4j_us": round(py4j_us, 1),
+        "cpu_ms": round(cpu_ms, 1),
+    }
 
 
 def _duckdb_reference(sf_dir: str, runs: int = 3) -> dict:
