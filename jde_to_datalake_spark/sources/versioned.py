@@ -29,6 +29,14 @@ naming immutable parquet data files — with single-table scope:
   rewritten. MERGE semantics with full history retained.
 - ``history()`` / ``vacuum(keep_last)``  audit log; physical removal
   of files unreferenced by retained versions.
+- ``delete_where(predicate)``  row-level DELETE as a deletion-vector
+  sidecar (no data file rewritten; O(matching rows) commit); readers
+  apply tombstones with a broadcast anti-join on the public
+  (``_metadata.file_name``, ``_metadata.row_index``) row identity;
+  ``compact`` materializes them.
+- ``read_changes(v_from, v_to, key=...)``  NET row-level change feed
+  from the manifest diff — carried files are never scanned, so CDC
+  between snapshots costs O(changed data), not O(table).
 
 Scale: a commit manifest lists file PATHS (metadata, not data); reads
 plan a normal parquet scan over the listed files, so partition-width
@@ -114,6 +122,13 @@ def _footer_stats(path: str) -> dict:
             else:
                 out[name] = [mn, mx]
     return out
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from the parquet footer — a metadata read, no scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _log_dir(root: str) -> str:
@@ -248,6 +263,7 @@ class VersionedTable:
         expected_base=_UNSET,
         carry: list[str] | None = None,
         txn: "tuple[str, int] | None" = None,
+        dv_files: list[str] | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -281,6 +297,13 @@ class VersionedTable:
         effectively-once mechanism for append-shaped streaming sinks,
         where a keyed MERGE would pay a data-sized anti-join for
         idempotency alone.
+
+        ``dv_files`` is the FULL deletion-vector sidecar list for the
+        new version (``delete_where`` passes it). When omitted it is
+        inherited: appends and carry-based partial rewrites keep the
+        base version's DVs (tombstoned rows stay deleted); a full
+        overwrite (no carry) drops them — the rewrite materialized the
+        deletes, exactly Delta's compaction behavior.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -354,6 +377,13 @@ class VersionedTable:
                 "version": max(int(txn_version), int(old)),
                 "at": now,
             }
+        if dv_files is None:
+            # inherit: deletes survive appends and partial rewrites;
+            # a full overwrite materialized them
+            if prev is not None and (mode == "append" or carry is not None):
+                dv_files = prev_manifest.get("dv_files", [])
+            else:
+                dv_files = []
         manifest = {
             "version": version,
             "mode": mode,
@@ -361,6 +391,8 @@ class VersionedTable:
             "stats": stats,
             "committed_at": time.time(),
         }
+        if dv_files:
+            manifest["dv_files"] = dv_files
         if txns:
             manifest["txns"] = txns
         # Reader-atomic publish: the manifest is fully written to a
@@ -433,7 +465,370 @@ class VersionedTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*[os.path.join(self.root, f) for f in files])
+        df = reader.parquet(*[os.path.join(self.root, f) for f in files])
+        return self._apply_dvs(df, spark, version)
+
+    # -- deletion vectors -------------------------------------------------
+    #: past this many live tombstone rows the read-path anti-join is no
+    #: longer broadcast (falls back to a shuffled anti-join); that is
+    #: the signal to ``compact()`` and materialize the deletes
+    DV_BROADCAST_MAX_ROWS: int = 5_000_000
+
+    def dv_files(self, version: int | None = None) -> list[str]:
+        """Deletion-vector sidecar files of a version (empty = none)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return []
+        return self._manifest(version).get("dv_files", [])
+
+    def dv_relation(
+        self, spark: SparkSession, version: int | None = None
+    ) -> "DataFrame | None":
+        """The version's tombstones as a (file, pos) DataFrame — file is
+        the data file's basename, pos its parquet row index — or None
+        when the version carries no deletion vectors."""
+        dvs = self.dv_files(version)
+        if not dvs:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(self.root, f) for f in dvs]
+        )
+
+    def _apply_dvs(self, df: DataFrame, spark, version) -> DataFrame:
+        """Filter a scan of a version's data files down to live rows.
+
+        Delta's deletion-vector read path re-expressed with public
+        Spark: each data row's identity is (``_metadata.file_name``,
+        ``_metadata.row_index``) — both stable for parquet regardless
+        of split planning — and the tombstone set is a sidecar
+        relation anti-joined against it. The sidecar is tiny relative
+        to the table (deletes accumulate only until the next
+        compaction), so the anti-join is BROADCAST: the 100 TB scan
+        side never shuffles, and file pruning still happens first
+        (tombstones of pruned-out files simply never match). Past
+        ``DV_BROADCAST_MAX_ROWS`` live tombstones the hint is dropped
+        (a shuffled anti-join beats broadcasting a giant bitmap) —
+        the documented signal to run ``compact()``.
+        """
+        dvs = self.dv_files(version)
+        if not dvs:
+            return df
+        paths = [os.path.join(self.root, f) for f in dvs]
+        dvr = spark.read.parquet(*paths).select(
+            F.col("file").alias("__dvr_file"),
+            F.col("pos").alias("__dvr_pos"),
+        )
+        total = sum(_parquet_num_rows(p) for p in paths)
+        if total <= self.DV_BROADCAST_MAX_ROWS:
+            dvr = F.broadcast(dvr)
+        return (
+            df.withColumns(
+                {
+                    "__dv_file": F.col("_metadata.file_name"),
+                    "__dv_pos": F.col("_metadata.row_index"),
+                }
+            )
+            .join(
+                dvr,
+                (F.col("__dv_file") == F.col("__dvr_file"))
+                & (F.col("__dv_pos") == F.col("__dvr_pos")),
+                "left_anti",
+            )
+            .drop("__dv_file", "__dv_pos")
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        prune_ranges: dict | None = None,
+    ) -> int:
+        """Row-level DELETE without rewriting any data file.
+
+        Writes a deletion-vector sidecar naming the (file, row_index)
+        of every live row matching ``predicate`` (a Column or SQL
+        string), then publishes a manifest with the SAME data files
+        plus the grown DV list — commit cost is O(matching rows) to
+        write and one metadata publish, never O(table) rewrite. This
+        is the GDPR/right-to-be-forgotten shape for a 100 TB training
+        corpus: the delete is immediately visible to every reader
+        (read/read_where/merge all apply DVs), and the physical
+        rewrite happens later, amortized, in ``compact()``.
+
+        ``prune_ranges`` ({column: (lo, hi)}, as ``files_for_ranges``)
+        restricts the matching SCAN to stats-overlapping files — on a
+        clustered table a targeted delete reads a fraction of the
+        table. The ranges must be implied by ``predicate``: rows in
+        pruned-out files are not examined, exactly like read_where's
+        contract.
+
+        Matching rows already tombstoned are not re-recorded (the scan
+        applies existing DVs first), so repeated deletes stay compact.
+        A predicate matching nothing is a no-op returning the current
+        version. Snapshot-isolated like merge: a commit landing
+        between the read and the publish fails this delete.
+        """
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        manifest = self._manifest(prev)
+        files = (
+            self.files_for_ranges(prune_ranges, prev)
+            if prune_ranges
+            else manifest["files"]
+        )
+        if not files:
+            return prev
+        scan = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.root, f) for f in files])
+        )
+        hits = (
+            self._apply_dvs(scan, spark, prev)
+            .filter(predicate)
+            .select(
+                F.col("_metadata.file_name").alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        # tombstones are (string, long) rows — tiny relative to the
+        # scan. coalesce (narrow, no shuffle) keeps the sidecar count
+        # bounded per delete so the manifest DV list stays metadata-
+        # sized; a delete so large that 8 writers bottleneck is one
+        # you should express as a rewrite instead.
+        hits.coalesce(8).write.mode("overwrite").parquet(staging)
+        new_dvs = []
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                dst = f"dv-{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(staging, f), os.path.join(self.root, dst)
+                )
+                new_dvs.append(dst)
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
+        live = []
+        for f in new_dvs:
+            p = os.path.join(self.root, f)
+            if _parquet_num_rows(p) > 0:
+                live.append(f)
+            else:
+                os.remove(p)  # empty part file: no tombstones from it
+        if not live:
+            return prev
+        return self.publish(
+            [],
+            mode="overwrite",
+            expected_base=prev,
+            carry=manifest["files"],
+            dv_files=manifest.get("dv_files", []) + live,
+        )
+
+    # -- change data feed -------------------------------------------------
+    def read_changes(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+        key: str | None = None,
+    ) -> DataFrame:
+        """NET row-level changes between two snapshots — Delta's
+        ``table_changes`` re-expressed over the manifest diff, costing
+        O(changed data), never O(table).
+
+        Because commits carry untouched files BY REFERENCE, the
+        manifest diff names exactly the files that changed: rows of
+        files only in ``v_to`` are candidate inserts, rows of files
+        only in ``v_from`` are candidate deletes, and files common to
+        both are untouched data — except positions tombstoned between
+        the versions (deletion-vector growth), which are deletes read
+        by scanning ONLY the files the new tombstones name. Carried
+        files are never scanned.
+
+        With ``key=None``: emits ``_change_type`` in {insert, delete};
+        a rewrite (merge/compact) of an unchanged row shows as a
+        delete+insert pair — file-level truth, zero joins.
+
+        With ``key``: the candidate sets are full-outer-joined on the
+        key (over CHANGED files only) and classified as ``insert``,
+        ``delete``, ``update_preimage``/``update_postimage``; rows
+        rewritten byte-identical (compaction, carried-forward churn)
+        cancel out. Requires key-unique snapshots — the invariant
+        ``merge`` maintains; on append-duplicated tables use
+        ``key=None``.
+
+        Both versions must still be readable (``vacuum`` bounds how
+        far back changes can be computed — the same trade Delta makes
+        with its retention window).
+        """
+        if v_to is None:
+            v_to = self.latest_version()
+        if v_to is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        if v_from == v_to:
+            raise ValueError("read_changes: v_from must differ from v_to")
+        if v_from > v_to:
+            raise ValueError(
+                f"read_changes: v_from={v_from} is newer than v_to={v_to}"
+            )
+        m_from = self._manifest(v_from)
+        m_to = self._manifest(v_to)
+        from_set, to_set = set(m_from["files"]), set(m_to["files"])
+        added = [f for f in m_to["files"] if f not in from_set]
+        removed = [f for f in m_from["files"] if f not in to_set]
+        common = [f for f in m_from["files"] if f in to_set]
+
+        def _typed_empty(version):
+            return self.read(spark, version, merge_schema=True).filter(
+                F.lit(False)
+            )
+
+        reader = spark.read.option("mergeSchema", "true")
+        # candidate deletes: live-at-v_from rows of removed files ...
+        if removed:
+            old_rows = self._apply_dvs(
+                reader.parquet(
+                    *[os.path.join(self.root, f) for f in removed]
+                ),
+                spark,
+                v_from,
+            )
+        else:
+            old_rows = _typed_empty(v_from)
+        # ... plus common-file positions tombstoned in v_to but not in
+        # v_from. New tombstones name their files, so only those files
+        # are scanned (metadata-bounded collect of distinct names).
+        dv_to = self.dv_relation(spark, v_to)
+        if dv_to is not None and common:
+            dv_from = self.dv_relation(spark, v_from)
+            diff = dv_to
+            if dv_from is not None:
+                diff = dv_to.exceptAll(dv_from)
+            diff = diff.filter(F.col("file").isin(common))
+            tomb_files = [
+                r["file"]
+                for r in diff.select("file").distinct().collect()
+            ]
+            if tomb_files:
+                tomb = (
+                    reader.parquet(
+                        *[os.path.join(self.root, f) for f in tomb_files]
+                    )
+                    .withColumns(
+                        {
+                            "__dv_file": F.col("_metadata.file_name"),
+                            "__dv_pos": F.col("_metadata.row_index"),
+                        }
+                    )
+                    .join(
+                        F.broadcast(
+                            diff.select(
+                                F.col("file").alias("__dvr_file"),
+                                F.col("pos").alias("__dvr_pos"),
+                            )
+                        ),
+                        (F.col("__dv_file") == F.col("__dvr_file"))
+                        & (F.col("__dv_pos") == F.col("__dvr_pos")),
+                        "left_semi",
+                    )
+                    .drop("__dv_file", "__dv_pos")
+                )
+                old_rows = old_rows.unionByName(
+                    tomb, allowMissingColumns=True
+                )
+        # candidate inserts: live-at-v_to rows of added files
+        if added:
+            new_rows = self._apply_dvs(
+                reader.parquet(
+                    *[os.path.join(self.root, f) for f in added]
+                ),
+                spark,
+                v_to,
+            )
+        else:
+            new_rows = _typed_empty(v_to)
+
+        if key is None:
+            return old_rows.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(
+                new_rows.withColumn("_change_type", F.lit("insert")),
+                allowMissingColumns=True,
+            )
+
+        cols = list(
+            dict.fromkeys(old_rows.columns + new_rows.columns)
+        )  # union, first-seen order
+        val_cols = [c for c in cols if c != key]
+
+        def _packed(df, side):
+            present = set(df.columns)
+            return df.select(
+                F.col(key).alias("__k"),
+                F.struct(
+                    *[
+                        (
+                            F.col(c) if c in present else F.lit(None)
+                        ).alias(c)
+                        for c in val_cols
+                    ]
+                ).alias(side),
+            )
+
+        j = _packed(old_rows, "__old").join(
+            _packed(new_rows, "__new"), "__k", "full_outer"
+        )
+        # rows rewritten byte-identical (compaction churn) cancel out
+        # HERE — before the explode, so unchanged data costs one
+        # null-safe struct compare and nothing downstream
+        j = j.filter(~F.col("__old").eqNullSafe(F.col("__new")))
+        tagged = j.select(
+            F.col("__k"),
+            F.when(
+                F.col("__old").isNull(),
+                F.array(
+                    F.struct(
+                        F.col("__new").alias("v"),
+                        F.lit("insert").alias("t"),
+                    )
+                ),
+            )
+            .when(
+                F.col("__new").isNull(),
+                F.array(
+                    F.struct(
+                        F.col("__old").alias("v"),
+                        F.lit("delete").alias("t"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.col("__old").alias("v"),
+                        F.lit("update_preimage").alias("t"),
+                    ),
+                    F.struct(
+                        F.col("__new").alias("v"),
+                        F.lit("update_postimage").alias("t"),
+                    ),
+                )
+            )
+            .alias("__changes"),
+        )
+        exploded = tagged.select(
+            "__k", F.explode("__changes").alias("__c")
+        )
+        return exploded.select(
+            F.col("__k").alias(key),
+            *[F.col(f"__c.v.`{c}`").alias(c) for c in val_cols],
+            F.col("__c.t").alias("_change_type"),
+        )
 
     # -- data skipping ---------------------------------------------------
     def files_for_range(
@@ -501,6 +896,10 @@ class VersionedTable:
         merge_schema: bool = False,
     ) -> DataFrame:
         """``read_where`` over a conjunction of column ranges."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"{self.root}: no commits yet")
         files = self.files_for_ranges(ranges, version)
         cond = F.lit(True)
         for column, (lower, upper) in ranges.items():
@@ -519,7 +918,7 @@ class VersionedTable:
         df = reader.parquet(
             *[os.path.join(self.root, f) for f in files]
         )
-        return df.filter(cond)
+        return self._apply_dvs(df, spark, version).filter(cond)
 
     def read_where(
         self,
@@ -650,8 +1049,10 @@ class VersionedTable:
                 carry=untouched,
             )
         reader = spark.read.option("mergeSchema", "true")
-        current = reader.parquet(
-            *[os.path.join(self.root, f) for f in touched]
+        current = self._apply_dvs(
+            reader.parquet(*[os.path.join(self.root, f) for f in touched]),
+            spark,
+            prev,
         )
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
         return self.publish(
@@ -733,9 +1134,11 @@ class VersionedTable:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         retained = vs[-keep_last:]
-        referenced = {
-            f for v in retained for f in self._manifest(v)["files"]
-        }
+        referenced = set()
+        for v in retained:
+            m = self._manifest(v)
+            referenced.update(m["files"])
+            referenced.update(m.get("dv_files", []))
         cutoff = time.time() - retention_seconds
         removed = []
         for v in vs[:-keep_last]:
