@@ -124,6 +124,59 @@ def _footer_stats(path: str) -> dict:
     return out
 
 
+def zorder_value(
+    df: DataFrame, columns: list, bits: int = 4
+) -> "F.Column":
+    """Morton (Z-curve) value over quantile-bucketed numeric columns.
+
+    Each column is mapped to a ``2**bits``-bucket rank via its
+    approximate quantiles (one driver-side ``approxQuantile`` pass —
+    metadata-scale: 2^bits-1 doubles per column), then the bucket
+    bits are interleaved. Quantile bucketing (not equal-width) keeps
+    the curve balanced under skew: every bucket holds ~the same row
+    count, so files cut along the curve stay similar-sized.
+
+    The per-row expression is a fixed fan of comparisons and bit
+    shifts — pure whole-stage codegen, linear over a 100 TB rewrite,
+    no shuffle of its own. ``bits=4`` (16 buckets/column, 62 codegen
+    terms for 2 columns) deliberately stays well under the JVM's
+    ~8 KB JIT method limit that an earlier 64-arm CASE chain tripped;
+    16x16 cells is plenty for FILE-level pruning at realistic file
+    counts. NULLs bucket to 0 (cluster low, never error); a constant
+    or all-null column collapses to one bucket and simply stops
+    contributing pruning power.
+
+    Columns must be numeric (``approxQuantile``'s domain). For string
+    keys, cluster linearly on the dominant one instead — hashing a
+    string to make it "numeric" would destroy the range locality that
+    footer-stats pruning depends on.
+    """
+    if len(columns) < 2:
+        raise ValueError("zorder_value needs >= 2 columns")
+    if not 1 <= bits <= 8:
+        raise ValueError("bits must be in [1, 8]")
+    qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    buckets = []
+    for c in columns:
+        edges = df.approxQuantile(c, qs, 0.01)
+        uniq: list = []
+        for e in edges:
+            if e == e and (not uniq or e > uniq[-1]):  # drop NaN + dups
+                uniq.append(e)
+        b = F.lit(0)
+        for e in uniq:
+            b = b + F.when(F.col(c) >= F.lit(e), 1).otherwise(0)
+        buckets.append(b)
+    k = len(buckets)
+    z = F.lit(0)
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+    return z
+
+
 def _parquet_num_rows(path: str) -> int:
     """Row count from the parquet footer — a metadata read, no scan."""
     import pyarrow.parquet as pq
@@ -1087,7 +1140,8 @@ class VersionedTable:
         self,
         spark: SparkSession,
         target_partitions: int = 1,
-        cluster_by: str | None = None,
+        cluster_by: "str | list[str] | None" = None,
+        zorder_bits: int = 4,
     ) -> int:
         """Rewrite the latest version's files into ``target_partitions``
         parquet files (small-file compaction as a normal overwrite
@@ -1095,16 +1149,35 @@ class VersionedTable:
         the snapshot it read: a commit landing mid-compaction fails
         the compaction (re-run it) rather than being thrown away.
 
-        ``cluster_by`` range-partitions and sorts the rewrite on that
-        column — the OPTIMIZE-with-clustering move: each rewritten
-        file covers a narrow disjoint value range, so the footer stats
-        published with the commit make ``read_where`` on that column
-        skip all but the overlapping files. (Costs one range shuffle;
-        plain compaction stays a coalesce.)
+        ``cluster_by`` as ONE column range-partitions and sorts the
+        rewrite on it — the OPTIMIZE-with-clustering move: each
+        rewritten file covers a narrow disjoint value range, so the
+        footer stats published with the commit make ``read_where`` on
+        that column skip all but the overlapping files. (Costs one
+        range shuffle; plain compaction stays a coalesce.)
+
+        ``cluster_by`` as SEVERAL columns Z-ORDERS the rewrite
+        (OPTIMIZE ZORDER BY): rows are laid out along the Morton
+        curve of quantile-bucketed column values (``zorder_value``),
+        so every clustered column — not just a primary — has narrow
+        per-file ranges and ``read_where``/``files_for_ranges`` prunes
+        on ANY of them. Linear clustering wins for one dominant filter
+        column; z-order wins when queries filter on different columns
+        at different times. Same cost shape: one range shuffle.
         """
         base = self.latest_version()
         latest = self.read(spark, base, merge_schema=True)
-        if cluster_by is not None:
+        if isinstance(cluster_by, (list, tuple)) and len(cluster_by) == 1:
+            cluster_by = cluster_by[0]
+        if isinstance(cluster_by, (list, tuple)):
+            z = zorder_value(latest, list(cluster_by), bits=zorder_bits)
+            rewritten = (
+                latest.withColumn("__z", z)
+                .repartitionByRange(target_partitions, F.col("__z"))
+                .sortWithinPartitions("__z", *cluster_by)
+                .drop("__z")
+            )
+        elif cluster_by is not None:
             rewritten = latest.repartitionByRange(
                 target_partitions, F.col(cluster_by)
             ).sortWithinPartitions(cluster_by)

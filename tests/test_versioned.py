@@ -707,3 +707,84 @@ def test_txn_retention_prunes_idle_apps(spark, tmp_path):
     table.commit(_df(spark, [(2, "b")]), mode="append", txn=("new-app", 0))
     assert table.last_txn_version("new-app") == 0
     assert table.last_txn_version("old-app") is None  # pruned
+
+
+def test_zorder_compaction_prunes_on_every_clustered_column(
+    spark, tmp_path
+):
+    """OPTIMIZE ZORDER: after a multi-column z-order rewrite, a range
+    query on ANY clustered column prunes files; linear clustering on
+    one column prunes only that column's queries. Values unchanged."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    df = (
+        spark.range(0, 20000)
+        .withColumn("a", (F.xxhash64("id") % 10000 + 10000) % 10000)
+        .withColumn(
+            "b", (F.xxhash64("id", F.lit(1)) % 10000 + 10000) % 10000
+        )
+    )
+    z = VersionedTable(str(tmp_path / "z"))
+    z.commit(df.repartition(4), mode="overwrite")
+    pre = z.read(spark).agg(
+        F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    z.compact(spark, target_partitions=16, cluster_by=["a", "b"])
+    post = z.read(spark).agg(
+        F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert tuple(pre) == tuple(post)
+    n_files = len(z._manifest(z.latest_version())["files"])
+    # both dimensions prune (the z-order selling point) ...
+    assert len(z.files_for_range("a", 0, 600)) < n_files
+    assert len(z.files_for_range("b", 0, 600)) < n_files
+    # ... and conjunctions prune harder
+    assert len(
+        z.files_for_ranges({"a": (0, 600), "b": (0, 600)})
+    ) <= min(
+        len(z.files_for_range("a", 0, 600)),
+        len(z.files_for_range("b", 0, 600)),
+    )
+    # linear clustering on `a` cannot prune b-queries
+    lin = VersionedTable(str(tmp_path / "lin"))
+    lin.commit(df.repartition(4), mode="overwrite")
+    lin.compact(spark, target_partitions=16, cluster_by="a")
+    assert len(lin.files_for_range("b", 0, 600)) == len(
+        lin._manifest(lin.latest_version())["files"]
+    )
+    # pruned read returns exactly the predicate's rows
+    got = z.read_where_all(spark, {"a": (0, 600), "b": (0, 600)}).count()
+    exp = (
+        z.read(spark)
+        .filter("a BETWEEN 0 AND 600 AND b BETWEEN 0 AND 600")
+        .count()
+    )
+    assert got == exp > 0
+
+
+def test_zorder_value_edge_cases(spark):
+    """Constant / all-null columns collapse to one bucket (no pruning
+    power, never an error); single-column z-order is rejected."""
+    import pytest as _pytest
+
+    from jde_to_datalake_spark.sources.versioned import zorder_value
+
+    df = spark.range(0, 100).select(
+        F.col("id").cast("double").alias("a"),
+        F.lit(5.0).alias("const"),
+        F.lit(None).cast("double").alias("nul"),
+    )
+    z = df.select(
+        zorder_value(df, ["a", "const", "nul"], bits=2).alias("z")
+    )
+    vals = [r["z"] for r in z.collect()]
+    # the constant and null columns contribute nothing: exactly the
+    # 4 quantile buckets of `a` appear, in `a`'s own interleave lanes
+    assert len(set(vals)) == 4
+    assert all(v is not None for v in vals)
+    with _pytest.raises(ValueError):
+        zorder_value(df, ["a"])
+    with _pytest.raises(ValueError):
+        zorder_value(df, ["a", "const"], bits=0)
