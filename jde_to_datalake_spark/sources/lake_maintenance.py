@@ -226,8 +226,17 @@ def zorder_value(
         qs = work.approxQuantile(
             dcol, [i / n_buckets for i in range(1, n_buckets)], 0.001
         )
+        # drop NaN boundaries and collapse duplicates (skewed or
+        # constant columns repeat boundaries; an all-null column
+        # yields none) — fewer distinct boundaries only weakens this
+        # column's pruning power, never correctness. NULL values take
+        # the otherwise-branch everywhere -> bucket 0 (cluster low).
+        edges: list = []
+        for b in qs:
+            if b == b and (not edges or b > edges[-1]):
+                edges.append(b)
         idx = F.lit(0)
-        for b in qs:  # bucket index = #boundaries below the value
+        for b in edges:  # bucket index = #boundaries below the value
             idx = idx + F.when(F.col(dcol) > F.lit(b), 1).otherwise(0)
         work = work.withColumn(f"__zi_{c}", idx.cast("long")).drop(dcol)
         idx_cols.append(f"__zi_{c}")

@@ -124,59 +124,6 @@ def _footer_stats(path: str) -> dict:
     return out
 
 
-def zorder_value(
-    df: DataFrame, columns: list, bits: int = 4
-) -> "F.Column":
-    """Morton (Z-curve) value over quantile-bucketed numeric columns.
-
-    Each column is mapped to a ``2**bits``-bucket rank via its
-    approximate quantiles (one driver-side ``approxQuantile`` pass —
-    metadata-scale: 2^bits-1 doubles per column), then the bucket
-    bits are interleaved. Quantile bucketing (not equal-width) keeps
-    the curve balanced under skew: every bucket holds ~the same row
-    count, so files cut along the curve stay similar-sized.
-
-    The per-row expression is a fixed fan of comparisons and bit
-    shifts — pure whole-stage codegen, linear over a 100 TB rewrite,
-    no shuffle of its own. ``bits=4`` (16 buckets/column, 62 codegen
-    terms for 2 columns) deliberately stays well under the JVM's
-    ~8 KB JIT method limit that an earlier 64-arm CASE chain tripped;
-    16x16 cells is plenty for FILE-level pruning at realistic file
-    counts. NULLs bucket to 0 (cluster low, never error); a constant
-    or all-null column collapses to one bucket and simply stops
-    contributing pruning power.
-
-    Columns must be numeric (``approxQuantile``'s domain). For string
-    keys, cluster linearly on the dominant one instead — hashing a
-    string to make it "numeric" would destroy the range locality that
-    footer-stats pruning depends on.
-    """
-    if len(columns) < 2:
-        raise ValueError("zorder_value needs >= 2 columns")
-    if not 1 <= bits <= 8:
-        raise ValueError("bits must be in [1, 8]")
-    qs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    buckets = []
-    for c in columns:
-        edges = df.approxQuantile(c, qs, 0.01)
-        uniq: list = []
-        for e in edges:
-            if e == e and (not uniq or e > uniq[-1]):  # drop NaN + dups
-                uniq.append(e)
-        b = F.lit(0)
-        for e in uniq:
-            b = b + F.when(F.col(c) >= F.lit(e), 1).otherwise(0)
-        buckets.append(b)
-    k = len(buckets)
-    z = F.lit(0)
-    for i in range(bits):
-        for j, b in enumerate(buckets):
-            z = z + F.shiftleft(
-                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j
-            )
-    return z
-
-
 def _parquet_num_rows(path: str) -> int:
     """Row count from the parquet footer — a metadata read, no scan."""
     import pyarrow.parquet as pq
@@ -1157,25 +1104,36 @@ class VersionedTable:
         range shuffle; plain compaction stays a coalesce.)
 
         ``cluster_by`` as SEVERAL columns Z-ORDERS the rewrite
-        (OPTIMIZE ZORDER BY): rows are laid out along the Morton
-        curve of quantile-bucketed column values (``zorder_value``),
-        so every clustered column — not just a primary — has narrow
-        per-file ranges and ``read_where``/``files_for_ranges`` prunes
-        on ANY of them. Linear clustering wins for one dominant filter
+        (OPTIMIZE ZORDER BY): rows are laid out along the Morton curve
+        of quantile-bucketed column values (the shared
+        ``lake_maintenance.zorder_value`` kernel — one approxQuantile
+        metadata pass per column, then a fixed fan of comparison+shift
+        terms in whole-stage codegen, one range shuffle), so every
+        clustered column — not just a primary — has narrow per-file
+        ranges and ``read_where``/``files_for_ranges`` prunes on ANY
+        of them. Linear clustering wins for one dominant filter
         column; z-order wins when queries filter on different columns
-        at different times. Same cost shape: one range shuffle.
+        at different times. ``zorder_bits=4`` (16 buckets/column, 62
+        codegen terms for 2 columns) stays well under the JVM ~8 KB
+        JIT method limit a 64-arm CASE chain once tripped; 16^k cells
+        is plenty for FILE-level pruning at realistic file counts.
         """
         base = self.latest_version()
         latest = self.read(spark, base, merge_schema=True)
         if isinstance(cluster_by, (list, tuple)) and len(cluster_by) == 1:
             cluster_by = cluster_by[0]
         if isinstance(cluster_by, (list, tuple)):
-            z = zorder_value(latest, list(cluster_by), bits=zorder_bits)
+            from jde_to_datalake_spark.sources.lake_maintenance import (
+                zorder_value,
+            )
+
+            cols = list(cluster_by)
+            work, z = zorder_value(latest, cols, bits_per_col=zorder_bits)
             rewritten = (
-                latest.withColumn("__z", z)
+                work.withColumn("__z", z)
                 .repartitionByRange(target_partitions, F.col("__z"))
-                .sortWithinPartitions("__z", *cluster_by)
-                .drop("__z")
+                .sortWithinPartitions("__z", *cols)
+                .drop("__z", *[f"__zi_{c}" for c in cols])
             )
         elif cluster_by is not None:
             rewritten = latest.repartitionByRange(

@@ -766,25 +766,20 @@ def test_zorder_compaction_prunes_on_every_clustered_column(
 
 def test_zorder_value_edge_cases(spark):
     """Constant / all-null columns collapse to one bucket (no pruning
-    power, never an error); single-column z-order is rejected."""
-    import pytest as _pytest
-
-    from jde_to_datalake_spark.sources.versioned import zorder_value
+    power, never an error) in the shared z-order kernel compact()
+    delegates to."""
+    from jde_to_datalake_spark.sources.lake_maintenance import (
+        zorder_value,
+    )
 
     df = spark.range(0, 100).select(
         F.col("id").cast("double").alias("a"),
         F.lit(5.0).alias("const"),
         F.lit(None).cast("double").alias("nul"),
     )
-    z = df.select(
-        zorder_value(df, ["a", "const", "nul"], bits=2).alias("z")
-    )
-    vals = [r["z"] for r in z.collect()]
+    work, z = zorder_value(df, ["a", "const", "nul"], bits_per_col=2)
+    vals = [r["z"] for r in work.select(z.alias("z")).collect()]
     # the constant and null columns contribute nothing: exactly the
     # 4 quantile buckets of `a` appear, in `a`'s own interleave lanes
     assert len(set(vals)) == 4
     assert all(v is not None for v in vals)
-    with _pytest.raises(ValueError):
-        zorder_value(df, ["a"])
-    with _pytest.raises(ValueError):
-        zorder_value(df, ["a", "const"], bits=0)
