@@ -150,15 +150,28 @@ def with_registered_domain(
 
 
 # query parameters that carry tracking state, not content identity —
-# the standard strip set for crawl URL canonicalization
-TRACKING_PARAMS_RE = "^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)(=.*)?$"
+# the standard strip set for crawl URL canonicalization. `ref` is only
+# stripped for known REFERRAL values: a bare `ref=<anything>` rule
+# would conflate content-bearing uses (e.g. ?ref=<branch> on code
+# hosts) and wrongly dedup distinct resources (round-5 advice). The
+# set is overridable per deployment via canonical_url(...,
+# tracking_params_re=...).
+TRACKING_PARAMS_RE = (
+    "^((utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid)(=.*)?"
+    "|ref=(feed|rss|share|social|newsletter|email"
+    "|twitter|facebook|linkedin|reddit))$"
+)
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(
+    url: Column, tracking_params_re: str = TRACKING_PARAMS_RE
+) -> Column:
     """Canonical form of a URL for crawl-level dedup and frontier
     keys: lowercased scheme and host, duplicate slashes collapsed and
     the trailing slash stripped from the path, the fragment dropped,
-    tracking parameters (``TRACKING_PARAMS_RE``) removed, and the
+    tracking parameters (``tracking_params_re``, default
+    ``TRACKING_PARAMS_RE`` — overridable per deployment) removed, and
+    the
     remaining query parameters SORTED — so two spellings of the same
     resource compare equal. NULL for an unparseable URL (``try_``
     semantics: junk rows become NULL keys, never dead jobs).
@@ -177,7 +190,7 @@ def canonical_url(url: Column) -> Column:
         F.array_sort(
             F.filter(
                 F.split(F.coalesce(query, F.lit("")), "&"),
-                lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_RE),
+                lambda p: (p != "") & ~p.rlike(tracking_params_re),
             )
         ),
         "&",

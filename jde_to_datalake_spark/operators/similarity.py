@@ -919,6 +919,11 @@ def diversity_filter(
     ``keep = false``. One verdict row per input vector:
     (id, cell, cent_cos, keep).
 
+    Drop count per cell is ``floor(drop_frac * |cell|)`` — floor, not
+    ceil, so small cells are not over-pruned: a singleton cell keeps
+    its only vector at any drop_frac < 1, and the effective drop rate
+    never exceeds the requested fraction (round-5 advice).
+
     Plan: the prototypicality pass is row-local; the per-cell ranking
     is ONE shuffle on the cell key with two window functions over it —
     cells are bounded by construction (cell count ∝ corpus size keeps
@@ -941,7 +946,7 @@ def diversity_filter(
     return ranked.select(
         id_col, "cell", "cent_cos",
         (
-            F.col("__rn") > F.ceil(F.lit(float(drop_frac)) * F.col("__n"))
+            F.col("__rn") > F.floor(F.lit(float(drop_frac)) * F.col("__n"))
         ).alias("keep"),
     )
 

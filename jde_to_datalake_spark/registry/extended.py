@@ -573,9 +573,10 @@ sem_assigned AS (
   ) WHERE rn = 1
 )"""
 
-# D4-style diversity pruning over the same assignment: the 25%
-# most-prototypical vectors per cell (ties toward the lower id), as
-# drop rows. Mirrors operators/similarity.py::diversity_filter.
+# D4-style diversity pruning over the same assignment: the
+# floor(25% * |cell|) most-prototypical vectors per cell (ties toward
+# the lower id), as drop rows — floor so singleton/small cells are
+# never over-pruned. Mirrors operators/similarity.py::diversity_filter.
 _PROTO_SELECT = """
 SELECT 'proto_drop' AS op, vec_id AS id_a, CAST(cell AS BIGINT) AS id_b,
        cent_cos AS cosine
@@ -586,7 +587,7 @@ FROM (
          ) AS prn,
          COUNT(*) OVER (PARTITION BY cell) AS pcnt
   FROM sem_assigned
-) WHERE prn <= CAST(ceil(0.25 * pcnt) AS BIGINT)
+) WHERE prn <= CAST(floor(0.25 * pcnt) AS BIGINT)
 """
 
 _SEMDEDUP_SELECT = f"""

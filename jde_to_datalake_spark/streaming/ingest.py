@@ -42,6 +42,7 @@ incremental_exact_dedup contract).
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -448,6 +449,36 @@ def ingest_batch_writer(
     return write
 
 
+_APP_NONCE_FILE = "_ingest_app_nonce"
+
+
+def checkpoint_app_id(checkpoint_dir: str) -> str:
+    """Idempotent-txn app id bound to the CHECKPOINT LINEAGE, not just
+    its path. Structured Streaming restarts batch_id at 0 when a
+    checkpoint is deleted and recreated at the same path; a path-only
+    app_id would then pair batch 0 with the OLD run's
+    ``last_txn_version`` watermark and silently skip the new run's
+    early corpus writes (while the index append still commits those
+    fingerprints — documents marked known but never stored). A uuid
+    nonce file written inside the checkpoint dir on first use rotates
+    the app_id together with the batch_id lineage: recreate the
+    checkpoint and the nonce (hence the app identity, hence the
+    watermark) starts fresh too."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    nonce_path = os.path.join(checkpoint_dir, _APP_NONCE_FILE)
+    if not os.path.exists(nonce_path):
+        tmp = nonce_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        # atomic publish: a concurrent first-use race resolves to ONE
+        # winner (rename over an existing file is last-writer-wins on
+        # POSIX, but both writers then re-read the same surviving file)
+        os.replace(tmp, nonce_path)
+    with open(nonce_path) as f:
+        nonce = f.read().strip()
+    return f"{os.path.abspath(checkpoint_dir)}#{nonce}"
+
+
 def ingest_corpus_stream(
     stream: DataFrame,
     corpus: VersionedTable,
@@ -463,15 +494,17 @@ def ingest_corpus_stream(
     (availableNow trigger: drain what exists, then stop — the
     poll-style cadence of the reference's DAGs; long-lived services
     re-invoke on their schedule, resuming from the checkpoint). The
-    idempotent-txn app id is the checkpoint path: batch_id lineage and
-    app identity then rotate together, which is exactly the pairing
-    the txn protocol needs."""
+    idempotent-txn app id is the checkpoint path PLUS a nonce stored
+    inside the checkpoint dir (:func:`checkpoint_app_id`): batch_id
+    lineage and app identity then rotate together even when a
+    checkpoint is deleted and recreated at the same path, which is
+    exactly the pairing the txn protocol needs."""
     return (
         stream.writeStream.foreachBatch(
             ingest_batch_writer(
                 corpus, index, text_col, id_col, bands=bands,
                 metrics=metrics, bloom_filter=bloom_filter,
-                app_id=os.path.abspath(checkpoint_dir),
+                app_id=checkpoint_app_id(checkpoint_dir),
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -115,10 +115,16 @@ def run_monitored_ingestion(
         report["funnel"] = None
 
     def _with_tokens(df: DataFrame) -> DataFrame:
+        # empty/whitespace-only text is 0 tokens, same as NULL:
+        # split('') yields [''] (size 1), which would otherwise count
+        # empty docs as 1-token docs and skew the lowest drift bucket
+        # (round-5 advice)
         return df.withColumn(
             "__n_tokens",
             F.when(
-                F.col(text_col).isNull(), F.lit(0)
+                F.col(text_col).isNull()
+                | (F.length(F.trim(text_col)) == 0),
+                F.lit(0),
             ).otherwise(F.size(F.split(F.trim(text_col), "\\s+"))).cast(
                 "double"
             ),

@@ -96,3 +96,36 @@ def test_monitored_run_accepts_suffix_table_and_no_urls(spark, tmp_path):
     )
     assert rep["domains"] is None and rep["drift"] is None
     assert rep["funnel"].collect()[0]["n_novel"] == 1
+
+
+def test_drift_counts_empty_text_as_zero_tokens(spark, tmp_path):
+    """Round-5 advice (low): split('') yields [''] so empty/whitespace
+    text would count as 1 token and skew the lowest drift bucket; it
+    must bucket as 0 tokens, same as the NULL-safe path."""
+    run1 = _docs(spark, [(1, "alpha beta", "https://a.com/x")])
+    run2 = _docs(spark, [
+        (2, "", "https://a.com/y"),
+        (3, "   ", "https://a.com/z"),
+        (4, "one two three", "https://a.com/w"),
+    ])
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    run1.coalesce(1).write.parquet(src1)
+    run2.coalesce(1).write.parquet(src2)
+    corpus, index, metrics = _tables(tmp_path, "e")
+    run_monitored_ingestion(
+        _stream(spark, run1.schema, src1), corpus, index, metrics,
+        str(tmp_path / "cke1"),
+    )
+    rep = run_monitored_ingestion(
+        _stream(spark, run2.schema, src2), corpus, index, metrics,
+        str(tmp_path / "cke2"),
+        drift_edges=[0.5, 10.0],  # bucket 0 = exactly-zero tokens
+    )
+    drift = {r["bucket"]: r for r in rep["drift"].collect()}
+    # the empty and whitespace-only docs fingerprint to the same
+    # content (one survives dedup) and land in the ZERO bucket of the
+    # current side — under the old split('') bug they counted 1 token
+    # and joined the baseline doc's bucket; bucket 1 holds the 2- and
+    # 3-token docs
+    assert drift[0]["n_cur"] == 1 and drift[0]["n_base"] == 0
+    assert drift[1]["n_base"] == 1 and drift[1]["n_cur"] == 2

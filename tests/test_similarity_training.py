@@ -586,10 +586,11 @@ def test_semantic_dedup_cell_size_guard(spark):
 
 def test_diversity_filter_contracts(spark):
     """D4-style pruning (operators/similarity.py::diversity_filter):
-    exactly ceil(drop_frac * |cell|) vectors drop per cell, the
-    dropped set is the per-cell prototypicality top (highest centroid
-    cosine, id tie-break), verdicts are total and partitioning-
-    invariant."""
+    exactly floor(drop_frac * |cell|) vectors drop per cell (floor —
+    singleton and small cells are never over-pruned, round-5 advice),
+    the dropped set is the per-cell prototypicality top (highest
+    centroid cosine, id tie-break), verdicts are total and
+    partitioning-invariant."""
     import math
 
     from jde_to_datalake_spark.operators.similarity import (
@@ -612,7 +613,7 @@ def test_diversity_filter_contracts(spark):
     assert len(out) == len(rows)  # total: one verdict per vector
     for cell, ids in ((0, range(7)), (1, range(10, 14))):
         dropped = [i for i in ids if not out[i]["keep"]]
-        assert len(dropped) == math.ceil(0.25 * len(list(ids)))
+        assert len(dropped) == math.floor(0.25 * len(list(ids)))
         # dropped = EXACTLY the per-cell prototypicality top: every
         # dropped sort key must outrank every kept one (min over
         # dropped vs max over kept — a wrong selection like ranks
@@ -636,6 +637,13 @@ def test_diversity_filter_contracts(spark):
     # drop_frac=0 keeps everything; bad fractions rejected
     allkeep = diversity_filter(vecs, cents, 0.0).filter("NOT keep").count()
     assert allkeep == 0
+    # floor semantics: a singleton cell NEVER loses its only vector
+    # (ceil would have dropped it at any drop_frac > 0)
+    solo = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    solo_out = diversity_filter(solo, cents, 0.25).collect()
+    assert len(solo_out) == 1 and solo_out[0]["keep"] is True
     import pytest as _pt
 
     with _pt.raises(ValueError):

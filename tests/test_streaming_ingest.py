@@ -496,3 +496,49 @@ def test_stale_bloom_key_format_is_rebuilt_not_trusted(spark, tmp_path):
     assert _load_fresh_bloom(
         spark, bloom, index.latest_version(), 1 << 10, 3
     ) is not None
+
+
+def test_checkpoint_recreation_rotates_app_id(spark, tmp_path):
+    """Round-5 advice (medium): the idempotent-txn app id must be
+    bound to checkpoint LINEAGE, not path. Deleting and recreating a
+    checkpoint at the same path resets batch_id to 0; a path-only
+    app_id would pair that with the old run's last_txn_version and
+    silently skip the new run's early corpus writes. The nonce file
+    inside the checkpoint dir rotates the identity with the lineage."""
+    import shutil
+
+    from jde_to_datalake_spark.streaming.ingest import checkpoint_app_id
+
+    ckpt = str(tmp_path / "ckpt")
+    a1 = checkpoint_app_id(ckpt)
+    assert checkpoint_app_id(ckpt) == a1  # stable within a lineage
+    shutil.rmtree(ckpt)
+    a2 = checkpoint_app_id(ckpt)
+    assert a2 != a1  # recreated checkpoint = new identity
+
+    # end-to-end: stream run 1, wipe the checkpoint, stream run 2 with
+    # NEW content at the same path — run 2's batch 0 must COMMIT (the
+    # old bug skipped it: corpus missing the docs, index claiming them)
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    src1, src2 = str(tmp_path / "src1"), str(tmp_path / "src2")
+    _docs(spark, [(1, "first run content")]).coalesce(1).write.parquet(src1)
+    _docs(spark, [(2, "second run content")]).coalesce(1).write.parquet(src2)
+    schema = "doc_id bigint, text string"
+
+    q = ingest_corpus_stream(
+        spark.readStream.schema(schema).parquet(src1), corpus, index, ckpt
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(ckpt)
+    q = ingest_corpus_stream(
+        spark.readStream.schema(schema).parquet(src2), corpus, index, ckpt
+    )
+    q.awaitTermination(120)
+
+    texts = {r["text"] for r in corpus.read(spark).collect()}
+    assert texts == {"first run content", "second run content"}
+    # corpus and index agree — no fingerprint marked known but unstored
+    assert {r["fingerprint"] for r in index.read(spark).collect()} == {
+        r["fingerprint"] for r in corpus.read(spark).collect()
+    }

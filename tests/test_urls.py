@@ -308,6 +308,10 @@ def test_canonical_url_normalization(spark):
         (5, "not a url", None),
         (6, None, None),
         (7, "https://site.com", "https://site.com"),
+        # content-bearing ref (e.g. ?ref=<branch>) is NOT stripped —
+        # only known referral values are tracking state (round-5 advice)
+        (8, "https://host.com/repo/tree?ref=main",
+         "https://host.com/repo/tree?ref=main"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in cases], "doc_id long, url string"
