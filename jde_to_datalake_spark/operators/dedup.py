@@ -776,7 +776,7 @@ def incremental_exact_dedup(
     known_fingerprints: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bloom: "tuple[list[int], int] | None" = None,
+    bloom: "tuple[list[int], int] | dict | None" = None,
 ) -> DataFrame:
     """Split an incoming batch against a persisted fingerprint index —
     the batch-incremental form of the reference's ledger dedup
@@ -806,16 +806,20 @@ def incremental_exact_dedup(
     three flags false, so nothing NULL is ever ingested or appended
     to the index.
 
-    ``bloom``: an optional ``(words, k)`` filter built over the SAME
-    index relation (operators/bloom.py). Rows whose fingerprint fails
-    the row-local probe CANNOT be in the index (no false negatives),
-    so only the maybe-known sliver joins against it — at 100 TB the
-    index join is the one shuffle whose batch side this prunes; a
-    mostly-novel crawl batch skips it almost entirely. Verdicts are
-    IDENTICAL with and without the filter (parity-tested); a filter
-    built over a STALE index snapshot is NOT safe here (a missing
-    fingerprint would mis-verdict known content as novel) — callers
-    gate on index version (see streaming/ingest.py).
+    ``bloom``: an optional filter built over the SAME index relation
+    (operators/bloom.py) — either the legacy ``(words, k)`` word array
+    (zero-shuffle broadcast probe) or the sharded dict
+    streaming/ingest.py loads (``mode='shards'`` probes via the
+    word-index equi-join, so the filter never materializes on the
+    driver). Rows whose fingerprint fails the probe CANNOT be in the
+    index (no false negatives), so only the maybe-known sliver joins
+    against it — at 100 TB the index join is the one shuffle whose
+    batch side this prunes; a mostly-novel crawl batch skips it almost
+    entirely. Verdicts are IDENTICAL with and without the filter
+    (parity-tested); a filter built over a STALE index snapshot is NOT
+    safe here (a missing fingerprint would mis-verdict known content
+    as novel) — callers gate on index version (see
+    streaming/ingest.py).
     """
     fp = fingerprint(F.col(text_col))
     batch = new_docs.withColumn("fingerprint", fp)
@@ -829,12 +833,25 @@ def incremental_exact_dedup(
         F.lit(True).alias("__known"),
     ).distinct()
     if bloom is not None:
-        from jde_to_datalake_spark.operators.bloom import bloom_probe
-
-        words, k = bloom
-        batch = bloom_probe(
-            batch, ["fingerprint"], words, k, flag_col="__maybe"
+        from jde_to_datalake_spark.operators.bloom import (
+            bloom_probe,
+            bloom_probe_sharded,
         )
+
+        if isinstance(bloom, dict) and bloom.get("mode") == "shards":
+            batch = bloom_probe_sharded(
+                batch, ["fingerprint"], bloom["shards"],
+                bloom["num_bits"], bloom["k"],
+                shard_words=bloom["shard_words"], flag_col="__maybe",
+            )
+        else:
+            if isinstance(bloom, dict):
+                words, k = bloom["words"], bloom["k"]
+            else:
+                words, k = bloom
+            batch = bloom_probe(
+                batch, ["fingerprint"], words, k, flag_col="__maybe"
+            )
         # the definitely-unknown slice never shuffles for the index
         # join; a NULL fingerprint rides with it (its verdict is
         # all-false either way, and the equi-join would drop it)
