@@ -915,10 +915,16 @@ def incremental_lsh_candidates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates between an incoming batch and an INDEXED
     corpus, without touching the corpus text: the batch's band keys
     (row-local) equi-join the persisted ``band_index`` artifact.
+    ``new_bands``: the batch's own precomputed ``band_index`` frame,
+    when the caller already built it (streaming/ingest.py computes it
+    once and reuses it for the probe-value collect, this join, and
+    the guarded append) — must be the same (num_hashes, band_size, n)
+    banding or candidates are garbage.
 
     Output: distinct (new_id, indexed_id) pairs; when
     ``index_signatures`` (a persisted ``minhash_signatures`` artifact)
@@ -932,9 +938,11 @@ def incremental_lsh_candidates(
     (band, band_hash) — the same bucket-join as the batch LSH, with
     the corpus side reduced to its key artifact.
     """
-    new_bands = band_index(
-        new_docs, num_hashes, band_size, n, text_col, id_col
-    ).select(
+    if new_bands is None:
+        new_bands = band_index(
+            new_docs, num_hashes, band_size, n, text_col, id_col
+        )
+    new_bands = new_bands.select(
         F.col(id_col).alias("new_id"), "band", "band_hash"
     )
     idx = index_bands.select(

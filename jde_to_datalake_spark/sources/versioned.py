@@ -47,6 +47,7 @@ this intentionally mirrors.
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import time
@@ -122,6 +123,20 @@ def _footer_stats(path: str) -> dict:
             else:
                 out[name] = [mn, mx]
     return out
+
+
+def _dv_referenced_files(path: str) -> "list[str] | None":
+    """Distinct data-file basenames a deletion-vector sidecar
+    tombstones — one metadata-sized column read (the sidecar holds
+    (file, pos) rows and is tiny relative to the table). None when the
+    sidecar cannot be read, which readers treat as "keep it"."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["file"])
+        return sorted(set(t.column("file").to_pylist()))
+    except Exception:
+        return None
 
 
 def _parquet_num_rows(path: str) -> int:
@@ -384,6 +399,36 @@ class VersionedTable:
                 dv_files = prev_manifest.get("dv_files", [])
             else:
                 dv_files = []
+        # prune DV sidecars whose EVERY referenced data file has left
+        # the manifest (a merge/compact rewrote them — the rewrite
+        # materialized those deletes): their tombstones can no longer
+        # match any row, so carrying them would grow the DV list (and
+        # every reader's anti-join side) without bound. Each sidecar's
+        # referenced-file set is computed ONCE (a metadata-sized
+        # column read) and cached in the manifest under ``dv_refs``,
+        # shrinking as files retire; unknown refs are kept whole
+        # (conservative — pruning is an optimization, never semantics).
+        dv_refs: dict = {}
+        if dv_files:
+            prev_refs = (
+                prev_manifest.get("dv_refs", {}) if prev is not None else {}
+            )
+            file_set = set(files)
+            kept_dvs = []
+            for d in dv_files:
+                refs = prev_refs.get(d)
+                if refs is None:
+                    refs = _dv_referenced_files(
+                        os.path.join(self.root, d)
+                    )
+                if refs is None:
+                    kept_dvs.append(d)  # unreadable refs: keep whole
+                    continue
+                live = [r for r in refs if r in file_set]
+                if live:
+                    kept_dvs.append(d)
+                    dv_refs[d] = live
+            dv_files = kept_dvs
         manifest = {
             "version": version,
             "mode": mode,
@@ -393,6 +438,8 @@ class VersionedTable:
         }
         if dv_files:
             manifest["dv_files"] = dv_files
+            if dv_refs:
+                manifest["dv_refs"] = dv_refs
         if txns:
             manifest["txns"] = txns
         # Reader-atomic publish: the manifest is fully written to a
@@ -888,6 +935,75 @@ class VersionedTable:
         manifest = self._manifest(version)
         return [f for f in manifest["files"] if f in files]
 
+    def files_for_values(
+        self, column: str, values, version: int | None = None
+    ) -> list[str]:
+        """The subset of a version's files whose footer [min, max] for
+        ``column`` contains AT LEAST ONE of ``values`` — the point-probe
+        (IN-list) twin of :meth:`files_for_range`. On a table CLUSTERED
+        by ``column`` (each file covering a narrow disjoint slice of
+        the key space) a probe of V distinct values scans ~min(V,
+        n_files) files instead of the whole table — the band-index
+        probe path. Files without stored stats are KEPT (conservative);
+        NULL probe values never match (IN semantics) and are dropped;
+        an empty probe set matches nothing and returns no files."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"{self.root}: no commits yet")
+        vals = sorted({v for v in values if v is not None})
+        if not vals:
+            return []
+        manifest = self._manifest(version)
+        stats = manifest.get("stats", {})
+        keep = []
+        for f in manifest["files"]:
+            s = stats.get(f, {}).get(column)
+            if s is not None:
+                mn, mx = s
+                try:
+                    # smallest probe value >= mn; in range iff <= mx
+                    i = bisect.bisect_left(vals, mn)
+                    if i >= len(vals) or vals[i] > mx:
+                        continue
+                except TypeError:
+                    pass  # incomparable bound types -> keep the file
+            keep.append(f)
+        return keep
+
+    def read_where_in(
+        self,
+        spark: SparkSession,
+        column: str,
+        values,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """``read`` restricted to ``column IN (values)``: the scan
+        plans over only the files whose footer stats can contain a
+        probe value (see :meth:`files_for_values`), and the exact
+        IN predicate still applies on top — pruning is a file-list
+        optimization, never a semantics change."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"{self.root}: no commits yet")
+        vals = sorted({v for v in values if v is not None})
+        files = self.files_for_values(column, vals, version)
+        if not files:
+            return self.read(spark, version, merge_schema).filter(
+                F.lit(False)
+            )
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+        return self._apply_dvs(df, spark, version).filter(
+            F.col(column).isin(vals)
+        )
+
     def read_where_all(
         self,
         spark: SparkSession,
@@ -940,7 +1056,13 @@ class VersionedTable:
         )
 
     # -- upsert ---------------------------------------------------------
-    def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        txn: "tuple[str, int] | None" = None,
+    ) -> int:
         """Keyed MERGE: matched rows replaced, new rows inserted —
         rewriting ONLY the files the batch can touch.
 
@@ -1006,7 +1128,9 @@ class VersionedTable:
                 "contract); dedupe the batch first"
             )
         if prev is None:
-            return self.commit(updates, mode="overwrite", expected_base=None)
+            return self.commit(
+                updates, mode="overwrite", expected_base=None, txn=txn
+            )
         manifest = self._manifest(prev)
         manifest_files = manifest["files"]
         file_stats = manifest.get("stats", {})
@@ -1047,6 +1171,7 @@ class VersionedTable:
                 mode="overwrite",
                 expected_base=prev,
                 carry=untouched,
+                txn=txn,
             )
         reader = spark.read.option("mergeSchema", "true")
         current = self._apply_dvs(
@@ -1060,6 +1185,7 @@ class VersionedTable:
             mode="overwrite",
             expected_base=prev,
             carry=untouched,
+            txn=txn,
         )
 
     # -- streaming sink ---------------------------------------------------

@@ -84,6 +84,12 @@ _BLOOM_META_COLS = (
 # per batch instead of a driver collect+broadcast.
 BLOOM_BROADCAST_MAX_BITS = 1 << 26
 
+# per-append file fan for the band artifact: each commit's rows are
+# range-clustered on band_hash into at most this many files, so every
+# file footer carries a narrow disjoint band_hash range and the probe
+# path (read_where_in) scans ~|batch band keys| files, not the table
+BAND_COMMIT_FILES = 8
+
 
 def _load_fresh_bloom(
     spark: SparkSession,
@@ -337,13 +343,41 @@ def _ingest_batch_inner(
     novel = verdicts.filter(F.col("is_novel")).drop(*_VERDICT_COLS)
     n_near_flagged = 0
     if counts["is_novel"]:
+        new_bands = None
         if bands is not None:
+            # the batch's own band keys, computed ONCE (row-local
+            # projection of the persisted verdict frame) and reused
+            # for the probe-value collect, the candidate join, and
+            # the guarded append below
+            new_bands = band_index(
+                novel, num_hashes, band_size, shingle_n, text_col, id_col
+            )
             if bands.latest_version() is not None:
+                # O(probe) scan of the band artifact: collect the
+                # batch's distinct band hashes (bounded by |batch| x
+                # n_bands) and plan the index read over ONLY the files
+                # whose footer band_hash range can contain one — on a
+                # band_hash-clustered table (the compaction below) a
+                # micro-batch reads a key-proportional sliver, never
+                # the whole corpus artifact. The reference's ledger
+                # probe (dag_bakery_system_to_jde.py:310-320) is the
+                # same O(probe) posture against its processed-keys
+                # table.
+                probe_vals = [
+                    r[0]
+                    for r in new_bands.select("band_hash")
+                    .distinct()
+                    .collect()
+                ]
+                idx_bands = bands.read_where_in(
+                    spark, "band_hash", probe_vals
+                )
                 cand_counts = (
                     incremental_lsh_candidates(
-                        novel, bands.read(spark),
+                        novel, idx_bands,
                         num_hashes=num_hashes, band_size=band_size,
                         n=shingle_n, text_col=text_col, id_col=id_col,
+                        new_bands=new_bands,
                     )
                     .groupBy("new_id")
                     .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_candidates"))
@@ -378,18 +412,35 @@ def _ingest_batch_inner(
         else:
             corpus.merge(spark, novel, key="fingerprint")
         if bands is not None:
-            new_bands = band_index(
-                novel, num_hashes, band_size, shingle_n, text_col, id_col
-            )
             if bands.latest_version() is not None:
-                seen = bands.read(spark).select(
+                # crash-replay guard (has this doc's bands already been
+                # appended?) — also an O(probe) stats-pruned read: only
+                # files whose id range can contain a batch id are
+                # scanned (a redelivered batch hits exactly its own
+                # earlier commit's files; unrelated commits prune away
+                # whenever batch id ranges are disjoint)
+                batch_ids = [
+                    r[0]
+                    for r in new_bands.select(id_col).distinct().collect()
+                ]
+                seen = bands.read_where_in(spark, id_col, batch_ids).select(
                     F.col(id_col).alias("__seen_id")
                 ).distinct()
                 new_bands = new_bands.join(
                     seen, new_bands[id_col] == seen["__seen_id"], "left_anti"
                 )
             if not new_bands.isEmpty():
-                bands.commit(new_bands, mode="append")
+                # range-cluster the append on band_hash so every data
+                # file carries a narrow disjoint band_hash footer range
+                # — what makes the probe pruning above bite from the
+                # very first commit (compaction re-tightens the table
+                # as commits accumulate)
+                bands.commit(
+                    new_bands.repartitionByRange(
+                        BAND_COMMIT_FILES, F.col("band_hash")
+                    ).sortWithinPartitions("band_hash"),
+                    mode="append",
+                )
         index.commit(novel.select("fingerprint"), mode="append")
         if bloom_filter is not None:
             _refresh_bloom(
@@ -465,6 +516,7 @@ def ingest_batch_writer(
     compact_every: int | None = None,
     bloom_filter: VersionedTable | None = None,
     app_id: str = "ingest",
+    views: "list | None" = None,
 ):
     """``foreachBatch`` adapter over :func:`ingest_batch`.
 
@@ -489,6 +541,15 @@ def ingest_batch_writer(
     CLUSTERED on the fingerprint key, which is what keeps its
     partial-rewrite MERGE touching only a few files per batch — see
     :func:`maintain_index_tables`.
+
+    With ``views`` (``plans.incremental_view.IncrementalAggregateView``
+    instances over the corpus table), each batch finishes by advancing
+    every view from the corpus CHANGE FEED — per batch that is an
+    O(batch) delta aggregate and a touched-groups MERGE, never a
+    corpus recompute, and the view's own txn stamp makes a re-run
+    after a crash a no-op. This is how downstream dashboards (per-
+    domain counts, token totals) stay current without re-reading the
+    100 TB corpus each cycle.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -507,14 +568,27 @@ def ingest_batch_writer(
                 "n_batch_first bigint, n_novel bigint, n_near_flagged bigint",
             )
             metrics.commit(row, mode="append")
+        if views:
+            for view in views:
+                view.refresh(batch_df.sparkSession)
         if compact_every is not None:
             maintain_index_tables(
                 batch_df.sparkSession,
                 [t for t in (corpus, index, bands, metrics) if t is not None],
                 compact_every=compact_every,
                 # keep the corpus key-clustered so each batch's MERGE
-                # stays a partial rewrite (few files, narrow ranges)
-                cluster_by={corpus.root: ("fingerprint", 8)},
+                # stays a partial rewrite (few files, narrow ranges),
+                # and the band artifact band_hash-clustered so the
+                # probe's stats-pruned read keeps skipping as the
+                # per-append files accumulate into compacted ones
+                cluster_by={
+                    corpus.root: ("fingerprint", 8),
+                    **(
+                        {bands.root: ("band_hash", 8)}
+                        if bands is not None
+                        else {}
+                    ),
+                },
             )
 
     return write
@@ -560,6 +634,7 @@ def ingest_corpus_stream(
     bands: VersionedTable | None = None,
     metrics: VersionedTable | None = None,
     bloom_filter: VersionedTable | None = None,
+    views: "list | None" = None,
 ):
     """Start the ingestion loop over a streaming document frame
     (availableNow trigger: drain what exists, then stop — the
@@ -576,6 +651,7 @@ def ingest_corpus_stream(
                 corpus, index, text_col, id_col, bands=bands,
                 metrics=metrics, bloom_filter=bloom_filter,
                 app_id=checkpoint_app_id(checkpoint_dir),
+                views=views,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
