@@ -374,6 +374,50 @@ def ivf_topk(
     ).select("query_id", "cell", "candidate_id", "cosine", "rank")
 
 
+def _kmeans_iter_kernel(cents_rows: "list[list[float]]"):
+    """mapInPandas kernel for ONE Lloyd's iteration: per Arrow batch,
+    assign every vector to its argmax-cosine centroid with a single
+    numpy matmul, and fold per-partition (cell, count, vector-sum)
+    partials — output bounded by n_partitions x n_centroids rows.
+    Ties pick the LOWEST cell (np.argmax first-max), matching the
+    serving-side ``assign_cells`` tie-break."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        C = np.asarray(cents_rows, dtype=np.float64)  # (k, d)
+        cn = np.linalg.norm(C, axis=1)
+        counts = np.zeros(C.shape[0], dtype=np.int64)
+        sums = np.zeros_like(C)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vn = np.linalg.norm(V, axis=1)
+                cos = (V @ C.T) / vn[:, None] / cn[None, :]
+            cells = np.argmax(cos, axis=1)
+            np.add.at(counts, cells, 1)
+            np.add.at(sums, cells, V)
+        live = np.nonzero(counts > 0)[0]
+        yield pd.DataFrame(
+            {
+                "pid": pd.Series([pid] * len(live), dtype="int32"),
+                "cell": pd.Series(live, dtype="int32"),
+                "cnt": pd.Series(counts[live], dtype="int64"),
+                "sums": pd.Series(
+                    [sums[c].tolist() for c in live], dtype="object"
+                ),
+            }
+        )
+
+    return kernel
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -383,15 +427,25 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) centroid training for the IVF index.
 
-    Per iteration, all on the cluster:
-      1. assignment — the same ROW-LOCAL argmax-cosine kernel as
-         ``ivf_scored``'s indexing pass (broadcast centroid array,
-         zero shuffles);
-      2. update — per-cell per-dimension mean via ``posexplode`` +
-         one groupBy(cell, dim) shuffle (dim x n_centroids groups).
-    Only the centroid set itself — bounded by the n_centroids
-    PARAMETER, metadata scale by construction — is collected to the
-    driver between iterations; the corpus never moves. Cosine
+    One ``mapInPandas`` job per iteration: each Arrow batch assigns
+    its vectors with a single numpy matmul (argmax cosine, lowest
+    cell on ties — the ``assign_cells`` tie-break) and folds
+    partition-local (cell, count, vector-sum) partials, so the
+    per-iteration network cost is a collect of at most n_partitions x
+    n_centroids tiny rows — ZERO shuffles, never the n_rows x dim
+    exploded relation a groupBy(cell, dim) update would move, and no
+    per-iteration codegen rebuild (the round-2 py4j finding: a big
+    rebuilt expression tree costs ~0.7 s per iteration before any
+    data moves). Iterative training is the documented exception to
+    "UDFs are the slow path": the SERVING kernels (``ivf_scored``,
+    ``assign_cells``) stay whole-stage codegen, while the training
+    loop — whose per-element work is a dense matmul numpy does via
+    BLAS — runs Arrow-batched. Partials are combined on the driver in
+    (cell, partition_id) order, so the fp sum order — hence the
+    trained centroids — is deterministic for a given input
+    partitioning. Only the centroid set itself — bounded by the
+    n_centroids PARAMETER, metadata scale by construction — is
+    collected between iterations; the corpus never moves. Cosine
     assignment is scale-invariant, so the un-normalized cell mean is
     the spherical k-means update.
 
@@ -413,44 +467,25 @@ def kmeans_centroids(
         [float(x) for x in r[vec_col]] for r in seed_rows
     ]
 
-    base = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__vec"),
-        _norm(F.col(vec_col)).alias("__nrm"),
-    )
+    base = corpus.select(F.col(vec_col).alias("__vec"))
     for _ in range(n_iters):
-        cent_df = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(cents)], ["cell", "cent_vec"]
-        )
-        cent_arr = cent_df.select(
-            "cell", "cent_vec", _norm(F.col("cent_vec")).alias("cent_norm")
-        ).agg(
-            F.collect_list(F.struct("cell", "cent_vec", "cent_norm")).alias(
-                "cents"
+        partials = base.mapInPandas(
+            _kmeans_iter_kernel(cents),
+            "pid int, cell int, cnt bigint, sums array<double>",
+        ).collect()
+        acc: dict[int, list] = {}
+        for r in sorted(partials, key=lambda r: (r["cell"], r["pid"])):
+            e = acc.setdefault(r["cell"], [0, None])
+            e[0] += r["cnt"]
+            e[1] = (
+                list(r["sums"])
+                if e[1] is None
+                else [a + b for a, b in zip(e[1], r["sums"])]
             )
-        )
-        scores = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (_dot(F.col("__vec"), c["cent_vec"]) / F.col("__nrm") / c["cent_norm"]).alias("cos"),
-                (-c["cell"]).alias("negcell"),
-                c["cell"].alias("cell"),
-            ),
-        )
-        assigned = base.crossJoin(F.broadcast(cent_arr)).select(
-            "__vec", F.array_max(scores)["cell"].alias("cell")
-        )
-        means = (
-            assigned.select("cell", F.posexplode("__vec").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["mean"]
         cents = [
-            [d[i] for i in sorted(d)] if (d := by_cell.get(cell)) else prev
+            [s / e[0] for s in e[1]]
+            if (e := acc.get(cell)) and e[0] > 0
+            else prev
             for cell, prev in enumerate(cents)
         ]
     return spark.createDataFrame(

@@ -948,6 +948,10 @@ FROM points p JOIN intervals i
 # Snapshot diff (the generalized system-vs-system reconciliation)
 # ---------------------------------------------------------------------------
 
+class _EmptyCustomer(Exception):
+    """snapshot_diff's z-order staging: nothing to stage/prune."""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed snapshot diff: full per-row inserted/deleted/changed/
     unchanged verdicts (operators/reconcile.py::snapshot_diff — the
@@ -960,10 +964,82 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; the per-column compare is row-local codegen. Balances staged
     to exact int64 cents (decimal math on both engines);
     ``changed_cols`` joined to a string in fixed column order.
+
+    Round 6: the old snapshot is ALSO staged through the versioned
+    lake and Z-ORDER-compacted on (c_custkey, c_nationkey)
+    (sources/versioned.py::compact(cluster_by=[a, b]) — OPTIMIZE
+    ZORDER, generalizing the reference's manual partition pruning at
+    s3_helper.py:129-140), and three pruning-contract booleans ride
+    every output row, driver-gated against literal TRUE in the
+    oracle: (1) a c_custkey range prunes the file list, (2) a
+    c_nationkey range — the SECOND z-order column — prunes it too,
+    and (3) the stats-pruned conjunctive read returns exactly the
+    rows of the full scan + filter. A clustering or skipping
+    regression flips a boolean and hash-fails the row.
     """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     from jde_to_datalake_spark.operators.reconcile import snapshot_diff
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
 
     cust = _t(spark, sf_dir, "customer")
+    tmp = _tempfile.mkdtemp(prefix="jdespark-zorder-")
+    try:
+        vt = VersionedTable(_os.path.join(tmp, "cust"))
+        vt.commit(cust.select("c_custkey", "c_nationkey"))
+        vt.compact(
+            spark,
+            target_partitions=8,
+            cluster_by=["c_custkey", "c_nationkey"],
+        )
+        total = len(vt._manifest(vt.latest_version())["files"])
+        mn, mx = cust.agg(
+            F.min("c_custkey"), F.max("c_custkey")
+        ).collect()[0]
+        if mn is None:
+            # empty input: the pruning claims are vacuous (zero rows
+            # reach the output, so the booleans are never compared —
+            # only the fixed schema matters)
+            raise _EmptyCustomer()
+        # a range inside the LOWER custkey half: the Morton layout's
+        # top custkey bit splits files at the midpoint, so a probe
+        # straddling the middle would overlap every file's range
+        lo = mn + (mx - mn) // 20
+        hi = mn + (mx - mn) // 4
+        pruned_a = len(vt.files_for_range("c_custkey", lo, hi))
+        pruned_b = len(vt.files_for_range("c_nationkey", 3, 7))
+
+        def _probe(df):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c_custkey").alias("sk"),
+                F.sum("c_nationkey").alias("sn"),
+            ).collect()[0]
+            return (r["n"], r["sk"], r["sn"])
+
+        got = _probe(
+            vt.read_where_all(
+                spark,
+                {"c_custkey": (lo, hi), "c_nationkey": (3, 7)},
+            )
+        )
+        exp = _probe(
+            cust.filter(
+                F.col("c_custkey").between(lo, hi)
+                & F.col("c_nationkey").between(3, 7)
+            )
+        )
+        zorder_prunes_custkey = pruned_a < total
+        zorder_prunes_nationkey = pruned_b < total
+        zorder_pruned_read_exact = got == exp
+    except _EmptyCustomer:
+        zorder_prunes_custkey = True
+        zorder_prunes_nationkey = True
+        zorder_pruned_read_exact = True
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
     new = cust.filter(F.col("c_custkey") % 10 != 3).withColumn(
         "c_acctbal",
         F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1)
@@ -989,6 +1065,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("new_bal_cents"),
         "old_c_mktsegment",
         "new_c_mktsegment",
+        F.lit(zorder_prunes_custkey).alias("zorder_prunes_custkey"),
+        F.lit(zorder_prunes_nationkey).alias("zorder_prunes_nationkey"),
+        F.lit(zorder_pruned_read_exact).alias("zorder_pruned_read_exact"),
     )
 
 
@@ -1023,7 +1102,10 @@ SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
        CAST(CAST(n.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
          AS new_bal_cents,
        o.c_mktsegment AS old_c_mktsegment,
-       n.c_mktsegment AS new_c_mktsegment
+       n.c_mktsegment AS new_c_mktsegment,
+       TRUE AS zorder_prunes_custkey,
+       TRUE AS zorder_prunes_nationkey,
+       TRUE AS zorder_pruned_read_exact
 FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
 """
 
