@@ -222,3 +222,50 @@ def test_semantic_dedup_shape(spark):
         "Exchange hashpartitioning(__dup"
     )
     assert data_scale <= 2, plan
+
+
+def test_sharded_bloom_probe_plans_equi_join_not_cartesian(spark):
+    """Round 6: the beyond-broadcast bloom probe must join batch bit
+    positions to their shard rows as a plain EQUI-join (hash/SMJ on
+    the shard id) — no cartesian, no nested-loop, and the filter side
+    never collects to the driver."""
+    from jde_to_datalake_spark.operators.bloom import (
+        bloom_build_sharded,
+        bloom_probe_sharded,
+    )
+
+    keys = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS k")
+    shards = bloom_build_sharded(keys, ["k"], 1 << 12, 3, shard_words=16)
+    probe = bloom_probe_sharded(
+        spark.range(500, 1500).selectExpr("CAST(id AS STRING) AS k"),
+        ["k"], shards, 1 << 12, 3, shard_words=16,
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the shard equi-join is present as a hash or sort-merge join
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_band_pruned_probe_scans_file_subset_in_plan(spark, tmp_path):
+    """Round 6: the band-index probe's parquet scan must list ONLY the
+    stats-overlapping files (manifest-level skipping is visible in the
+    FileScan's location list)."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(str(tmp_path / "b"))
+    for lo in (0, 100, 200):
+        t.commit(
+            spark.range(lo, lo + 100)
+            .selectExpr("CAST(id AS STRING) AS band_hash", "id AS doc_id")
+            .coalesce(1)
+        )
+    pruned = t.read_where_in(spark, "doc_id", [42])
+    # only the one overlapping file is planned, and it's a real scan
+    # (IN-filter applied on top)
+    assert len(t.files_for_values("doc_id", [42])) == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count(".parquet") <= 1 or "1 paths" in plan
+    assert pruned.count() == 1
+    assert pruned.first()["doc_id"] == 42
