@@ -101,12 +101,18 @@ def _footer_stats(path: str) -> dict:
             name = col.path_in_schema
             if name in poisoned:
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                # pyarrow RAISES (not returns-None) at several points
+                # for types without extractable stats — list columns
+                # on .statistics, decimal columns on .min/.max
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no min/max")
+                mn, mx = st.min, st.max
+            except Exception:
                 poisoned.add(name)
                 out.pop(name, None)
                 continue
-            mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode("utf-8"), mx.decode("utf-8")

@@ -912,3 +912,72 @@ def test_dv_prune_after_full_dv_file_rewrite_drops_all(spark, tmp_path):
     assert m.get("dv_files", []) == []
     ks = {r["k"] for r in t.read(spark).collect()}
     assert 3 not in ks and 10 in ks
+
+
+def test_commit_with_list_and_decimal_columns_survives_stats(
+    spark, tmp_path
+):
+    """pyarrow raises (not returns-None) extracting footer stats for
+    list columns (.statistics) and decimal columns (.min/.max) — the
+    commit must still publish, with those columns simply absent from
+    the skipping stats (conservative: never pruned on)."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 5).selectExpr(
+            "id AS k",
+            "CAST(id AS DECIMAL(12,2)) AS m",
+            "array(CAST(id AS DOUBLE)) AS vec",
+        )
+    )
+    m = t._manifest(t.latest_version())
+    stats = {c for f in m["files"] for c in m["stats"].get(f, {})}
+    assert "k" in stats and "vec" not in stats and "m" not in stats
+    # unknown-stat columns keep every file on a pruned read
+    assert len(t.files_for_values("m", [1])) == len(m["files"])
+    assert t.read(spark).count() == 5
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    commits=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 80)),
+        min_size=1,
+        max_size=4,
+    ),
+    probe=st.lists(
+        st.one_of(st.integers(-50, 500), st.none()),
+        min_size=0,
+        max_size=6,
+    ),
+)
+def test_files_for_values_property(spark, tmp_path_factory, commits, probe):
+    """files_for_values never drops a file that actually contains a
+    probe value, and read_where_in is exactly read + IN."""
+    t = VT(str(tmp_path_factory.mktemp("vt") / "t"))
+    for lo, width in commits:
+        t.commit(
+            spark.range(lo, lo + width).selectExpr("id AS k").coalesce(1)
+        )
+    m = t._manifest(t.latest_version())
+    vals = set(v for v in probe if v is not None)
+    picked = set(t.files_for_values("k", probe))
+    # completeness: every file whose [min,max] holds a probe value is kept
+    for f in m["files"]:
+        mn, mx = m["stats"][f]["k"]
+        if any(mn <= v <= mx for v in vals):
+            assert f in picked
+    got = sorted(
+        r["k"] for r in t.read_where_in(spark, "k", probe).collect()
+    )
+    exp = sorted(
+        r["k"]
+        for r in t.read(spark).collect()
+        if r["k"] in vals
+    )
+    assert got == exp

@@ -1,0 +1,161 @@
+"""VersionedTable as a streaming source: versions are offsets,
+appended files are the input partitions, rewrites fail loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.sources.versioned import VersionedTable
+from jde_to_datalake_spark.sources.versioned_stream import (
+    _added_per_version,
+    sniff_schema_ddl,
+    versioned_stream,
+)
+
+
+def _commit(spark, t, lo, hi):
+    t.commit(
+        spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v"
+        )
+    )
+
+
+def _drain(spark, t, tmp_path, name, **options):
+    out = str(tmp_path / f"out_{name}")
+    q = (
+        versioned_stream(spark, t, **options)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def test_streams_all_appended_rows_then_only_new_ones(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    _commit(spark, t, 0, 10)
+    _commit(spark, t, 10, 25)
+    out = _drain(spark, t, tmp_path, "a")
+    got = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert got == set(range(25))
+    # two more commits; the SAME checkpoint resumes at the offset
+    _commit(spark, t, 25, 30)
+    _commit(spark, t, 30, 33)
+    _drain(spark, t, tmp_path, "a")
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(33))  # no re-emission of old versions
+
+
+def test_schema_is_sniffed_from_footers(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 3).selectExpr(
+            "id AS k",
+            "CAST(id AS STRING) AS s",
+            "CAST(id AS DOUBLE) AS d",
+            "CAST(id AS DECIMAL(12,2)) AS m",
+            "array(CAST(id AS DOUBLE)) AS vec",
+        )
+    )
+    ddl = sniff_schema_ddl(t.root)
+    assert ddl == (
+        "k bigint, s string, d double, m decimal(12,2), "
+        "vec array<double>"
+    )
+    out = _drain(spark, t, tmp_path, "s")
+    df = spark.read.parquet(out)
+    assert {f.name: f.dataType.simpleString() for f in df.schema.fields} == {
+        "k": "bigint", "s": "string", "d": "double",
+        "m": "decimal(12,2)", "vec": "array<double>",
+    }
+    assert df.count() == 3
+
+
+def test_rewriting_commit_fails_unless_ignore_changes(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    _commit(spark, t, 0, 10)
+    t.merge(
+        spark,
+        spark.createDataFrame([(5, "FIVE")], "k bigint, v string"),
+        key="k",
+    )
+    with pytest.raises(RuntimeError, match="rewrote or dropped"):
+        _added_per_version(t, -1, t.latest_version(), False)
+    # opt-in: rewritten files re-emit whole (downstream dedupes)
+    files = _added_per_version(t, -1, t.latest_version(), True)
+    assert files
+    out = _drain(spark, t, tmp_path, "ic", ignore_changes="true")
+    rows = spark.read.parquet(out)
+    # the updated row is present post-update; duplicates allowed
+    assert {r["v"] for r in rows.filter("k = 5").collect()} >= {"FIVE"}
+
+
+def test_dv_only_span_streams_nothing(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    _commit(spark, t, 0, 10)
+    out = _drain(spark, t, tmp_path, "d")
+    assert spark.read.parquet(out).count() == 10
+    t.delete_where(spark, F.col("k") == 3)  # DV sidecar, no new files
+    _drain(spark, t, tmp_path, "d")
+    # deletes are not streamed (CDF is the tool for that): count holds
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_intra_span_compaction_neither_misses_nor_duplicates(
+    spark, tmp_path
+):
+    """A file added then compacted away INSIDE one span: per-version
+    enumeration with ignore_changes still sees each appended file
+    exactly once plus the compacted rewrite."""
+    t = VersionedTable(str(tmp_path / "t"))
+    _commit(spark, t, 0, 5)
+    _commit(spark, t, 5, 8)
+    t.compact(spark)
+    files = _added_per_version(t, -1, t.latest_version(), True)
+    assert len(files) == len(set(files))
+    # the original appends AND the compacted file all enumerate
+    m0 = t._manifest(0)["files"]
+    m1 = [f for f in t._manifest(1)["files"] if f not in m0]
+    m2 = t._manifest(2)["files"]
+    assert files == m0 + m1 + m2
+
+
+def test_landing_table_streams_into_ingestion_loop(spark, tmp_path):
+    """End-to-end composition: an upstream writer commits raw docs to
+    a LANDING versioned table; the ingestion loop consumes it as a
+    stream (no lookback polling — versions are the cursor) and dedups
+    into the corpus. Restarts resume from the version offset."""
+    from jde_to_datalake_spark.streaming.ingest import ingest_corpus_stream
+
+    landing = VersionedTable(str(tmp_path / "landing"))
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    landing.commit(docs([(1, "one"), (2, "two")]))
+    landing.commit(docs([(3, "one"), (4, "three")]))  # 3 dups 1
+    q = ingest_corpus_stream(
+        versioned_stream(spark, landing), corpus, index, ckpt
+    )
+    q.awaitTermination(120)
+    assert sorted(r["text"] for r in corpus.read(spark).collect()) == [
+        "one", "three", "two",
+    ]
+    # more upstream commits; the same checkpoint resumes mid-log
+    landing.commit(docs([(5, "three"), (6, "four")]))
+    q = ingest_corpus_stream(
+        versioned_stream(spark, landing), corpus, index, ckpt
+    )
+    q.awaitTermination(120)
+    assert sorted(r["text"] for r in corpus.read(spark).collect()) == [
+        "four", "one", "three", "two",
+    ]
+    assert {r["fingerprint"] for r in index.read(spark).collect()} == {
+        r["fingerprint"] for r in corpus.read(spark).collect()
+    }
