@@ -191,9 +191,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         cols = [f.name for f in self.schema_.fields]
-        t = pq.read_table(
-            os.path.join(partition.root, partition.file), columns=cols
-        )
+        path = os.path.join(partition.root, partition.file)
+        # schema-evolved files: project only the columns this file has
+        # (requesting an absent column raises in pyarrow); absent ones
+        # read as NULL, extra ones are ignored — parquet-by-name
+        present = set(pq.read_schema(path).names)
+        t = pq.read_table(path, columns=[c for c in cols if c in present])
         return iter(
             tuple(rec.get(c) for c in cols) for rec in t.to_pylist()
         )
@@ -224,13 +227,22 @@ class VersionedTableDataSource(DataSource):
         return VersionedTableStreamReader(schema, self.options)
 
 
-def versioned_stream(spark, table: VersionedTable, **options):
+def versioned_stream(spark, table: VersionedTable, schema=None, **options):
     """Register the source (idempotent) and open ``table`` as a
-    streaming DataFrame."""
+    streaming DataFrame.
+
+    ``schema`` (DDL string or StructType) pins the projection
+    explicitly; without it the CURRENT table schema is sniffed at
+    query start. A restarted query re-sniffs — on a schema-evolved
+    table pass the schema explicitly so the sink sees one stable
+    shape across restarts (absent columns read as NULL, extra ones
+    are ignored)."""
     spark.dataSource.register(VersionedTableDataSource)
     reader = spark.readStream.format("versioned_table").option(
         "path", table.root
     )
+    if schema is not None:
+        reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()

@@ -20,10 +20,10 @@ def _commit(spark, t, lo, hi):
     )
 
 
-def _drain(spark, t, tmp_path, name, **options):
+def _drain(spark, t, tmp_path, name, schema=None, **options):
     out = str(tmp_path / f"out_{name}")
     q = (
-        versioned_stream(spark, t, **options)
+        versioned_stream(spark, t, schema=schema, **options)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
@@ -159,3 +159,23 @@ def test_landing_table_streams_into_ingestion_loop(spark, tmp_path):
     assert {r["fingerprint"] for r in index.read(spark).collect()} == {
         r["fingerprint"] for r in corpus.read(spark).collect()
     }
+
+
+def test_schema_evolved_commits_stream_with_nulls(spark, tmp_path):
+    """An explicitly pinned schema keeps the stream shape stable
+    across restarts on a schema-evolved table: files missing a pinned
+    column stream it as NULL, extra columns are ignored
+    (parquet-by-name projection)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    _commit(spark, t, 0, 3)  # k, v
+    ddl = "k bigint, v string"
+    out = _drain(spark, t, tmp_path, "e", schema=ddl)
+    # evolved commit: drops v, adds w
+    t.commit(
+        spark.range(3, 5).selectExpr("id AS k", "id * 2 AS w")
+    )
+    _drain(spark, t, tmp_path, "e", schema=ddl)
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert rows[3] is None and rows[4] is None  # absent column -> NULL
+    assert rows[0] == "0"
