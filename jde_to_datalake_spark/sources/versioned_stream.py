@@ -123,9 +123,18 @@ def _added_per_version(
     step at a time so intra-span compaction cannot double-count, in
     deterministic (version, manifest-order) sequence."""
     added: list[str] = []
-    prev_files = (
-        table._manifest(v_from)["files"] if v_from >= 0 else []
-    )
+    try:
+        prev_files = (
+            table._manifest(v_from)["files"] if v_from >= 0 else []
+        )
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"versioned_table stream: version {v_from} of {table.root} "
+            "has been vacuumed away — the checkpointed offset predates "
+            "the table's retention window. Restart from a fresh "
+            "checkpoint (full re-read) or raise vacuum keep_last on "
+            "the source table above the stream's maximum lag."
+        ) from None
     prev_set = set(prev_files)
     for v in range(v_from + 1, v_to + 1):
         cur_files = table._manifest(v)["files"]

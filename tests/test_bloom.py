@@ -228,3 +228,51 @@ def test_null_keys_do_not_collide_across_positions(spark):
     # NULL == NULL under the membership semantics
     same = bloom_decontaminate(a, a, ["c1", "c2"]).collect()[0]
     assert same["is_contaminated"] and same["bloom_flagged"]
+
+
+def test_sharded_build_reassembles_to_flat_words(spark):
+    """bloom_build_sharded + sharded_to_words == bloom_build bit-for-
+    bit, shards are sparse (all-zero shards emit no row), union-OR
+    matches a joint build, and the sharded probe agrees with the
+    broadcast probe on hits AND misses."""
+    from jde_to_datalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_build_sharded,
+        bloom_probe,
+        bloom_probe_sharded,
+        bloom_union_sharded,
+        sharded_to_words,
+    )
+
+    num_bits, k, sw = 1 << 12, 4, 8
+    a = spark.range(0, 40).selectExpr("CAST(id AS STRING) AS key")
+    b = spark.range(40, 80).selectExpr("CAST(id AS STRING) AS key")
+    flat = bloom_build(a, ["key"], num_bits, k)
+    sh = bloom_build_sharded(a, ["key"], num_bits, k, shard_words=sw)
+    rows = sh.collect()
+    assert sharded_to_words(rows, num_bits, sw) == flat
+    # sparsity: with 40 keys x 4 bits over 128 words / 16 shards,
+    # at least the empty shards are absent
+    n_shards_total = (num_bits // 32) // sw
+    assert len(rows) <= n_shards_total
+    # union == joint build
+    both = bloom_union_sharded(
+        sh, bloom_build_sharded(b, ["key"], num_bits, k, shard_words=sw)
+    )
+    joint = bloom_build(a.unionAll(b), ["key"], num_bits, k)
+    assert sharded_to_words(both.collect(), num_bits, sw) == joint
+    # probe parity on a mixed member/non-member batch
+    probe = spark.range(30, 50).selectExpr("CAST(id AS STRING) AS key")
+    via_flat = {
+        (r["key"], r["maybe_member"])
+        for r in bloom_probe(probe, ["key"], flat, k).collect()
+    }
+    via_shards = {
+        (r["key"], r["maybe_member"])
+        for r in bloom_probe_sharded(
+            probe, ["key"], sh, num_bits, k, shard_words=sw
+        ).collect()
+    }
+    assert via_flat == via_shards
+    # no false negatives: every true member of `a` flags maybe
+    assert all(m for kk, m in via_flat if int(kk) < 40)

@@ -179,3 +179,13 @@ def test_schema_evolved_commits_stream_with_nulls(spark, tmp_path):
     assert set(rows) == {0, 1, 2, 3, 4}
     assert rows[3] is None and rows[4] is None  # absent column -> NULL
     assert rows[0] == "0"
+
+
+def test_vacuumed_offset_fails_with_clear_guidance(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    _commit(spark, t, 0, 5)
+    _commit(spark, t, 5, 8)
+    _commit(spark, t, 8, 12)
+    t.vacuum(keep_last=1, retention_seconds=0)
+    with pytest.raises(RuntimeError, match="vacuumed away"):
+        _added_per_version(t, 0, t.latest_version(), False)
