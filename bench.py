@@ -107,6 +107,15 @@ def main() -> None:
     # warmup: touch the JVM + parquet footer paths once
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
+    # probe BEFORE the timed window too: a post-only probe misses
+    # transient contention that ends before the timings do (measured:
+    # a bench contaminated by a concurrent pytest read 2.06x while the
+    # after-probe looked healthy)
+    try:
+        probe_pre = _host_probe(spark)
+    except Exception as exc:
+        probe_pre = {"error": str(exc)[:200]}
+
     # min-of-5 round-robin: this container is a microVM whose host
     # occasionally steals multi-second stalls; interleaved rounds plus
     # an extra run materially improve the odds that every query sees
@@ -148,6 +157,7 @@ def main() -> None:
         result["host_probe"] = _host_probe(spark)
     except Exception as exc:  # diagnostics must never fail the bench
         result["host_probe_error"] = str(exc)[:200]
+    result["host_probe_pre"] = probe_pre
 
     print(json.dumps(result))
     spark.stop()

@@ -1,0 +1,145 @@
+"""Continuous table-to-table derivation (streaming/derived.py):
+bronze -> transform -> silver, exactly-once across restarts, crashes
+and re-deliveries; merge mode absorbs rewriting sources."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.sources.versioned import VersionedTable
+from jde_to_datalake_spark.streaming.derived import (
+    derive_batch_writer,
+    derive_table,
+)
+from jde_to_datalake_spark.streaming.ingest import checkpoint_app_id
+
+SCHEMA = "k bigint, v string"
+
+
+def _commit(spark, t, lo, hi):
+    t.commit(
+        spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v"
+        )
+    )
+
+
+def _evens_doubled(df):
+    return df.filter(F.col("k") % 2 == 0).withColumn(
+        "k2", F.col("k") * 2
+    )
+
+
+def _run(spark, src, dst, ckpt, **kw):
+    q = derive_table(
+        spark, src, dst, _evens_doubled, ckpt, schema=SCHEMA, **kw
+    )
+    q.awaitTermination(120)
+
+
+def test_derivation_is_incremental_and_exactly_once(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "bronze"))
+    dst = VersionedTable(str(tmp_path / "silver"))
+    ckpt = str(tmp_path / "ckpt")
+    _commit(spark, src, 0, 10)
+    _commit(spark, src, 10, 25)
+    _run(spark, src, dst, ckpt)
+    want = {(k, str(k), 2 * k) for k in range(0, 25, 2)}
+    got = {tuple(r) for r in dst.read(spark).collect()}
+    assert got == want
+    v_after_first = dst.latest_version()
+
+    # re-run with nothing new: no new target version
+    _run(spark, src, dst, ckpt)
+    assert dst.latest_version() == v_after_first
+
+    # append more bronze; only the new span is transformed + appended
+    _commit(spark, src, 25, 31)
+    _run(spark, src, dst, ckpt)
+    want |= {(k, str(k), 2 * k) for k in range(26, 31, 2)}
+    got = {tuple(r) for r in dst.read(spark).collect()}
+    assert got == want
+
+
+def test_redelivered_batch_appends_nothing_twice(spark, tmp_path):
+    """Crash between sink commit and checkpoint advance == the same
+    (app_id, batch_id) delivered again: the txn stamp skips it."""
+    src = VersionedTable(str(tmp_path / "bronze"))
+    dst = VersionedTable(str(tmp_path / "silver"))
+    _commit(spark, src, 0, 8)
+    app = checkpoint_app_id(str(tmp_path / "ckpt"))
+    write = derive_batch_writer(dst, _evens_doubled, app)
+    batch = src.read(spark)
+    write(batch, 0)
+    v1 = dst.latest_version()
+    write(batch, 0)  # re-delivery
+    assert dst.latest_version() == v1
+    assert dst.read(spark).count() == 4
+
+    # an all-filtered batch commits nothing and stays re-runnable
+    odd = batch.filter(F.col("k") % 2 == 1)
+    write(odd, 1)
+    write(odd, 1)
+    assert dst.latest_version() == v1
+
+
+def test_rewriting_source_requires_merge_mode(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "bronze"))
+    dst = VersionedTable(str(tmp_path / "silver"))
+    _commit(spark, src, 0, 6)
+    with pytest.raises(ValueError, match="ignore_changes"):
+        derive_table(
+            spark, src, dst, _evens_doubled,
+            str(tmp_path / "ckpt"), schema=SCHEMA, ignore_changes=True,
+        )
+
+
+def test_merge_mode_absorbs_compaction_reemission(spark, tmp_path):
+    """A source that compacts re-emits rewritten files whole under
+    ignore_changes; the keyed merge sink collapses them so the silver
+    row set equals a from-scratch transform of the bronze table."""
+    src = VersionedTable(str(tmp_path / "bronze"))
+    dst = VersionedTable(str(tmp_path / "silver"))
+    ckpt = str(tmp_path / "ckpt")
+    _commit(spark, src, 0, 10)
+    _run(spark, src, dst, ckpt, key="k", ignore_changes=True)
+    src.compact(spark)  # rewrites every file
+    _commit(spark, src, 10, 16)
+    _run(spark, src, dst, ckpt, key="k", ignore_changes=True)
+    want = {(k, str(k), 2 * k) for k in range(0, 16, 2)}
+    got = {tuple(r) for r in dst.read(spark).collect()}
+    assert got == want
+
+
+def test_two_hop_chain_bronze_silver_gold(spark, tmp_path):
+    """Silver is itself a versioned table, so the SAME source streams
+    it onward: a second derive_table hop builds gold incrementally."""
+    bronze = VersionedTable(str(tmp_path / "bronze"))
+    silver = VersionedTable(str(tmp_path / "silver"))
+    gold = VersionedTable(str(tmp_path / "gold"))
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    _commit(spark, bronze, 0, 12)
+    _run(spark, bronze, silver, ck1)
+
+    def keep_big(df):
+        return df.filter(F.col("k2") >= 8)
+
+    q = derive_table(
+        spark, silver, gold, keep_big, ck2,
+        schema="k bigint, v string, k2 bigint",
+    )
+    q.awaitTermination(120)
+    assert {r["k2"] for r in gold.read(spark).collect()} == {8, 12, 16, 20}
+
+    # new bronze rows ripple through both hops incrementally
+    _commit(spark, bronze, 12, 15)
+    silver_v = silver.latest_version()
+    _run(spark, bronze, silver, ck1)
+    assert silver.latest_version() == silver_v + 1  # one appended span
+    q = derive_table(
+        spark, silver, gold, keep_big, ck2,
+        schema="k bigint, v string, k2 bigint",
+    )
+    q.awaitTermination(120)
+    assert {r["k2"] for r in gold.read(spark).collect()} == {
+        8, 12, 16, 20, 24, 28,
+    }
