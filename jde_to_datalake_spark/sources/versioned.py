@@ -285,6 +285,8 @@ class VersionedTable:
         carry: list[str] | None = None,
         txn: "tuple[str, int] | None" = None,
         dv_files: list[str] | None = None,
+        known_stats: dict | None = None,
+        annotations: dict | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -325,6 +327,12 @@ class VersionedTable:
         base version's DVs (tombstoned rows stay deleted); a full
         overwrite (no carry) drops them — the rewrite materialized the
         deletes, exactly Delta's compaction behavior.
+
+        ``known_stats`` supplies footer stats the caller already holds
+        for files in ``staged`` (``restore`` passes the target
+        manifest's), skipping their per-file footer reads.
+        ``annotations`` adds audit keys to the manifest (e.g.
+        ``restored_from``); reserved manifest keys are rejected.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -368,8 +376,14 @@ class VersionedTable:
         # these from the writing tasks; footer reads are metadata-sized
         # either way. Carried-over files keep their previous stats.
         prev_stats = prev_manifest.get("stats", {})
+        if known_stats:
+            # caller already holds these files' stats (restore reuses
+            # the target manifest's) — base-manifest stats still win
+            prev_stats = {**known_stats, **prev_stats}
         stats = {f: prev_stats[f] for f in files if f in prev_stats}
         for f in new_files:
+            if f in stats:
+                continue
             fs = _footer_stats(os.path.join(self.root, f))
             if fs:
                 stats[f] = fs
@@ -442,6 +456,15 @@ class VersionedTable:
             "stats": stats,
             "committed_at": time.time(),
         }
+        if annotations:
+            clash = annotations.keys() & manifest.keys() | {
+                "dv_files", "dv_refs", "txns",
+            } & annotations.keys()
+            if clash:
+                raise ValueError(
+                    f"annotations may not shadow manifest keys: {sorted(clash)}"
+                )
+            manifest.update(annotations)
         if dv_files:
             manifest["dv_files"] = dv_files
             if dv_refs:
@@ -1213,6 +1236,52 @@ class VersionedTable:
                 self.commit(batch_df, mode=mode)
 
         return write
+
+    def restore(self, to_version: int) -> int:
+        """Delta RESTORE: roll the table back to ``to_version`` by
+        publishing that version's exact state (files, stats, deletion
+        vectors) as a NEW version — metadata-only, nothing copied,
+        history preserved (the bad versions stay time-travelable until
+        vacuumed; the reference's only recovery is a manual re-push).
+
+        Fails with ``FileNotFoundError`` when the target manifest or
+        any file it references has been vacuumed away — raise vacuum
+        ``keep_last`` above the rollback window you need.
+
+        The idempotent-txn map is carried from the CURRENT version,
+        not the target (writer idempotence records must survive the
+        rollback — Delta keeps setTransaction on RESTORE too). The
+        flip side: a streaming writer whose batches are being rolled
+        back still sees them as committed, so to re-ingest the
+        rolled-back data, restart that stream from a FRESH checkpoint
+        (new app lineage); resuming the old checkpoint would skip
+        exactly those batches.
+        """
+        try:
+            m = self._manifest(to_version)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{self.root}: version {to_version} has no manifest — "
+                "never committed, or vacuumed past keep_last"
+            ) from None
+        needed = list(m["files"]) + list(m.get("dv_files", []))
+        missing = [
+            f for f in needed
+            if not os.path.exists(os.path.join(self.root, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"{self.root}: cannot restore to version {to_version} — "
+                f"{len(missing)} referenced file(s) were vacuumed "
+                f"(first: {missing[:3]})"
+            )
+        return self.publish(
+            list(m["files"]),
+            mode="overwrite",
+            dv_files=list(m.get("dv_files", [])),
+            known_stats=m.get("stats", {}),
+            annotations={"restored_from": int(to_version)},
+        )
 
     # -- maintenance -----------------------------------------------------
     def compact(

@@ -197,6 +197,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     def read(self, partition: _AddedFilePartition) -> Iterator[tuple]:
         if not partition.file:
             return iter([])
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         cols = [f.name for f in self.schema_.fields]
@@ -206,9 +207,28 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # read as NULL, extra ones are ignored — parquet-by-name
         present = set(pq.read_schema(path).names)
         t = pq.read_table(path, columns=[c for c in cols if c in present])
-        return iter(
-            tuple(rec.get(c) for c in cols) for rec in t.to_pylist()
-        )
+        # fast path: hand Spark Arrow RecordBatches (zero per-row
+        # Python objects; the file's buffers flow through). Columns
+        # are cast/reordered to the DECLARED schema's arrow types
+        # (files may differ: large_string vs string, evolved columns
+        # absent -> typed nulls). Any cast the file genuinely can't
+        # satisfy falls back to the row path, whose per-value Python
+        # conversion is laxer.
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(self.schema_)
+            arrays = [
+                t.column(f.name).cast(f.type)
+                if f.name in present
+                else pa.nulls(t.num_rows, type=f.type)
+                for f in target
+            ]
+            return iter(pa.table(arrays, schema=target).to_batches())
+        except Exception:
+            return iter(
+                tuple(rec.get(c) for c in cols) for rec in t.to_pylist()
+            )
 
     def commit(self, end: dict) -> None:
         pass  # manifests are the source of truth; nothing to ack

@@ -981,3 +981,69 @@ def test_files_for_values_property(spark, tmp_path_factory, commits, probe):
         if r["k"] in vals
     )
     assert got == exp
+
+
+# -- RESTORE (rollback as a new version) ------------------------------
+
+
+def test_restore_rolls_back_metadata_only(spark, table):
+    table.commit(_df(spark, [(1, "a"), (2, "b")]))
+    good = table.latest_version()
+    table.commit(_df(spark, [(3, "bad")]), mode="append")
+    table.commit(_df(spark, [(9, "worse")]), mode="overwrite")
+    n_data_files_before = len(
+        [f for f in os.listdir(table.root) if f.endswith(".parquet")]
+    )
+    v = table.restore(good)
+    assert v == table.latest_version()
+    assert {tuple(r) for r in table.read(spark).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    # nothing copied: same data files on disk, manifest-only commit
+    n_after = len(
+        [f for f in os.listdir(table.root) if f.endswith(".parquet")]
+    )
+    assert n_after == n_data_files_before
+    # history preserved: the bad versions stay time-travelable
+    assert {tuple(r) for r in table.read(spark, version=v - 1).collect()} == {
+        (9, "worse"),
+    }
+    assert table._manifest(v)["restored_from"] == good
+    # stats carried: read_where still prunes on the restored version
+    assert table._manifest(v)["stats"]
+
+
+def test_restore_preserves_deletion_vectors(spark, table):
+    table.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    table.delete_where(spark, F.col("k") == 2)
+    dv_version = table.latest_version()
+    table.commit(_df(spark, [(4, "d")]), mode="overwrite")
+    table.restore(dv_version)
+    assert {r["k"] for r in table.read(spark).collect()} == {1, 3}
+
+
+def test_restore_to_vacuumed_version_fails(spark, table):
+    table.commit(_df(spark, [(1, "a")]))
+    table.commit(_df(spark, [(2, "b")]), mode="overwrite")
+    table.vacuum(keep_last=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.restore(0)
+
+
+def test_restore_carries_current_txn_watermark(spark, table):
+    table.commit(_df(spark, [(1, "a")]))
+    good = table.latest_version()
+    table.commit(
+        _df(spark, [(2, "b")]), mode="append", txn=("app", 7)
+    )
+    table.restore(good)
+    # the writer's idempotence record survives the rollback (Delta's
+    # RESTORE rule) — re-ingesting needs a fresh app lineage
+    assert table.last_txn_version("app") == 7
+
+
+def test_annotations_cannot_shadow_manifest_keys(spark, table):
+    table.commit(_df(spark, [(1, "a")]))
+    staged = table.stage(_df(spark, [(2, "b")]))
+    with pytest.raises(ValueError, match="shadow"):
+        table.publish(staged, annotations={"files": []})

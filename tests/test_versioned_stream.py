@@ -189,3 +189,39 @@ def test_vacuumed_offset_fails_with_clear_guidance(spark, tmp_path):
     t.vacuum(keep_last=1, retention_seconds=0)
     with pytest.raises(RuntimeError, match="vacuumed away"):
         _added_per_version(t, 0, t.latest_version(), False)
+
+
+def test_read_yields_arrow_batches_even_for_evolved_files(spark, tmp_path):
+    """The executor read path hands Spark Arrow RecordBatches (no
+    per-row Python objects) — including for pre-evolution files where
+    the declared schema has columns the file lacks (typed nulls) and
+    for decimal/array columns."""
+    import pyarrow as pa
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamReader,
+        _AddedFilePartition,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 3).selectExpr(
+            "id AS k",
+            "CAST(id AS DECIMAL(12,2)) AS m",
+            "array(CAST(id AS DOUBLE)) AS vec",
+        )
+    )
+    declared = _parse_datatype_string(
+        "k bigint, m decimal(12,2), vec array<double>, later string"
+    )
+    reader = VersionedTableStreamReader(declared, {"path": t.root})
+    files = _added_per_version(t, -1, t.latest_version(), False)
+    batches = list(
+        reader.read(_AddedFilePartition(t.root, files[0]))
+    )
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    tbl = pa.Table.from_batches(batches)
+    assert tbl.column_names == ["k", "m", "vec", "later"]
+    assert tbl.column("later").null_count == tbl.num_rows
+    assert tbl.column("m").type == pa.decimal128(12, 2)
