@@ -433,7 +433,10 @@ class VersionedTable:
             prev_refs = (
                 prev_manifest.get("dv_refs", {}) if prev is not None else {}
             )
-            file_set = set(files)
+            # sidecars reference data files by BASENAME (the join key
+            # of the DV read path); manifests of shallow clones list
+            # files by absolute path — compare on both forms
+            file_set = set(files) | {os.path.basename(f) for f in files}
             kept_dvs = []
             for d in dv_files:
                 refs = prev_refs.get(d)
@@ -1282,6 +1285,60 @@ class VersionedTable:
             known_stats=m.get("stats", {}),
             annotations={"restored_from": int(to_version)},
         )
+
+    def clone_to(
+        self, dest_root: str, version: int | None = None
+    ) -> "VersionedTable":
+        """Delta SHALLOW CLONE: create a new table at ``dest_root``
+        whose first version references this table's data files (and
+        deletion-vector sidecars) IN PLACE by absolute path — a
+        metadata-only operation at any table size. The zero-copy dev
+        branch of a 100 TB table: experiments read, merge, delete and
+        compact the clone freely without touching the source.
+
+        Divergence is copy-on-write by construction: ``merge`` /
+        ``delete_where`` on the clone write new files into the CLONE
+        root and carry untouched source files by reference;
+        ``compact`` rewrites everything locally — i.e. it converts the
+        clone shallow→deep (Delta's documented way to materialize).
+        Footer stats carry over, so data skipping works on the clone
+        from version 0.
+
+        The one shared-fate caveat (Delta's too): ``vacuum`` on the
+        SOURCE can delete files the clone still references — the
+        clone's reads then fail with missing files. Vacuum of the
+        CLONE never deletes source bytes (it only removes files that
+        live in its own root).
+        """
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"{self.root}: no commits to clone")
+        m = self._manifest(version)
+        clone = VersionedTable(
+            dest_root, txn_retention_seconds=self.txn_retention_seconds
+        )
+        if clone.latest_version() is not None:
+            raise ValueError(
+                f"{dest_root}: already a table (version "
+                f"{clone.latest_version()}) — clone into an empty root"
+            )
+
+        def _abs(f: str) -> str:
+            return os.path.abspath(os.path.join(self.root, f))
+
+        stats = {_abs(f): s for f, s in m.get("stats", {}).items()}
+        clone.publish(
+            [_abs(f) for f in m["files"]],
+            mode="overwrite",
+            dv_files=[_abs(f) for f in m.get("dv_files", [])],
+            known_stats=stats,
+            annotations={
+                "cloned_from": os.path.abspath(self.root),
+                "clone_source_version": int(version),
+            },
+        )
+        return clone
 
     # -- maintenance -----------------------------------------------------
     def compact(

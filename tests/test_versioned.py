@@ -1047,3 +1047,87 @@ def test_annotations_cannot_shadow_manifest_keys(spark, table):
     staged = table.stage(_df(spark, [(2, "b")]))
     with pytest.raises(ValueError, match="shadow"):
         table.publish(staged, annotations={"files": []})
+
+
+# -- SHALLOW CLONE ----------------------------------------------------
+
+
+def _local_parquet(root):
+    return [f for f in os.listdir(root) if f.endswith(".parquet")]
+
+
+def test_clone_is_zero_copy_and_reads_like_source(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src"))
+    src.commit(_df(spark, [(1, "a"), (2, "b")]))
+    src.commit(_df(spark, [(3, "c")]), mode="append")
+    clone = src.clone_to(str(tmp_path / "dev"))
+    assert {tuple(r) for r in clone.read(spark).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # metadata-only: no data files copied into the clone root
+    assert _local_parquet(clone.root) == []
+    m = clone._manifest(0)
+    assert m["cloned_from"] == os.path.abspath(src.root)
+    assert m["clone_source_version"] == 1
+    assert m["stats"]  # footer stats carried -> data skipping works
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src"))
+    src.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src.delete_where(spark, F.col("k") == 2)
+    clone = src.clone_to(str(tmp_path / "dev"))
+    assert {r["k"] for r in clone.read(spark).collect()} == {1, 3}
+
+
+def test_clone_diverges_copy_on_write(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src"))
+    src.commit(_df(spark, [(1, "a"), (2, "b")]))
+    clone = src.clone_to(str(tmp_path / "dev"))
+    clone.merge(spark, _df(spark, [(2, "B2"), (7, "new")]), "k")
+    clone.delete_where(spark, F.col("k") == 1)
+    # clone sees its own edits; new bytes live in the CLONE root
+    assert {tuple(r) for r in clone.read(spark).collect()} == {
+        (2, "B2"), (7, "new"),
+    }
+    assert _local_parquet(clone.root)
+    # the source never moved
+    assert {tuple(r) for r in src.read(spark).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    assert src.latest_version() == 0
+
+
+def test_compact_materializes_clone_shallow_to_deep(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src"))
+    src.commit(_df(spark, [(1, "a"), (2, "b")]))
+    clone = src.clone_to(str(tmp_path / "dev"))
+    clone.compact(spark)
+    files = clone._manifest(clone.latest_version())["files"]
+    assert all(not os.path.isabs(f) for f in files)
+    # source bytes can now be vacuumed without breaking the clone
+    src.commit(_df(spark, [(9, "z")]), mode="overwrite")
+    src.vacuum(keep_last=1, retention_seconds=0)
+    assert {tuple(r) for r in clone.read(spark).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+
+def test_clone_vacuum_never_deletes_source_bytes(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src"))
+    src.commit(_df(spark, [(1, "a"), (2, "b")]))
+    clone = src.clone_to(str(tmp_path / "dev"))
+    clone.merge(spark, _df(spark, [(2, "B2")]), "k")
+    clone.vacuum(keep_last=1, retention_seconds=0)
+    assert {tuple(r) for r in src.read(spark).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+
+def test_clone_into_existing_table_fails(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src"))
+    src.commit(_df(spark, [(1, "a")]))
+    other = VersionedTable(str(tmp_path / "other"))
+    other.commit(_df(spark, [(5, "e")]))
+    with pytest.raises(ValueError, match="empty root"):
+        src.clone_to(other.root)

@@ -206,7 +206,9 @@ def test_read_yields_arrow_batches_even_for_evolved_files(spark, tmp_path):
 
     t = VersionedTable(str(tmp_path / "t"))
     t.commit(
-        spark.range(0, 3).selectExpr(
+        # one file: a multi-file commit may include empty part files,
+        # whose (correct) batch list is empty and proves nothing
+        spark.range(0, 3).coalesce(1).selectExpr(
             "id AS k",
             "CAST(id AS DECIMAL(12,2)) AS m",
             "array(CAST(id AS DOUBLE)) AS vec",
@@ -217,11 +219,14 @@ def test_read_yields_arrow_batches_even_for_evolved_files(spark, tmp_path):
     )
     reader = VersionedTableStreamReader(declared, {"path": t.root})
     files = _added_per_version(t, -1, t.latest_version(), False)
-    batches = list(
-        reader.read(_AddedFilePartition(t.root, files[0]))
-    )
+    batches = [
+        b
+        for f in files
+        for b in reader.read(_AddedFilePartition(t.root, f))
+    ]
     assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
     tbl = pa.Table.from_batches(batches)
+    assert tbl.num_rows == 3
     assert tbl.column_names == ["k", "m", "vec", "later"]
     assert tbl.column("later").null_count == tbl.num_rows
     assert tbl.column("m").type == pa.decimal128(12, 2)
