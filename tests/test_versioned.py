@@ -170,10 +170,14 @@ _OPS = st.lists(
         st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("merge"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("compact"), st.just([])),
+        st.tuples(st.just("restore"), st.lists(st.integers(0, 99), min_size=1, max_size=1)),
+        st.tuples(st.just("clone"), st.just([])),
         st.tuples(st.just("vacuum"), st.just([])),
     ),
     min_size=1,
-    max_size=5,
+    max_size=6,
 )
 
 
@@ -184,17 +188,23 @@ _OPS = st.lists(
 )
 @given(ops=_OPS)
 def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
-    """Any commit/merge/vacuum sequence leaves read() equal to a plain
-    dict model of the same operations (merge payload = str(k) at the
-    time of the op, so updates are observable)."""
+    """Any commit/merge/delete/compact/restore/clone/vacuum sequence
+    leaves read() equal to a plain set model of the same operations
+    (merge payload = unique per op, so updates are observable). A
+    clone taken mid-sequence must read the model state of that
+    moment; restore targets any still-retained version and must
+    reproduce the model state recorded at it."""
     table = VT(str(tmp_path_factory.mktemp("vt") / "t"))
     model: set[tuple[int, str]] = set()
+    # model state at each still-restorable version (vacuum trims it)
+    snaps: dict[int, frozenset] = {}
     stamp = 0
     for op, keys in ops:
         stamp += 1
         # per-op unique payloads, so every update is observable and the
         # set model matches the table's multiset exactly
         rows = [(k, f"s{stamp}") for k in sorted(set(keys))]
+        empty = table.latest_version() is None
         if op == "append":
             table.commit(_df(spark, rows), mode="append")
             model |= set(rows)
@@ -205,8 +215,36 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             table.merge(spark, _df(spark, rows), key="k")
             merged_keys = {k for k, _ in rows}
             model = {kv for kv in model if kv[0] not in merged_keys} | set(rows)
+        elif op == "delete":
+            if empty:
+                continue
+            table.delete_where(spark, F.col("k").isin([k for k, _ in rows]))
+            model = {kv for kv in model if kv[0] not in {k for k, _ in rows}}
+        elif op == "compact":
+            if empty:
+                continue
+            table.compact(spark)
+        elif op == "restore":
+            if not snaps:
+                continue
+            target = sorted(snaps)[keys[0] % len(snaps)]
+            table.restore(target)
+            model = set(snaps[target])
+        elif op == "clone":
+            if empty:
+                continue
+            c = table.clone_to(str(tmp_path_factory.mktemp("cl") / "c"))
+            got = sorted((r.k, r.v) for r in c.read(spark).collect())
+            assert got == sorted(model)
         else:
             table.vacuum(keep_last=1, retention_seconds=0)
+            snaps = {
+                v: s for v, s in snaps.items()
+                if v == table.latest_version()
+            }
+        v = table.latest_version()
+        if v is not None:
+            snaps[v] = frozenset(model)
     if table.latest_version() is None:  # vacuum-only sequence
         assert model == set()
         with pytest.raises(FileNotFoundError):
