@@ -172,6 +172,16 @@ class IncrementalAggregateView:
         # rows rewritten byte-identical between the snapshots surface
         # as delete+insert pairs and cancel exactly in count/sum deltas
         changes = self.base.read_changes(spark, covered, latest)
+        self.apply_changes(spark, changes, txn=(self.app_id, latest))
+        return {"mode": "delta", "base_version": latest}
+
+    def _fold_delta(self, changes: DataFrame) -> DataFrame:
+        """Sign-fold a change-feed slice (``_change_type`` in
+        insert/delete) to per-group state deltas, dropping all-zero
+        groups (compaction/merge carry churn arrives as byte-identical
+        delete+insert pairs that cancel exactly — filtering them keeps
+        the MERGE below touching only genuinely changed groups'
+        files)."""
         sign = F.when(
             F.col("_change_type") == "insert", F.lit(1)
         ).otherwise(F.lit(-1))
@@ -180,14 +190,45 @@ class IncrementalAggregateView:
             .agg(*self._delta_aggs(sign))
             .withColumn("__view_key", _null_safe_key(self.group_by))
         )
-        # a compaction/merge carry rewrites rows byte-identical: their
-        # delete+insert pairs cancel to an all-zero delta — drop those
-        # groups here so the MERGE below touches only genuinely
-        # changed groups' files
         nonzero = F.lit(False)
         for c in self._state_cols():
             nonzero = nonzero | (F.coalesce(F.col(c), F.lit(0)) != 0)
-        delta = delta.filter(nonzero)
+        return delta.filter(nonzero)
+
+    def _restore_null_sums(self, rows: DataFrame) -> DataFrame:
+        """SQL convention: a group with zero non-null values has a
+        NULL sum, not the 0 the delta coalesce produces."""
+        for c in self._sum_cols():
+            rows = rows.withColumn(
+                f"__sum_{c}",
+                F.when(F.col(f"__nn_{c}") > 0, F.col(f"__sum_{c}")),
+            )
+        return rows
+
+    def apply_changes(self, spark: SparkSession, changes: DataFrame, txn) -> str:
+        """Fold one change-feed slice into the view state under ``txn``
+        (a pair or a LIST of pairs — the streaming writer stamps its
+        batch lineage and the covered base version atomically).
+        ``refresh()`` routes its batch pull here; a change-feed STREAM
+        (``maintain_view_stream``) routes its micro-batches here. The
+        slice must be exactly the base's changes in some version span
+        (start, end], each applied at most once — the txn stamps are
+        what enforce the at-most-once across redeliveries.
+
+        Returns ``"init" | "merged" | "empty-carry" | "noop-empty"``.
+        """
+        delta = self._fold_delta(changes)
+        if self.view.latest_version() is None:
+            if delta.isEmpty():
+                # nothing to record and nowhere to stamp; replaying an
+                # empty slice is free and equally empty
+                return "noop-empty"
+            # first slice against an empty base: the delta IS the state
+            state = self._restore_null_sums(delta).select(
+                *self.group_by, *self._state_cols(), "__view_key"
+            )
+            self.view.commit(state, mode="overwrite", txn=txn)
+            return "init"
         if delta.isEmpty():
             # nothing net-changed: advance the covered stamp with an
             # empty-carry publish so the next refresh diffs from here
@@ -196,9 +237,9 @@ class IncrementalAggregateView:
                 mode="overwrite",
                 expected_base=self.view.latest_version(),
                 carry=self.view._manifest(self.view.latest_version())["files"],
-                txn=(self.app_id, latest),
+                txn=txn,
             )
-            return {"mode": "delta", "base_version": latest}
+            return "empty-carry"
 
         # old values for exactly the touched groups; the view relation
         # is aggregate-sized (orders below the base), and MERGE below
@@ -219,17 +260,9 @@ class IncrementalAggregateView:
             *self.group_by,
             *[F.col(f"__new_{c}").alias(c) for c in self._state_cols()],
         )
-        # restore the sum-of-all-NULLs convention the coalesce broke:
-        # a group with zero non-null values has a NULL sum, not 0
-        for c in self._sum_cols():
-            new_rows = new_rows.withColumn(
-                f"__sum_{c}",
-                F.when(F.col(f"__nn_{c}") > 0, F.col(f"__sum_{c}")),
-            )
-        self.view.merge(
-            spark, new_rows, key="__view_key", txn=(self.app_id, latest)
-        )
-        return {"mode": "delta", "base_version": latest}
+        new_rows = self._restore_null_sums(new_rows)
+        self.view.merge(spark, new_rows, key="__view_key", txn=txn)
+        return "merged"
 
     # -- queries ----------------------------------------------------------
     def current(self, spark: SparkSession) -> DataFrame:
@@ -251,3 +284,87 @@ class IncrementalAggregateView:
         O(matching rows)); a later compact() materializes the removal.
         Safe at any time: ``current()`` never shows them anyway."""
         return self.view.delete_where(spark, F.col("__n") == 0)
+
+
+def view_maintenance_writer(view: IncrementalAggregateView, app_id: str):
+    """``foreachBatch`` function folding change-feed micro-batches
+    (``versioned_stream(..., change_feed=True)`` rows, carrying
+    ``_change_type``/``_commit_version``) into the view — the
+    continuous form of ``refresh()``.
+
+    Exactly-once twice over: (1) rows at or below the view's covered
+    base version are filtered out, so a batch pull (``refresh``) and
+    the stream can be mixed freely — whichever applied a span first
+    wins, the other sees it already covered; (2) the applying commit
+    atomically stamps BOTH the stream-batch lineage ``(app_id,
+    batch_id)`` and the covered-version lineage ``(view.app_id,
+    max _commit_version)`` — one manifest publish, no window where one
+    ledger has advanced and the other hasn't.
+
+    ``app_id`` must be bound to the checkpoint LINEAGE
+    (:func:`~jde_to_datalake_spark.streaming.ingest.checkpoint_app_id`).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        recorded = view.view.last_txn_version(app_id)
+        if recorded is not None and recorded >= int(batch_id):
+            return  # re-delivered batch: the view commit already landed
+        covered = view.covered_version()
+        if covered is not None:
+            batch_df = batch_df.filter(
+                F.col("_commit_version") > F.lit(covered)
+            )
+        batch_df = batch_df.persist()
+        try:
+            mx = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+            txns = [(app_id, int(batch_id))]
+            if mx is not None:
+                txns.append((view.app_id, int(mx)))
+            view.apply_changes(
+                batch_df.sparkSession,
+                batch_df.drop("_commit_version"),
+                txn=txns,
+            )
+        finally:
+            batch_df.unpersist()
+
+    return write
+
+
+def maintain_view_stream(
+    spark: SparkSession,
+    view: IncrementalAggregateView,
+    checkpoint_dir: str,
+    schema=None,
+):
+    """Maintain the view CONTINUOUSLY from the base table's change-feed
+    stream (availableNow: drain every un-checkpointed commit, then
+    stop — a scheduler re-invokes on its cadence and resumes from the
+    checkpoint). The lake-native replacement for re-running the
+    aggregate: per cycle the cost is O(changed rows) + the touched
+    groups' MERGE, never O(base table).
+
+    A fresh checkpoint starts at the view's covered version when the
+    view was already built by ``refresh()`` (nothing is re-read), else
+    from the table's beginning (the first micro-batch IS the initial
+    build). Returns the StreamingQuery."""
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        versioned_stream,
+    )
+    from jde_to_datalake_spark.streaming.ingest import checkpoint_app_id
+
+    options = {}
+    covered = view.covered_version()
+    if covered is not None:
+        options["starting_version"] = str(int(covered))
+    stream = versioned_stream(
+        spark, view.base, schema=schema, change_feed=True, **options
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            view_maintenance_writer(view, checkpoint_app_id(checkpoint_dir))
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

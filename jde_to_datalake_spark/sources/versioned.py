@@ -145,6 +145,18 @@ def _dv_referenced_files(path: str) -> "list[str] | None":
         return None
 
 
+def _txn_pairs(txn) -> "list[tuple[str, int]]":
+    """Normalize the ``txn`` argument: None, one (app_id, version)
+    pair, or a list of pairs (Delta's multiple-setTransaction form)."""
+    if txn is None:
+        return []
+    if isinstance(txn, tuple) and len(txn) == 2 and not isinstance(
+        txn[0], tuple
+    ):
+        return [txn]
+    return list(txn)
+
+
 def _parquet_num_rows(path: str) -> int:
     """Row count from the parquet footer — a metadata read, no scan."""
     import pyarrow.parquet as pq
@@ -265,7 +277,7 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "append",
         expected_base=_UNSET,
-        txn: "tuple[str, int] | None" = None,
+        txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
     ) -> int:
         """Write data files, then publish the next manifest atomically.
 
@@ -283,7 +295,7 @@ class VersionedTable:
         mode: str = "append",
         expected_base=_UNSET,
         carry: list[str] | None = None,
-        txn: "tuple[str, int] | None" = None,
+        txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
         dv_files: list[str] | None = None,
         known_stats: dict | None = None,
         annotations: dict | None = None,
@@ -319,7 +331,11 @@ class VersionedTable:
         before committing and SKIPS work already recorded — the O(1)
         effectively-once mechanism for append-shaped streaming sinks,
         where a keyed MERGE would pay a data-sized anti-join for
-        idempotency alone.
+        idempotency alone. A LIST of (app_id, txn_version) pairs
+        stamps them all in the one commit (Delta allows multiple
+        setTransaction actions per commit) — how a change-feed
+        consumer records both its stream-batch lineage and the base
+        version it has covered, atomically.
 
         ``dv_files`` is the FULL deletion-vector sidecar list for the
         new version (``delete_where`` passes it). When omitted it is
@@ -405,8 +421,7 @@ class VersionedTable:
                         if isinstance(entry, dict)
                         else {"version": int(entry), "at": now}
                     )
-        if txn is not None:
-            app_id, txn_version = txn
+        for app_id, txn_version in _txn_pairs(txn):
             old = txns.get(str(app_id), {}).get("version", int(txn_version))
             txns[str(app_id)] = {
                 "version": max(int(txn_version), int(old)),
@@ -1093,7 +1108,7 @@ class VersionedTable:
         spark: SparkSession,
         updates: DataFrame,
         key: str,
-        txn: "tuple[str, int] | None" = None,
+        txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
     ) -> int:
         """Keyed MERGE: matched rows replaced, new rows inserted —
         rewriting ONLY the files the batch can touch.

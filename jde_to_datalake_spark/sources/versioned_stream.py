@@ -32,6 +32,20 @@ Semantics (Delta's rules, same trade-offs):
   behavior: rewritten files are re-emitted whole (downstream must
   dedupe, e.g. the ingestion loop's idempotent MERGE).
 
+CHANGE-FEED MODE (``read_change_feed=true`` / ``versioned_stream(...,
+change_feed=True)``) streams the table's row-level CDC instead of its
+appends — Delta's ``readChangeFeed`` as a stream. Every commit kind is
+expressible: appends emit inserts; merge/compact rewrites emit
+delete+insert pairs (byte-identical carried rows cancel in a
+sign-fold); ``delete_where`` deletion vectors emit exactly the newly
+tombstoned rows as deletes; ``restore`` emits the rollback (departed
+files' live rows as deletes, returning files' as inserts, and REMOVED
+deletion vectors as re-inserts). Rows carry ``_change_type``
+('insert'|'delete') and ``_commit_version``; the per-commit tasks are
+still one per changed FILE (or changed DV sidecar), executor-parallel.
+Downstream, ``plans.incremental_view.maintain_view_stream`` folds this
+feed into a materialized count/sum aggregate exactly-once.
+
 Usage::
 
     spark.dataSource.register(VersionedTableDataSource)
@@ -43,7 +57,7 @@ or ``versioned_stream(spark, table)`` which does both.
 
 from __future__ import annotations
 
-import json
+import itertools
 import os
 from typing import Iterator
 
@@ -110,10 +124,94 @@ def sniff_schema_ddl(root: str) -> str:
     )
 
 
+#: the change-feed meta columns appended to the table schema in CDF
+#: mode (Delta's readChangeFeed shape, minus _commit_timestamp — the
+#: manifest's committed_at is wall-clock, not a change identity)
+CDF_META_DDL = "_change_type string, _commit_version bigint"
+_CDF_META_COLS = ("_change_type", "_commit_version")
+
+
 class _AddedFilePartition(InputPartition):
     def __init__(self, root: str, file: str):
         self.root = root
         self.file = file
+
+
+class _CdfPartition(InputPartition):
+    """One change-feed task: a data file inserted/deleted at
+    ``version``, or a deletion-vector sidecar added/removed at
+    ``version`` (kind in insert_file | delete_file | dv_new |
+    dv_gone). The task re-reads the two neighboring manifests itself
+    (small JSON) instead of shipping file lists through the plan."""
+
+    def __init__(self, root: str, version: int, kind: str, name: str):
+        self.root = root
+        self.version = version
+        self.kind = kind
+        self.name = name
+
+
+def _emit_arrow(t, schema_: StructType, meta: "dict | None"):
+    """Hand Spark the arrow table cast/reordered to the DECLARED
+    schema's arrow types (files may differ: large_string vs string,
+    evolved columns absent -> typed nulls), with optional CONSTANT
+    meta columns (the CDF _change_type/_commit_version). Any cast the
+    file genuinely can't satisfy falls back to the row path, whose
+    per-value Python conversion is laxer."""
+    import pyarrow as pa
+
+    meta = meta or {}
+    cols = [f.name for f in schema_.fields]
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(schema_)
+        arrays = []
+        for f in target:
+            if f.name in meta:
+                arrays.append(
+                    pa.repeat(pa.scalar(meta[f.name], type=f.type), t.num_rows)
+                )
+            elif f.name in t.column_names:
+                arrays.append(t.column(f.name).cast(f.type))
+            else:
+                arrays.append(pa.nulls(t.num_rows, type=f.type))
+        return iter(pa.table(arrays, schema=target).to_batches())
+    except Exception:
+        return iter(
+            tuple(
+                meta[c] if c in meta else rec.get(c) for c in cols
+            )
+            for rec in t.to_pylist()
+        )
+
+
+def _dv_positions(root: str, manifest: dict, basename: str) -> set:
+    """Tombstoned row positions for one data file under a manifest's
+    deletion vectors. Sidecars whose cached ``dv_refs`` entry excludes
+    the file are skipped without a read; refs-less sidecars are read
+    whole (conservative)."""
+    import pyarrow.parquet as pq
+
+    pos: set = set()
+    refs = manifest.get("dv_refs", {})
+    for s in manifest.get("dv_files", []):
+        r = refs.get(s)
+        if r is not None and basename not in {
+            os.path.basename(x) for x in r
+        }:
+            continue
+        t = pq.read_table(
+            os.path.join(root, s), columns=["file", "pos"]
+        )
+        pos.update(
+            p
+            for f, p in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            )
+            if f == basename
+        )
+    return pos
 
 
 def _added_per_version(
@@ -157,6 +255,52 @@ def _added_per_version(
     return added
 
 
+def _cdf_partitions(
+    table: VersionedTable, v_from: int, v_to: int
+) -> "list[_CdfPartition]":
+    """Change-feed tasks for the span (v_from, v_to], one version step
+    at a time: every data file entering or leaving the manifest, and
+    every deletion-vector sidecar added or removed. Rewrites need no
+    guard here — a merge/compact surfaces as delete_file+insert_file
+    pairs whose unchanged rows cancel in any sign-folding consumer
+    (exactly batch ``read_changes``' file-level truth, per commit)."""
+    parts: list[_CdfPartition] = []
+    try:
+        prev = (
+            table._manifest(v_from)
+            if v_from >= 0
+            else {"files": [], "dv_files": []}
+        )
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"versioned_table stream: version {v_from} of {table.root} "
+            "has been vacuumed away — the checkpointed offset predates "
+            "the table's retention window. Restart from a fresh "
+            "checkpoint (full re-read) or raise vacuum keep_last on "
+            "the source table above the stream's maximum lag."
+        ) from None
+    for v in range(v_from + 1, v_to + 1):
+        cur = table._manifest(v)
+        old_files = set(prev["files"])
+        new_files = set(cur["files"])
+        old_dvs = set(prev.get("dv_files", []))
+        new_dvs = set(cur.get("dv_files", []))
+        for f in cur["files"]:
+            if f not in old_files:
+                parts.append(_CdfPartition(table.root, v, "insert_file", f))
+        for f in prev["files"]:
+            if f not in new_files:
+                parts.append(_CdfPartition(table.root, v, "delete_file", f))
+        for s in cur.get("dv_files", []):
+            if s not in old_dvs:
+                parts.append(_CdfPartition(table.root, v, "dv_new", s))
+        for s in prev.get("dv_files", []):
+            if s not in new_dvs:
+                parts.append(_CdfPartition(table.root, v, "dv_gone", s))
+        prev = cur
+    return parts
+
+
 class VersionedTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
@@ -166,6 +310,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self.root = root
         self.ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
+        )
+        self.change_feed = (
+            str(options.get("read_change_feed", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("starting_version", -1))
 
@@ -181,6 +328,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         v_from, v_to = int(start["version"]), int(end["version"])
+        if self.change_feed:
+            parts = (
+                _cdf_partitions(self._table(), v_from, v_to)
+                if v_to > v_from
+                else []
+            )
+            return parts or [_AddedFilePartition(self.root, "")]
         files = (
             _added_per_version(
                 self._table(), v_from, v_to, self.ignore_changes
@@ -194,41 +348,112 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             return [_AddedFilePartition(self.root, "")]
         return [_AddedFilePartition(self.root, f) for f in files]
 
-    def read(self, partition: _AddedFilePartition) -> Iterator[tuple]:
-        if not partition.file:
-            return iter([])
-        import pyarrow as pa
+    def _data_cols(self) -> list[str]:
+        return [
+            f.name
+            for f in self.schema_.fields
+            if f.name not in _CDF_META_COLS
+        ]
+
+    def _read_file(self, root: str, name: str):
+        """One data file projected to the declared DATA columns
+        (schema-evolved files: requesting an absent column raises in
+        pyarrow, so project the intersection; absent ones become typed
+        nulls at emit, extra ones are ignored — parquet-by-name)."""
         import pyarrow.parquet as pq
 
-        cols = [f.name for f in self.schema_.fields]
-        path = os.path.join(partition.root, partition.file)
-        # schema-evolved files: project only the columns this file has
-        # (requesting an absent column raises in pyarrow); absent ones
-        # read as NULL, extra ones are ignored — parquet-by-name
+        path = os.path.join(root, name)
         present = set(pq.read_schema(path).names)
-        t = pq.read_table(path, columns=[c for c in cols if c in present])
-        # fast path: hand Spark Arrow RecordBatches (zero per-row
-        # Python objects; the file's buffers flow through). Columns
-        # are cast/reordered to the DECLARED schema's arrow types
-        # (files may differ: large_string vs string, evolved columns
-        # absent -> typed nulls). Any cast the file genuinely can't
-        # satisfy falls back to the row path, whose per-value Python
-        # conversion is laxer.
-        try:
-            from pyspark.sql.pandas.types import to_arrow_schema
+        return pq.read_table(
+            path, columns=[c for c in self._data_cols() if c in present]
+        )
 
-            target = to_arrow_schema(self.schema_)
-            arrays = [
-                t.column(f.name).cast(f.type)
-                if f.name in present
-                else pa.nulls(t.num_rows, type=f.type)
-                for f in target
-            ]
-            return iter(pa.table(arrays, schema=target).to_batches())
-        except Exception:
-            return iter(
-                tuple(rec.get(c) for c in cols) for rec in t.to_pylist()
+    def read(self, partition) -> Iterator[tuple]:
+        if isinstance(partition, _CdfPartition):
+            return self._read_cdf(partition)
+        if not partition.file:
+            return iter([])
+        t = self._read_file(partition.root, partition.file)
+        # fast path: hand Spark Arrow RecordBatches (zero per-row
+        # Python objects; the file's buffers flow through)
+        return _emit_arrow(t, self.schema_, None)
+
+    # -- change-feed read --------------------------------------------------
+    def _read_cdf(self, p: _CdfPartition) -> Iterator:
+        table = VersionedTable(p.root)
+        m_cur = table._manifest(p.version)
+        m_prev = (
+            table._manifest(p.version - 1)
+            if p.version > 0
+            else {"files": [], "dv_files": []}
+        )
+
+        def emit(t, change_type: str):
+            return _emit_arrow(
+                t,
+                self.schema_,
+                {
+                    "_change_type": change_type,
+                    "_commit_version": p.version,
+                },
             )
+
+        if p.kind == "insert_file":
+            # rows live AT version p.version: a file (re-)entering the
+            # manifest together with deletion vectors that tombstone
+            # some of its rows (RESTORE) must not resurrect them
+            t = self._read_file(p.root, p.name)
+            skip = _dv_positions(p.root, m_cur, os.path.basename(p.name))
+            if skip:
+                t = t.take(
+                    [i for i in range(t.num_rows) if i not in skip]
+                )
+            return emit(t, "insert")
+        if p.kind == "delete_file":
+            # rows that were LIVE at version-1 stop existing here;
+            # already-tombstoned positions were never alive to delete
+            t = self._read_file(p.root, p.name)
+            skip = _dv_positions(p.root, m_prev, os.path.basename(p.name))
+            if skip:
+                t = t.take(
+                    [i for i in range(t.num_rows) if i not in skip]
+                )
+            return emit(t, "delete")
+
+        # a deletion-vector sidecar entering (dv_new -> row deletes) or
+        # leaving (dv_gone -> row re-inserts, the RESTORE rollback of a
+        # delete) the manifest. Only files present in BOTH manifests
+        # are handled here: rows of files entering/leaving in the same
+        # step are already emitted net-of-DV by the file tasks above.
+        import pyarrow.parquet as pq
+
+        sidecar = pq.read_table(
+            os.path.join(p.root, p.name), columns=["file", "pos"]
+        )
+        by_file: dict[str, list[int]] = {}
+        for f, pos in zip(
+            sidecar.column("file").to_pylist(),
+            sidecar.column("pos").to_pylist(),
+        ):
+            by_file.setdefault(f, []).append(pos)
+        old_names = {os.path.basename(f) for f in m_prev["files"]}
+        cur_map = {os.path.basename(f): f for f in m_cur["files"]}
+        guard_m = m_prev if p.kind == "dv_new" else m_cur
+        change = "delete" if p.kind == "dv_new" else "insert"
+        outs = []
+        for b, plist in sorted(by_file.items()):
+            if b not in cur_map or b not in old_names:
+                continue
+            # dv_new: a row some OTHER (older) sidecar already
+            # tombstoned was not alive — nothing to delete; dv_gone: a
+            # row still tombstoned by a REMAINING sidecar stays dead
+            guarded = _dv_positions(p.root, guard_m, b)
+            take = sorted(set(plist) - guarded)
+            if not take:
+                continue
+            t = self._read_file(p.root, cur_map[b]).take(take)
+            outs.append(emit(t, change))
+        return itertools.chain.from_iterable(outs)
 
     def commit(self, end: dict) -> None:
         pass  # manifests are the source of truth; nothing to ack
@@ -250,13 +475,25 @@ class VersionedTableDataSource(DataSource):
         root = self.options.get("path")
         if not root:
             raise ValueError("versioned_table source requires .option('path', ...)")
-        return sniff_schema_ddl(root)
+        ddl = sniff_schema_ddl(root)
+        if (
+            str(self.options.get("read_change_feed", "false")).lower()
+            == "true"
+        ):
+            ddl = f"{ddl}, {CDF_META_DDL}"
+        return ddl
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return VersionedTableStreamReader(schema, self.options)
 
 
-def versioned_stream(spark, table: VersionedTable, schema=None, **options):
+def versioned_stream(
+    spark,
+    table: VersionedTable,
+    schema=None,
+    change_feed: bool = False,
+    **options,
+):
     """Register the source (idempotent) and open ``table`` as a
     streaming DataFrame.
 
@@ -265,7 +502,37 @@ def versioned_stream(spark, table: VersionedTable, schema=None, **options):
     query start. A restarted query re-sniffs — on a schema-evolved
     table pass the schema explicitly so the sink sees one stable
     shape across restarts (absent columns read as NULL, extra ones
-    are ignored)."""
+    are ignored).
+
+    ``change_feed=True`` streams the table's CHANGE FEED instead of
+    its appends (Delta's ``readChangeFeed`` as a stream): every commit
+    — append, merge, delete_where, compact, restore — surfaces as
+    row-level ``_change_type`` insert/delete events stamped with
+    ``_commit_version``; rewritten-but-identical rows arrive as
+    delete+insert pairs that cancel in any sign-folding consumer
+    (``plans.incremental_view``). The two meta columns are appended to
+    an explicit ``schema`` automatically when absent."""
+    if change_feed:
+        options.setdefault("read_change_feed", "true")
+    if (
+        str(options.get("read_change_feed", "false")).lower() == "true"
+        and schema is not None
+    ):
+        if isinstance(schema, str):
+            if "_change_type" not in schema:
+                schema = f"{schema}, {CDF_META_DDL}"
+        else:
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            names = {f.name for f in schema.fields}
+            if "_change_type" not in names:
+                schema = StructType(
+                    list(schema.fields)
+                    + [
+                        StructField("_change_type", StringType()),
+                        StructField("_commit_version", LongType()),
+                    ]
+                )
     spark.dataSource.register(VersionedTableDataSource)
     reader = spark.readStream.format("versioned_table").option(
         "path", table.root
