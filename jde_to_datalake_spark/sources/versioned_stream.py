@@ -315,19 +315,76 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             str(options.get("read_change_feed", "false")).lower() == "true"
         )
         self.starting_version = int(options.get("starting_version", -1))
+        self.max_files = int(options.get("max_files_per_trigger", 0)) or None
+        # admission-control cursor: the last batch end this reader
+        # planned, so latestOffset can bound the NEXT batch's span.
+        # None until initialOffset/partitions runs — the one batch
+        # after a restart that replays ahead of any partitions() call
+        # is unbounded (the Python source API has no ReadLimit hook).
+        self._paced_from: "int | None" = None
 
     def _table(self) -> VersionedTable:
         return VersionedTable(self.root)
 
     def initialOffset(self) -> dict:
+        self._paced_from = self.starting_version
         return {"version": self.starting_version}
+
+    def _pace(self, v_from: int, v_to: int) -> int:
+        """Largest end version in (v_from, v_to] whose span stays at or
+        under ``max_files_per_trigger`` CHANGED files (added files; in
+        change-feed mode also departed files and DV sidecar churn) —
+        Delta's maxFilesPerTrigger. Always admits at least one version,
+        so a single huge commit still flows (as one batch). Any
+        manifest problem defers to partitions(), whose error message
+        carries the vacuum guidance."""
+        try:
+            prev = set(
+                self._table()._manifest(v_from)["files"]
+                if v_from >= 0
+                else []
+            )
+            prev_dvs: set = set(
+                self._table()._manifest(v_from).get("dv_files", [])
+                if v_from >= 0
+                else []
+            )
+            total = 0
+            end = v_from
+            for v in range(v_from + 1, v_to + 1):
+                m = self._table()._manifest(v)
+                cur = set(m["files"])
+                cur_dvs = set(m.get("dv_files", []))
+                n = len(cur - prev)
+                if self.change_feed:
+                    n += (
+                        len(prev - cur)
+                        + len(cur_dvs - prev_dvs)
+                        + len(prev_dvs - cur_dvs)
+                    )
+                if total + n > self.max_files and total > 0:
+                    break
+                total += n
+                end = v
+                prev, prev_dvs = cur, cur_dvs
+            return end
+        except FileNotFoundError:
+            return v_to
 
     def latestOffset(self) -> dict:
         v = self._table().latest_version()
-        return {"version": self.starting_version if v is None else v}
+        v = self.starting_version if v is None else v
+        if (
+            self.max_files is not None
+            and self._paced_from is not None
+            and v > self._paced_from
+        ):
+            v = self._pace(self._paced_from, v)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         v_from, v_to = int(start["version"]), int(end["version"])
+        self._paced_from = v_to
         if self.change_feed:
             parts = (
                 _cdf_partitions(self._table(), v_from, v_to)
@@ -511,7 +568,17 @@ def versioned_stream(
     ``_commit_version``; rewritten-but-identical rows arrive as
     delete+insert pairs that cancel in any sign-folding consumer
     (``plans.incremental_view``). The two meta columns are appended to
-    an explicit ``schema`` automatically when absent."""
+    an explicit ``schema`` automatically when absent.
+
+    ``max_files_per_trigger=N`` (Delta's knob) paces a long-lived
+    stream: each steady-state micro-batch admits whole versions up to
+    N changed files (in change-feed mode: added + departed + DV
+    sidecar churn), so a consumer stalled behind a 10k-commit backlog
+    catches up in bounded batches instead of one giant plan. Scope of
+    the bound: the FIRST batch of each run is unbounded — the Python
+    source API has no ReadLimit hook, so the cursor engages once the
+    first batch is planned; ``availableNow`` snapshots its end offset
+    at start and is therefore never paced."""
     if change_feed:
         options.setdefault("read_change_feed", "true")
     if (

@@ -230,3 +230,125 @@ def test_read_yields_arrow_batches_even_for_evolved_files(spark, tmp_path):
     assert tbl.column_names == ["k", "m", "vec", "later"]
     assert tbl.column("later").null_count == tbl.num_rows
     assert tbl.column("m").type == pa.decimal128(12, 2)
+
+
+def test_max_files_per_trigger_paces_the_offset_walk(spark, tmp_path):
+    """Admission control at the protocol level (deterministic — no
+    trigger timing): once partitions() has planned a batch, every
+    subsequent latestOffset() advances at most max_files_per_trigger
+    changed files, one whole version at a time, and a single
+    over-sized commit still flows as one batch."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamReader,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for lo in (0, 10, 20):
+        t.commit(
+            spark.range(lo, lo + 10).selectExpr("id AS k").coalesce(2),
+            mode="append",
+        )
+    # one commit with MORE files than the cap: must still be admitted
+    t.commit(
+        spark.range(30, 40).selectExpr("id AS k").repartition(5),
+        mode="append",
+    )
+    declared = _parse_datatype_string("k bigint")
+    r = VersionedTableStreamReader(
+        declared, {"path": t.root, "max_files_per_trigger": "2"}
+    )
+    seen = []
+    start = r.initialOffset()
+    for _ in range(10):
+        end = r.latestOffset()
+        if end == start:
+            break
+        r.partitions(start, end)
+        seen.append((int(start["version"]), int(end["version"])))
+        start = end
+    # 2 files per commit, cap 2 -> one version per batch; the 5-file
+    # commit is over-sized but still admitted alone
+    assert seen == [(-1, 0), (0, 1), (1, 2), (2, 3)]
+
+    # unpaced reader drains the same table in ONE span
+    r2 = VersionedTableStreamReader(declared, {"path": t.root})
+    assert int(r2.latestOffset()["version"]) == 3
+
+
+def test_max_files_per_trigger_counts_cdf_churn(spark, tmp_path):
+    """In change-feed mode the pace counter includes departed files
+    and deletion-vector sidecar churn, not just added files."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        CDF_META_DDL,
+        VersionedTableStreamReader,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).selectExpr("id AS k").coalesce(1))
+    t.delete_where(spark, F.col("k") < 2)  # +1 dv sidecar
+    t.compact(spark, target_partitions=1)  # -1 file +1 file -1 dv
+    declared = _parse_datatype_string(f"k bigint, {CDF_META_DDL}")
+    r = VersionedTableStreamReader(
+        declared,
+        {
+            "path": t.root,
+            "read_change_feed": "true",
+            "max_files_per_trigger": "1",
+        },
+    )
+    start = r.initialOffset()
+    spans = []
+    for _ in range(10):
+        end = r.latestOffset()
+        if end == start:
+            break
+        r.partitions(start, end)
+        spans.append((int(start["version"]), int(end["version"])))
+        start = end
+    # v0 = 1 added file; v1 = 1 dv sidecar; v2 = 3 churn units — each
+    # version alone exceeds-or-meets the cap of 1, so one per batch
+    assert spans == [(-1, 0), (0, 1), (1, 2)]
+
+
+def test_max_files_per_trigger_paces_a_midstream_backlog(spark, tmp_path):
+    """e2e: a backlog landing while the stream runs drains one capped
+    batch per trigger (the first batch of a run is unbounded — the
+    Python source API has no ReadLimit hook — so the backlog arrives
+    after batch 0)."""
+    import time
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).selectExpr("id AS k").coalesce(2))
+    got = []
+    q = (
+        versioned_stream(spark, t, max_files_per_trigger="2")
+        .writeStream.foreachBatch(
+            lambda df, bid: got.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and sum(got) < 10:
+            time.sleep(0.5)
+        assert sum(got) == 10
+        for lo in (10, 20, 30):
+            t.commit(
+                spark.range(lo, lo + 10).selectExpr("id AS k").coalesce(2),
+                mode="append",
+            )
+        deadline = time.time() + 120
+        while time.time() < deadline and sum(got) < 40:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert sum(got) == 40
+    steady = [n for n in got[1:] if n]
+    assert steady and max(steady) <= 10  # cap 2 files = 1 version
