@@ -214,6 +214,22 @@ def _dv_positions(root: str, manifest: dict, basename: str) -> set:
     return pos
 
 
+def _span_manifest(table: VersionedTable, v: int) -> dict:
+    """A span version's manifest, or the vacuumed-offset guidance —
+    ANY version inside a planned span may have been vacuumed (not just
+    the start: keep_last trims from the oldest up)."""
+    try:
+        return table._manifest(v)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"versioned_table stream: version {v} of {table.root} "
+            "has been vacuumed away — the checkpointed offset predates "
+            "the table's retention window. Restart from a fresh "
+            "checkpoint (full re-read) or raise vacuum keep_last on "
+            "the source table above the stream's maximum lag."
+        ) from None
+
+
 def _added_per_version(
     table: VersionedTable, v_from: int, v_to: int, ignore_changes: bool
 ) -> "list[str]":
@@ -221,21 +237,12 @@ def _added_per_version(
     step at a time so intra-span compaction cannot double-count, in
     deterministic (version, manifest-order) sequence."""
     added: list[str] = []
-    try:
-        prev_files = (
-            table._manifest(v_from)["files"] if v_from >= 0 else []
-        )
-    except FileNotFoundError:
-        raise RuntimeError(
-            f"versioned_table stream: version {v_from} of {table.root} "
-            "has been vacuumed away — the checkpointed offset predates "
-            "the table's retention window. Restart from a fresh "
-            "checkpoint (full re-read) or raise vacuum keep_last on "
-            "the source table above the stream's maximum lag."
-        ) from None
-    prev_set = set(prev_files)
+    added_set: set = set()
+    prev_set = set(
+        _span_manifest(table, v_from)["files"] if v_from >= 0 else []
+    )
     for v in range(v_from + 1, v_to + 1):
-        cur_files = table._manifest(v)["files"]
+        cur_files = _span_manifest(table, v)["files"]
         cur_set = set(cur_files)
         if not prev_set <= cur_set and not ignore_changes:
             raise RuntimeError(
@@ -249,8 +256,10 @@ def _added_per_version(
         # a file added in this step and removed in a LATER step must
         # not re-enter if a later manifest re-adds nothing; per-step
         # set difference handles both directions exactly
-        step_added = [f for f in cur_files if f not in prev_set]
-        added.extend(f for f in step_added if f not in added)
+        for f in cur_files:
+            if f not in prev_set and f not in added_set:
+                added.append(f)
+                added_set.add(f)
         prev_set = cur_set
     return added
 
@@ -265,22 +274,13 @@ def _cdf_partitions(
     pairs whose unchanged rows cancel in any sign-folding consumer
     (exactly batch ``read_changes``' file-level truth, per commit)."""
     parts: list[_CdfPartition] = []
-    try:
-        prev = (
-            table._manifest(v_from)
-            if v_from >= 0
-            else {"files": [], "dv_files": []}
-        )
-    except FileNotFoundError:
-        raise RuntimeError(
-            f"versioned_table stream: version {v_from} of {table.root} "
-            "has been vacuumed away — the checkpointed offset predates "
-            "the table's retention window. Restart from a fresh "
-            "checkpoint (full re-read) or raise vacuum keep_last on "
-            "the source table above the stream's maximum lag."
-        ) from None
+    prev = (
+        _span_manifest(table, v_from)
+        if v_from >= 0
+        else {"files": [], "dv_files": []}
+    )
     for v in range(v_from + 1, v_to + 1):
-        cur = table._manifest(v)
+        cur = _span_manifest(table, v)
         old_files = set(prev["files"])
         new_files = set(cur["files"])
         old_dvs = set(prev.get("dv_files", []))

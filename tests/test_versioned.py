@@ -253,6 +253,60 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
     got = sorted((r.k, r.v) for r in table.read(spark).collect())
     assert got == sorted(model)
 
+    # CDF invariant: streaming the change feed from the beginning and
+    # sign-folding it reproduces the final snapshot exactly — never a
+    # duplicate or a negative count — for EVERY op sequence. When
+    # vacuum trimmed early manifests the stream must instead fail with
+    # the vacuum guidance (a silent partial fold would corrupt any
+    # downstream incremental view). Drives the stream reader's
+    # planning + per-partition read directly (the protocol a running
+    # query uses), without query-engine overhead.
+    import collections
+
+    import pyarrow as pa
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        CDF_META_DDL,
+        VersionedTableStreamReader,
+        _cdf_partitions,
+    )
+
+    latest = table.latest_version()
+
+    def _have(u: int) -> bool:
+        try:
+            table._manifest(u)
+            return True
+        except FileNotFoundError:
+            return False
+
+    if not all(_have(u) for u in range(latest + 1)):
+        with pytest.raises(RuntimeError, match="vacuumed"):
+            _cdf_partitions(table, -1, latest)
+        return
+    reader = VersionedTableStreamReader(
+        _parse_datatype_string(f"k bigint, v string, {CDF_META_DDL}"),
+        {"path": table.root, "read_change_feed": "true"},
+    )
+    net: collections.Counter = collections.Counter()
+    for part in _cdf_partitions(table, -1, latest):
+        for out in reader._read_cdf(part):
+            if isinstance(out, pa.RecordBatch):
+                tb = pa.Table.from_batches([out])
+                rows = zip(
+                    tb.column("k").to_pylist(),
+                    tb.column("v").to_pylist(),
+                    tb.column("_change_type").to_pylist(),
+                )
+            else:  # row-tuple fallback path
+                rows = [(out[0], out[1], out[2])]
+            for k, v_, ct in rows:
+                net[(k, v_)] += 1 if ct == "insert" else -1
+    assert all(c in (0, 1) for c in net.values())
+    assert sorted(kv for kv, c in net.items() if c == 1) == sorted(model)
+
 
 # -- write-audit-publish -----------------------------------------------------
 
