@@ -11,14 +11,17 @@ folds them into per-group deltas, and MERGEs the touched groups into
 the materialized view. Cost per refresh is O(changed data) + O(view),
 never O(base table).
 
-Delta-maintainable aggregates only: ``count`` and ``sum`` (and the
-ratios derivable from them — ``avg = sum/count``); these are the
-self-inverse aggregates where a delete is the exact inverse of an
-insert. ``min``/``max`` are NOT maintainable under deletes without
-per-group recompute and are intentionally unsupported. Floating-point
-sums drift from a from-scratch recompute by normal fp reassociation;
-use integer or decimal measure columns when bit-exact parity with a
-recompute matters (the tests do).
+Maintainable aggregates: ``count`` and ``sum`` (and the ratios
+derivable from them — ``avg = sum/count``) advance by exact
+sign-folding — a delete is the precise inverse of an insert.
+``min``/``max`` advance by the standard hybrid: inserts fold with
+least/greatest (they can only improve the extreme), while a delete
+that could have removed a group's extreme triggers a recompute of
+THAT GROUP ONLY from the base snapshot the slice ends at — a
+broadcast-semi-joined scan of the touched groups' rows, never the
+table. Floating-point sums drift from a from-scratch recompute by
+normal fp reassociation; use integer or decimal measure columns when
+bit-exact parity with a recompute matters (the tests do).
 
 Crash safety / idempotency: the view table stores the covered base
 version as an idempotent-writer txn (Delta's txnAppId/txnVersion,
@@ -31,10 +34,12 @@ exactly why the stamp must ride the merge commit and not a sidecar.
 
 Internal state schema (per group): the null-safe group key string
 ``__view_key`` (the MERGE key), the group columns, ``__n`` (count(*)),
-and per measure ``__sum_<m>`` / ``__nn_<m>`` (SQL sum over non-nulls,
-count of non-nulls). A group whose ``__n`` reaches 0 is semantically
-absent; it stays as a tombstone row that ``current()`` filters and
-``prune_empty()`` physically deletes (deletion vector, O(matching)).
+per measure ``__sum_<m>`` / ``__nn_<m>`` (SQL sum over non-nulls,
+count of non-nulls), and ``__min_<m>`` / ``__max_<m>`` where used. A
+group whose ``__n`` reaches 0 is semantically absent; it stays as a
+tombstone row that ``current()`` filters and ``prune_empty()``
+physically deletes (deletion vector, O(matching)); its stale min/max
+are never read — a reborn group ignores dead-state extremes.
 """
 
 from __future__ import annotations
@@ -66,10 +71,12 @@ class IncrementalAggregateView:
     """A materialized ``GROUP BY`` maintained from a base table's
     change feed.
 
-    ``measures`` maps output name -> ("sum"|"count", column); a
-    ``("count", "*")`` measure is the plain row count. ``refresh()``
-    performs the initial full build on first call and CDF-delta
-    maintenance afterwards; ``current()`` is the queryable result.
+    ``measures`` maps output name -> ("sum"|"count"|"min"|"max",
+    column); a ``("count", "*")`` measure is the plain row count.
+    ``refresh()`` performs the initial full build on first call and
+    CDF-delta maintenance afterwards; ``current()`` is the queryable
+    result. min/max fold inserts and recompute only the groups whose
+    extreme a delete may have removed (see module docstring).
     """
 
     def __init__(
@@ -82,14 +89,13 @@ class IncrementalAggregateView:
         if not group_by:
             raise ValueError("group_by must name at least one column")
         for name, (agg, col) in measures.items():
-            if agg not in ("sum", "count"):
+            if agg not in ("sum", "count", "min", "max"):
                 raise ValueError(
-                    f"measure {name!r}: only count/sum are "
-                    f"delta-maintainable (got {agg!r}); min/max need "
-                    "per-group recompute under deletes"
+                    f"measure {name!r}: count/sum/min/max supported "
+                    f"(got {agg!r})"
                 )
-            if agg == "sum" and col == "*":
-                raise ValueError(f"measure {name!r}: sum needs a column")
+            if agg != "count" and col == "*":
+                raise ValueError(f"measure {name!r}: {agg} needs a column")
         self.view = view
         self.base = base
         self.group_by = list(group_by)
@@ -111,12 +117,25 @@ class IncrementalAggregateView:
             }
         )
 
+    def _mm_specs(self) -> "list[tuple[str, str]]":
+        """Distinct (min|max, column) pairs among the measures."""
+        return sorted(
+            {
+                (a, c)
+                for (a, c) in self.measures.values()
+                if a in ("min", "max")
+            }
+        )
+
     def _full_aggs(self):
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in self._sum_cols():
             aggs.append(F.sum(F.col(c)).alias(f"__sum_{c}"))
         for c in self._nn_cols():
             aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        for a, c in self._mm_specs():
+            fn = F.min if a == "min" else F.max
+            aggs.append(fn(F.col(c)).alias(f"__{a}_{c}"))
         return aggs
 
     def _delta_aggs(self, sign):
@@ -135,12 +154,19 @@ class IncrementalAggregateView:
             )
         return aggs
 
-    def _state_cols(self) -> list[str]:
+    def _additive_cols(self) -> list[str]:
+        """State columns maintained by exact sign-folding."""
         return (
             ["__n"]
             + [f"__sum_{c}" for c in self._sum_cols()]
             + [f"__nn_{c}" for c in self._nn_cols()]
         )
+
+    def _mm_cols(self) -> list[str]:
+        return [f"__{a}_{c}" for a, c in self._mm_specs()]
+
+    def _state_cols(self) -> list[str]:
+        return self._additive_cols() + self._mm_cols()
 
     # -- refresh ---------------------------------------------------------
     def covered_version(self) -> int | None:
@@ -172,7 +198,9 @@ class IncrementalAggregateView:
         # rows rewritten byte-identical between the snapshots surface
         # as delete+insert pairs and cancel exactly in count/sum deltas
         changes = self.base.read_changes(spark, covered, latest)
-        self.apply_changes(spark, changes, txn=(self.app_id, latest))
+        self.apply_changes(
+            spark, changes, txn=(self.app_id, latest), base_version=latest
+        )
         return {"mode": "delta", "base_version": latest}
 
     def _fold_delta(self, changes: DataFrame) -> DataFrame:
@@ -181,19 +209,32 @@ class IncrementalAggregateView:
         groups (compaction/merge carry churn arrives as byte-identical
         delete+insert pairs that cancel exactly — filtering them keeps
         the MERGE below touching only genuinely changed groups'
-        files)."""
-        sign = F.when(
-            F.col("_change_type") == "insert", F.lit(1)
-        ).otherwise(F.lit(-1))
+        files). With min/max measures the fold also carries each
+        group's inserted/deleted extremes (``__ins_min_c`` /
+        ``__del_min_c`` / ...), and a group whose additive deltas all
+        cancel is still kept when its inserted and deleted value sets
+        could differ at the extremes (an UPDATE 5→7 has a zero count
+        delta but moves the min)."""
+        is_ins = F.col("_change_type") == "insert"
+        sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
+        aggs = list(self._delta_aggs(sign))
+        for a, c in self._mm_specs():
+            fn = F.min if a == "min" else F.max
+            aggs.append(fn(F.when(is_ins, F.col(c))).alias(f"__ins_{a}_{c}"))
+            aggs.append(fn(F.when(~is_ins, F.col(c))).alias(f"__del_{a}_{c}"))
         delta = (
             changes.groupBy(*self.group_by)
-            .agg(*self._delta_aggs(sign))
+            .agg(*aggs)
             .withColumn("__view_key", _null_safe_key(self.group_by))
         )
-        nonzero = F.lit(False)
-        for c in self._state_cols():
-            nonzero = nonzero | (F.coalesce(F.col(c), F.lit(0)) != 0)
-        return delta.filter(nonzero)
+        keep = F.lit(False)
+        for c in self._additive_cols():
+            keep = keep | (F.coalesce(F.col(c), F.lit(0)) != 0)
+        for a, c in self._mm_specs():
+            keep = keep | ~F.col(f"__ins_{a}_{c}").eqNullSafe(
+                F.col(f"__del_{a}_{c}")
+            )
+        return delta.filter(keep)
 
     def _restore_null_sums(self, rows: DataFrame) -> DataFrame:
         """SQL convention: a group with zero non-null values has a
@@ -205,7 +246,66 @@ class IncrementalAggregateView:
             )
         return rows
 
-    def apply_changes(self, spark: SparkSession, changes: DataFrame, txn) -> str:
+    def _apply_mm_recompute(
+        self, spark: SparkSession, rows: DataFrame, base_version
+    ) -> DataFrame:
+        """Override each min/max column with a from-base recompute for
+        exactly the groups whose ``__rec_<a>_<c>`` flag is set (a
+        delete may have removed the extreme value — fp-exact
+        maintenance requires re-reading THOSE groups' rows). The scan
+        is restricted by a broadcast semi-join on the group key, so
+        the cost is O(touched groups' base rows), never O(base); the
+        flags are dropped on return."""
+        specs = self._mm_specs()
+        flags = [f"__rec_{a}_{c}" for a, c in specs]
+        if not specs:
+            return rows
+        any_rec = F.lit(False)
+        for f in flags:
+            any_rec = any_rec | F.col(f)
+        if rows.filter(any_rec).isEmpty():
+            return rows.drop(*flags)
+        if base_version is None:
+            raise ValueError(
+                "min/max maintenance under deletes needs base_version "
+                "(the base snapshot these changes end at) to recompute "
+                "the touched groups"
+            )
+        rec_keys = rows.filter(any_rec).select("__view_key").distinct()
+        base_keyed = self.base.read(spark, base_version).withColumn(
+            "__view_key", _null_safe_key(self.group_by)
+        )
+        rec = (
+            base_keyed.join(F.broadcast(rec_keys), "__view_key")
+            .groupBy("__view_key")
+            .agg(
+                *[
+                    (F.min if a == "min" else F.max)(F.col(c)).alias(
+                        f"__recv_{a}_{c}"
+                    )
+                    for a, c in specs
+                ]
+            )
+        )
+        rows = rows.join(rec, "__view_key", "left")
+        for a, c in specs:
+            # a recomputed group with no surviving rows yields NULL —
+            # it is a count-0 tombstone anyway
+            rows = rows.withColumn(
+                f"__{a}_{c}",
+                F.when(
+                    F.col(f"__rec_{a}_{c}"), F.col(f"__recv_{a}_{c}")
+                ).otherwise(F.col(f"__{a}_{c}")),
+            )
+        return rows.drop(*flags, *[f"__recv_{a}_{c}" for a, c in specs])
+
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        txn,
+        base_version: "int | None" = None,
+    ) -> str:
         """Fold one change-feed slice into the view state under ``txn``
         (a pair or a LIST of pairs — the streaming writer stamps its
         batch lineage and the covered base version atomically).
@@ -215,16 +315,33 @@ class IncrementalAggregateView:
         (start, end], each applied at most once — the txn stamps are
         what enforce the at-most-once across redeliveries.
 
+        ``base_version`` is the base snapshot the slice ends at; it is
+        required only when min/max measures meet a delete that could
+        have removed a group's extreme — those groups (and only those)
+        are recomputed from the base at that version.
+
         Returns ``"init" | "merged" | "empty-carry" | "noop-empty"``.
         """
         delta = self._fold_delta(changes)
+        specs = self._mm_specs()
         if self.view.latest_version() is None:
             if delta.isEmpty():
                 # nothing to record and nowhere to stamp; replaying an
                 # empty slice is free and equally empty
                 return "noop-empty"
-            # first slice against an empty base: the delta IS the state
-            state = self._restore_null_sums(delta).select(
+            # first slice against an empty base: the delta IS the
+            # state. Inserted extremes may include values the same
+            # slice later deleted — any group that deleted a non-null
+            # value gets recomputed.
+            state = delta
+            for a, c in specs:
+                state = state.withColumn(
+                    f"__{a}_{c}", F.col(f"__ins_{a}_{c}")
+                ).withColumn(
+                    f"__rec_{a}_{c}", F.col(f"__del_{a}_{c}").isNotNull()
+                )
+            state = self._apply_mm_recompute(spark, state, base_version)
+            state = self._restore_null_sums(state).select(
                 *self.group_by, *self._state_cols(), "__view_key"
             )
             self.view.commit(state, mode="overwrite", txn=txn)
@@ -249,17 +366,36 @@ class IncrementalAggregateView:
         )
         merged = delta.join(old, "__view_key", "left")
         combined_cols = {}
-        for c in self._state_cols():
-            combined_cols[c] = F.coalesce(
+        for c in self._additive_cols():
+            combined_cols[f"__new_{c}"] = F.coalesce(
                 F.col(f"__old_{c}"), F.lit(0)
             ) + F.coalesce(F.col(c), F.lit(0))
-        new_rows = merged.withColumns(
-            {f"__new_{c}": e for c, e in combined_cols.items()}
-        ).select(
+        # min/max: inserts can only improve the extreme (fold with
+        # least/greatest against the LIVE old value); a delete forces a
+        # recompute unless the old extreme provably survives (group was
+        # alive with a non-null extreme strictly better than every
+        # deleted value). A dead/absent old group contributes nothing.
+        old_alive = F.coalesce(F.col("__old___n"), F.lit(0)) > 0
+        rec_flags = []
+        for a, c in specs:
+            mm = f"__{a}_{c}"
+            ins, dl = F.col(f"__ins_{a}_{c}"), F.col(f"__del_{a}_{c}")
+            old_v = F.when(old_alive, F.col(f"__old_{mm}"))
+            combined_cols[f"__new_{mm}"] = (
+                F.least(old_v, ins) if a == "min" else F.greatest(old_v, ins)
+            )
+            survives = (dl > old_v) if a == "min" else (dl < old_v)
+            combined_cols[f"__rec_{a}_{c}"] = dl.isNotNull() & ~(
+                old_alive & old_v.isNotNull() & survives
+            )
+            rec_flags.append(f"__rec_{a}_{c}")
+        new_rows = merged.withColumns(combined_cols).select(
             "__view_key",
             *self.group_by,
             *[F.col(f"__new_{c}").alias(c) for c in self._state_cols()],
+            *rec_flags,
         )
+        new_rows = self._apply_mm_recompute(spark, new_rows, base_version)
         new_rows = self._restore_null_sums(new_rows)
         self.view.merge(spark, new_rows, key="__view_key", txn=txn)
         return "merged"
@@ -275,6 +411,8 @@ class IncrementalAggregateView:
                 out.append(F.col("__n").alias(name))
             elif agg == "count":
                 out.append(F.col(f"__nn_{col}").alias(name))
+            elif agg in ("min", "max"):
+                out.append(F.col(f"__{agg}_{col}").alias(name))
             else:
                 out.append(F.col(f"__sum_{col}").alias(name))
         return df.select(*out)
@@ -324,6 +462,7 @@ def view_maintenance_writer(view: IncrementalAggregateView, app_id: str):
                 batch_df.sparkSession,
                 batch_df.drop("_commit_version"),
                 txn=txns,
+                base_version=None if mx is None else int(mx),
             )
         finally:
             batch_df.unpersist()

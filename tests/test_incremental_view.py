@@ -138,14 +138,14 @@ def test_compaction_only_change_applies_no_group_rewrite(spark, tmp_path):
     assert _maintained(spark, iv) == _recompute(spark, base)
 
 
-def test_min_max_measures_are_rejected(spark, tmp_path):
+def test_unsupported_measures_are_rejected(spark, tmp_path):
     base = VersionedTable(str(tmp_path / "base"))
-    with pytest.raises(ValueError, match="delta-maintainable"):
+    with pytest.raises(ValueError, match="count/sum/min/max"):
         IncrementalAggregateView(
             VersionedTable(str(tmp_path / "view")),
             base,
             group_by=["grp"],
-            measures={"m": ("max", "val")},
+            measures={"m": ("median", "val")},
         )
 
 
@@ -183,3 +183,167 @@ def test_view_maintained_through_ingestion_writer(spark, tmp_path):
     assert {
         (r["domain"], r["n_docs"]) for r in iv.current(spark).collect()
     } == got
+
+
+# -- min/max maintenance ------------------------------------------------------
+
+
+def _mm_view(tmp_path, base, name="viewmm"):
+    return IncrementalAggregateView(
+        VersionedTable(str(tmp_path / name)),
+        base,
+        group_by=["grp"],
+        measures={
+            "n": ("count", "*"),
+            "mn": ("min", "val"),
+            "mx": ("max", "val"),
+            "sum_val": ("sum", "val"),
+        },
+    )
+
+
+def _mm_recompute(spark, base):
+    return {
+        (r["grp"], r["n"], r["mn"], r["mx"], r["sum_val"])
+        for r in base.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("mn"),
+            F.max("val").alias("mx"),
+            F.sum("val").alias("sum_val"),
+        )
+        .collect()
+    }
+
+
+def _mm_maintained(spark, iv):
+    return {
+        (r["grp"], r["n"], r["mn"], r["mx"], r["sum_val"])
+        for r in iv.current(spark).collect()
+    }
+
+
+def test_minmax_maintained_across_every_mutation_kind(spark, tmp_path):
+    """Inserts fold (can only improve the extreme); a delete of the
+    extreme forces the touched-group recompute; a delete of a
+    non-extreme value must NOT change min/max; group death, rebirth
+    (stale dead-state extremes ignored), all-NULL groups, and
+    compaction churn all reconcile with the from-scratch aggregate."""
+    base = VersionedTable(str(tmp_path / "base"))
+    iv = _mm_view(tmp_path, base)
+    base.commit(
+        _mk(
+            spark,
+            [
+                (1, "a", 5, 1),
+                (2, "a", 9, 1),
+                (3, "b", 7, 1),
+                (4, "b", 7, 1),   # duplicate extreme
+                (5, "c", None, 1),  # all-NULL group
+            ],
+        )
+    )
+    assert iv.refresh(spark)["mode"] == "full"
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+
+    # inserts only: extremes improve without recompute
+    base.commit(_mk(spark, [(6, "a", 1, 1), (7, "c", 3, 1)]), mode="append")
+    assert iv.refresh(spark)["mode"] == "delta"
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+
+    # delete the CURRENT min of 'a' (1) -> recompute; delete one of the
+    # duplicate extremes of 'b' -> min/max must stay 7
+    base.delete_where(spark, F.col("k").isin([6, 4]))
+    assert iv.refresh(spark)["mode"] == "delta"
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+
+    # delete a NON-extreme value (a: 5 with min 5? no — after k=6 went,
+    # a={5,9}; delete 9 = the max) and a middle value of a new group
+    base.commit(_mk(spark, [(8, "d", 4, 1), (9, "d", 6, 1), (10, "d", 8, 1)]), mode="append")
+    iv.refresh(spark)
+    base.delete_where(spark, F.col("k") == 9)  # d's middle value
+    assert iv.refresh(spark)["mode"] == "delta"
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+
+    # UPDATE via merge: moves a value past the extreme (zero count
+    # delta — the fold filter must still keep the group)
+    base.merge(spark, _mk(spark, [(3, "b", 2, 1)]), key="k")
+    assert iv.refresh(spark)["mode"] == "delta"
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+
+    # kill group 'a' entirely, then resurrect it with worse extremes:
+    # the dead state's min/max must not leak into the reborn group
+    base.delete_where(spark, F.col("grp") == "a")
+    iv.refresh(spark)
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+    base.commit(_mk(spark, [(11, "a", 6, 1)]), mode="append")
+    iv.refresh(spark)
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+
+    # compaction churn cancels
+    base.compact(spark, target_partitions=1)
+    assert iv.refresh(spark)["mode"] in ("delta", "noop")
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+
+
+def test_minmax_init_from_slice_with_internal_deletes(spark, tmp_path):
+    """A view initialized from a multi-version slice in which values
+    were inserted AND deleted must not keep later-deleted extremes."""
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(_mk(spark, [(1, "a", 1, 1), (2, "a", 9, 1)]))
+    base.delete_where(spark, F.col("k") == 1)  # 1 was the min
+    iv = _mm_view(tmp_path, base)
+    # the from-empty slice the change-feed STREAM would deliver:
+    # version 0's rows as inserts, then the recorded changes
+    changes = (
+        base.read(spark, 0)
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            base.read_changes(spark, 0, base.latest_version()),
+            allowMissingColumns=True,
+        )
+    )
+    assert (
+        iv.apply_changes(
+            spark,
+            changes,
+            txn=(iv.app_id, base.latest_version()),
+            base_version=base.latest_version(),
+        )
+        == "init"
+    )
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+    assert iv.refresh(spark)["mode"] == "noop"
+
+
+def test_minmax_streamed_maintenance(spark, tmp_path):
+    from jde_to_datalake_spark.plans.incremental_view import (
+        maintain_view_stream,
+    )
+
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(
+        _mk(spark, [(i, "g" + str(i % 2), i * 3 % 17, 1) for i in range(12)])
+    )
+    base.delete_where(spark, F.col("val") >= 15)  # drops a max
+    iv = _mm_view(tmp_path, base)
+    q = maintain_view_stream(spark, iv, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+    base.merge(spark, _mk(spark, [(0, "g0", -5, 1)]), key="k")
+    base.delete_where(spark, F.col("k") == 1)
+    q = maintain_view_stream(spark, iv, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert _mm_maintained(spark, iv) == _mm_recompute(spark, base)
+    assert iv.covered_version() == base.latest_version()
+
+
+def test_minmax_rejects_star_column(tmp_path):
+    with pytest.raises(ValueError, match="needs a column"):
+        IncrementalAggregateView(
+            VersionedTable(str(tmp_path / "v")),
+            VersionedTable(str(tmp_path / "b")),
+            ["g"],
+            {"m": ("min", "*")},
+        )
