@@ -182,6 +182,12 @@ class VersionedTable:
     #: in-flight batch — the same documented trade Delta makes.
     TXN_RETENTION_SECONDS: float = 30 * 24 * 3600.0
 
+    #: per-instance manifest cache size — manifests are IMMUTABLE once
+    #: published (vacuum deletes, never rewrites), so caching is safe;
+    #: a small LRU stops read paths re-parsing the same JSON (files,
+    #: dv_files, column mapping, stats are all separate lookups)
+    MANIFEST_CACHE_SIZE: int = 8
+
     def __init__(self, root: str, txn_retention_seconds: float | None = None):
         self.root = root
         self.txn_retention_seconds = (
@@ -189,6 +195,7 @@ class VersionedTable:
             if txn_retention_seconds is None
             else txn_retention_seconds
         )
+        self._manifest_cache: "dict[int, dict]" = {}
         os.makedirs(_log_dir(root), exist_ok=True)
 
     # -- log ------------------------------------------------------------
@@ -207,8 +214,15 @@ class VersionedTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
+        cached = self._manifest_cache.get(version)
+        if cached is not None:
+            return cached
         with open(_manifest_path(self.root, version)) as fh:
-            return json.load(fh)
+            m = json.load(fh)
+        if len(self._manifest_cache) >= self.MANIFEST_CACHE_SIZE:
+            self._manifest_cache.pop(next(iter(self._manifest_cache)))
+        self._manifest_cache[version] = m
+        return m
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest txn version this writer app has committed (None if
@@ -238,6 +252,154 @@ class VersionedTable:
         ]
 
     # -- write ----------------------------------------------------------
+    # -- column mapping (rename/drop without rewriting data) ---------------
+    def column_renames(self, version: int | None = None) -> dict:
+        """Current logical -> physical column name map (empty when no
+        column was ever renamed). Physical names are what parquet
+        files and footer stats carry; logical names are what every
+        read/write surface speaks."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return {}
+        return dict(self._manifest(version).get("column_renames", {}))
+
+    def dropped_columns(self, version: int | None = None) -> list[str]:
+        """PHYSICAL names of dropped columns (excluded from reads;
+        their bytes remain until a rewrite materializes the drop)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return []
+        return list(self._manifest(version).get("dropped_columns", []))
+
+    def _to_physical_name(
+        self, name: str, version: int | None = None
+    ) -> str:
+        return self.column_renames(version).get(name, name)
+
+    def _to_physical_df(
+        self, df: DataFrame, version: int | None = None
+    ) -> DataFrame:
+        """Translate a LOGICAL frame to physical column names for
+        writing. Guards the name-mode invariants: a dropped column
+        cannot be re-added (old files still carry its bytes under that
+        name, which would leak into the new column), and a column may
+        not collide with the physical storage name of a renamed one."""
+        renames = self.column_renames(version)
+        dropped = set(self.dropped_columns(version))
+        if not renames and not dropped:
+            return df
+        phys_taken = set(renames.values())
+        sel = []
+        for c in df.columns:
+            p = renames.get(c, c)
+            if p in dropped:
+                raise ValueError(
+                    f"{self.root}: column {c!r} was dropped; its bytes "
+                    "still live in old files under that physical name, "
+                    "so re-adding it would resurrect them — compact() "
+                    "first (materializing the drop) or pick a new name"
+                )
+            if c not in renames and c in phys_taken:
+                raise ValueError(
+                    f"{self.root}: column name {c!r} is the physical "
+                    "storage of a renamed column — pick a different name"
+                )
+            sel.append(F.col(c).alias(p) if p != c else F.col(c))
+        return df.select(*sel)
+
+    def _to_logical_df(
+        self, df: DataFrame, version: int | None = None, keep: tuple = ()
+    ) -> DataFrame:
+        """Translate a PHYSICAL scan to logical names: dropped columns
+        vanish, renamed ones surface under their logical name.
+        ``keep`` names pass-through columns (change-feed metadata
+        etc.). A pure projection — pushdown and pruning still reach
+        the scan below it."""
+        renames = self.column_renames(version)
+        dropped = set(self.dropped_columns(version))
+        if not renames and not dropped:
+            return df
+        inv = {p: l for l, p in renames.items()}
+        sel = []
+        for c in df.columns:
+            if c in keep:
+                sel.append(F.col(c))
+            elif c in dropped:
+                continue
+            elif c in inv:
+                sel.append(F.col(c).alias(inv[c]))
+            else:
+                sel.append(F.col(c))
+        return df.select(*sel)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
+        column mapping, name mode): no data file is touched at any
+        table size — the manifest records logical->physical and every
+        read/write surface translates at the boundary. Footer stats
+        keep their physical names, so data skipping on the renamed
+        column is unaffected."""
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        if old == new:
+            raise ValueError("rename_column: old and new are the same")
+        renames = self.column_renames(prev)
+        dropped = set(self.dropped_columns(prev))
+        if new in renames:
+            raise ValueError(f"{new!r} already names a (renamed) column")
+        if new in dropped:
+            raise ValueError(
+                f"{new!r} was dropped; old files still carry its bytes "
+                "— compact() first or pick a different name"
+            )
+        if new in set(renames.values()) - {renames.get(old, old)}:
+            raise ValueError(
+                f"{new!r} is the physical storage of another renamed column"
+            )
+        if old in dropped:
+            raise ValueError(f"{old!r} was dropped")
+        physical = renames.pop(old, old)
+        if new != physical:
+            renames[new] = physical
+        m = self._manifest(prev)
+        return self.publish(
+            [],
+            mode="overwrite",
+            expected_base=prev,
+            carry=m["files"],
+            column_renames=renames,
+            annotations={"renamed_column": [old, new]},
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the
+        column disappears from every read immediately; its bytes
+        remain in existing files until ``compact()`` rewrites them
+        (exactly Delta's drop-then-REORG contract). The name cannot be
+        re-added until a rewrite materializes the drop."""
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        renames = self.column_renames(prev)
+        dropped = list(self.dropped_columns(prev))
+        physical = renames.pop(name, name)
+        if physical in dropped:
+            raise ValueError(f"{name!r} is already dropped")
+        dropped.append(physical)
+        m = self._manifest(prev)
+        return self.publish(
+            [],
+            mode="overwrite",
+            expected_base=prev,
+            carry=m["files"],
+            column_renames=renames,
+            dropped_columns=dropped,
+            annotations={"dropped_column": name},
+        )
+
     def stage(self, df: DataFrame) -> list[str]:
         """Write data files WITHOUT publishing them (the W of
         write-audit-publish). Staged files are invisible to readers —
@@ -278,13 +440,21 @@ class VersionedTable:
         mode: str = "append",
         expected_base=_UNSET,
         txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
+        _physical: bool = False,
     ) -> int:
         """Write data files, then publish the next manifest atomically.
 
         Data files land before the manifest exists, so a crashed or
         losing writer leaves only unreferenced files (cleaned by
         ``vacuum``), never a torn table.
+
+        ``df`` speaks LOGICAL column names; under an active column
+        mapping it is translated to physical storage names before the
+        write (``_physical=True`` skips that — internal callers whose
+        frames are already physical, e.g. ``merge``).
         """
+        if not _physical:
+            df = self._to_physical_df(df)
         return self.publish(
             self.stage(df), mode=mode, expected_base=expected_base, txn=txn
         )
@@ -299,6 +469,8 @@ class VersionedTable:
         dv_files: list[str] | None = None,
         known_stats: dict | None = None,
         annotations: dict | None = None,
+        column_renames: dict | None = None,
+        dropped_columns: list[str] | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -474,9 +646,21 @@ class VersionedTable:
             "stats": stats,
             "committed_at": time.time(),
         }
+        # column mapping is table-level schema metadata: inherited
+        # across every commit kind unless explicitly replaced
+        # (rename_column/drop_column/restore/clone pass their own)
+        if column_renames is None and prev is not None:
+            column_renames = prev_manifest.get("column_renames")
+        if dropped_columns is None and prev is not None:
+            dropped_columns = prev_manifest.get("dropped_columns")
+        if column_renames:
+            manifest["column_renames"] = dict(column_renames)
+        if dropped_columns:
+            manifest["dropped_columns"] = list(dropped_columns)
         if annotations:
             clash = annotations.keys() & manifest.keys() | {
                 "dv_files", "dv_refs", "txns",
+                "column_renames", "dropped_columns",
             } & annotations.keys()
             if clash:
                 raise ValueError(
@@ -529,9 +713,13 @@ class VersionedTable:
             expectations_report,
         )
 
-        staged = self.stage(df)
+        staged = self.stage(self._to_physical_df(df))
+        # the audit surface speaks LOGICAL names like every reader
         report = expectations_report(
-            self.read_staged(df.sparkSession, staged), checks
+            self._to_logical_df(
+                self.read_staged(df.sparkSession, staged)
+            ),
+            checks,
         )
         failures = [r.asDict() for r in report.collect() if not r.passed]
         if failures:
@@ -560,7 +748,7 @@ class VersionedTable:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*[os.path.join(self.root, f) for f in files])
-        return self._apply_dvs(df, spark, version)
+        return self._to_logical_df(self._apply_dvs(df, spark, version), version)
 
     # -- deletion vectors -------------------------------------------------
     #: past this many live tombstone rows the read-path anti-join is no
@@ -681,7 +869,9 @@ class VersionedTable:
             .parquet(*[os.path.join(self.root, f) for f in files])
         )
         hits = (
-            self._apply_dvs(scan, spark, prev)
+            # predicates speak LOGICAL names; the rename projection is
+            # transparent to the _metadata columns selected below
+            self._to_logical_df(self._apply_dvs(scan, spark, prev), prev)
             .filter(predicate)
             .select(
                 F.col("_metadata.file_name").alias("file"),
@@ -777,20 +967,34 @@ class VersionedTable:
         removed = [f for f in m_from["files"] if f not in to_set]
         common = [f for f in m_from["files"] if f in to_set]
 
+        # the feed is presented in v_to's LOGICAL schema (Delta reads
+        # changes under the end schema): every scan below translates
+        # through the column mapping at v_to
         def _typed_empty(version):
-            return self.read(spark, version, merge_schema=True).filter(
-                F.lit(False)
+            files = self._manifest(version)["files"]
+            if not files:
+                return self.read(spark, version, merge_schema=True).filter(
+                    F.lit(False)
+                )
+            return self._to_logical_df(
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.root, f) for f in files])
+                .filter(F.lit(False)),
+                v_to,
             )
 
         reader = spark.read.option("mergeSchema", "true")
         # candidate deletes: live-at-v_from rows of removed files ...
         if removed:
-            old_rows = self._apply_dvs(
-                reader.parquet(
-                    *[os.path.join(self.root, f) for f in removed]
+            old_rows = self._to_logical_df(
+                self._apply_dvs(
+                    reader.parquet(
+                        *[os.path.join(self.root, f) for f in removed]
+                    ),
+                    spark,
+                    v_from,
                 ),
-                spark,
-                v_from,
+                v_to,
             )
         else:
             old_rows = _typed_empty(v_from)
@@ -833,15 +1037,19 @@ class VersionedTable:
                     .drop("__dv_file", "__dv_pos")
                 )
                 old_rows = old_rows.unionByName(
-                    tomb, allowMissingColumns=True
+                    self._to_logical_df(tomb, v_to),
+                    allowMissingColumns=True,
                 )
         # candidate inserts: live-at-v_to rows of added files
         if added:
-            new_rows = self._apply_dvs(
-                reader.parquet(
-                    *[os.path.join(self.root, f) for f in added]
+            new_rows = self._to_logical_df(
+                self._apply_dvs(
+                    reader.parquet(
+                        *[os.path.join(self.root, f) for f in added]
+                    ),
+                    spark,
+                    v_to,
                 ),
-                spark,
                 v_to,
             )
         else:
@@ -942,6 +1150,7 @@ class VersionedTable:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"{self.root}: no commits yet")
+        column = self._to_physical_name(column, version)
         manifest = self._manifest(version)
         stats = manifest.get("stats", {})
         keep = []
@@ -1001,6 +1210,7 @@ class VersionedTable:
         vals = sorted({v for v in values if v is not None})
         if not vals:
             return []
+        column = self._to_physical_name(column, version)
         manifest = self._manifest(version)
         stats = manifest.get("stats", {})
         keep = []
@@ -1047,8 +1257,11 @@ class VersionedTable:
         df = reader.parquet(
             *[os.path.join(self.root, f) for f in files]
         )
-        return self._apply_dvs(df, spark, version).filter(
-            F.col(column).isin(vals)
+        return self._to_logical_df(
+            self._apply_dvs(df, spark, version).filter(
+                F.col(self._to_physical_name(column, version)).isin(vals)
+            ),
+            version,
         )
 
     def read_where_all(
@@ -1064,12 +1277,15 @@ class VersionedTable:
             if version is None:
                 raise FileNotFoundError(f"{self.root}: no commits yet")
         files = self.files_for_ranges(ranges, version)
+        # the exact predicate runs on the PHYSICAL scan (before the
+        # logical rename projection), so column names are translated
         cond = F.lit(True)
         for column, (lower, upper) in ranges.items():
+            p = self._to_physical_name(column, version)
             if lower is not None:
-                cond = cond & (F.col(column) >= F.lit(lower))
+                cond = cond & (F.col(p) >= F.lit(lower))
             if upper is not None:
-                cond = cond & (F.col(column) <= F.lit(upper))
+                cond = cond & (F.col(p) <= F.lit(upper))
         if not files:
             return self.read(spark, version, merge_schema).filter(F.lit(False))
         reader = spark.read
@@ -1081,7 +1297,9 @@ class VersionedTable:
         df = reader.parquet(
             *[os.path.join(self.root, f) for f in files]
         )
-        return self._apply_dvs(df, spark, version).filter(cond)
+        return self._to_logical_df(
+            self._apply_dvs(df, spark, version).filter(cond), version
+        )
 
     def read_where(
         self,
@@ -1154,6 +1372,12 @@ class VersionedTable:
         # The guard runs BEFORE the empty-table fast path: a first
         # merge must reject duplicate keys exactly like every later one
         # (round-5 self-review finding).
+        # everything below operates in PHYSICAL column names: the
+        # updates frame (logical, like every caller-facing surface) is
+        # translated once, the key follows, and the internal raw scans
+        # / stats lookups / final stage are physical by construction
+        updates = self._to_physical_df(updates)
+        key = self._to_physical_name(key)
         grouped = updates.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
         s = grouped.agg(
             F.count(F.lit(1)).alias("n_groups"),
@@ -1176,7 +1400,11 @@ class VersionedTable:
             )
         if prev is None:
             return self.commit(
-                updates, mode="overwrite", expected_base=None, txn=txn
+                updates,
+                mode="overwrite",
+                expected_base=None,
+                txn=txn,
+                _physical=True,
             )
         manifest = self._manifest(prev)
         manifest_files = manifest["files"]
@@ -1299,6 +1527,10 @@ class VersionedTable:
             dv_files=list(m.get("dv_files", [])),
             known_stats=m.get("stats", {}),
             annotations={"restored_from": int(to_version)},
+            # RESTORE restores schema metadata too: the target's
+            # column mapping, explicitly (empty = explicitly cleared)
+            column_renames=m.get("column_renames", {}),
+            dropped_columns=m.get("dropped_columns", []),
         )
 
     def clone_to(
@@ -1352,6 +1584,8 @@ class VersionedTable:
                 "cloned_from": os.path.abspath(self.root),
                 "clone_source_version": int(version),
             },
+            column_renames=m.get("column_renames", {}),
+            dropped_columns=m.get("dropped_columns", []),
         )
         return clone
 
@@ -1436,6 +1670,10 @@ class VersionedTable:
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        # vacuum is the ONE operation that deletes manifests — drop the
+        # immutable-manifest cache so vacuumed versions fail loudly at
+        # the manifest read, not at a ghost file scan
+        self._manifest_cache.clear()
         vs = self.versions()
         retained = vs[-keep_last:]
         referenced = set()

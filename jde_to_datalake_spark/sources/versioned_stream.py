@@ -107,8 +107,9 @@ def _arrow_field_ddl(t) -> str:
 
 
 def sniff_schema_ddl(root: str) -> str:
-    """DDL of the table's CURRENT schema, from one parquet footer of
-    the newest manifest (metadata read, no scan)."""
+    """DDL of the table's CURRENT LOGICAL schema, from one parquet
+    footer of the newest manifest (metadata read, no scan) — dropped
+    columns excluded, renamed ones under their logical name."""
     import pyarrow.parquet as pq
 
     t = VersionedTable(root)
@@ -119,8 +120,12 @@ def sniff_schema_ddl(root: str) -> str:
     if not files:
         raise FileNotFoundError(f"{root}: version {v} lists no files")
     sch = pq.read_schema(os.path.join(root, files[-1]))
+    inv = {p: l for l, p in t.column_renames(v).items()}
+    dropped = set(t.dropped_columns(v))
     return ", ".join(
-        f"{f.name} {_arrow_field_ddl(f.type)}" for f in sch
+        f"{inv.get(f.name, f.name)} {_arrow_field_ddl(f.type)}"
+        for f in sch
+        if f.name not in dropped
     )
 
 
@@ -322,6 +327,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # after a restart that replays ahead of any partitions() call
         # is unbounded (the Python source API has no ReadLimit hook).
         self._paced_from: "int | None" = None
+        self._map_cache: "tuple[dict, set] | None" = None
 
     def _table(self) -> VersionedTable:
         return VersionedTable(self.root)
@@ -412,18 +418,42 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if f.name not in _CDF_META_COLS
         ]
 
+    def _mapping(self) -> "tuple[dict, set]":
+        """(logical->physical renames, dropped physical names) at the
+        table's CURRENT version, cached for the reader's lifetime — a
+        rename committed mid-stream applies on restart (the same
+        pin-a-schema guidance as any schema evolution)."""
+        if self._map_cache is None:
+            t = self._table()
+            v = t.latest_version()
+            self._map_cache = (
+                t.column_renames(v) if v is not None else {},
+                set(t.dropped_columns(v)) if v is not None else set(),
+            )
+        return self._map_cache
+
     def _read_file(self, root: str, name: str):
         """One data file projected to the declared DATA columns
         (schema-evolved files: requesting an absent column raises in
         pyarrow, so project the intersection; absent ones become typed
-        nulls at emit, extra ones are ignored — parquet-by-name)."""
+        nulls at emit, extra ones are ignored — parquet-by-name).
+        Declared names are LOGICAL: the projection asks for their
+        physical storage names and renames back after the read."""
         import pyarrow.parquet as pq
 
+        renames, dropped = self._mapping()
         path = os.path.join(root, name)
-        present = set(pq.read_schema(path).names)
-        return pq.read_table(
-            path, columns=[c for c in self._data_cols() if c in present]
-        )
+        present = set(pq.read_schema(path).names) - dropped
+        want = [
+            (c, renames.get(c, c))
+            for c in self._data_cols()
+            if renames.get(c, c) in present
+        ]
+        t = pq.read_table(path, columns=[p for _, p in want])
+        if any(c != p for c, p in want):
+            back = {p: c for c, p in want}
+            t = t.rename_columns([back.get(n, n) for n in t.column_names])
+        return t
 
     def read(self, partition) -> Iterator[tuple]:
         if isinstance(partition, _CdfPartition):
