@@ -1728,12 +1728,13 @@ def commit_drift_checked(
 
     spark = df.sparkSession
     base_version = table.latest_version()
-    staged = table.stage(df)
+    staged = table.stage(table._to_physical_df(df))
     if base_version is None:
         return table.publish(staged, mode=mode, expected_base=None)
     report = histogram_drift(
         table.read(spark, base_version),
-        table.read_staged(spark, staged),
+        # the drift check speaks LOGICAL names, like the base read
+        table._to_logical_df(table.read_staged(spark, staged)),
         column,
         edges=edges,
     )

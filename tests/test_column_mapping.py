@@ -206,3 +206,26 @@ def test_stream_source_speaks_logical_names(spark, table, tmp_path):
     assert len(rows) == 10
     assert set(rows[0].asDict().keys()) == {"k", "label"}
     assert {r["label"] for r in rows} == {f"s{i}" for i in range(10)}
+
+
+def test_drift_checked_commit_respects_the_mapping(spark, table):
+    from jde_to_datalake_spark.sources.versioned import (
+        commit_drift_checked,
+    )
+
+    table.rename_column("amt", "amount")
+    commit_drift_checked(
+        table,
+        spark.createDataFrame(
+            [(60, "s60", 55)], "k bigint, v string, amount bigint"
+        ),
+        column="amount",
+        edges=[0.0, 50.0, 200.0],
+        max_chi2=1e9,
+        mode="append",
+    )
+    # the staged-and-published file carries the PHYSICAL name
+    newest = _files(table)[-1]
+    names = set(pq.read_schema(os.path.join(table.root, newest)).names)
+    assert "amt" in names and "amount" not in names
+    assert table.read(spark).filter(F.col("amount") == 55).count() == 1
