@@ -269,3 +269,30 @@ def test_band_pruned_probe_scans_file_subset_in_plan(spark, tmp_path):
     assert plan.count(".parquet") <= 1 or "1 paths" in plan
     assert pruned.count() == 1
     assert pruned.first()["doc_id"] == 42
+
+
+def test_rename_projection_keeps_pushdown_at_the_scan(spark, tmp_path):
+    """Column mapping is a boundary PROJECTION: a read_where filter on
+    a renamed column must still reach the parquet scan as a pushed
+    filter on the PHYSICAL name, and the scan must prune to the
+    stats-overlapping file subset — a rename that broke either would
+    silently turn clustered reads into full scans at 100 TB."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v"
+        )
+    )
+    t.compact(spark, target_partitions=8, cluster_by="k")
+    t.rename_column("k", "key_id")
+    df = t.read_where(spark, "key_id", 10, 20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    # the physical column name carries the predicate into the scan
+    assert "k" in pushed and "GreaterThanOrEqual" in pushed
+    # file-list pruning happened before the scan was planned
+    assert len(t.files_for_range("key_id", 10, 20)) < 8
+    assert {r["key_id"] for r in df.collect()} == set(range(10, 21))
