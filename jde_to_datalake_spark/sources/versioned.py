@@ -825,6 +825,7 @@ class VersionedTable:
         spark: SparkSession,
         predicate,
         prune_ranges: dict | None = None,
+        retries: int = 0,
     ) -> int:
         """Row-level DELETE without rewriting any data file.
 
@@ -849,8 +850,24 @@ class VersionedTable:
         applies existing DVs first), so repeated deletes stay compact.
         A predicate matching nothing is a no-op returning the current
         version. Snapshot-isolated like merge: a commit landing
-        between the read and the publish fails this delete.
+        between the read and the publish fails this delete;
+        ``retries`` re-runs it against the fresh snapshot (the same
+        optimistic-conflict retry as ``merge`` — re-matching the
+        predicate on the new snapshot is the correct outcome, and
+        rows already tombstoned are never re-recorded).
         """
+        attempt = 0
+        while True:
+            try:
+                return self._delete_where_once(spark, predicate, prune_ranges)
+            except ConcurrentCommitError:
+                attempt += 1
+                if attempt > retries:
+                    raise
+
+    def _delete_where_once(
+        self, spark: SparkSession, predicate, prune_ranges: dict | None
+    ) -> int:
         prev = self.latest_version()
         if prev is None:
             raise FileNotFoundError(f"{self.root}: no commits yet")
@@ -1327,9 +1344,20 @@ class VersionedTable:
         updates: DataFrame,
         key: str,
         txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
+        retries: int = 0,
     ) -> int:
         """Keyed MERGE: matched rows replaced, new rows inserted —
         rewriting ONLY the files the batch can touch.
+
+        ``retries``: on ``ConcurrentCommitError`` (another writer
+        published between this merge's read and its publish), re-run
+        the whole merge against the NEW snapshot up to this many times
+        — Delta's optimistic-conflict retry. Safe because a losing
+        publish commits nothing (its staged files are orphans vacuum
+        reclaims) and a MERGE re-resolved against the fresher snapshot
+        is the semantically correct outcome. Default 0 preserves the
+        fail-loudly contract for callers that coordinate writers
+        themselves.
 
         The partial-rewrite form of Delta's file-level MERGE: each
         file's footer [min, max] for ``key`` becomes one row of a
@@ -1364,6 +1392,16 @@ class VersionedTable:
           (snapshot isolation): an intervening commit fails this merge
           instead of being silently overwritten.
         """
+        attempt = 0
+        while True:
+            try:
+                return self._merge_once(spark, updates, key, txn)
+            except ConcurrentCommitError:
+                attempt += 1
+                if attempt > retries:
+                    raise
+
+    def _merge_once(self, spark, updates, key, txn) -> int:
         prev = self.latest_version()
         # one job: duplicate-key guard + the batch key floor. NULL keys
         # are exempt from the guard: they match no existing row under

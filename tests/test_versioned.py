@@ -1223,3 +1223,54 @@ def test_clone_into_existing_table_fails(spark, tmp_path):
     other.commit(_df(spark, [(5, "e")]))
     with pytest.raises(ValueError, match="empty root"):
         src.clone_to(other.root)
+
+
+# -- optimistic-conflict retry -------------------------------------------------
+
+
+class _RacyTable(VT):
+    """Injects ONE competing append between a read-modify-write's stage
+    and its publish — the exact race window the snapshot-isolation
+    guard protects."""
+
+    def __init__(self, root, competitor_rows):
+        super().__init__(root)
+        self._competitor_rows = competitor_rows
+        self._races_left = 1
+
+    def publish(self, staged, **kw):
+        is_rmw = kw.get("carry") is not None or kw.get("dv_files") is not None
+        if self._races_left > 0 and is_rmw:
+            self._races_left -= 1
+            spark, rows = self._competitor_rows
+            VT(self.root).commit(_df(spark, rows), mode="append")
+        return super().publish(staged, **kw)
+
+
+def test_merge_retries_reresolve_against_the_fresh_snapshot(spark, tmp_path):
+    t = _RacyTable(str(tmp_path / "t"), (spark, [(9, "competitor")]))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    # without retries the stale-snapshot publish fails loudly
+    with pytest.raises(ConcurrentCommitError):
+        t.merge(spark, _df(spark, [(2, "B2")]), key="k")
+    assert t._races_left == 0
+    # with retries the merge re-reads (now seeing the competitor's
+    # row) and wins on the second attempt
+    t2 = _RacyTable(str(tmp_path / "t"), (spark, [(8, "competitor2")]))
+    t2.merge(spark, _df(spark, [(2, "B3"), (5, "e")]), key="k", retries=2)
+    got = {r.k: r.v for r in t2.read(spark).collect()}
+    assert got == {
+        1: "a", 2: "B3", 5: "e", 9: "competitor", 8: "competitor2",
+    }
+
+
+def test_delete_where_retries_rematch_on_the_fresh_snapshot(spark, tmp_path):
+    t = _RacyTable(str(tmp_path / "t"), (spark, [(7, "drop-me")]))
+    t.commit(_df(spark, [(1, "keep"), (7, "drop-me")]))
+    with pytest.raises(ConcurrentCommitError):
+        t.delete_where(spark, F.col("v") == "drop-me")
+    t2 = _RacyTable(str(tmp_path / "t"), (spark, [(17, "drop-me")]))
+    t2.delete_where(spark, F.col("v") == "drop-me", retries=2)
+    # the retry re-matched the predicate on the fresh snapshot, so the
+    # competitor's matching row is deleted too
+    assert {r.k for r in t2.read(spark).collect()} == {1}
