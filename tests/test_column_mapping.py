@@ -229,3 +229,30 @@ def test_drift_checked_commit_respects_the_mapping(spark, table):
     names = set(pq.read_schema(os.path.join(table.root, newest)).names)
     assert "amt" in names and "amount" not in names
     assert table.read(spark).filter(F.col("amount") == 55).count() == 1
+
+
+def test_change_feed_stream_speaks_logical_names(spark, table, tmp_path):
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        versioned_stream,
+    )
+
+    table.rename_column("v", "label")
+    table.delete_where(spark, F.col("k") < 2)
+    rows: list = []
+    q = (
+        versioned_stream(spark, table, change_feed=True)
+        .writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r["_change_type"] for r in rows} == {"insert", "delete"}
+    assert "label" in rows[0].asDict() and "v" not in rows[0].asDict()
+    net = {}
+    for r in rows:
+        net[r["k"]] = net.get(r["k"], 0) + (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    live = {k for k, n in net.items() if n == 1}
+    assert live == {r["k"] for r in table.read(spark).collect()}
