@@ -175,6 +175,7 @@ _OPS = st.lists(
         st.tuples(st.just("restore"), st.lists(st.integers(0, 99), min_size=1, max_size=1)),
         st.tuples(st.just("clone"), st.just([])),
         st.tuples(st.just("vacuum"), st.just([])),
+        st.tuples(st.just("rename"), st.just([])),
     ),
     min_size=1,
     max_size=6,
@@ -188,17 +189,24 @@ _OPS = st.lists(
 )
 @given(ops=_OPS)
 def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
-    """Any commit/merge/delete/compact/restore/clone/vacuum sequence
-    leaves read() equal to a plain set model of the same operations
-    (merge payload = unique per op, so updates are observable). A
-    clone taken mid-sequence must read the model state of that
-    moment; restore targets any still-retained version and must
-    reproduce the model state recorded at it."""
+    """Any commit/merge/delete/compact/restore/clone/vacuum/rename
+    sequence leaves read() equal to a plain set model of the same
+    operations (merge payload = unique per op, so updates are
+    observable). A clone taken mid-sequence must read the model state
+    — and the logical column name — of that moment; restore targets
+    any still-retained version and must reproduce the model state AND
+    the column mapping recorded at it; writes and reads always speak
+    the current logical name while files keep the physical one."""
     table = VT(str(tmp_path_factory.mktemp("vt") / "t"))
     model: set[tuple[int, str]] = set()
-    # model state at each still-restorable version (vacuum trims it)
-    snaps: dict[int, frozenset] = {}
+    name = "v"  # current LOGICAL name of the value column
+    # (model state, logical name) at each still-restorable version
+    snaps: dict[int, tuple] = {}
     stamp = 0
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["k", name])
+
     for op, keys in ops:
         stamp += 1
         # per-op unique payloads, so every update is observable and the
@@ -206,13 +214,13 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
         rows = [(k, f"s{stamp}") for k in sorted(set(keys))]
         empty = table.latest_version() is None
         if op == "append":
-            table.commit(_df(spark, rows), mode="append")
+            table.commit(mk(rows), mode="append")
             model |= set(rows)
         elif op == "overwrite":
-            table.commit(_df(spark, rows), mode="overwrite")
+            table.commit(mk(rows), mode="overwrite")
             model = set(rows)
         elif op == "merge":
-            table.merge(spark, _df(spark, rows), key="k")
+            table.merge(spark, mk(rows), key="k")
             merged_keys = {k for k, _ in rows}
             model = {kv for kv in model if kv[0] not in merged_keys} | set(rows)
         elif op == "delete":
@@ -229,13 +237,19 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 continue
             target = sorted(snaps)[keys[0] % len(snaps)]
             table.restore(target)
-            model = set(snaps[target])
+            model, name = set(snaps[target][0]), snaps[target][1]
         elif op == "clone":
             if empty:
                 continue
             c = table.clone_to(str(tmp_path_factory.mktemp("cl") / "c"))
-            got = sorted((r.k, r.v) for r in c.read(spark).collect())
+            got = sorted((r["k"], r[name]) for r in c.read(spark).collect())
             assert got == sorted(model)
+        elif op == "rename":
+            if empty:
+                continue
+            new = f"v{stamp}"
+            table.rename_column(name, new)
+            name = new
         else:
             table.vacuum(keep_last=1, retention_seconds=0)
             snaps = {
@@ -244,13 +258,13 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             }
         v = table.latest_version()
         if v is not None:
-            snaps[v] = frozenset(model)
+            snaps[v] = (frozenset(model), name)
     if table.latest_version() is None:  # vacuum-only sequence
         assert model == set()
         with pytest.raises(FileNotFoundError):
             table.read(spark)
         return
-    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    got = sorted((r["k"], r[name]) for r in table.read(spark).collect())
     assert got == sorted(model)
 
     # CDF invariant: streaming the change feed from the beginning and
@@ -287,7 +301,7 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             _cdf_partitions(table, -1, latest)
         return
     reader = VersionedTableStreamReader(
-        _parse_datatype_string(f"k bigint, v string, {CDF_META_DDL}"),
+        _parse_datatype_string(f"k bigint, {name} string, {CDF_META_DDL}"),
         {"path": table.root, "read_change_feed": "true"},
     )
     net: collections.Counter = collections.Counter()
@@ -297,7 +311,7 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 tb = pa.Table.from_batches([out])
                 rows = zip(
                     tb.column("k").to_pylist(),
-                    tb.column("v").to_pylist(),
+                    tb.column(name).to_pylist(),
                     tb.column("_change_type").to_pylist(),
                 )
             else:  # row-tuple fallback path
