@@ -278,6 +278,32 @@ class VersionedTable:
     ) -> str:
         return self.column_renames(version).get(name, name)
 
+    def _live_physical_columns(self, version: int) -> set:
+        """Best-effort PHYSICAL column names live at a version: the
+        union of the manifest's footer-stats keys (covering every file)
+        with the footer schemas of the first and last listed files
+        (two metadata reads — covers columns whose types carry no
+        storable stats), minus dropped names. Used to validate
+        rename/drop DDL (round-6 advisor): a column living ONLY in
+        middle files of a schema-evolved table AND lacking footer
+        stats in all of them can be missed — the failure mode is a
+        clear DDL error, never a wrong read."""
+        m = self._manifest(version)
+        cols: set = set()
+        for s in m.get("stats", {}).values():
+            cols.update(s.keys())
+        files = m["files"]
+        for f in {files[0], files[-1]} if files else ():
+            try:
+                import pyarrow.parquet as pq
+
+                cols.update(
+                    pq.read_schema(os.path.join(self.root, f)).names
+                )
+            except Exception:
+                pass
+        return cols - set(self.dropped_columns(version))
+
     def _to_physical_df(
         self, df: DataFrame, version: int | None = None
     ) -> DataFrame:
@@ -361,6 +387,23 @@ class VersionedTable:
             )
         if old in dropped:
             raise ValueError(f"{old!r} was dropped")
+        live = self._live_physical_columns(prev)
+        old_physical = renames.get(old, old)
+        if old not in renames and old_physical not in live:
+            raise ValueError(
+                f"{self.root}: {old!r} is not a column of this table"
+            )
+        # ``new`` must not collide with an ORDINARY live column either
+        # (round-6 advisor, medium): renames={'k':'v'} on a table that
+        # already has a real 'k' would make every read project two 'k'
+        # columns — Delta rejects this case, so do we. Ordinary = live
+        # physical names that are not the storage of a renamed column
+        # (those collide under the guards above).
+        ordinary = live - set(renames.values())
+        if new in ordinary - {old_physical}:
+            raise ValueError(
+                f"{new!r} already names an existing column of this table"
+            )
         physical = renames.pop(old, old)
         if new != physical:
             renames[new] = physical
@@ -388,6 +431,15 @@ class VersionedTable:
         physical = renames.pop(name, name)
         if physical in dropped:
             raise ValueError(f"{name!r} is already dropped")
+        # validate existence (round-6 advisor, low): a typo'd drop used
+        # to record a phantom physical name that permanently blocked
+        # any future column of that name, even though no file carried it
+        if name not in self.column_renames(prev) and (
+            physical not in self._live_physical_columns(prev)
+        ):
+            raise ValueError(
+                f"{self.root}: {name!r} is not a column of this table"
+            )
         dropped.append(physical)
         m = self._manifest(prev)
         return self.publish(
@@ -612,8 +664,14 @@ class VersionedTable:
         # match any row, so carrying them would grow the DV list (and
         # every reader's anti-join side) without bound. Each sidecar's
         # referenced-file set is computed ONCE (a metadata-sized
-        # column read) and cached in the manifest under ``dv_refs``,
-        # shrinking as files retire; unknown refs are kept whole
+        # column read) and cached in the manifest under ``dv_refs``.
+        # The cached set is the sidecar's FULL reference list, NEVER
+        # shrunk to the currently-live subset: a restore() can re-add
+        # a file a later rewrite had retired, and a live-shrunk cache
+        # would then prune a sidecar that still tombstones rows of the
+        # returning file — silently resurrecting deleted rows (round-6
+        # advisor, high). Liveness is recomputed transiently against
+        # each publish's own file set; unknown refs are kept whole
         # (conservative — pruning is an optimization, never semantics).
         dv_refs: dict = {}
         if dv_files:
@@ -634,10 +692,9 @@ class VersionedTable:
                 if refs is None:
                     kept_dvs.append(d)  # unreadable refs: keep whole
                     continue
-                live = [r for r in refs if r in file_set]
-                if live:
+                if any(r in file_set for r in refs):
                     kept_dvs.append(d)
-                    dv_refs[d] = live
+                    dv_refs[d] = refs
             dv_files = kept_dvs
         manifest = {
             "version": version,

@@ -120,6 +120,14 @@ def _load_fresh_bloom(
     if bv is None:
         return None
     stored = bloom_table.read(spark, bv)
+    # a filter written under an older layout (e.g. the pre-sharded
+    # single-row schema) lacks the shard meta columns — that is a
+    # STALE filter, not a crash: fall back to the plain join and let
+    # the post-append refresh rebuild in the current format (round-6
+    # advisor, low)
+    need = set(_BLOOM_META_COLS) | {"shard", "words"}
+    if not need <= set(stored.columns):
+        return None
     meta = stored.select(*_BLOOM_META_COLS).distinct().collect()
     if len(meta) != 1:  # empty, or mixed stamps (mid-write garbage)
         return None
@@ -612,13 +620,22 @@ def checkpoint_app_id(checkpoint_dir: str) -> str:
     os.makedirs(checkpoint_dir, exist_ok=True)
     nonce_path = os.path.join(checkpoint_dir, _APP_NONCE_FILE)
     if not os.path.exists(nonce_path):
+        # create-if-absent must be ATOMIC: with os.replace, writer A
+        # could publish, read back, and return its app id before writer
+        # B's replace lands — two app identities for one checkpoint
+        # lineage (round-6 advisor, low). os.link both publishes the
+        # fully-written content atomically AND fails when the target
+        # exists, so every caller observes the single surviving nonce
+        # (the same primitive VersionedTable.publish arbitrates with).
         tmp = nonce_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(uuid.uuid4().hex)
-        # atomic publish: a concurrent first-use race resolves to ONE
-        # winner (rename over an existing file is last-writer-wins on
-        # POSIX, but both writers then re-read the same surviving file)
-        os.replace(tmp, nonce_path)
+        try:
+            os.link(tmp, nonce_path)
+        except FileExistsError:
+            pass  # another writer won the race; read its nonce below
+        finally:
+            os.remove(tmp)
     with open(nonce_path) as f:
         nonce = f.read().strip()
     return f"{os.path.abspath(checkpoint_dir)}#{nonce}"

@@ -256,3 +256,37 @@ def test_change_feed_stream_speaks_logical_names(spark, table, tmp_path):
         )
     live = {k for k, n in net.items() if n == 1}
     assert live == {r["k"] for r in table.read(spark).collect()}
+
+
+def test_rename_onto_existing_ordinary_column_rejected(spark, table):
+    """Round-6 advisor (medium): rename_column('v','k') on a table that
+    already has a real 'k' would project duplicate 'k' columns on every
+    read — Delta rejects it, so must we."""
+    with pytest.raises(ValueError, match="already names an existing"):
+        table.rename_column("v", "k")
+    # and through a rename chain: label is logical over physical v;
+    # renaming amt onto a name colliding with ordinary column k fails
+    table.rename_column("v", "label")
+    with pytest.raises(ValueError, match="already names an existing"):
+        table.rename_column("label", "amt")
+    # the guard does not block renaming BACK to one's own physical name
+    table.rename_column("label", "v")
+    assert table.column_renames() == {}
+
+
+def test_rename_and_drop_validate_the_column_exists(spark, table):
+    """Round-6 advisor (low): a typo'd drop used to record a phantom
+    physical name that permanently blocked that column name."""
+    with pytest.raises(ValueError, match="not a column"):
+        table.drop_column("nope")
+    with pytest.raises(ValueError, match="not a column"):
+        table.rename_column("nope", "other")
+    # nothing was recorded: the name stays usable
+    table.commit(
+        spark.createDataFrame(
+            [(100, "x", 1, 9)], "k bigint, v string, amt bigint, nope bigint"
+        ),
+        mode="append",
+    )
+    table.drop_column("nope")  # now it exists, the drop is legal
+    assert "nope" not in table.read(spark).columns

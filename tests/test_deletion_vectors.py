@@ -291,3 +291,72 @@ def test_read_changes_validation(spark, table):
     table.commit(_base(spark, n=10), mode="append")
     with pytest.raises(ValueError):
         table.read_changes(spark, 1, 0)
+
+
+def test_restore_then_rewrite_never_resurrects_deleted_rows(spark, table):
+    """Round-6 advisor (high): a sidecar's cached refs must be its FULL
+    reference list. Sequence: one delete spans files A+B; a merge
+    rewrites A (only B's tombstone is live); restore() brings A back;
+    a later merge rewrites B. A live-shrunk refs cache would now see
+    zero live refs and prune the sidecar — silently resurrecting the
+    deleted row of A. The full-refs cache keeps it."""
+    # two key-disjoint single files
+    table.commit(
+        spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(1)
+    )
+    table.commit(
+        spark.range(1000, 1100).selectExpr("id AS k", "id AS v").coalesce(1),
+        mode="append",
+    )
+    # ONE sidecar tombstoning a row in EACH file (pin the delete scan
+    # to a single partition so both hits land in one sidecar part)
+    prev = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try:
+        table.delete_where(spark, (F.col("k") == 5) | (F.col("k") == 1005))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.minPartitionNum")
+        else:
+            spark.conf.set("spark.sql.files.minPartitionNum", prev)
+    assert len(table.dv_files()) == 1
+    v_deleted = table.latest_version()
+    # rewrite file A only (low key range)
+    table.merge(
+        spark, spark.createDataFrame([(7, 777)], "k bigint, v bigint"), "k"
+    )
+    table.restore(v_deleted)  # A returns; the sidecar must cover it again
+    # rewrite file B only (high key range) — materializes 1005's delete;
+    # the sidecar STILL tombstones k=5 in A and must survive the prune
+    table.merge(
+        spark,
+        spark.createDataFrame([(1007, 1)], "k bigint, v bigint"),
+        "k",
+    )
+    ks = {r["k"] for r in table.read(spark).collect()}
+    assert 5 not in ks and 1005 not in ks
+    assert 1007 in ks
+    # and the change feed across the whole span never emits k=5 as a
+    # live insert at the end state
+    ch = table.read_changes(spark, v_deleted, key="k")
+    final_inserts = {
+        r["k"]
+        for r in ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).collect()
+    }
+    assert 5 not in final_inserts
+
+
+def test_rewrite_of_every_ref_still_prunes_sidecar(spark, table):
+    """Full-refs caching must not break pruning: when a rewrite
+    retires EVERY file a sidecar references, the sidecar goes."""
+    table.commit(
+        spark.range(0, 50).selectExpr("id AS k", "id AS v").coalesce(1)
+    )
+    table.delete_where(spark, F.col("k") == 3)
+    assert len(table.dv_files()) == 1
+    table.compact(spark, target_partitions=1)
+    assert table.dv_files() == []
+    ks = {r["k"] for r in table.read(spark).collect()}
+    assert 3 not in ks

@@ -678,3 +678,73 @@ def test_band_guard_prunes_by_id_and_stays_idempotent(spark, tmp_path):
     index2 = VersionedTable(str(tmp_path / "i2"))
     ingest_batch(_docs(spark, rows), corpus, index2, bands=bands)
     assert bands.read(spark).count() == n1
+
+
+def test_legacy_bloom_layout_falls_back_and_rebuilds(spark, tmp_path):
+    """Round-6 advisor (low): a bloom table written under the old
+    single-row (unsharded) schema must read as STALE — plain-join
+    fallback plus a refresh in the current format — never crash the
+    batch with an AnalysisException on the missing shard columns."""
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    bloom_t = VersionedTable(str(tmp_path / "bloom"))
+    # seed an index version the legacy filter claims to cover
+    seeded = _docs(spark, [(0, "seed content")])
+    index.commit(
+        seeded.select(fingerprint(F.col("text")).alias("fingerprint"))
+    )
+    # the pre-sharded layout: one row, no num_bits/shard_words/shard
+    bloom_t.commit(
+        spark.createDataFrame(
+            [(index.latest_version(), 3, "v1", [0] * 16)],
+            "covers_version bigint, k int, key_format string, "
+            "words array<long>",
+        )
+    )
+    stats = ingest_batch(
+        _docs(spark, [(1, "seed content"), (2, "fresh gamma")]),
+        corpus, index,
+        bloom_filter=bloom_t, bloom_bits=1024, bloom_k=3,
+    )
+    # verdicts exact despite the unusable filter, which was not used
+    assert stats["n_known"] == 1 and stats["n_novel"] == 1
+    assert stats["bloom_prefiltered"] is False
+    # the refresh rebuilt the filter in the sharded format
+    rebuilt = bloom_t.read(spark)
+    assert {"num_bits", "shard_words", "shard", "words"} <= set(
+        rebuilt.columns
+    )
+    # and the NEXT batch engages it
+    stats2 = ingest_batch(
+        _docs(spark, [(3, "fresh delta")]),
+        corpus, index,
+        bloom_filter=bloom_t, bloom_bits=1024, bloom_k=3,
+    )
+    assert stats2["bloom_prefiltered"] is True
+
+
+def test_checkpoint_app_id_single_surviving_nonce(tmp_path, monkeypatch):
+    """Round-6 advisor (low): two first-use writers must observe ONE
+    nonce. Force the losing path: the nonce already exists, but the
+    writer believes it doesn't (the exists() check raced) — the atomic
+    create must fail closed and the loser must read the winner's."""
+    import os
+
+    from jde_to_datalake_spark.streaming import ingest as ing
+
+    ckpt = str(tmp_path / "ckpt")
+    winner = ing.checkpoint_app_id(ckpt)
+    real_exists = os.path.exists
+
+    def lie_about_nonce(p):
+        if p.endswith(ing._APP_NONCE_FILE):
+            return False  # simulate the pre-create race window
+        return real_exists(p)
+
+    monkeypatch.setattr(ing.os.path, "exists", lie_about_nonce)
+    loser = ing.checkpoint_app_id(ckpt)
+    assert loser == winner  # single surviving nonce
+    # no tmp litter left behind
+    assert not [
+        f for f in os.listdir(ckpt) if ".tmp." in f
+    ]

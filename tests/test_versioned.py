@@ -981,9 +981,10 @@ def test_stale_dv_refs_pruned_on_carry_publish(spark, tmp_path):
     )
     m2 = t._manifest(t.latest_version())
     assert len(m2.get("dv_files", [])) == 1  # stale sidecar dropped
-    # refs cached and shrunk to live files only
+    # refs cached FULL (never live-shrunk — a restore() may re-add a
+    # retired file; round-6 advisor) but at least one ref is live
     (refs,) = m2["dv_refs"].values()
-    assert set(refs) <= set(m2["files"])
+    assert set(refs) & set(m2["files"])
     # semantics intact: 5 was materialized out by the rewrite, 1005
     # still tombstoned by the surviving DV, 7 updated
     ks = {r["k"] for r in t.read(spark).collect()}
