@@ -219,12 +219,14 @@ def _dv_positions(root: str, manifest: dict, basename: str) -> set:
     return pos
 
 
-def _span_manifest(table: VersionedTable, v: int) -> dict:
-    """A span version's manifest, or the vacuumed-offset guidance —
-    ANY version inside a planned span may have been vacuumed (not just
-    the start: keep_last trims from the oldest up)."""
+def _span_delta(table: VersionedTable, v: int) -> dict:
+    """A span version's per-commit change summary
+    (``VersionedTable.commit_delta`` — one O(changed files) record
+    read), or the vacuumed-offset guidance — ANY version inside a
+    planned span may have been vacuumed (not just the start: keep_last
+    trims from the oldest up)."""
     try:
-        return table._manifest(v)
+        return table.commit_delta(v)
     except FileNotFoundError:
         raise RuntimeError(
             f"versioned_table stream: version {v} of {table.root} "
@@ -240,16 +242,14 @@ def _added_per_version(
 ) -> "list[str]":
     """Data files appended in (v_from, v_to], enumerated one version
     step at a time so intra-span compaction cannot double-count, in
-    deterministic (version, manifest-order) sequence."""
+    deterministic (version, manifest-order) sequence. Each step reads
+    the commit's DELTA record — planning cost is O(span x changed
+    files), never O(span x table files)."""
     added: list[str] = []
     added_set: set = set()
-    prev_set = set(
-        _span_manifest(table, v_from)["files"] if v_from >= 0 else []
-    )
     for v in range(v_from + 1, v_to + 1):
-        cur_files = _span_manifest(table, v)["files"]
-        cur_set = set(cur_files)
-        if not prev_set <= cur_set and not ignore_changes:
+        d = _span_delta(table, v)
+        if d["remove"] and not ignore_changes:
             raise RuntimeError(
                 f"versioned_table stream: version {v} of {table.root} "
                 "rewrote or dropped data files (merge/compact/"
@@ -258,14 +258,12 @@ def _added_per_version(
                 "whole (downstream must dedupe), or stream from an "
                 "append-only table."
             )
-        # a file added in this step and removed in a LATER step must
-        # not re-enter if a later manifest re-adds nothing; per-step
-        # set difference handles both directions exactly
-        for f in cur_files:
-            if f not in prev_set and f not in added_set:
+        # a file added in this step and re-added in a LATER step
+        # (restore) must not re-enter the plan twice
+        for f in d["add"]:
+            if f not in added_set:
                 added.append(f)
                 added_set.add(f)
-        prev_set = cur_set
     return added
 
 
@@ -274,36 +272,52 @@ def _cdf_partitions(
 ) -> "list[_CdfPartition]":
     """Change-feed tasks for the span (v_from, v_to], one version step
     at a time: every data file entering or leaving the manifest, and
-    every deletion-vector sidecar added or removed. Rewrites need no
-    guard here — a merge/compact surfaces as delete_file+insert_file
-    pairs whose unchanged rows cancel in any sign-folding consumer
-    (exactly batch ``read_changes``' file-level truth, per commit)."""
+    every deletion-vector sidecar added or removed — straight off each
+    commit's DELTA record (O(span x changed), never O(span x files)).
+    Rewrites need no guard here — a merge/compact surfaces as
+    delete_file+insert_file pairs whose unchanged rows cancel in any
+    sign-folding consumer (exactly batch ``read_changes``' file-level
+    truth, per commit)."""
     parts: list[_CdfPartition] = []
-    prev = (
-        _span_manifest(table, v_from)
-        if v_from >= 0
-        else {"files": [], "dv_files": []}
-    )
     for v in range(v_from + 1, v_to + 1):
-        cur = _span_manifest(table, v)
-        old_files = set(prev["files"])
-        new_files = set(cur["files"])
-        old_dvs = set(prev.get("dv_files", []))
-        new_dvs = set(cur.get("dv_files", []))
-        for f in cur["files"]:
-            if f not in old_files:
-                parts.append(_CdfPartition(table.root, v, "insert_file", f))
-        for f in prev["files"]:
-            if f not in new_files:
-                parts.append(_CdfPartition(table.root, v, "delete_file", f))
-        for s in cur.get("dv_files", []):
-            if s not in old_dvs:
-                parts.append(_CdfPartition(table.root, v, "dv_new", s))
-        for s in prev.get("dv_files", []):
-            if s not in new_dvs:
-                parts.append(_CdfPartition(table.root, v, "dv_gone", s))
-        prev = cur
+        d = _span_delta(table, v)
+        for f in d["add"]:
+            parts.append(_CdfPartition(table.root, v, "insert_file", f))
+        for f in d["remove"]:
+            parts.append(_CdfPartition(table.root, v, "delete_file", f))
+        for s in d["dv_add"]:
+            parts.append(_CdfPartition(table.root, v, "dv_new", s))
+        for s in d["dv_remove"]:
+            parts.append(_CdfPartition(table.root, v, "dv_gone", s))
     return parts
+
+
+def pace_span(
+    table: VersionedTable,
+    v_from: int,
+    v_to: int,
+    max_files: int,
+    change_feed: bool,
+) -> int:
+    """Largest end version in (v_from, v_to] whose span stays at or
+    under ``max_files`` CHANGED files (added files; in change-feed mode
+    also departed files and DV sidecar churn) — the admission budget of
+    Delta's maxFilesPerTrigger. Always admits at least one version, so
+    a single huge commit still flows (as one batch). Counts come from
+    each commit's DELTA record: O(span x changed), never
+    O(span x table files)."""
+    total = 0
+    end = v_from
+    for v in range(v_from + 1, v_to + 1):
+        d = table.commit_delta(v)
+        n = len(d["add"])
+        if change_feed:
+            n += len(d["remove"]) + len(d["dv_add"]) + len(d["dv_remove"])
+        if total + n > max_files and total > 0:
+            break
+        total += n
+        end = v
+    return end
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -321,6 +335,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         )
         self.starting_version = int(options.get("starting_version", -1))
         self.max_files = int(options.get("max_files_per_trigger", 0)) or None
+        # hard END ceiling for this run (chunked catch-up): versions
+        # beyond it are left for the next availableNow invocation —
+        # the driver-side bound the Python source API's missing
+        # ReadLimit hook cannot provide. -1 = unbounded.
+        self.ending_version = int(options.get("ending_version", -1))
         # admission-control cursor: the last batch end this reader
         # planned, so latestOffset can bound the NEXT batch's span.
         # None until initialOffset/partitions runs — the one batch
@@ -341,45 +360,25 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         under ``max_files_per_trigger`` CHANGED files (added files; in
         change-feed mode also departed files and DV sidecar churn) —
         Delta's maxFilesPerTrigger. Always admits at least one version,
-        so a single huge commit still flows (as one batch). Any
+        so a single huge commit still flows (as one batch). Counts
+        come from each commit's DELTA record (O(span x changed)). Any
         manifest problem defers to partitions(), whose error message
         carries the vacuum guidance."""
         try:
-            prev = set(
-                self._table()._manifest(v_from)["files"]
-                if v_from >= 0
-                else []
+            return pace_span(
+                self._table(), v_from, v_to, self.max_files,
+                self.change_feed,
             )
-            prev_dvs: set = set(
-                self._table()._manifest(v_from).get("dv_files", [])
-                if v_from >= 0
-                else []
-            )
-            total = 0
-            end = v_from
-            for v in range(v_from + 1, v_to + 1):
-                m = self._table()._manifest(v)
-                cur = set(m["files"])
-                cur_dvs = set(m.get("dv_files", []))
-                n = len(cur - prev)
-                if self.change_feed:
-                    n += (
-                        len(prev - cur)
-                        + len(cur_dvs - prev_dvs)
-                        + len(prev_dvs - cur_dvs)
-                    )
-                if total + n > self.max_files and total > 0:
-                    break
-                total += n
-                end = v
-                prev, prev_dvs = cur, cur_dvs
-            return end
         except FileNotFoundError:
             return v_to
 
     def latestOffset(self) -> dict:
         v = self._table().latest_version()
         v = self.starting_version if v is None else v
+        if 0 <= self.ending_version < v:
+            # chunked catch-up ceiling; an ending_version at or below
+            # the checkpointed offset simply yields an empty run
+            v = self.ending_version
         if (
             self.max_files is not None
             and self._paced_from is not None
@@ -611,6 +610,11 @@ def versioned_stream(
     at start and is therefore never paced."""
     if change_feed:
         options.setdefault("read_change_feed", "true")
+    # ``ending_version=N`` clamps the run's end offset — the chunked
+    # catch-up primitive (catch_up_chunked): the Python source API has
+    # no ReadLimit hook, so a run's FIRST batch (and all of an
+    # availableNow run) ignores max_files_per_trigger; a stepped end
+    # ceiling across several availableNow runs bounds each one.
     if (
         str(options.get("read_change_feed", "false")).lower() == "true"
         and schema is not None
@@ -639,3 +643,82 @@ def versioned_stream(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def checkpoint_covered_version(checkpoint_dir: str) -> "int | None":
+    """The last COMMITTED ``versioned_table`` source offset of a stream
+    checkpoint — i.e. the table version the stream has fully applied
+    (offsets are written before a batch runs; commits after — only a
+    committed batch counts). None before any batch commits.
+
+    This is the catch-up loop's cursor: it reads Structured Streaming's
+    documented checkpoint layout (``offsets/<batchId>`` /
+    ``commits/<batchId>``), and the offset payload is this source's own
+    ``{"version": N}`` dict."""
+    import json as _json
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    offsets = os.path.join(checkpoint_dir, "offsets")
+    try:
+        ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    except FileNotFoundError:
+        return None
+    if not ids:
+        return None
+    with open(os.path.join(offsets, str(max(ids)))) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    off = _json.loads(lines[-1])
+    if isinstance(off, str):  # engine-serialized JSON-in-JSON form
+        off = _json.loads(off)
+    return int(off["version"])
+
+
+def catch_up_chunked(
+    table: VersionedTable,
+    start_run,
+    covered,
+    max_files_per_run: int,
+    change_feed: bool = False,
+) -> int:
+    """Drain a long table history in BOUNDED availableNow runs.
+
+    The Python streaming source API has no ReadLimit hook, so
+    ``max_files_per_trigger`` cannot bound a run's FIRST micro-batch —
+    and an availableNow run snapshots its end offset at start, so it is
+    never paced at all (NOTES.md "API landmines"). A cold-start view
+    build or bronze->silver backfill over a 100 TB table's history
+    would otherwise plan one batch spanning every file. This driver
+    loop bounds each RUN instead: ``covered()`` reports the stream's
+    committed cursor (``checkpoint_covered_version``), the remaining
+    span is budgeted with the same changed-file arithmetic as
+    ``max_files_per_trigger`` (``pace_span`` — O(span x changed) record
+    reads), and ``start_run(ending_version)`` launches one availableNow
+    run clamped to that ceiling. Repeats until caught up; returns the
+    number of runs. Exactly-once is untouched — it lives in the
+    consumer's txn stamps, which hold across any run partitioning."""
+    n_runs = 0
+    while True:
+        latest = table.latest_version()
+        if latest is None:
+            return n_runs
+        start = covered()
+        start = -1 if start is None else int(start)
+        if start >= latest:
+            return n_runs
+        try:
+            end = pace_span(
+                table, start, latest, max_files_per_run, change_feed
+            )
+        except FileNotFoundError:
+            end = latest  # vacuumed span start: partitions() carries
+            # the guidance error if the run truly needs those versions
+        q = start_run(end)
+        q.awaitTermination()
+        n_runs += 1
+        after = covered()
+        if after is None or int(after) <= start:
+            raise RuntimeError(
+                f"catch_up_chunked: run {n_runs} advanced nothing "
+                f"(cursor {start} -> {after}) — the stream committed "
+                "no batch; check the sink for errors"
+            )

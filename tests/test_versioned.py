@@ -1289,3 +1289,102 @@ def test_delete_where_retries_rematch_on_the_fresh_snapshot(spark, tmp_path):
     # the retry re-matched the predicate on the fresh snapshot, so the
     # competitor's matching row is deleted too
     assert {r.k for r in t2.read(spark).collect()} == {1}
+
+
+def test_commit_record_size_is_o_changed_not_o_table(spark, tmp_path):
+    """Round-7 lead item: the log stores per-commit DELTA records, so
+    commit metadata is O(changed files) — after 100 one-file appends a
+    late delta record is no bigger than an early one, while checkpoints
+    (every CHECKPOINT_INTERVAL commits) carry the full state."""
+    import json as _json
+    import os as _os
+
+    from jde_to_datalake_spark.sources.versioned import (
+        VersionedTable,
+        _manifest_path,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    one = spark.createDataFrame([(1, "x")], "k bigint, v string").coalesce(1)
+    for _ in range(101):
+        t.commit(one, mode="append")
+
+    def rec(v):
+        with open(_manifest_path(t.root, v)) as fh:
+            return _json.load(fh)
+
+    def size(v):
+        return _os.path.getsize(_manifest_path(t.root, v))
+
+    interval = VersionedTable.CHECKPOINT_INTERVAL
+    # pick two non-checkpoint versions far apart
+    early, late = 3, 97
+    assert early % interval and late % interval
+    r_early, r_late = rec(early), rec(late)
+    for r in (r_early, r_late):
+        assert "files" not in r and "checkpoint" not in r
+        assert len(r["add"]) == 1 and r["remove"] == []
+    # O(changed): the late record did not grow with the table
+    assert size(late) <= 2 * size(early)
+    # checkpoints exist on schedule and carry the full state
+    cp = rec(90)
+    assert "checkpoint" in cp
+    assert len(cp["checkpoint"]["files"]) == 91
+    # a late checkpoint IS O(table) — that is the amortized trade
+    assert size(90) > 10 * size(late)
+    # reconstruction between checkpoints equals the published state
+    assert len(t._manifest(97)["files"]) == 98
+    assert t.read(spark, 97).count() == 98
+
+
+def test_state_reconstruction_cold_equals_warm(spark, tmp_path):
+    """A fresh instance (no cache, reconstructing from checkpoint +
+    delta tail) must see exactly the state the writing instance
+    published, across every commit kind."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 40).selectExpr("id AS k", "id AS v"),
+        mode="overwrite",
+    )
+    t.commit(
+        spark.range(40, 60).selectExpr("id AS k", "id AS v"), mode="append"
+    )
+    t.delete_where(spark, F.col("k") == 7)
+    t.merge(
+        spark, spark.createDataFrame([(41, -1)], "k bigint, v bigint"), "k",
+        txn=("appA", 3),
+    )
+    t.rename_column("v", "val")
+    v_mid = t.latest_version()
+    t.compact(spark, target_partitions=2, cluster_by="k")
+    t.restore(v_mid)
+    cold = VersionedTable(t.root)
+    for v in cold.versions():
+        warm_m = t._manifest(v)
+        cold_m = cold._manifest(v)
+        assert warm_m == cold_m, f"state mismatch at version {v}"
+    assert cold.last_txn_version("appA") == 3
+    assert cold.column_renames() == {"val": "v"}
+    assert cold._manifest(cold.latest_version())["restored_from"] == v_mid
+    got = {(r["k"], r["val"]) for r in cold.read(spark).collect()}
+    assert (41, -1) in got and all(k != 7 for k, _ in got)
+
+
+def test_vacuum_checkpoints_the_oldest_retained_version(spark, tmp_path):
+    """Trimming the log must leave the oldest retained version
+    reconstructable: vacuum materializes its checkpoint before
+    deleting the predecessors it would have replayed from."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    one = spark.createDataFrame([(1, "x")], "k bigint, v string").coalesce(1)
+    for _ in range(14):  # versions 0..13; 11..13 are deltas
+        t.commit(one, mode="append")
+    t.vacuum(keep_last=3, retention_seconds=0)
+    cold = VersionedTable(t.root)
+    assert cold.versions() == [11, 12, 13]
+    for v in (11, 12, 13):
+        assert len(cold._manifest(v)["files"]) == v + 1
+    assert cold.read(spark).count() == 14

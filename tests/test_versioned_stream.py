@@ -352,3 +352,50 @@ def test_max_files_per_trigger_paces_a_midstream_backlog(spark, tmp_path):
     assert sum(got) == 40
     steady = [n for n in got[1:] if n]
     assert steady and max(steady) <= 10  # cap 2 files = 1 version
+
+
+def test_stream_planning_reads_deltas_not_manifests(spark, tmp_path):
+    """Round-7 lead item, planning half: enumerating a span's appended
+    files / change-feed tasks / pacing must read each commit's DELTA
+    record only — O(span x changed files) — never reconstruct full
+    manifests (O(span x table files)). Pinned by stubbing _manifest to
+    raise during planning."""
+    import pytest
+
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamReader,
+        _added_per_version,
+        _cdf_partitions,
+        sniff_schema_ddl,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    one = spark.createDataFrame([(1, "x")], "k bigint, v string").coalesce(1)
+    for _ in range(7):
+        t.commit(one, mode="append")  # versions 0..6
+    hi = t.latest_version()
+    ddl = sniff_schema_ddl(t.root)
+
+    def boom(self, version):
+        raise AssertionError(
+            f"planning reconstructed a full manifest for v{version}"
+        )
+
+    from unittest.mock import patch
+
+    with patch.object(VersionedTable, "_manifest", boom):
+        frozen = VersionedTable(t.root)
+        added = _added_per_version(frozen, 0, hi, ignore_changes=False)
+        assert len(added) == hi
+        parts = _cdf_partitions(frozen, 0, hi)
+        assert len(parts) == hi
+        assert all(p.kind == "insert_file" for p in parts)
+        # pacing too
+        from pyspark.sql.types import StructType
+
+        reader = VersionedTableStreamReader(
+            StructType.fromDDL(ddl),
+            {"path": t.root, "max_files_per_trigger": "3"},
+        )
+        assert reader._pace(0, hi) == 3  # 3 one-file versions admitted
