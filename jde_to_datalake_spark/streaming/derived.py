@@ -96,6 +96,7 @@ def derive_table(
     key: Optional[str] = None,
     ignore_changes: bool = False,
     starting_version: Optional[int] = None,
+    max_files_per_run: Optional[int] = None,
 ):
     """Start (availableNow) the continuous derivation
     ``source → transform → target``.
@@ -111,6 +112,15 @@ def derive_table(
     merges (rewritten files re-emitted whole) and therefore REQUIRES
     ``key`` — an append sink would duplicate the re-emitted rows,
     which is exactly the corruption the merge sink absorbs.
+
+    ``max_files_per_run`` bounds a cold-start backfill over a long
+    source history: instead of one availableNow run whose first batch
+    spans every file (the Python source API has no ReadLimit hook),
+    the catch-up loops availableNow runs each clamped to at most this
+    many new files (``sources.versioned_stream.catch_up_chunked``).
+    Runs are awaited internally; returns the number of runs instead
+    of a query. The sink's txn stamps keep exactly-once across any
+    run partitioning.
     """
     if ignore_changes and key is None:
         raise ValueError(
@@ -119,19 +129,46 @@ def derive_table(
             "merge sink collapses re-emissions, or stream an "
             "append-only source."
         )
-    options: dict = {"ignore_changes": str(bool(ignore_changes)).lower()}
-    if starting_version is not None:
-        options["starting_version"] = str(int(starting_version))
-    stream = versioned_stream(spark, source, schema=schema, **options)
-    return (
-        stream.writeStream.foreachBatch(
-            derive_batch_writer(
-                target, transform,
-                app_id=checkpoint_app_id(checkpoint_dir),
-                key=key,
+
+    def _start(extra: Optional[dict] = None):
+        options: dict = {
+            "ignore_changes": str(bool(ignore_changes)).lower()
+        }
+        if starting_version is not None:
+            options["starting_version"] = str(int(starting_version))
+        if extra:
+            options.update(extra)
+        stream = versioned_stream(spark, source, schema=schema, **options)
+        return (
+            stream.writeStream.foreachBatch(
+                derive_batch_writer(
+                    target, transform,
+                    app_id=checkpoint_app_id(checkpoint_dir),
+                    key=key,
+                )
             )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+
+    if max_files_per_run is None:
+        return _start()
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        catch_up_chunked,
+        checkpoint_covered_version,
+    )
+
+    def _cursor():
+        c = checkpoint_covered_version(checkpoint_dir)
+        if c is not None:
+            return c
+        return starting_version
+
+    return catch_up_chunked(
+        source,
+        lambda end: _start({"ending_version": str(int(end))}),
+        _cursor,
+        max_files_per_run,
+        change_feed=False,
     )
