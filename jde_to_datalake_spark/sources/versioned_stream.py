@@ -191,6 +191,25 @@ def _emit_arrow(t, schema_: StructType, meta: "dict | None"):
         )
 
 
+#: executor-side table handles, keyed by root. Spark reuses Python
+#: worker processes across tasks, and a VersionedTable caches the
+#: reconstructed states it reads — sharing one instance per root means
+#: a change-feed micro-batch with many tasks on one worker
+#: reconstructs each (root, version) state once, not once per task.
+#: Safe because _read_cdf only reads PINNED versions (immutable once
+#: published) — never latest_version().
+_WORKER_TABLES: "dict[str, VersionedTable]" = {}
+
+
+def _worker_table(root: str) -> VersionedTable:
+    t = _WORKER_TABLES.get(root)
+    if t is None:
+        if len(_WORKER_TABLES) >= 8:
+            _WORKER_TABLES.pop(next(iter(_WORKER_TABLES)))
+        t = _WORKER_TABLES[root] = VersionedTable(root)
+    return t
+
+
 def _dv_positions(root: str, manifest: dict, basename: str) -> set:
     """Tombstoned row positions for one data file under a manifest's
     deletion vectors. Sidecars whose cached ``dv_refs`` entry excludes
@@ -466,7 +485,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     # -- change-feed read --------------------------------------------------
     def _read_cdf(self, p: _CdfPartition) -> Iterator:
-        table = VersionedTable(p.root)
+        table = _worker_table(p.root)
         m_cur = table._manifest(p.version)
         m_prev = (
             table._manifest(p.version - 1)
