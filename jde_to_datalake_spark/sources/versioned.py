@@ -1978,6 +1978,18 @@ class VersionedTable:
         """
         base = self.latest_version()
         latest = self.read(spark, base, merge_schema=True)
+        rewritten = self._clustered_rewrite(
+            latest, target_partitions, cluster_by, zorder_bits
+        )
+        return self.commit(
+            rewritten, mode="overwrite", expected_base=base
+        )
+
+    def _clustered_rewrite(
+        self, df: DataFrame, target_partitions, cluster_by, zorder_bits
+    ) -> DataFrame:
+        """The shared rewrite layout: coalesce, one-column range
+        clustering, or multi-column z-order (see ``compact``)."""
         if isinstance(cluster_by, (list, tuple)) and len(cluster_by) == 1:
             cluster_by = cluster_by[0]
         if isinstance(cluster_by, (list, tuple)):
@@ -1986,21 +1998,98 @@ class VersionedTable:
             )
 
             cols = list(cluster_by)
-            work, z = zorder_value(latest, cols, bits_per_col=zorder_bits)
-            rewritten = (
+            work, z = zorder_value(df, cols, bits_per_col=zorder_bits)
+            return (
                 work.withColumn("__z", z)
                 .repartitionByRange(target_partitions, F.col("__z"))
                 .sortWithinPartitions("__z", *cols)
                 .drop("__z", *[f"__zi_{c}" for c in cols])
             )
-        elif cluster_by is not None:
-            rewritten = latest.repartitionByRange(
+        if cluster_by is not None:
+            return df.repartitionByRange(
                 target_partitions, F.col(cluster_by)
             ).sortWithinPartitions(cluster_by)
-        else:
-            rewritten = latest.coalesce(target_partitions)
-        return self.commit(
-            rewritten, mode="overwrite", expected_base=base
+        return df.coalesce(target_partitions)
+
+    def compact_files(
+        self,
+        spark: SparkSession,
+        files: "list[str] | None" = None,
+        max_file_bytes: "int | None" = None,
+        target_partitions: int = 1,
+        cluster_by: "str | list[str] | None" = None,
+        zorder_bits: int = 4,
+    ) -> int:
+        """PARTIAL compaction — Delta's ``OPTIMIZE`` bin-packing:
+        rewrite ONLY the named ``files`` (or, with ``max_file_bytes``,
+        every data file smaller than that — the small-file sweep) into
+        ``target_partitions`` new files, carrying everything else by
+        reference. This is the maintenance primitive that scales: a
+        100 TB table cannot afford ``compact()``'s full rewrite on a
+        cadence, but sweeping the per-batch small files costs
+        O(small files) while the settled bulk is untouched — exactly
+        how Delta's OPTIMIZE [WHERE] amortizes small-file buildup.
+
+        Semantics match ``compact`` restricted to the selection:
+        tombstones of rewritten files are materialized (the rewrite
+        reads live rows only) and their now-dead sidecars are pruned
+        by the publish; tombstones of carried files survive untouched.
+        ``cluster_by`` lays the rewritten slice out with narrow footer
+        ranges — new files may overlap carried files' ranges (as in
+        Delta), which skipping handles per file. Selecting zero or one
+        file is a no-op returning the current version. Snapshot-
+        pinned like ``compact``: an intervening commit fails it."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        manifest = self._manifest(base)
+        all_files = manifest["files"]
+        if files is None:
+            if max_file_bytes is None:
+                raise ValueError(
+                    "compact_files: pass files=[...] or max_file_bytes=N"
+                )
+            files = [
+                f
+                for f in all_files
+                if os.path.getsize(os.path.join(self.root, f))
+                < max_file_bytes
+            ]
+        sel = set(files)
+        missing = sorted(sel - set(all_files))
+        if missing:
+            raise ValueError(
+                f"compact_files: not in version {base}: {missing[:5]}"
+            )
+        if len(sel) <= 1:
+            return base  # nothing to pack
+        carry = [f for f in all_files if f not in sel]
+        scan = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f) for f in all_files if f in sel]
+        )
+        live = self._apply_dvs(scan, spark, base)
+        # physical frame: translate cluster columns through the column
+        # mapping, and materialize drops out of the rewritten slice
+        # (same as compact — the new files shed the dead bytes)
+        dropped = set(self.dropped_columns(base)) & set(live.columns)
+        if dropped:
+            live = live.drop(*dropped)
+        if isinstance(cluster_by, str):
+            cluster_by = self._to_physical_name(cluster_by, base)
+        elif isinstance(cluster_by, (list, tuple)):
+            cluster_by = [
+                self._to_physical_name(c, base) for c in cluster_by
+            ]
+        rewritten = self._clustered_rewrite(
+            live, target_partitions, cluster_by, zorder_bits
+        )
+        # frames here are PHYSICAL (straight from the files): stage
+        # directly, bypassing the logical->physical translation
+        return self.publish(
+            self.stage(rewritten),
+            mode="overwrite",
+            expected_base=base,
+            carry=carry,
         )
 
     def vacuum(

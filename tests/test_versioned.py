@@ -1388,3 +1388,76 @@ def test_vacuum_checkpoints_the_oldest_retained_version(spark, tmp_path):
     for v in (11, 12, 13):
         assert len(cold._manifest(v)["files"]) == v + 1
     assert cold.read(spark).count() == 14
+
+
+def test_compact_files_packs_small_files_and_carries_the_rest(
+    spark, tmp_path
+):
+    """Partial compaction (Delta's OPTIMIZE bin-pack): only the
+    selected small files are rewritten; settled big files are carried
+    BY REFERENCE (byte-identical paths), rows and deletes unchanged."""
+    t = VersionedTable(str(tmp_path / "t"))
+    # one "settled" multi-row file + four tiny per-batch files
+    t.commit(
+        spark.range(0, 1000).selectExpr("id AS k", "id AS v").coalesce(1)
+    )
+    big = set(t._manifest(t.latest_version())["files"])
+    for i in range(4):
+        t.commit(
+            spark.createDataFrame(
+                [(10_000 + i, i)], "k bigint, v bigint"
+            ).coalesce(1),
+            mode="append",
+        )
+    # a tombstone in the big file AND one in a small file
+    t.delete_where(spark, (F.col("k") == 5) | (F.col("k") == 10_001))
+    before_rows = {r["k"] for r in t.read(spark).collect()}
+    n_before = len(t._manifest(t.latest_version())["files"])
+    big_bytes = max(
+        os.path.getsize(os.path.join(t.root, f))
+        for f in t._manifest(t.latest_version())["files"]
+    )
+    v = t.compact_files(spark, max_file_bytes=big_bytes)
+    m = t._manifest(v)
+    assert big <= set(m["files"])  # the settled file carried untouched
+    assert len(m["files"]) < n_before  # small files packed
+    assert {r["k"] for r in t.read(spark).collect()} == before_rows
+    # the small file's tombstone was materialized by the rewrite; the
+    # big file's survives via its sidecar
+    assert 5 not in before_rows and 10_001 not in before_rows
+    # selecting <=1 file is a no-op
+    assert t.compact_files(spark, files=[]) == v
+    # unknown files are rejected
+    with pytest.raises(ValueError, match="not in version"):
+        t.compact_files(spark, files=["part-nope.parquet", "part-x.parquet"])
+
+
+def test_compact_files_clusters_rewritten_slice(spark, tmp_path):
+    """Partial compaction with cluster_by lays the rewritten slice out
+    with narrow disjoint footer ranges, so skipping prunes among the
+    new files; works under an active column rename."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(6):  # six unclustered one-file commits
+        t.commit(
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id AS k", "id AS v")
+            .repartition(1),
+            mode="append",
+        )
+    t.rename_column("k", "key_id")
+    all_before = t._manifest(t.latest_version())["files"]
+    v = t.compact_files(
+        spark,
+        files=list(all_before),
+        target_partitions=3,
+        cluster_by="key_id",  # the LOGICAL name
+    )
+    files = t._manifest(v)["files"]
+    assert len(files) == 3
+    pruned = t.files_for_range("key_id", 0, 50)
+    assert 0 < len(pruned) < len(files)
+    got = {
+        r["key_id"]
+        for r in t.read_where(spark, "key_id", 0, 50).collect()
+    }
+    assert got == set(range(0, 51))
