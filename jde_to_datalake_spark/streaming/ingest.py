@@ -481,6 +481,7 @@ def maintain_index_tables(
     vacuum_keep_last: int = 4,
     retention_seconds: float = 3600.0,
     cluster_by: "dict[str, tuple[str, int]] | None" = None,
+    small_file_bytes: "int | None" = None,
 ) -> None:
     """Periodic maintenance for the loop's per-batch-commit tables:
     every commit adds files, so after N batches a table is N small
@@ -497,6 +498,16 @@ def maintain_index_tables(
     merge rewrites only the few files its keys land in, and the
     clustering compaction amortizes the accumulated merge output files
     back into tight ranges.
+
+    ``small_file_bytes`` switches UNclustered tables (the exact-dedup
+    index, the metrics trail) from a full rewrite to the partial
+    small-file sweep (``VersionedTable.compact_files``): only files
+    below the threshold are packed, settled packs are carried by
+    reference — at corpus scale a full index rewrite every N batches
+    is the cadence-killer this avoids. Clustered tables keep the full
+    clustered rewrite (global clustering is what bounds MERGE cost);
+    at true lake scale, schedule those as partition-scoped
+    ``compact_files(files=..., cluster_by=...)`` sweeps instead.
     """
     for t in tables:
         v = t.latest_version()
@@ -506,6 +517,8 @@ def maintain_index_tables(
                 t.compact(
                     spark, target_partitions=spec[1], cluster_by=spec[0]
                 )
+            elif small_file_bytes is not None:
+                t.compact_files(spark, max_file_bytes=small_file_bytes)
             else:
                 t.compact(spark)
             t.vacuum(
@@ -525,6 +538,7 @@ def ingest_batch_writer(
     bloom_filter: VersionedTable | None = None,
     app_id: str = "ingest",
     views: "list | None" = None,
+    small_file_bytes: "int | None" = None,
 ):
     """``foreachBatch`` adapter over :func:`ingest_batch`.
 
@@ -597,6 +611,9 @@ def ingest_batch_writer(
                         else {}
                     ),
                 },
+                # unclustered tables (index, metrics) take the partial
+                # small-file sweep instead of a full rewrite when set
+                small_file_bytes=small_file_bytes,
             )
 
     return write

@@ -748,3 +748,49 @@ def test_checkpoint_app_id_single_surviving_nonce(tmp_path, monkeypatch):
     assert not [
         f for f in os.listdir(ckpt) if ".tmp." in f
     ]
+
+
+def test_maintenance_small_file_sweep_carries_settled_packs(
+    spark, tmp_path
+):
+    """With small_file_bytes set, an unclustered table's maintenance
+    packs only the small per-batch files and carries settled packs by
+    reference — never a full rewrite."""
+    from jde_to_datalake_spark.streaming.ingest import (
+        maintain_index_tables,
+    )
+
+    t = VersionedTable(str(tmp_path / "idx"))
+    t.commit(
+        spark.range(0, 5000).selectExpr(
+            "CAST(id AS STRING) AS fingerprint"
+        ).coalesce(1)
+    )
+    settled = set(t._manifest(t.latest_version())["files"])
+    settled_bytes = max(
+        __import__("os").path.getsize(
+            __import__("os").path.join(t.root, f)
+        )
+        for f in settled
+    )
+    for i in range(7):  # versions 1..7: seven tiny appends
+        t.commit(
+            spark.createDataFrame(
+                [(f"fp-{i}",)], "fingerprint string"
+            ).coalesce(1),
+            mode="append",
+        )
+    # version 8 lands on the compact_every=8 cadence
+    t.commit(
+        spark.createDataFrame([("fp-last",)], "fingerprint string")
+        .coalesce(1),
+        mode="append",
+    )
+    maintain_index_tables(
+        spark, [t], compact_every=8, vacuum_keep_last=2,
+        retention_seconds=0, small_file_bytes=settled_bytes,
+    )
+    m = t._manifest(t.latest_version())
+    assert settled <= set(m["files"])  # settled pack carried untouched
+    assert len(m["files"]) < 9  # the 8 tiny files packed down
+    assert t.read(spark).count() == 5008
