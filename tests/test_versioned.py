@@ -172,6 +172,7 @@ _OPS = st.lists(
         st.tuples(st.just("merge"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("delete"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("compact"), st.just([])),
+        st.tuples(st.just("compact_small"), st.just([])),
         st.tuples(st.just("restore"), st.lists(st.integers(0, 99), min_size=1, max_size=1)),
         st.tuples(st.just("clone"), st.just([])),
         st.tuples(st.just("vacuum"), st.just([])),
@@ -189,7 +190,8 @@ _OPS = st.lists(
 )
 @given(ops=_OPS)
 def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
-    """Any commit/merge/delete/compact/restore/clone/vacuum/rename
+    """Any commit/merge/delete/compact(+partial)/restore/clone/vacuum/
+    rename
     sequence leaves read() equal to a plain set model of the same
     operations (merge payload = unique per op, so updates are
     observable). A clone taken mid-sequence must read the model state
@@ -232,6 +234,12 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             if empty:
                 continue
             table.compact(spark)
+        elif op == "compact_small":
+            # partial OPTIMIZE: pack every file (all are tiny here),
+            # carrying none — rows must be invariant like compact
+            if empty:
+                continue
+            table.compact_files(spark, max_file_bytes=1 << 30)
         elif op == "restore":
             if not snaps:
                 continue
