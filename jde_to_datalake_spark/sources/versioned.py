@@ -311,10 +311,17 @@ class VersionedTable:
             if "set_dropped_columns" in rec
             else prev.get("dropped_columns")
         )
+        cons = (
+            rec["set_constraints"]
+            if "set_constraints" in rec
+            else prev.get("constraints")
+        )
         if cr:
             state["column_renames"] = dict(cr)
         if dc:
             state["dropped_columns"] = list(dc)
+        if cons:
+            state["constraints"] = dict(cons)
         if dv_files:
             state["dv_files"] = dv_files
             if dv_refs:
@@ -541,6 +548,99 @@ class VersionedTable:
                 sel.append(F.col(c))
         return df.select(*sel)
 
+    # -- CHECK constraints (table-level, enforced on write) ----------------
+    def constraints(self, version: int | None = None) -> dict:
+        """The table's CHECK constraints ({name: sql predicate}, empty
+        when none) — Delta's ALTER TABLE ADD CONSTRAINT, persisted as
+        table metadata and enforced on every row-adding write."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return {}
+        return dict(self._manifest(version).get("constraints", {}))
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, predicate_sql: str
+    ) -> int:
+        """ADD CONSTRAINT <name> CHECK (<predicate_sql>): a metadata
+        commit that first VALIDATES the existing data (one scan — the
+        same contract as Delta: a constraint can only be added when
+        every current row satisfies it, else readers could never trust
+        it), then persists the predicate; every later ``commit``/
+        ``merge``/``commit_audited`` rejects batches with violating
+        rows. Predicates speak LOGICAL column names; NULL evaluates as
+        satisfied (SQL CHECK semantics)."""
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        cur = self.constraints(prev)
+        if name in cur:
+            raise ValueError(f"constraint {name!r} already exists")
+        bad = (
+            self.read(spark, prev)
+            .filter(~F.coalesce(F.expr(predicate_sql).cast("boolean"), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows violate "
+                f"CHECK ({predicate_sql})"
+            )
+        m = self._manifest(prev)
+        return self.publish(
+            [],
+            mode="overwrite",
+            expected_base=prev,
+            carry=m["files"],
+            constraints={**cur, name: predicate_sql},
+            annotations={"added_constraint": name},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """DROP CONSTRAINT: metadata-only; future writes stop checking
+        it. Unknown names raise (a typo'd drop silently succeeding
+        would leave the caller believing enforcement ended)."""
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        cur = self.constraints(prev)
+        if name not in cur:
+            raise ValueError(f"constraint {name!r} does not exist")
+        cur.pop(name)
+        m = self._manifest(prev)
+        return self.publish(
+            [],
+            mode="overwrite",
+            expected_base=prev,
+            carry=m["files"],
+            constraints=cur,
+            annotations={"dropped_constraint": name},
+        )
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Reject a LOGICAL batch containing rows that violate any
+        stored CHECK constraint. Zero cost when the table has none;
+        one O(batch) limit-1 job otherwise — the write-side gate Delta
+        runs inside its transaction."""
+        checks = self.constraints()
+        if not checks:
+            return
+        viol = F.lit(False)
+        for sql in checks.values():
+            viol = viol | ~F.coalesce(
+                F.expr(sql).cast("boolean"), F.lit(True)
+            )
+        bad = df.filter(viol).limit(1).collect()
+        if bad:
+            names = ", ".join(
+                f"{n}: CHECK ({s})" for n, s in checks.items()
+            )
+            raise ValueError(
+                f"{self.root}: batch violates table constraint(s) "
+                f"[{names}]; first offending row: {bad[0].asDict()}"
+            )
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
         column mapping, name mode): no data file is touched at any
@@ -687,6 +787,7 @@ class VersionedTable:
         frames are already physical, e.g. ``merge``).
         """
         if not _physical:
+            self._enforce_constraints(df)
             df = self._to_physical_df(df)
         return self.publish(
             self.stage(df), mode=mode, expected_base=expected_base, txn=txn
@@ -704,6 +805,7 @@ class VersionedTable:
         annotations: dict | None = None,
         column_renames: dict | None = None,
         dropped_columns: list[str] | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -896,14 +998,19 @@ class VersionedTable:
             column_renames = prev_manifest.get("column_renames")
         if dropped_columns is None and prev is not None:
             dropped_columns = prev_manifest.get("dropped_columns")
+        constraints_explicit = constraints is not None
+        if constraints is None and prev is not None:
+            constraints = prev_manifest.get("constraints")
         if column_renames:
             manifest["column_renames"] = dict(column_renames)
         if dropped_columns:
             manifest["dropped_columns"] = list(dropped_columns)
+        if constraints:
+            manifest["constraints"] = dict(constraints)
         if annotations:
             clash = annotations.keys() & manifest.keys() | {
                 "dv_files", "dv_refs", "txns",
-                "column_renames", "dropped_columns",
+                "column_renames", "dropped_columns", "constraints",
             } & annotations.keys()
             if clash:
                 raise ValueError(
@@ -971,6 +1078,8 @@ class VersionedTable:
         if schema_explicit:
             record["set_column_renames"] = dict(column_renames or {})
             record["set_dropped_columns"] = list(dropped_columns or [])
+        if constraints_explicit:
+            record["set_constraints"] = dict(constraints or {})
         if annotations:
             record["annotations"] = dict(annotations)
         # checkpoint: always at version 0, every CHECKPOINT_INTERVAL
@@ -1026,6 +1135,7 @@ class VersionedTable:
             expectations_report,
         )
 
+        self._enforce_constraints(df)
         staged = self.stage(self._to_physical_df(df))
         # the audit surface speaks LOGICAL names like every reader
         report = expectations_report(
@@ -1726,7 +1836,10 @@ class VersionedTable:
         # everything below operates in PHYSICAL column names: the
         # updates frame (logical, like every caller-facing surface) is
         # translated once, the key follows, and the internal raw scans
-        # / stats lookups / final stage are physical by construction
+        # / stats lookups / final stage are physical by construction.
+        # CHECK constraints gate the NEW rows here; kept rows were
+        # validated at their own writes (or by add_constraint's scan).
+        self._enforce_constraints(updates)
         updates = self._to_physical_df(updates)
         key = self._to_physical_name(key)
         grouped = updates.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
@@ -1882,6 +1995,7 @@ class VersionedTable:
             # column mapping, explicitly (empty = explicitly cleared)
             column_renames=m.get("column_renames", {}),
             dropped_columns=m.get("dropped_columns", []),
+            constraints=m.get("constraints", {}),
         )
 
     def clone_to(
@@ -1937,6 +2051,7 @@ class VersionedTable:
             },
             column_renames=m.get("column_renames", {}),
             dropped_columns=m.get("dropped_columns", []),
+            constraints=m.get("constraints", {}),
         )
         return clone
 
@@ -2186,6 +2301,7 @@ def commit_drift_checked(
 
     spark = df.sparkSession
     base_version = table.latest_version()
+    table._enforce_constraints(df)
     staged = table.stage(table._to_physical_df(df))
     if base_version is None:
         return table.publish(staged, mode=mode, expected_base=None)
