@@ -428,16 +428,29 @@ class VersionedTable:
         return int(t["version"]) if isinstance(t, dict) else int(t)
 
     def history(self) -> list[dict]:
-        """Commit audit trail, newest first (mode, file count, ts)."""
-        return [
-            {
-                "version": v,
-                "mode": (m := self._manifest(v))["mode"],
-                "n_files": len(m["files"]),
-                "committed_at": m["committed_at"],
-            }
-            for v in reversed(self.versions())
-        ]
+        """Commit audit trail, newest first: mode, file count, ts, and
+        per-commit operation metrics (files added/removed — straight
+        off each commit's delta record, Delta's operationMetrics)."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self._manifest(v)
+            try:
+                d = self.commit_delta(v)
+            except FileNotFoundError:
+                # legacy full-state manifest whose predecessor was
+                # vacuumed: the diff is unrecoverable, metrics unknown
+                d = {"add": [], "remove": []}
+            out.append(
+                {
+                    "version": v,
+                    "mode": m["mode"],
+                    "n_files": len(m["files"]),
+                    "n_added": len(d["add"]),
+                    "n_removed": len(d["remove"]),
+                    "committed_at": m["committed_at"],
+                }
+            )
+        return out
 
     # -- write ----------------------------------------------------------
     # -- column mapping (rename/drop without rewriting data) ---------------
@@ -904,12 +917,32 @@ class VersionedTable:
             # the target manifest's) — base-manifest stats still win
             prev_stats = {**known_stats, **prev_stats}
         stats = {f: prev_stats[f] for f in files if f in prev_stats}
-        for f in new_files:
-            if f in stats:
-                continue
-            fs = _footer_stats(os.path.join(self.root, f))
-            if fs:
-                stats[f] = fs
+        need_stats = [f for f in new_files if f not in stats]
+        if len(need_stats) > 8:
+            # wide commits (a big overwrite/backfill stages hundreds of
+            # files): footer reads are independent metadata I/O —
+            # overlap them instead of a serial driver loop. At true
+            # lake scale Delta collects stats from the writing tasks;
+            # a bounded thread pool is the single-node equivalent.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                for f, fs in zip(
+                    need_stats,
+                    pool.map(
+                        lambda f: _footer_stats(
+                            os.path.join(self.root, f)
+                        ),
+                        need_stats,
+                    ),
+                ):
+                    if fs:
+                        stats[f] = fs
+        else:
+            for f in need_stats:
+                fs = _footer_stats(os.path.join(self.root, f))
+                if fs:
+                    stats[f] = fs
         # the per-app idempotent-txn map is ACCUMULATED across commits
         # (every manifest carries the full map), so lookups read one
         # manifest and the record survives vacuum/compaction — the

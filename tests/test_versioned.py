@@ -1469,3 +1469,34 @@ def test_compact_files_clusters_rewritten_slice(spark, tmp_path):
         for r in t.read_where(spark, "key_id", 0, 50).collect()
     }
     assert got == set(range(0, 51))
+
+
+def test_history_reports_per_commit_operation_metrics(spark, table):
+    """history() carries files added/removed per commit, off the delta
+    records (Delta's operationMetrics)."""
+    table.commit(_df(spark, [(1, "a")]).coalesce(1), mode="overwrite")
+    table.commit(_df(spark, [(2, "b")]).coalesce(1), mode="append")
+    table.compact(spark, target_partitions=1)
+    h = {e["version"]: e for e in table.history()}
+    assert h[0]["n_added"] == 1 and h[0]["n_removed"] == 0
+    assert h[1]["n_added"] == 1 and h[1]["n_removed"] == 0
+    assert h[2]["n_added"] == 1 and h[2]["n_removed"] == 2  # compaction
+    assert h[2]["n_files"] == 1
+
+
+def test_wide_commit_collects_stats_for_every_file(spark, tmp_path):
+    """A >8-file commit takes the pooled footer-stats path; stats must
+    land for every file and skipping must still prune."""
+    t = VersionedTable(str(tmp_path / "t"))
+    v = t.commit(
+        spark.range(0, 2400)
+        .selectExpr("id AS k", "id AS v")
+        .repartitionByRange(12, "k")
+        .sortWithinPartitions("k"),
+        mode="overwrite",
+    )
+    m = t._manifest(v)
+    assert len(m["files"]) == 12
+    assert set(m["stats"]) == set(m["files"])  # all 12 footer-read
+    pruned = t.files_for_range("k", 0, 99)
+    assert 0 < len(pruned) < 12
