@@ -63,6 +63,7 @@ per commit) are still read transparently as self-checkpoints.
 from __future__ import annotations
 
 import bisect
+import datetime as _dt
 import json
 import os
 import time
@@ -135,6 +136,14 @@ def _footer_stats(path: str) -> dict:
                     poisoned.add(name)
                     out.pop(name, None)
                     continue
+            if isinstance(mn, (_dt.date, _dt.datetime)):
+                # DATE/TIMESTAMP stats stored as ISO-8601 strings:
+                # lexicographic order == chronological order (a bare
+                # date is a prefix of its own midnight timestamp and
+                # sorts first, which is exactly "earliest that day"),
+                # so range/point probes compare correctly after the
+                # same normalization (_stat_probe_value)
+                mn, mx = mn.isoformat(), mx.isoformat()
             if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
                 poisoned.add(name)
                 out.pop(name, None)
@@ -144,6 +153,16 @@ def _footer_stats(path: str) -> dict:
             else:
                 out[name] = [mn, mx]
     return out
+
+
+def _stat_probe_value(v):
+    """Normalize a skipping probe bound/value to the form footer
+    stats are stored in: DATE/TIMESTAMP become ISO-8601 strings (see
+    _footer_stats) so comparisons stay chronological; everything else
+    passes through."""
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return v
 
 
 def _dv_referenced_files(path: str) -> "list[str] | None":
@@ -316,12 +335,19 @@ class VersionedTable:
             if "set_constraints" in rec
             else prev.get("constraints")
         )
+        gen = (
+            rec["set_generated_columns"]
+            if "set_generated_columns" in rec
+            else prev.get("generated_columns")
+        )
         if cr:
             state["column_renames"] = dict(cr)
         if dc:
             state["dropped_columns"] = list(dc)
         if cons:
             state["constraints"] = dict(cons)
+        if gen:
+            state["generated_columns"] = dict(gen)
         if dv_files:
             state["dv_files"] = dv_files
             if dv_refs:
@@ -560,6 +586,112 @@ class VersionedTable:
             else:
                 sel.append(F.col(c))
         return df.select(*sel)
+
+    # -- generated columns (write-time computed, Delta's GENERATED ALWAYS AS)
+    def generated_columns(self, version: int | None = None) -> dict:
+        """Declared generated columns ({name: sql expression}, empty
+        when none): every row-adding write computes the column from
+        the expression when the batch omits it, and REJECTS the batch
+        when it supplies a conflicting value — so the column provably
+        equals its expression and can be trusted for clustering/
+        skipping. The canonical use: a DATE/numeric derivative of a
+        timestamp, because TIMESTAMP_NTZ predicates never reach
+        parquet footer stats (SCALE.md) — cluster and prune on the
+        generated day instead."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return {}
+        return dict(self._manifest(version).get("generated_columns", {}))
+
+    def add_generated_column(
+        self, spark: SparkSession, name: str, expr_sql: str
+    ) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS (``expr_sql``) — a
+        metadata commit. The name must not collide with a live column
+        (files written before the declaration would hold unvalidated
+        values); declare it before the data that carries it, or pick a
+        new name. Existing files simply lack the column (reads with
+        ``merge_schema`` see NULLs) until ``compact()`` materializes
+        it table-wide. The expression is analyzed against the current
+        schema so typos fail here, not at the next write."""
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        gen = self.generated_columns(prev)
+        if name in gen:
+            raise ValueError(f"generated column {name!r} already declared")
+        renames = self.column_renames(prev)
+        live_logical = {
+            ({p: l for l, p in renames.items()}).get(c, c)
+            for c in self._live_physical_columns(prev)
+        }
+        if name in live_logical or name in renames:
+            raise ValueError(
+                f"{name!r} already names a column of this table — a "
+                "generated column must be declared before any file "
+                "carries the name (existing values were never "
+                "validated against the expression)"
+            )
+        # analyze the expression against the current schema NOW
+        self.read(spark, prev).withColumn(name, F.expr(expr_sql)).schema
+        m = self._manifest(prev)
+        return self.publish(
+            [],
+            mode="overwrite",
+            expected_base=prev,
+            carry=m["files"],
+            generated_columns={**gen, name: expr_sql},
+            annotations={"added_generated_column": name},
+        )
+
+    def drop_generated_column(self, name: str) -> int:
+        """Stop auto-computing ``name``; the column itself remains an
+        ordinary column in the files that carry it."""
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        gen = self.generated_columns(prev)
+        if name not in gen:
+            raise ValueError(f"no generated column {name!r}")
+        gen.pop(name)
+        m = self._manifest(prev)
+        return self.publish(
+            [],
+            mode="overwrite",
+            expected_base=prev,
+            carry=m["files"],
+            generated_columns=gen,
+            annotations={"dropped_generated_column": name},
+        )
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Fill declared generated columns a LOGICAL batch omits, and
+        reject rows that supply a value differing from the expression
+        (Delta's GENERATED ALWAYS AS contract — both halves). Zero
+        cost when none are declared."""
+        gen = self.generated_columns()
+        if not gen:
+            return df
+        for name, expr_sql in gen.items():
+            if name in df.columns:
+                bad = (
+                    df.filter(
+                        ~F.col(name).eqNullSafe(F.expr(expr_sql))
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if bad:
+                    raise ValueError(
+                        f"{self.root}: batch value for generated column "
+                        f"{name!r} differs from its expression "
+                        f"({expr_sql}); first offending row: "
+                        f"{bad[0].asDict()}"
+                    )
+            else:
+                df = df.withColumn(name, F.expr(expr_sql))
+        return df
 
     # -- CHECK constraints (table-level, enforced on write) ----------------
     def constraints(self, version: int | None = None) -> dict:
@@ -800,6 +932,7 @@ class VersionedTable:
         frames are already physical, e.g. ``merge``).
         """
         if not _physical:
+            df = self._apply_generated(df)
             self._enforce_constraints(df)
             df = self._to_physical_df(df)
         return self.publish(
@@ -819,6 +952,7 @@ class VersionedTable:
         column_renames: dict | None = None,
         dropped_columns: list[str] | None = None,
         constraints: dict | None = None,
+        generated_columns: dict | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -1034,16 +1168,22 @@ class VersionedTable:
         constraints_explicit = constraints is not None
         if constraints is None and prev is not None:
             constraints = prev_manifest.get("constraints")
+        generated_explicit = generated_columns is not None
+        if generated_columns is None and prev is not None:
+            generated_columns = prev_manifest.get("generated_columns")
         if column_renames:
             manifest["column_renames"] = dict(column_renames)
         if dropped_columns:
             manifest["dropped_columns"] = list(dropped_columns)
         if constraints:
             manifest["constraints"] = dict(constraints)
+        if generated_columns:
+            manifest["generated_columns"] = dict(generated_columns)
         if annotations:
             clash = annotations.keys() & manifest.keys() | {
                 "dv_files", "dv_refs", "txns",
                 "column_renames", "dropped_columns", "constraints",
+                "generated_columns",
             } & annotations.keys()
             if clash:
                 raise ValueError(
@@ -1113,6 +1253,8 @@ class VersionedTable:
             record["set_dropped_columns"] = list(dropped_columns or [])
         if constraints_explicit:
             record["set_constraints"] = dict(constraints or {})
+        if generated_explicit:
+            record["set_generated_columns"] = dict(generated_columns or {})
         if annotations:
             record["annotations"] = dict(annotations)
         # checkpoint: always at version 0, every CHECKPOINT_INTERVAL
@@ -1168,6 +1310,7 @@ class VersionedTable:
             expectations_report,
         )
 
+        df = self._apply_generated(df)
         self._enforce_constraints(df)
         staged = self.stage(self._to_physical_df(df))
         # the audit surface speaks LOGICAL names like every reader
@@ -1624,6 +1767,8 @@ class VersionedTable:
         if version is None:
             raise FileNotFoundError(f"{self.root}: no commits yet")
         column = self._to_physical_name(column, version)
+        lower = _stat_probe_value(lower)
+        upper = _stat_probe_value(upper)
         manifest = self._manifest(version)
         stats = manifest.get("stats", {})
         keep = []
@@ -1680,7 +1825,9 @@ class VersionedTable:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"{self.root}: no commits yet")
-        vals = sorted({v for v in values if v is not None})
+        vals = sorted(
+            {_stat_probe_value(v) for v in values if v is not None}
+        )
         if not vals:
             return []
         column = self._to_physical_name(column, version)
@@ -1871,7 +2018,10 @@ class VersionedTable:
         # translated once, the key follows, and the internal raw scans
         # / stats lookups / final stage are physical by construction.
         # CHECK constraints gate the NEW rows here; kept rows were
-        # validated at their own writes (or by add_constraint's scan).
+        # validated at their own writes (or by add_constraint's scan);
+        # generated columns fill/validate first (constraints may
+        # reference them).
+        updates = self._apply_generated(updates)
         self._enforce_constraints(updates)
         updates = self._to_physical_df(updates)
         key = self._to_physical_name(key)
@@ -2029,6 +2179,7 @@ class VersionedTable:
             column_renames=m.get("column_renames", {}),
             dropped_columns=m.get("dropped_columns", []),
             constraints=m.get("constraints", {}),
+            generated_columns=m.get("generated_columns", {}),
         )
 
     def clone_to(
@@ -2085,6 +2236,7 @@ class VersionedTable:
             column_renames=m.get("column_renames", {}),
             dropped_columns=m.get("dropped_columns", []),
             constraints=m.get("constraints", {}),
+            generated_columns=m.get("generated_columns", {}),
         )
         return clone
 
@@ -2126,6 +2278,12 @@ class VersionedTable:
         """
         base = self.latest_version()
         latest = self.read(spark, base, merge_schema=True)
+        # materialize generated columns table-wide: rows written before
+        # the declaration lack the column; recomputing the whole column
+        # is safe because write-time validation pins supplied values to
+        # the expression anyway
+        for gname, gexpr in self.generated_columns(base).items():
+            latest = latest.withColumn(gname, F.expr(gexpr))
         rewritten = self._clustered_rewrite(
             latest, target_partitions, cluster_by, zorder_bits
         )
@@ -2334,6 +2492,7 @@ def commit_drift_checked(
 
     spark = df.sparkSession
     base_version = table.latest_version()
+    df = table._apply_generated(df)
     table._enforce_constraints(df)
     staged = table.stage(table._to_physical_df(df))
     if base_version is None:

@@ -1500,3 +1500,47 @@ def test_wide_commit_collects_stats_for_every_file(spark, tmp_path):
     assert set(m["stats"]) == set(m["files"])  # all 12 footer-read
     pruned = t.files_for_range("k", 0, 99)
     assert 0 < len(pruned) < 12
+
+
+def test_date_column_stats_enable_skipping_and_partial_merge(
+    spark, tmp_path
+):
+    """Round 7: DATE/TIMESTAMP footer stats are stored as ISO strings
+    (lexicographic == chronological), so date-clustered tables prune
+    range reads AND date-keyed merges rewrite only the touched files —
+    previously temporal columns had no stats at all."""
+    import datetime
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(datetime.date(2024, 1, 1 + i), i) for i in range(28)],
+            "d date, v int",
+        )
+        .repartitionByRange(4, "d")
+        .sortWithinPartitions("d")
+    )
+    assert "d" in next(iter(t._manifest(0)["stats"].values()))
+    v = t.merge(
+        spark,
+        spark.createDataFrame(
+            [(datetime.date(2024, 1, 3), 999)], "d date, v int"
+        ),
+        key="d",
+    )
+    assert len(t.commit_delta(v)["remove"]) == 1  # partial rewrite
+    pruned = t.files_for_range(
+        "d", datetime.date(2024, 1, 5), datetime.date(2024, 1, 8)
+    )
+    assert 0 < len(pruned) < len(t._manifest(v)["files"])
+    got = {
+        str(r["d"])
+        for r in t.read_where(
+            spark, "d", datetime.date(2024, 1, 5), datetime.date(2024, 1, 8)
+        ).collect()
+    }
+    assert got == {f"2024-01-0{i}" for i in range(5, 9)}
+    probe = t.files_for_values(
+        "d", [datetime.date(2024, 1, 3), datetime.date(2024, 1, 27)]
+    )
+    assert 0 < len(probe) < len(t._manifest(v)["files"])
