@@ -990,6 +990,7 @@ def _snapshot_lake_booleans(
         "zorder_pruned_read_exact": True,
         "cdf_change_feed_exact": True,
         "rename_mapping_exact": True,
+        "write_contracts_exact": True,
     }
     tmp = _tempfile.mkdtemp(prefix="jdespark-lake-")
     try:
@@ -1128,6 +1129,84 @@ def _snapshot_lake_booleans(
             and got_cdf.get("update_postimage") == want.get("changed")
             and got_cdf.get("update_preimage") == want.get("changed")
         )
+
+        # -- write contracts: CHECK constraints + generated columns +
+        # temporal-stats skipping, gated as one boolean (round 7).
+        # A third tiny table exercises the full declare/enforce/
+        # materialize/prune cycle the way a pipeline would.
+        vt3 = VersionedTable(_os.path.join(tmp, "contracts"))
+        ord_rows = (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_totalprice")
+            .limit(2000)
+        )
+        vt3.commit(ord_rows)
+        vt3.add_generated_column(
+            spark,
+            "order_month",
+            # a DATE derivative (not date_trunc's TIMESTAMP): the
+            # documented clustering pattern — date stats store as ISO
+            # strings and prune
+            "CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE)",
+        )
+        vt3.add_constraint(spark, "price_pos", "o_totalprice > 0")
+        # a valid append computes the generated column
+        vt3.commit(ord_rows.limit(50), mode="append")
+        gen_filled = (
+            vt3.read(spark, merge_schema=True)
+            .filter(
+                F.col("order_month").isNotNull()
+                & (
+                    F.col("order_month")
+                    != F.date_trunc("MONTH", F.col("o_orderdate"))
+                    .cast("date")
+                )
+            )
+            .isEmpty()
+        )
+        # a violating append must be rejected and publish nothing
+        v_before = vt3.latest_version()
+        constraint_held = False
+        try:
+            vt3.commit(
+                ord_rows.limit(5).withColumn(
+                    "o_totalprice", F.lit(-1.0)
+                ),
+                mode="append",
+            )
+        except ValueError:
+            constraint_held = vt3.latest_version() == v_before
+        # materialize + cluster on the generated DATE derivative, then
+        # skipping must prune a month probe (temporal stats as ISO
+        # strings — previously date columns had no stats at all)
+        vt3.compact(spark, target_partitions=6, cluster_by="order_month")
+        months = [
+            r[0]
+            for r in vt3.read(spark)
+            .select("order_month")
+            .distinct()
+            .orderBy("order_month")
+            .limit(2)
+            .collect()
+        ]
+        date_pruned = True
+        if len(months) == 2:
+            sub = vt3.files_for_range("order_month", months[0], months[0])
+            total3 = len(vt3._manifest(vt3.latest_version())["files"])
+            n_probe = (
+                vt3.read_where(
+                    spark, "order_month", months[0], months[0]
+                ).count()
+            )
+            n_expect = (
+                vt3.read(spark)
+                .filter(F.col("order_month") == months[0])
+                .count()
+            )
+            date_pruned = len(sub) < total3 and n_probe == n_expect
+        out["write_contracts_exact"] = bool(
+            gen_filled and constraint_held and date_pruned
+        )
     except _EmptyCustomer:
         pass  # vacuous-True defaults stand
     finally:
@@ -1176,9 +1255,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     under an active rename, and a fifth boolean
     (``rename_mapping_exact``) gates the mapping contract itself:
     zero files touched by the DDL, logical-name reads, and footer-
-    stats skipping surviving the rename. The whole lake workout is
-    cached per (session, sf_dir) — repeated query constructions reuse
-    the scalars (round-6 judge item #5)."""
+    stats skipping surviving the rename. A sixth boolean
+    (``write_contracts_exact``) gates the write contracts on a third
+    staged table over orders: a generated DATE derivative computed at
+    write and materialized by compact, a CHECK constraint rejecting a
+    violating append without publishing, and temporal footer stats
+    pruning a month probe exactly. The whole lake workout is cached
+    per (session, sf_dir) — repeated query constructions reuse the
+    scalars (round-6 judge item #5)."""
     from jde_to_datalake_spark.operators.reconcile import snapshot_diff
 
     cust = _t(spark, sf_dir, "customer")
@@ -1216,6 +1300,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "zorder_pruned_read_exact",
                 "cdf_change_feed_exact",
                 "rename_mapping_exact",
+                "write_contracts_exact",
             )
         ],
     )
@@ -1257,7 +1342,8 @@ SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
        TRUE AS zorder_prunes_nationkey,
        TRUE AS zorder_pruned_read_exact,
        TRUE AS cdf_change_feed_exact,
-       TRUE AS rename_mapping_exact
+       TRUE AS rename_mapping_exact,
+       TRUE AS write_contracts_exact
 FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
 """
 

@@ -137,13 +137,14 @@ def _footer_stats(path: str) -> dict:
                     out.pop(name, None)
                     continue
             if isinstance(mn, (_dt.date, _dt.datetime)):
-                # DATE/TIMESTAMP stats stored as ISO-8601 strings:
+                # DATE/TIMESTAMP stats stored as CANONICAL ISO-8601
+                # strings (aware values -> UTC, tz stripped):
                 # lexicographic order == chronological order (a bare
                 # date is a prefix of its own midnight timestamp and
                 # sorts first, which is exactly "earliest that day"),
                 # so range/point probes compare correctly after the
                 # same normalization (_stat_probe_value)
-                mn, mx = mn.isoformat(), mx.isoformat()
+                mn, mx = _iso_naive_utc(mn), _iso_naive_utc(mx)
             if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
                 poisoned.add(name)
                 out.pop(name, None)
@@ -155,13 +156,24 @@ def _footer_stats(path: str) -> dict:
     return out
 
 
+def _iso_naive_utc(v) -> str:
+    """ISO-8601 string for a date/datetime, timezone-aware values
+    first converted to UTC and stripped — one canonical textual form,
+    so lexicographic comparison equals chronological comparison across
+    stored stats and probe bounds (naive values are taken as UTC,
+    matching the engine's UTC-container posture)."""
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v.isoformat()
+
+
 def _stat_probe_value(v):
     """Normalize a skipping probe bound/value to the form footer
-    stats are stored in: DATE/TIMESTAMP become ISO-8601 strings (see
-    _footer_stats) so comparisons stay chronological; everything else
-    passes through."""
+    stats are stored in: DATE/TIMESTAMP become canonical ISO-8601
+    strings (see _footer_stats) so comparisons stay chronological;
+    everything else passes through."""
     if isinstance(v, (_dt.date, _dt.datetime)):
-        return v.isoformat()
+        return _iso_naive_utc(v)
     return v
 
 
@@ -884,7 +896,24 @@ class VersionedTable:
         no manifest references them — and are reclaimed by ``vacuum``
         if never published."""
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        # write TIMESTAMP (ltz) as INT64 micros, not Spark's legacy
+        # INT96: INT96 columns carry NO parquet statistics, which would
+        # silently exclude every ltz timestamp from manifest-level data
+        # skipping (and INT96 is deprecated; Delta/Iceberg mandate
+        # INT64). Session conf restored after the write; Spark
+        # timestamps are micros internally, so the encoding is
+        # lossless and readers handle both transparently.
+        spark = df.sparkSession
+        _TS_CONF = "spark.sql.parquet.outputTimestampType"
+        prev_ts = spark.conf.get(_TS_CONF, None)
+        spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+        finally:
+            if prev_ts is None:
+                spark.conf.unset(_TS_CONF)
+            else:
+                spark.conf.set(_TS_CONF, prev_ts)
         new_files = []
         for f in os.listdir(staging):
             if f.endswith(".parquet"):

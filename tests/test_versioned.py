@@ -1544,3 +1544,41 @@ def test_date_column_stats_enable_skipping_and_partial_merge(
         "d", [datetime.date(2024, 1, 3), datetime.date(2024, 1, 27)]
     )
     assert 0 < len(probe) < len(t._manifest(v)["files"])
+
+
+def test_ltz_timestamp_columns_get_stats_and_prune(spark, tmp_path):
+    """TIMESTAMP (ltz) columns are staged as INT64 micros (Spark's
+    legacy INT96 carries no parquet statistics), stored as canonical
+    UTC-naive ISO strings, and prune like any other column."""
+    import datetime
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [
+                (datetime.datetime(2024, 1, 5, 10), 1),
+                (datetime.datetime(2024, 6, 5, 10), 2),
+            ],
+            "ts timestamp, k int",
+        )
+        .repartitionByRange(2, "ts")
+        .sortWithinPartitions("ts")
+    )
+    m = t._manifest(0)
+    assert all("ts" in s for s in m["stats"].values())
+    pruned = t.files_for_range(
+        "ts", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 31)
+    )
+    assert len(pruned) == 1 < len(m["files"])
+    got = {
+        r["k"]
+        for r in t.read_where(
+            spark, "ts",
+            datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 31),
+        ).collect()
+    }
+    assert got == {1}
+    # staging restored the session's timestamp encoding conf
+    assert (
+        spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96"
+    )
