@@ -991,6 +991,7 @@ def _snapshot_lake_booleans(
         "cdf_change_feed_exact": True,
         "rename_mapping_exact": True,
         "write_contracts_exact": True,
+        "dml_merge_exact": True,
     }
     tmp = _tempfile.mkdtemp(prefix="jdespark-lake-")
     try:
@@ -1207,6 +1208,114 @@ def _snapshot_lake_booleans(
         out["write_contracts_exact"] = bool(
             gen_filled and constraint_held and date_pruned
         )
+
+        # -- DML + time travel: UPDATE, full-clause MERGE INTO, and
+        # timestampAsOf on the same table (round 7b). One boolean gates
+        # all three write-path contracts a pipeline leans on.
+        import time as _time
+
+        v_mid = vt3.latest_version()
+        ts_mid = _time.time()
+        base = vt3.read(spark).select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        keys = [
+            r[0]
+            for r in base.select("o_orderkey")
+            .distinct()
+            .orderBy("o_orderkey")
+            .limit(3)
+            .collect()
+        ]
+        pre = base.filter(F.col("o_orderkey").isin(keys)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        ).collect()[0]
+        # UPDATE ... SET price = price + 0.5 WHERE key IN (...)
+        vt3.update_where(
+            spark,
+            {"o_totalprice": "o_totalprice + 0.5"},
+            F.col("o_orderkey").isin(keys),
+        )
+        post = (
+            vt3.read(spark)
+            .filter(F.col("o_orderkey").isin(keys))
+            .agg(F.sum("o_totalprice").alias("s"))
+            .collect()[0]
+        )
+        update_ok = (
+            pre["n"] > 0
+            and abs(post["s"] - pre["s"] - 0.5 * pre["n"]) < 1e-3
+        )
+        # timestampAsOf resolves to the pre-UPDATE snapshot
+        tt_ok = vt3.version_at(ts_mid) == v_mid and (
+            abs(
+                vt3.read(spark, as_of_timestamp=ts_mid)
+                .filter(F.col("o_orderkey").isin(keys))
+                .agg(F.sum("o_totalprice"))
+                .collect()[0][0]
+                - pre["s"]
+            )
+            < 1e-3
+        )
+        # MERGE INTO: clause-ordered delete + conditional update +
+        # insert of a brand-new key, in one statement
+        k_del, k_upd = keys[0], keys[1]
+        upd_pre = (
+            vt3.read(spark)
+            .filter(F.col("o_orderkey") == k_upd)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_totalprice").alias("s"),
+            )
+            .collect()[0]
+        )
+        src = (
+            base.filter(F.col("o_orderkey") == k_del)
+            .limit(1)
+            .withColumn("x", F.lit(1))
+            .unionByName(
+                base.filter(F.col("o_orderkey") == k_upd)
+                .limit(1)
+                .withColumn("x", F.lit(2))
+            )
+            .unionByName(
+                base.limit(1)
+                .withColumn(
+                    "o_orderkey", F.lit(-1).cast("bigint")
+                )
+                .withColumn("x", F.lit(3))
+            )
+        )
+        vt3.merge_into(
+            spark,
+            src,
+            "o_orderkey",
+            matched=[
+                ("delete", "s.x = 1"),
+                (
+                    "update",
+                    "s.x = 2",
+                    {"o_totalprice": "t.o_totalprice + 100.0"},
+                ),
+            ],
+            not_matched=[("insert", None)],
+        )
+        fin = vt3.read(spark, merge_schema=True)
+        upd_post = (
+            fin.filter(F.col("o_orderkey") == k_upd)
+            .agg(F.sum("o_totalprice").alias("s"))
+            .collect()[0]
+        )
+        merge_ok = (
+            fin.filter(F.col("o_orderkey") == k_del).count() == 0
+            and abs(
+                upd_post["s"] - upd_pre["s"] - 100.0 * upd_pre["n"]
+            )
+            < 1e-3
+            and fin.filter(F.col("o_orderkey") == -1).count() == 1
+        )
+        out["dml_merge_exact"] = bool(update_ok and tt_ok and merge_ok)
     except _EmptyCustomer:
         pass  # vacuous-True defaults stand
     finally:
@@ -1260,9 +1369,15 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged table over orders: a generated DATE derivative computed at
     write and materialized by compact, a CHECK constraint rejecting a
     violating append without publishing, and temporal footer stats
-    pruning a month probe exactly. The whole lake workout is cached
-    per (session, sf_dir) — repeated query constructions reuse the
-    scalars (round-6 judge item #5)."""
+    pruning a month probe exactly. A seventh (``dml_merge_exact``,
+    round 7b) gates the DML tier on the same table: row-level UPDATE
+    (``update_where`` — stats-bounded partial rewrite, SET sees the
+    pre-update row), full-clause MERGE INTO (ordered matched-delete /
+    conditional matched-update / not-matched insert in one statement),
+    and ``timestampAsOf`` time travel resolving to the pre-UPDATE
+    snapshot. The whole lake workout is cached per (session, sf_dir)
+    — repeated query constructions reuse the scalars (round-6 judge
+    item #5)."""
     from jde_to_datalake_spark.operators.reconcile import snapshot_diff
 
     cust = _t(spark, sf_dir, "customer")
@@ -1301,6 +1416,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cdf_change_feed_exact",
                 "rename_mapping_exact",
                 "write_contracts_exact",
+                "dml_merge_exact",
             )
         ],
     )
@@ -1343,7 +1459,8 @@ SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
        TRUE AS zorder_pruned_read_exact,
        TRUE AS cdf_change_feed_exact,
        TRUE AS rename_mapping_exact,
-       TRUE AS write_contracts_exact
+       TRUE AS write_contracts_exact,
+       TRUE AS dml_merge_exact
 FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
 """
 

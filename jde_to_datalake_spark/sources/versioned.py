@@ -210,6 +210,27 @@ def _parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _to_epoch_seconds(v) -> float:
+    """Normalize a user-supplied instant to epoch seconds (the unit
+    commit records store). Naive datetimes / ISO strings are UTC —
+    the log stamps with ``time.time()``, so a local-time guess would
+    silently shift history by the host's offset."""
+    if isinstance(v, bool):
+        raise TypeError(f"not a timestamp: {v!r}")
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp()
+    raise TypeError(
+        f"timestamp must be epoch seconds, datetime, or ISO string; "
+        f"got {type(v).__name__}"
+    )
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
@@ -267,6 +288,40 @@ class VersionedTable:
     def latest_version(self) -> int | None:
         vs = self.versions()
         return vs[-1] if vs else None
+
+    def version_at(self, timestamp) -> int:
+        """Resolve a wall-clock instant to the table version a reader
+        at that instant would have seen: the LATEST retained version
+        whose ``committed_at`` is <= ``timestamp`` — Delta's
+        ``timestampAsOf`` rule, including both edges: an instant
+        before the earliest retained commit raises (``vacuum`` bounds
+        how far back, exactly like Delta's retention window), and an
+        instant after the newest commit resolves to the newest.
+
+        ``timestamp`` may be a float/int epoch-seconds value, a
+        ``datetime`` (naive = UTC, matching the log's ``time.time()``
+        stamps), or an ISO-8601 string. Cost is one small JSON read
+        per retained version (the raw commit record, no state
+        reconstruction) — metadata-scale, never touching data files.
+        """
+        ts = _to_epoch_seconds(timestamp)
+        best = None
+        # committed_at is wall-clock and so not guaranteed strictly
+        # monotonic across writers; scan every retained record rather
+        # than binary-searching an ordering the log does not promise.
+        # Ties and clock jogs resolve to the HIGHEST qualifying
+        # version — the snapshot a reader at that instant observes.
+        for v in self.versions():
+            if self._read_record(v)["committed_at"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"{self.root}: no retained commit at or before "
+                f"{timestamp!r} (earliest retained version is "
+                f"{self.versions()[0] if self.versions() else None}; "
+                "vacuum may have removed older history)"
+            )
+        return best
 
     def _read_record(self, version: int) -> dict:
         """One commit record's raw JSON (a delta, optionally carrying a
@@ -1361,10 +1416,21 @@ class VersionedTable:
         spark: SparkSession,
         version: int | None = None,
         merge_schema: bool = False,
+        as_of_timestamp=None,
     ) -> DataFrame:
         """Read a version. ``merge_schema=True`` unions the schemas of
         files written under different commits (schema evolution:
-        columns absent from older files read as null)."""
+        columns absent from older files read as null).
+        ``as_of_timestamp`` time-travels by wall clock instead of by
+        version number (Delta's ``timestampAsOf``; see
+        ``version_at`` for resolution rules) — mutually exclusive
+        with ``version``."""
+        if as_of_timestamp is not None:
+            if version is not None:
+                raise ValueError(
+                    "read: pass version OR as_of_timestamp, not both"
+                )
+            version = self.version_at(as_of_timestamp)
         if version is None:
             version = self.latest_version()
         if version is None:
@@ -1556,6 +1622,153 @@ class VersionedTable:
             expected_base=prev,
             carry=manifest["files"],
             dv_files=manifest.get("dv_files", []) + live,
+        )
+
+    # -- row-level UPDATE ---------------------------------------------------
+    def update_where(
+        self,
+        spark: SparkSession,
+        assignments: dict,
+        predicate,
+        prune_ranges: dict | None = None,
+        txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
+        retries: int = 0,
+    ) -> int:
+        """Row-level UPDATE as a partial file rewrite — Delta's
+        ``UPDATE <table> SET ... WHERE ...``.
+
+        ``assignments`` maps LOGICAL column names to new-value
+        expressions (Column or SQL string); ``predicate`` selects the
+        rows to update (Column or SQL string). SQL-UPDATE evaluation
+        order holds: every SET expression and the predicate see the
+        PRE-update row, so ``{"a": "b", "b": "a"}`` swaps the two
+        columns rather than chaining.
+
+        Scale shape mirrors ``merge``: one pruned scan finds the files
+        that CONTAIN a matching row (``prune_ranges`` restricts that
+        scan by footer stats, same contract as ``delete_where``), only
+        those files are rewritten, and every other file is carried
+        into the new version by reference — a targeted update of a
+        clustered table rewrites O(matching files), never O(table).
+        Tombstoned rows are never updated or resurrected (the scan
+        applies deletion vectors first), generated columns are
+        recomputed on updated rows (and may not be assigned directly —
+        Delta's GENERATED ALWAYS AS rule), CHECK constraints gate the
+        post-update rows, and the change feed classifies the rewrite
+        as update_preimage/update_postimage under a key like any other
+        partial rewrite.
+
+        Snapshot-isolated with the same optimistic ``retries`` loop as
+        ``merge``. A predicate matching nothing is a no-op returning
+        the current version.
+        """
+        attempt = 0
+        while True:
+            try:
+                return self._update_where_once(
+                    spark, assignments, predicate, prune_ranges, txn
+                )
+            except ConcurrentCommitError:
+                attempt += 1
+                if attempt > retries:
+                    raise
+
+    def _update_where_once(
+        self, spark, assignments, predicate, prune_ranges, txn
+    ) -> int:
+        prev = self.latest_version()
+        if prev is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        if not assignments:
+            raise ValueError("update_where: assignments must be non-empty")
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        gen = self.generated_columns(prev)
+        for c in assignments:
+            if c in gen:
+                raise ValueError(
+                    f"update_where: column {c!r} is GENERATED ALWAYS AS "
+                    f"({gen[c]}) — assign its source columns and the "
+                    "expression recomputes it"
+                )
+        manifest = self._manifest(prev)
+        candidates = (
+            self.files_for_ranges(prune_ranges, prev)
+            if prune_ranges
+            else manifest["files"]
+        )
+        if not candidates:
+            return prev
+
+        def _live(files):
+            scan = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f) for f in files]
+            )
+            return self._to_logical_df(
+                self._apply_dvs(scan, spark, prev), prev
+            )
+
+        # one metadata-scale job: which files hold >=1 matching LIVE row
+        touched_set = {
+            os.path.basename(r["f"])
+            for r in _live(candidates)
+            .filter(predicate)
+            .select(F.col("_metadata.file_name").alias("f"))
+            .distinct()
+            .collect()
+        }
+        if not touched_set:
+            return prev
+        by_base = {os.path.basename(f): f for f in manifest["files"]}
+        touched = [by_base[b] for b in by_base if b in touched_set]
+        untouched = [
+            f for f in manifest["files"] if os.path.basename(f) not in touched_set
+        ]
+        rows = _live(touched)
+        missing = [c for c in assignments if c not in rows.columns]
+        if missing:
+            raise ValueError(
+                f"update_where: unknown column(s) {missing} — the table's "
+                f"live columns are {rows.columns}"
+            )
+        # flag FIRST (predicate over pre-update values), then replace all
+        # assigned columns in ONE withColumns call so every SET expression
+        # also resolves against the pre-update row
+        flagged = rows.withColumn(
+            "__upd", F.coalesce(predicate.cast("boolean"), F.lit(False))
+        )
+        new_vals = {
+            c: F.when(
+                F.col("__upd"),
+                F.expr(e) if isinstance(e, str) else e,
+            ).otherwise(F.col(c))
+            for c, e in assignments.items()
+        }
+        updated = flagged.withColumns(new_vals)
+        # generated columns recompute over the POST-update row; a
+        # column declared after these files were written is absent
+        # from the scan — the rewrite materializes it (files written
+        # after the declaration always carry generated values)
+        for name, expr_sql in gen.items():
+            if name in updated.columns:
+                updated = updated.withColumn(
+                    name,
+                    F.when(F.col("__upd"), F.expr(expr_sql)).otherwise(
+                        F.col(name)
+                    ),
+                )
+            else:
+                updated = updated.withColumn(name, F.expr(expr_sql))
+        self._enforce_constraints(
+            updated.filter(F.col("__upd")).drop("__upd")
+        )
+        out = self._to_physical_df(updated.drop("__upd"), prev)
+        return self.publish(
+            self.stage(out),
+            mode="overwrite",
+            expected_base=prev,
+            carry=untouched,
+            txn=txn,
         )
 
     # -- change data feed -------------------------------------------------
@@ -1970,6 +2183,57 @@ class VersionedTable:
         )
 
     # -- upsert ---------------------------------------------------------
+    def _key_touched_files(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key: str,
+        manifest: dict,
+        any_nonnull: bool = True,
+    ) -> "tuple[list[str], list[str]]":
+        """Split a manifest's files into (touched, untouched) — a file
+        is touched when its footer [min, max] for ``key`` (PHYSICAL
+        name) can hold at least one of the batch's keys. One broadcast
+        range-join job: the ranges side is |files| rows (metadata
+        scale); ``keys_df``'s single column carries the batch's
+        distinct keys. Files lacking stats for ``key`` are
+        conservatively touched (unknown range = may match), so
+        correctness never depends on stats being present.
+        ``any_nonnull=False`` (every batch key NULL) skips the probe:
+        an equi-join on NULL matches nothing. Both lists preserve
+        manifest order."""
+        manifest_files = manifest["files"]
+        file_stats = manifest.get("stats", {})
+        ranged, touched = [], []
+        for f in manifest_files:
+            st = file_stats.get(f, {}).get(key)
+            if st is not None:
+                ranged.append((f, st[0], st[1]))
+            else:
+                touched.append(f)  # no stats: may match, must rewrite
+        if ranged and any_nonnull:
+            rdf = spark.createDataFrame(ranged, ["__file", "__mn", "__mx"])
+            kcol = keys_df.columns[0]
+            hits = (
+                keys_df.select(F.col(kcol).alias("__k"))
+                .dropna()
+                .distinct()
+                .join(
+                    F.broadcast(rdf),
+                    (F.col("__k") >= F.col("__mn"))
+                    & (F.col("__k") <= F.col("__mx")),
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            touched.extend(r["__file"] for r in hits)
+        touched_set = set(touched)
+        return (
+            [f for f in manifest_files if f in touched_set],
+            [f for f in manifest_files if f not in touched_set],
+        )
+
     def merge(
         self,
         spark: SparkSession,
@@ -2083,39 +2347,16 @@ class VersionedTable:
                 _physical=True,
             )
         manifest = self._manifest(prev)
-        manifest_files = manifest["files"]
-        file_stats = manifest.get("stats", {})
-        ranged, touched = [], []
-        for f in manifest_files:
-            st = file_stats.get(f, {}).get(key)
-            if st is not None:
-                ranged.append((f, st[0], st[1]))
-            else:
-                touched.append(f)  # no stats: may match, must rewrite
-        if ranged and s["kmin"] is not None:
-            # one broadcast range-join job: which files hold >=1 batch
-            # key. The ranges side is |files| rows (metadata scale);
-            # the keys side is the dup-guard's per-key frame reused.
-            rdf = spark.createDataFrame(ranged, ["__file", "__mn", "__mx"])
-            hits = (
-                grouped.select(F.col(key).alias("__k"))
-                .dropna()
-                .join(
-                    F.broadcast(rdf),
-                    (F.col("__k") >= F.col("__mn"))
-                    & (F.col("__k") <= F.col("__mx")),
-                )
-                .select("__file")
-                .distinct()
-                .collect()
-            )
-            touched.extend(r["__file"] for r in hits)
-        # s["kmin"] is None (all update keys NULL) leaves ranged files
+        # kmin None (all update keys NULL) leaves ranged files
         # untouched: an equi-anti-join matches no existing row, so the
         # merge is a pure insert
-        touched_set = set(touched)
-        touched = [f for f in manifest_files if f in touched_set]
-        untouched = [f for f in manifest_files if f not in touched_set]
+        touched, untouched = self._key_touched_files(
+            spark,
+            grouped.select(key),
+            key,
+            manifest,
+            any_nonnull=s["kmin"] is not None,
+        )
         if not touched:
             return self.publish(
                 self.stage(updates),
@@ -2133,6 +2374,380 @@ class VersionedTable:
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
         return self.publish(
             self.stage(kept.unionByName(updates, allowMissingColumns=True)),
+            mode="overwrite",
+            expected_base=prev,
+            carry=untouched,
+            txn=txn,
+        )
+
+    # -- full-clause MERGE --------------------------------------------------
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        matched: "list[tuple] | tuple" = (),
+        not_matched: "list[tuple] | tuple" = (("insert", None),),
+        not_matched_by_source: "list[tuple] | tuple" = (),
+        txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
+        retries: int = 0,
+    ) -> int:
+        """Delta's full MERGE INTO statement — the general form of
+        ``merge`` (which is the common upsert fast path).
+
+        Target and source rows are matched on equality of ``key``;
+        each row then takes the FIRST clause (in list order) whose
+        condition holds, within its match class:
+
+        - ``matched``: clauses over (target row, its matching source
+          row) — ``("update", condition, set)`` or ``("delete",
+          condition)``. ``set`` maps target columns to expressions;
+          ``None``/``"*"`` means UPDATE SET * (every target column
+          copied from the same-named source column where one exists).
+        - ``not_matched``: source rows matching no target row —
+          ``("insert", condition)`` inserts the full source row
+          (INSERT *); conditions may reference source columns only.
+        - ``not_matched_by_source``: target rows matching no source
+          row — ``("update", condition, set)`` or ``("delete",
+          condition)``; conditions/sets may reference target columns
+          only. The classic full-sync idiom is one unconditional
+          delete (target rows absent from the feed disappear).
+
+        A row matching no clause is kept unchanged. Conditions and
+        set expressions are Columns or SQL strings; inside matched
+        clauses qualify ambiguous names with the aliases ``t.`` (the
+        table) and ``s.`` (the source). Generated columns may not be
+        assigned (they recompute over the post-update row, Delta's
+        GENERATED ALWAYS AS rule); CHECK constraints gate updated and
+        inserted rows.
+
+        Scale shape: without ``not_matched_by_source`` clauses, the
+        same footer-stat key probe as ``merge`` bounds the rewrite to
+        files that can hold a source key (and a matched-/nbs-free
+        call rewrites NOTHING — inserts are appended, all existing
+        files carried by reference). ``not_matched_by_source``
+        inspects every target row by definition, so those calls
+        rewrite all files — exactly Delta's cost for the same clause.
+
+        Source rows must be key-unique (duplicate keys raise — Delta
+        errors when multiple source rows match one target row); NULL
+        source keys match nothing and flow to ``not_matched``.
+        Snapshot-isolated with the same optimistic ``retries`` loop
+        as ``merge``.
+        """
+        matched = [self._norm_clause(c, ("update", "delete")) for c in matched]
+        not_matched = [self._norm_clause(c, ("insert",)) for c in not_matched]
+        nbs = [
+            self._norm_clause(c, ("update", "delete"))
+            for c in not_matched_by_source
+        ]
+        for verb, _cond, aset in nbs:
+            if verb == "update" and not isinstance(aset, dict):
+                raise ValueError(
+                    "merge_into: a not_matched_by_source update needs an "
+                    "explicit set dict (there is no source row to copy *)"
+                )
+        gen = self.generated_columns()
+        for verb, _cond, aset in matched + nbs:
+            if isinstance(aset, dict):
+                bad = sorted(set(aset) & set(gen))
+                if bad:
+                    raise ValueError(
+                        f"merge_into: column(s) {bad} are GENERATED ALWAYS "
+                        "AS (...) — assign their source columns and the "
+                        "expressions recompute them"
+                    )
+        attempt = 0
+        while True:
+            try:
+                return self._merge_into_once(
+                    spark, source, key, matched, not_matched, nbs, txn
+                )
+            except ConcurrentCommitError:
+                attempt += 1
+                if attempt > retries:
+                    raise
+
+    @staticmethod
+    def _norm_clause(c, allowed: tuple) -> tuple:
+        """Normalize a merge_into clause to (verb, condition, set)."""
+        if not c or c[0] not in allowed:
+            raise ValueError(
+                f"merge_into: expected a clause starting with one of "
+                f"{allowed}, got {c!r}"
+            )
+        verb = c[0]
+        cond = c[1] if len(c) > 1 else None
+        aset = c[2] if len(c) > 2 else None
+        if verb == "update" and isinstance(aset, str) and aset != "*":
+            raise ValueError(
+                f"merge_into: update set must be a dict or '*', got {aset!r}"
+            )
+        if aset == "*":
+            aset = None
+        return (verb, cond, aset)
+
+    @staticmethod
+    def _clause_cond(cond):
+        if cond is None:
+            return F.lit(True)
+        return F.expr(cond) if isinstance(cond, str) else cond
+
+    def _merge_into_once(
+        self, spark, source, key, matched, not_matched, nbs, txn
+    ) -> int:
+        prev = self.latest_version()
+        # duplicate-source-key guard + key floor, one job (NULL keys
+        # exempt: they match nothing and are pure insert candidates)
+        grouped = source.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+        s = grouped.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max(F.when(F.col(key).isNotNull(), F.col("__n"))).alias("max_n"),
+            F.min(key).alias("kmin"),
+        ).collect()[0]
+        if s["max_n"] is not None and s["max_n"] > 1:
+            dup = (
+                grouped.filter(F.col("__n") > 1)
+                .filter(F.col(key).isNotNull())
+                .limit(1)
+                .collect()
+            )
+            raise ValueError(
+                f"merge_into: source contains duplicate key {dup[0][0]!r} — "
+                "multiple source rows may not match one target row (Delta "
+                "MERGE contract); dedupe the source first"
+            )
+
+        def _inserts_of(frame_with_aliases, bare: bool):
+            """Source rows passing any insert clause. ``bare``: the
+            frame IS the source (no join, no s. alias)."""
+            if not not_matched:
+                return None
+            cond = F.lit(False)
+            for _verb, c, _set in not_matched:
+                cond = cond | F.coalesce(
+                    self._clause_cond(c).cast("boolean"), F.lit(False)
+                )
+            out = frame_with_aliases.filter(cond)
+            if not bare:
+                out = out.select("s.*")
+            return self._apply_generated(out.drop("__src"))
+
+        if prev is None:
+            # no table yet: only not_matched clauses can act
+            ins = _inserts_of(source.withColumn("__src", F.lit(True)).alias("s"), bare=True)
+            if ins is None or s["n_groups"] == 0:
+                return prev
+            return self.commit(ins, mode="overwrite", expected_base=None, txn=txn)
+
+        manifest = self._manifest(prev)
+        if s["n_groups"] == 0 and not nbs:
+            return prev  # empty source, no by-source clause: no-op
+        key_phys = self._to_physical_name(key)
+        if nbs:
+            # a by-source clause inspects EVERY target row: all files
+            # are candidates (Delta pays the same full-rewrite cost)
+            touched, untouched = list(manifest["files"]), []
+        else:
+            touched, untouched = self._key_touched_files(
+                spark,
+                grouped.select(key),
+                key_phys,
+                manifest,
+                any_nonnull=s["kmin"] is not None,
+            )
+
+        def _live(files):
+            scan = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f) for f in files]
+            )
+            return self._to_logical_df(
+                self._apply_dvs(scan, spark, prev), prev
+            )
+
+        def _publish_staged(staged, carry):
+            if not staged or all(
+                _parquet_num_rows(os.path.join(self.root, f)) == 0
+                for f in staged
+            ):
+                # nothing changed: drop the empty commit entirely
+                self.discard(staged)
+                return prev
+            return self.publish(
+                staged,
+                mode="overwrite",
+                expected_base=prev,
+                carry=carry,
+                txn=txn,
+            )
+
+        if not touched:
+            # no file can hold a source key: pure insert (if any)
+            ins = _inserts_of(
+                source.withColumn("__src", F.lit(True)).alias("s"), bare=True
+            )
+            if ins is None:
+                return prev
+            self._enforce_constraints(ins)
+            return _publish_staged(
+                self.stage(self._to_physical_df(ins, prev)), manifest["files"]
+            )
+
+        live = _live(touched)
+        tcols = list(live.columns)
+
+        if not matched and not nbs:
+            # insert-only MERGE: nothing existing changes, so rewrite
+            # NOTHING — anti-join the source against the (pruned)
+            # touched keys and append, carrying every file by reference
+            ins_cand = (
+                source.withColumn("__src", F.lit(True))
+                .alias("s")
+                .join(
+                    live.select(F.col(key)).distinct(),
+                    on=key,
+                    how="left_anti",
+                )
+            )
+            ins = _inserts_of(ins_cand, bare=True)
+            if ins is None:
+                return prev
+            self._enforce_constraints(ins)
+            return _publish_staged(
+                self.stage(self._to_physical_df(ins, prev)), manifest["files"]
+            )
+
+        # general path: one full-outer join over the touched rows
+        t = live.withColumn("__tgt", F.lit(True)).alias("t")
+        srcj = source.withColumn("__src", F.lit(True)).alias("s")
+        j = t.join(
+            srcj,
+            F.col(f"t.`{key}`") == F.col(f"s.`{key}`"),
+            "full_outer",
+        )
+
+        def _first_match(clauses, prefix):
+            expr = F.lit(None).cast("string")
+            for i in range(len(clauses) - 1, -1, -1):
+                _verb, cond, _set = clauses[i]
+                expr = F.when(
+                    F.coalesce(
+                        self._clause_cond(cond).cast("boolean"), F.lit(False)
+                    ),
+                    F.lit(f"{prefix}{i}"),
+                ).otherwise(expr)
+            return expr
+
+        j = j.withColumn(
+            "__act",
+            F.when(
+                F.col("__tgt").isNotNull() & F.col("__src").isNotNull(),
+                _first_match(matched, "m"),
+            ).when(F.col("__tgt").isNotNull(), _first_match(nbs, "n")),
+        )
+
+        # one probe job over the join: does ANY clause act? An
+        # idempotent re-run whose conditions match nothing must be a
+        # no-op commit-wise, not a byte-identical rewrite of every
+        # key-touched file (the second scan below is the same
+        # two-pass shape Delta's MERGE runs: find, then rewrite).
+        ins_pred = F.lit(False)
+        for _verb, c, _set in not_matched:
+            ins_pred = ins_pred | F.coalesce(
+                self._clause_cond(c).cast("boolean"), F.lit(False)
+            )
+        probe = j.agg(
+            F.count(F.when(F.col("__act").isNotNull(), F.lit(1))).alias(
+                "n_act"
+            ),
+            F.count(
+                F.when(F.col("__tgt").isNull() & ins_pred, F.lit(1))
+            ).alias("n_ins"),
+        ).collect()[0]
+        if probe["n_act"] == 0 and probe["n_ins"] == 0:
+            return prev
+
+        delete_labels = [
+            f"m{i}" for i, (v, _c, _s) in enumerate(matched) if v == "delete"
+        ] + [f"n{i}" for i, (v, _c, _s) in enumerate(nbs) if v == "delete"]
+
+        def _resolved_set(aset):
+            if aset is None:  # UPDATE SET *: same-named source columns
+                return {
+                    c: F.col(f"s.`{c}`")
+                    for c in source.columns
+                    if c in tcols and c not in gen
+                }
+            return {
+                c: (F.expr(e) if isinstance(e, str) else e)
+                for c, e in aset.items()
+            }
+
+        gen = self.generated_columns(prev)
+        update_clauses = [
+            (f"m{i}", _resolved_set(aset))
+            for i, (v, _c, aset) in enumerate(matched)
+            if v == "update"
+        ] + [
+            (f"n{i}", _resolved_set(aset))
+            for i, (v, _c, aset) in enumerate(nbs)
+            if v == "update"
+        ]
+        for _label, sd in update_clauses:
+            unknown = sorted(set(sd) - set(tcols))
+            if unknown:
+                raise ValueError(
+                    f"merge_into: set names unknown column(s) {unknown} — "
+                    f"the table's live columns are {tcols}"
+                )
+
+        tgt = j.filter(F.col("__tgt").isNotNull())
+        if delete_labels:
+            tgt = tgt.filter(
+                F.col("__act").isNull() | ~F.col("__act").isin(delete_labels)
+            )
+        out_cols = []
+        for c in tcols:
+            val = F.col(f"t.`{c}`")
+            for label, sd in reversed(update_clauses):
+                if c in sd:
+                    val = F.when(F.col("__act") == label, sd[c]).otherwise(val)
+            out_cols.append(val.alias(c))
+        rewritten = tgt.select(*out_cols, F.col("__act"))
+        # generated columns recompute over the post-update row; ones
+        # declared after the touched files were written are absent
+        # from the scan — the rewrite materializes them
+        for name, expr_sql in gen.items():
+            if name in rewritten.columns:
+                rewritten = rewritten.withColumn(
+                    name,
+                    F.when(
+                        F.col("__act").isNotNull(), F.expr(expr_sql)
+                    ).otherwise(F.col(name)),
+                )
+            else:
+                rewritten = rewritten.withColumn(name, F.expr(expr_sql))
+        ins = _inserts_of(j.filter(F.col("__tgt").isNull()), bare=False)
+        changed = rewritten.filter(F.col("__act").isNotNull()).drop("__act")
+        if ins is not None:
+            changed = changed.unionByName(ins, allowMissingColumns=True)
+        self._enforce_constraints(changed)
+        final = rewritten.drop("__act")
+        if ins is not None:
+            final = final.unionByName(ins, allowMissingColumns=True)
+        staged = self.stage(self._to_physical_df(final, prev))
+        # a clause CAN delete every touched row: publish the shrunken
+        # file set rather than empty part files (empty staged parts are
+        # dropped; publish([]) + carry is the legitimate all-deleted
+        # outcome — the probe above already ruled out the no-op case)
+        keep = [
+            f
+            for f in staged
+            if _parquet_num_rows(os.path.join(self.root, f)) > 0
+        ]
+        self.discard([f for f in staged if f not in keep])
+        return self.publish(
+            keep,
             mode="overwrite",
             expected_base=prev,
             carry=untouched,

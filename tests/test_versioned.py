@@ -171,6 +171,8 @@ _OPS = st.lists(
         st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("merge"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("delete"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("update"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("sync"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("compact"), st.just([])),
         st.tuples(st.just("compact_small"), st.just([])),
         st.tuples(st.just("restore"), st.lists(st.integers(0, 99), min_size=1, max_size=1)),
@@ -190,8 +192,8 @@ _OPS = st.lists(
 )
 @given(ops=_OPS)
 def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
-    """Any commit/merge/delete/compact(+partial)/restore/clone/vacuum/
-    rename
+    """Any commit/merge/update_where/merge_into/delete/compact
+    (+partial)/restore/clone/vacuum/rename
     sequence leaves read() equal to a plain set model of the same
     operations (merge payload = unique per op, so updates are
     observable). A clone taken mid-sequence must read the model state
@@ -230,6 +232,32 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 continue
             table.delete_where(spark, F.col("k").isin([k for k, _ in rows]))
             model = {kv for kv in model if kv[0] not in {k for k, _ in rows}}
+        elif op == "update":
+            # row-level UPDATE: existing rows with these keys take the
+            # new payload; absent keys are NOT inserted
+            if empty:
+                continue
+            upd = {k for k, _ in rows}
+            table.update_where(
+                spark,
+                {name: F.lit(f"s{stamp}")},
+                F.col("k").isin(list(upd)),
+            )
+            model = {
+                (k, f"s{stamp}" if k in upd else v2) for k, v2 in model
+            }
+        elif op == "sync":
+            # full-clause MERGE as a mirror sync: matched rows update,
+            # unmatched source rows insert, target rows absent from the
+            # source are deleted — the table must equal the source
+            table.merge_into(
+                spark,
+                mk(rows),
+                "k",
+                matched=[("update", None, None)],
+                not_matched_by_source=[("delete", None)],
+            )
+            model = set(rows)
         elif op == "compact":
             if empty:
                 continue
