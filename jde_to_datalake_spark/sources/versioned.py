@@ -537,6 +537,11 @@ class VersionedTable:
                 {
                     "version": v,
                     "mode": m["mode"],
+                    # Delta's DESCRIBE HISTORY operation name: each
+                    # write path annotates its commits (UPDATE, MERGE,
+                    # DELETE, OPTIMIZE, ...); plain commits fall back
+                    # to their mode
+                    "operation": m.get("operation", m["mode"]),
                     "n_files": len(m["files"]),
                     "n_added": len(d["add"]),
                     "n_removed": len(d["remove"]),
@@ -709,7 +714,7 @@ class VersionedTable:
             expected_base=prev,
             carry=m["files"],
             generated_columns={**gen, name: expr_sql},
-            annotations={"added_generated_column": name},
+            annotations={"operation": "ADD GENERATED COLUMN", "added_generated_column": name},
         )
 
     def drop_generated_column(self, name: str) -> int:
@@ -729,7 +734,7 @@ class VersionedTable:
             expected_base=prev,
             carry=m["files"],
             generated_columns=gen,
-            annotations={"dropped_generated_column": name},
+            annotations={"operation": "DROP GENERATED COLUMN", "dropped_generated_column": name},
         )
 
     def _apply_generated(self, df: DataFrame) -> DataFrame:
@@ -806,7 +811,7 @@ class VersionedTable:
             expected_base=prev,
             carry=m["files"],
             constraints={**cur, name: predicate_sql},
-            annotations={"added_constraint": name},
+            annotations={"operation": "ADD CONSTRAINT", "added_constraint": name},
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -827,7 +832,7 @@ class VersionedTable:
             expected_base=prev,
             carry=m["files"],
             constraints=cur,
-            annotations={"dropped_constraint": name},
+            annotations={"operation": "DROP CONSTRAINT", "dropped_constraint": name},
         )
 
     def _enforce_constraints(self, df: DataFrame) -> None:
@@ -907,7 +912,7 @@ class VersionedTable:
             expected_base=prev,
             carry=m["files"],
             column_renames=renames,
-            annotations={"renamed_column": [old, new]},
+            annotations={"operation": "RENAME COLUMN", "renamed_column": [old, new]},
         )
 
     def drop_column(self, name: str) -> int:
@@ -942,7 +947,7 @@ class VersionedTable:
             carry=m["files"],
             column_renames=renames,
             dropped_columns=dropped,
-            annotations={"dropped_column": name},
+            annotations={"operation": "DROP COLUMN", "dropped_column": name},
         )
 
     def stage(self, df: DataFrame) -> list[str]:
@@ -1003,6 +1008,7 @@ class VersionedTable:
         expected_base=_UNSET,
         txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
         _physical: bool = False,
+        annotations: dict | None = None,
     ) -> int:
         """Write data files, then publish the next manifest atomically.
 
@@ -1020,7 +1026,11 @@ class VersionedTable:
             self._enforce_constraints(df)
             df = self._to_physical_df(df)
         return self.publish(
-            self.stage(df), mode=mode, expected_base=expected_base, txn=txn
+            self.stage(df),
+            mode=mode,
+            expected_base=expected_base,
+            txn=txn,
+            annotations=annotations,
         )
 
     def publish(
@@ -1622,6 +1632,7 @@ class VersionedTable:
             expected_base=prev,
             carry=manifest["files"],
             dv_files=manifest.get("dv_files", []) + live,
+            annotations={"operation": "DELETE"},
         )
 
     # -- row-level UPDATE ---------------------------------------------------
@@ -1769,15 +1780,18 @@ class VersionedTable:
             expected_base=prev,
             carry=untouched,
             txn=txn,
+            annotations={"operation": "UPDATE"},
         )
 
     # -- change data feed -------------------------------------------------
     def read_changes(
         self,
         spark: SparkSession,
-        v_from: int,
+        v_from: int | None = None,
         v_to: int | None = None,
         key: str | None = None,
+        since_timestamp=None,
+        until_timestamp=None,
     ) -> DataFrame:
         """NET row-level changes between two snapshots — Delta's
         ``table_changes`` re-expressed over the manifest diff, costing
@@ -1807,7 +1821,30 @@ class VersionedTable:
         Both versions must still be readable (``vacuum`` bounds how
         far back changes can be computed — the same trade Delta makes
         with its retention window).
+
+        ``since_timestamp`` / ``until_timestamp`` bound the feed by
+        wall clock instead of version number (Delta's starting/ending
+        timestamp options): each resolves through ``version_at`` to
+        the snapshot a reader at that instant saw, so the feed is
+        "every change since instant A (up to instant B)". Mutually
+        exclusive with the corresponding version argument.
         """
+        if since_timestamp is not None:
+            if v_from is not None:
+                raise ValueError(
+                    "read_changes: pass v_from OR since_timestamp, not both"
+                )
+            v_from = self.version_at(since_timestamp)
+        if v_from is None:
+            raise ValueError(
+                "read_changes: v_from or since_timestamp is required"
+            )
+        if until_timestamp is not None:
+            if v_to is not None:
+                raise ValueError(
+                    "read_changes: pass v_to OR until_timestamp, not both"
+                )
+            v_to = self.version_at(until_timestamp)
         if v_to is None:
             v_to = self.latest_version()
         if v_to is None:
@@ -2345,6 +2382,7 @@ class VersionedTable:
                 expected_base=None,
                 txn=txn,
                 _physical=True,
+                annotations={"operation": "MERGE"},
             )
         manifest = self._manifest(prev)
         # kmin None (all update keys NULL) leaves ranged files
@@ -2364,6 +2402,7 @@ class VersionedTable:
                 expected_base=prev,
                 carry=untouched,
                 txn=txn,
+                annotations={"operation": "MERGE"},
             )
         reader = spark.read.option("mergeSchema", "true")
         current = self._apply_dvs(
@@ -2378,6 +2417,7 @@ class VersionedTable:
             expected_base=prev,
             carry=untouched,
             txn=txn,
+            annotations={"operation": "MERGE"},
         )
 
     # -- full-clause MERGE --------------------------------------------------
@@ -2538,7 +2578,13 @@ class VersionedTable:
             ins = _inserts_of(source.withColumn("__src", F.lit(True)).alias("s"), bare=True)
             if ins is None or s["n_groups"] == 0:
                 return prev
-            return self.commit(ins, mode="overwrite", expected_base=None, txn=txn)
+            return self.commit(
+                ins,
+                mode="overwrite",
+                expected_base=None,
+                txn=txn,
+                annotations={"operation": "MERGE"},
+            )
 
         manifest = self._manifest(prev)
         if s["n_groups"] == 0 and not nbs:
@@ -2579,6 +2625,7 @@ class VersionedTable:
                 expected_base=prev,
                 carry=carry,
                 txn=txn,
+                annotations={"operation": "MERGE"},
             )
 
         if not touched:
@@ -2752,6 +2799,7 @@ class VersionedTable:
             expected_base=prev,
             carry=untouched,
             txn=txn,
+            annotations={"operation": "MERGE"},
         )
 
     # -- streaming sink ---------------------------------------------------
@@ -2817,7 +2865,10 @@ class VersionedTable:
             mode="overwrite",
             dv_files=list(m.get("dv_files", [])),
             known_stats=m.get("stats", {}),
-            annotations={"restored_from": int(to_version)},
+            annotations={
+                "operation": "RESTORE",
+                "restored_from": int(to_version),
+            },
             # RESTORE restores schema metadata too: the target's
             # column mapping, explicitly (empty = explicitly cleared)
             column_renames=m.get("column_renames", {}),
@@ -2874,6 +2925,7 @@ class VersionedTable:
             dv_files=[_abs(f) for f in m.get("dv_files", [])],
             known_stats=stats,
             annotations={
+                "operation": "CLONE",
                 "cloned_from": os.path.abspath(self.root),
                 "clone_source_version": int(version),
             },
@@ -2932,7 +2984,10 @@ class VersionedTable:
             latest, target_partitions, cluster_by, zorder_bits
         )
         return self.commit(
-            rewritten, mode="overwrite", expected_base=base
+            rewritten,
+            mode="overwrite",
+            expected_base=base,
+            annotations={"operation": "OPTIMIZE"},
         )
 
     def _clustered_rewrite(
@@ -3040,6 +3095,7 @@ class VersionedTable:
             mode="overwrite",
             expected_base=base,
             carry=carry,
+            annotations={"operation": "OPTIMIZE"},
         )
 
     def vacuum(

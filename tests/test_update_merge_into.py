@@ -393,3 +393,51 @@ def test_merge_into_null_source_keys_are_inserts(spark, table):
     table.merge_into(spark, src, "k", matched=[("update", None, None)])
     got = [(r["k"], r["v"]) for r in table.read(spark).collect()]
     assert (1, "a") in got and len(got) == 3
+
+
+# -- history operations + timestamp-bounded change feed --------------------
+
+
+def test_history_reports_operation_names(spark, table):
+    table.commit(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), mode="overwrite")
+    table.merge(spark, spark.createDataFrame([(2, "B")], ["k", "v"]), key="k")
+    table.delete_where(spark, "k = 1")
+    table.update_where(spark, {"v": F.lit("x")}, "k = 2")
+    table.merge_into(
+        spark,
+        spark.createDataFrame([(3, "c")], ["k", "v"]),
+        "k",
+        matched=[("update", None, None)],
+    )
+    table.compact(spark)
+    ops = [h["operation"] for h in table.history()]  # newest first
+    assert ops == ["OPTIMIZE", "MERGE", "UPDATE", "DELETE", "MERGE", "overwrite"]
+
+
+def test_history_reports_ddl_operations(spark, table):
+    table.commit(spark.createDataFrame([(1, 10)], ["k", "n"]), mode="overwrite")
+    table.add_constraint(spark, "n_pos", "n > 0")
+    table.rename_column("n", "amount")
+    ops = [h["operation"] for h in table.history()]
+    assert ops == ["RENAME COLUMN", "ADD CONSTRAINT", "overwrite"]
+
+
+def test_read_changes_by_timestamp(spark, table):
+    table.commit(spark.createDataFrame([(1, "a")], ["k", "v"]), mode="overwrite")
+    ts0 = time.time()
+    time.sleep(0.02)
+    table.commit(spark.createDataFrame([(2, "b")], ["k", "v"]), mode="append")
+    ts1 = time.time()
+    time.sleep(0.02)
+    table.commit(spark.createDataFrame([(3, "c")], ["k", "v"]), mode="append")
+    got = sorted(
+        (r["k"], r["_change_type"])
+        for r in table.read_changes(
+            spark, key="k", since_timestamp=ts0, until_timestamp=ts1
+        ).collect()
+    )
+    assert got == [(2, "insert")]
+    with pytest.raises(ValueError, match="not both"):
+        table.read_changes(spark, 0, key="k", since_timestamp=ts0)
+    with pytest.raises(ValueError, match="required"):
+        table.read_changes(spark, key="k")
