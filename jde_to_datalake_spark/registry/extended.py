@@ -992,6 +992,7 @@ def _snapshot_lake_booleans(
         "rename_mapping_exact": True,
         "write_contracts_exact": True,
         "dml_merge_exact": True,
+        "scd2_exact": True,
     }
     tmp = _tempfile.mkdtemp(prefix="jdespark-lake-")
     try:
@@ -1316,6 +1317,60 @@ def _snapshot_lake_booleans(
             and fin.filter(F.col("o_orderkey") == -1).count() == 1
         )
         out["dml_merge_exact"] = bool(update_ok and tt_ok and merge_ok)
+
+        # -- SCD Type 2 (round 7b): a fourth tiny dimension proves the
+        # close/open/skip contract plus idempotent re-apply.
+        from jde_to_datalake_spark.sources.scd import apply_scd2
+
+        dim = VersionedTable(_os.path.join(tmp, "dim"))
+        c0 = cust.select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).limit(300)
+        apply_scd2(
+            spark,
+            dim,
+            c0.withColumn("ts", F.lit(100)),
+            "c_custkey",
+            ["c_mktsegment", "c_acctbal"],
+            "ts",
+        )
+        b2 = (
+            c0.filter(F.col("c_custkey") % 5 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 1)
+            .withColumn("ts", F.lit(200))
+        )
+        v_scd = apply_scd2(
+            spark,
+            dim,
+            b2,
+            "c_custkey",
+            ["c_mktsegment", "c_acctbal"],
+            "ts",
+        )
+        v_again = apply_scd2(
+            spark,
+            dim,
+            b2,
+            "c_custkey",
+            ["c_mktsegment", "c_acctbal"],
+            "ts",
+        )
+        n_all = c0.count()
+        n_chg = c0.filter(F.col("c_custkey") % 5 == 0).count()
+        srows = dim.read(spark)
+        cur = srows.filter(F.col("is_current"))
+        closed = srows.filter(~F.col("is_current"))
+        out["scd2_exact"] = bool(
+            v_again == v_scd  # re-apply is a no-op commit-wise
+            and cur.count() == n_all  # one current row per key
+            and closed.count() == n_chg  # one closed row per change
+            and closed.filter(F.col("valid_to") != 200).count() == 0
+            and cur.filter(
+                (F.col("c_custkey") % 5 == 0)
+                & (F.col("valid_from") != 200)
+            ).count()
+            == 0
+        )
     except _EmptyCustomer:
         pass  # vacuous-True defaults stand
     finally:
@@ -1375,9 +1430,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-update row), full-clause MERGE INTO (ordered matched-delete /
     conditional matched-update / not-matched insert in one statement),
     and ``timestampAsOf`` time travel resolving to the pre-UPDATE
-    snapshot. The whole lake workout is cached per (session, sf_dir)
-    — repeated query constructions reuse the scalars (round-6 judge
-    item #5)."""
+    snapshot. An eighth (``scd2_exact``) gates SCD Type 2 maintenance
+    (sources/scd.py) on a fourth staged dimension: exactly one current
+    row per key, one closed row per change with chaining valid_to =
+    valid_from, and idempotent re-apply committing nothing. The whole
+    lake workout is cached per (session, sf_dir) — repeated query
+    constructions reuse the scalars (round-6 judge item #5)."""
     from jde_to_datalake_spark.operators.reconcile import snapshot_diff
 
     cust = _t(spark, sf_dir, "customer")
@@ -1417,6 +1475,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rename_mapping_exact",
                 "write_contracts_exact",
                 "dml_merge_exact",
+                "scd2_exact",
             )
         ],
     )
@@ -1460,7 +1519,8 @@ SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
        TRUE AS cdf_change_feed_exact,
        TRUE AS rename_mapping_exact,
        TRUE AS write_contracts_exact,
-       TRUE AS dml_merge_exact
+       TRUE AS dml_merge_exact,
+       TRUE AS scd2_exact
 FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
 """
 

@@ -1,0 +1,302 @@
+"""SCD Type 2 — keyed change history over the versioned table.
+
+The reference keeps entity history as dated full snapshots (one
+parquet drop per day per dispatch type, backend/s3_helper.py:45-75)
+and answers "what did this item look like on date D" by reading that
+day's file. The lakehouse-native form is a Type-2 slowly-changing
+dimension: ONE table holding every attribute version as a row with
+``valid_from`` / ``valid_to`` / ``is_current`` columns, maintained
+incrementally from a change feed — Delta Live Tables' APPLY CHANGES
+INTO ... STORED AS SCD TYPE 2, re-expressed over
+:class:`~jde_to_datalake_spark.sources.versioned.VersionedTable`
+primitives.
+
+Semantics per batch (after SEQUENCE-BY dedup to the latest row per
+key by ``ts_col``):
+
+- a key whose tracked attributes CHANGED closes its current row
+  (``valid_to`` = the batch row's timestamp, ``is_current`` = false)
+  and inserts a new current row (``valid_from`` = that timestamp);
+- a key whose tracked attributes are UNCHANGED leaves its row alone
+  (no churn version);
+- a batch row whose timestamp is not strictly newer than the current
+  row's ``valid_from`` is STALE and skipped — re-applying an old or
+  duplicate batch is a no-op, which is what makes at-least-once CDC
+  delivery and the optimistic retry loop safe;
+- a key with no current row (brand new, or previously closed) gets a
+  fresh current row.
+
+Scale: the same partial-rewrite discipline as ``merge`` — the batch's
+keys are probed against footer stats, only files that can hold a
+batch key are read and rewritten, everything else is carried by
+reference; on a key-clustered dimension a B-key batch rewrites O(B)
+files regardless of how much history the table holds. A one-job probe
+skips the commit entirely when no clause would act. Snapshot-isolated
+with the ``merge``-style optimistic ``retries`` loop, and exactly-once
+from a stream via the txn-stamped ``scd2_batch_writer``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.sources.versioned import (
+    ConcurrentCommitError,
+    VersionedTable,
+)
+
+
+def apply_scd2(
+    spark: SparkSession,
+    table: VersionedTable,
+    updates: DataFrame,
+    key: str,
+    tracked: "list[str]",
+    ts_col: str,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+    txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
+    retries: int = 0,
+) -> "int | None":
+    """Apply one CDC batch to ``table`` as SCD Type 2; returns the new
+    version (the current one when the batch changes nothing, ``None``
+    on an empty first batch).
+
+    ``updates`` carries the key, the tracked attribute columns, and
+    ``ts_col`` (the change timestamp — any orderable type). The
+    dimension's bookkeeping columns (``start_col``/``end_col``/
+    ``current_col``) are owned by this function: the batch must not
+    supply them, and ``end_col`` takes ``ts_col``'s type.
+    """
+    for c in (start_col, end_col, current_col):
+        if c in updates.columns:
+            raise ValueError(
+                f"apply_scd2: column {c!r} is SCD bookkeeping — the "
+                "batch must not supply it"
+            )
+    missing = [c for c in [key, ts_col, *tracked] if c not in updates.columns]
+    if missing:
+        raise ValueError(f"apply_scd2: batch lacks column(s) {missing}")
+    attempt = 0
+    while True:
+        try:
+            return _apply_scd2_once(
+                spark,
+                table,
+                updates,
+                key,
+                list(tracked),
+                ts_col,
+                start_col,
+                end_col,
+                current_col,
+                txn,
+            )
+        except ConcurrentCommitError:
+            attempt += 1
+            if attempt > retries:
+                raise
+
+
+def _apply_scd2_once(
+    spark,
+    table,
+    updates,
+    key,
+    tracked,
+    ts_col,
+    start_col,
+    end_col,
+    current_col,
+    txn,
+) -> "int | None":
+    # SEQUENCE BY: latest row per key wins within the batch (NULL keys
+    # are dropped — a dimension row needs an identity)
+    latest = (
+        updates.filter(F.col(key).isNotNull())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ts_type = updates.schema[ts_col].dataType.simpleString()
+
+    def _as_dim(df):
+        """Batch rows shaped as new CURRENT dimension rows."""
+        return (
+            df.withColumn(start_col, F.col(ts_col))
+            .withColumn(end_col, F.lit(None).cast(ts_type))
+            .withColumn(current_col, F.lit(True))
+            .drop(ts_col)
+        )
+
+    prev = table.latest_version()
+    if prev is None:
+        first = _as_dim(latest)
+        if first.isEmpty():
+            return None
+        return table.commit(
+            first,
+            mode="overwrite",
+            expected_base=None,
+            txn=txn,
+            annotations={"operation": "SCD2"},
+        )
+
+    manifest = table._manifest(prev)
+    key_phys = table._to_physical_name(key)
+    touched, untouched = table._key_touched_files(
+        spark, latest.select(key), key_phys, manifest
+    )
+    if not touched:
+        # no file can hold a batch key: every batch row is a new key
+        ins = _as_dim(latest)
+        if ins.isEmpty():
+            return prev
+        gen = table.generated_columns(prev)
+        ins = table._apply_generated(ins)
+        table._enforce_constraints(ins)
+        staged = table.stage(table._to_physical_df(ins, prev))
+        return table.publish(
+            staged,
+            mode="overwrite",
+            expected_base=prev,
+            carry=manifest["files"],
+            txn=txn,
+            annotations={"operation": "SCD2"},
+        )
+
+    scan = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table.root, f) for f in touched]
+    )
+    live = table._to_logical_df(table._apply_dvs(scan, spark, prev), prev)
+    tcols = list(live.columns)
+
+    # classify each touched row against its (at most one) batch row
+    t = live.alias("t")
+    s = latest.withColumn("__src", F.lit(True)).alias("s")
+    j = t.join(s, F.col(f"t.`{key}`") == F.col(f"s.`{key}`"), "left")
+    is_cur = F.col(f"t.`{current_col}`")
+    fresh = F.col("__src").isNotNull() & (
+        F.col(f"s.`{ts_col}`") > F.col(f"t.`{start_col}`")
+    )
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(f"t.`{c}`").eqNullSafe(F.col(f"s.`{c}`"))
+    closes = is_cur & fresh & changed
+
+    cur_rows = live.filter(F.col(current_col)).alias("c")
+    # probe jobs: anything to do at all? (an idempotent re-apply must
+    # not rewrite byte-identical files)
+    n_closes = j.filter(closes).limit(1).count()
+    n_new = (
+        latest.join(cur_rows.select(F.col(key)), on=key, how="left_anti")
+        .limit(1)
+        .count()
+    )
+    if n_closes == 0 and n_new == 0:
+        return prev
+
+    # rewritten touched rows: history and non-matching rows unchanged;
+    # closing rows take (valid_to = batch ts, is_current = false)
+    out_cols = []
+    for c in tcols:
+        val = F.col(f"t.`{c}`")
+        if c == end_col:
+            val = F.when(closes, F.col(f"s.`{ts_col}`")).otherwise(val)
+        elif c == current_col:
+            val = F.when(closes, F.lit(False)).otherwise(val)
+        out_cols.append(val.alias(c))
+    kept = j.select(*out_cols)
+
+    # new current rows: changed keys + keys lacking a current row.
+    # (A stale batch row never opens a version: the close predicate
+    # requires a strictly newer timestamp, and a stale row for a key
+    # WITH a current row falls into neither branch.)
+    changed_s = F.lit(False)
+    for c in tracked:
+        changed_s = changed_s | ~F.col(f"c.`{c}`").eqNullSafe(
+            F.col(f"s.`{c}`")
+        )
+    matched_new = (
+        latest.alias("s")
+        .join(
+            cur_rows,
+            F.col(f"s.`{key}`") == F.col(f"c.`{key}`"),
+            "inner",
+        )
+        .filter(
+            (F.col(f"s.`{ts_col}`") > F.col(f"c.`{start_col}`")) & changed_s
+        )
+        .select("s.*")
+    )
+    brand_new = latest.join(
+        cur_rows.select(F.col(key)), on=key, how="left_anti"
+    )
+    opens = _as_dim(matched_new.unionByName(brand_new))
+
+    gen = table.generated_columns(prev)
+    opens = table._apply_generated(opens)
+    new_rel = kept.unionByName(opens, allowMissingColumns=True)
+    for name, expr_sql in gen.items():
+        if name not in new_rel.columns:
+            new_rel = new_rel.withColumn(name, F.expr(expr_sql))
+    table._enforce_constraints(opens)
+    staged = table.stage(table._to_physical_df(new_rel, prev))
+    return table.publish(
+        staged,
+        mode="overwrite",
+        expected_base=prev,
+        carry=untouched,
+        txn=txn,
+        annotations={"operation": "SCD2"},
+    )
+
+
+def scd2_batch_writer(
+    table: VersionedTable,
+    key: str,
+    tracked: "list[str]",
+    ts_col: str,
+    app_id: Optional[str] = None,
+    **scd_cols,
+):
+    """``foreachBatch`` function maintaining ``table`` as an SCD-2
+    dimension from a CDC stream. With ``app_id`` the write is
+    txn-stamped (Delta's txnAppId/txnVersion): a batch re-delivered
+    after a crash between sink commit and checkpoint advance is
+    skipped outright, making the dimension exactly-once; bind
+    ``app_id`` to the checkpoint lineage (``checkpoint_app_id``) so a
+    deleted checkpoint cannot replay under a stale identity. Without
+    it, at-least-once delivery is still SAFE (stale-timestamp rows
+    are skipped by construction) — it just pays the probe cost on
+    re-delivery."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        txn = None
+        if app_id is not None:
+            last = table.last_txn_version(app_id)
+            if last is not None and last >= batch_id:
+                return  # already applied (crash-window re-delivery)
+            txn = (app_id, batch_id)
+        apply_scd2(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            key,
+            tracked,
+            ts_col,
+            txn=txn,
+            **scd_cols,
+        )
+
+    return write
