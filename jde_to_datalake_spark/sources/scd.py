@@ -60,6 +60,7 @@ def apply_scd2(
     start_col: str = "valid_from",
     end_col: str = "valid_to",
     current_col: str = "is_current",
+    delete_col: "str | None" = None,
     txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
     retries: int = 0,
 ) -> "int | None":
@@ -72,6 +73,13 @@ def apply_scd2(
     dimension's bookkeeping columns (``start_col``/``end_col``/
     ``current_col``) are owned by this function: the batch must not
     supply them, and ``end_col`` takes ``ts_col``'s type.
+
+    ``delete_col`` names an optional boolean event flag: a true row is
+    a CDC DELETE — it CLOSES the key's current row at its timestamp
+    and opens nothing (the key's history stays queryable; a later
+    upsert reopens it). Delete events for unknown keys are ignored,
+    stale delete events skip like any stale row, and the flag column
+    itself never lands in the dimension.
     """
     for c in (start_col, end_col, current_col):
         if c in updates.columns:
@@ -79,7 +87,8 @@ def apply_scd2(
                 f"apply_scd2: column {c!r} is SCD bookkeeping — the "
                 "batch must not supply it"
             )
-    missing = [c for c in [key, ts_col, *tracked] if c not in updates.columns]
+    need = [key, ts_col, *tracked] + ([delete_col] if delete_col else [])
+    missing = [c for c in need if c not in updates.columns]
     if missing:
         raise ValueError(f"apply_scd2: batch lacks column(s) {missing}")
     attempt = 0
@@ -95,6 +104,7 @@ def apply_scd2(
                 start_col,
                 end_col,
                 current_col,
+                delete_col,
                 txn,
             )
         except ConcurrentCommitError:
@@ -113,6 +123,7 @@ def _apply_scd2_once(
     start_col,
     end_col,
     current_col,
+    delete_col,
     txn,
 ) -> "int | None":
     # SEQUENCE BY: latest row per key wins within the batch (NULL keys
@@ -130,18 +141,26 @@ def _apply_scd2_once(
     )
     ts_type = updates.schema[ts_col].dataType.simpleString()
 
+    def _not_deleted(df, qual=""):
+        if delete_col is None:
+            return F.lit(True)
+        return ~F.coalesce(
+            F.col(f"{qual}`{delete_col}`").cast("boolean"), F.lit(False)
+        )
+
     def _as_dim(df):
         """Batch rows shaped as new CURRENT dimension rows."""
-        return (
+        out = (
             df.withColumn(start_col, F.col(ts_col))
             .withColumn(end_col, F.lit(None).cast(ts_type))
             .withColumn(current_col, F.lit(True))
             .drop(ts_col)
         )
+        return out.drop(delete_col) if delete_col else out
 
     prev = table.latest_version()
     if prev is None:
-        first = _as_dim(latest)
+        first = _as_dim(latest.filter(_not_deleted(latest)))
         if first.isEmpty():
             return None
         return table.commit(
@@ -159,7 +178,8 @@ def _apply_scd2_once(
     )
     if not touched:
         # no file can hold a batch key: every batch row is a new key
-        ins = _as_dim(latest)
+        # (delete events for unknown keys are ignored)
+        ins = _as_dim(latest.filter(_not_deleted(latest)))
         if ins.isEmpty():
             return prev
         gen = table.generated_columns(prev)
@@ -192,14 +212,15 @@ def _apply_scd2_once(
     changed = F.lit(False)
     for c in tracked:
         changed = changed | ~F.col(f"t.`{c}`").eqNullSafe(F.col(f"s.`{c}`"))
-    closes = is_cur & fresh & changed
+    closes = is_cur & fresh & (changed | ~_not_deleted(j, "s."))
 
     cur_rows = live.filter(F.col(current_col)).alias("c")
     # probe jobs: anything to do at all? (an idempotent re-apply must
     # not rewrite byte-identical files)
     n_closes = j.filter(closes).limit(1).count()
     n_new = (
-        latest.join(cur_rows.select(F.col(key)), on=key, how="left_anti")
+        latest.filter(_not_deleted(latest))
+        .join(cur_rows.select(F.col(key)), on=key, how="left_anti")
         .limit(1)
         .count()
     )
@@ -235,11 +256,13 @@ def _apply_scd2_once(
             "inner",
         )
         .filter(
-            (F.col(f"s.`{ts_col}`") > F.col(f"c.`{start_col}`")) & changed_s
+            (F.col(f"s.`{ts_col}`") > F.col(f"c.`{start_col}`"))
+            & changed_s
+            & _not_deleted(None, "s.")
         )
         .select("s.*")
     )
-    brand_new = latest.join(
+    brand_new = latest.filter(_not_deleted(latest)).join(
         cur_rows.select(F.col(key)), on=key, how="left_anti"
     )
     opens = _as_dim(matched_new.unionByName(brand_new))

@@ -550,6 +550,43 @@ class VersionedTable:
             )
         return out
 
+    def detail(self, version: int | None = None) -> dict:
+        """DESCRIBE DETAIL: table-level facts of a version, computed
+        from metadata only (manifest + file footers + sidecar sizes —
+        no data scan, no Spark job). ``n_rows`` is physical rows minus
+        live tombstones, i.e. what ``read()`` returns."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"{self.root}: no commits yet")
+        m = self._manifest(version)
+        files = m["files"]
+        dv_files = m.get("dv_files", [])
+        size = sum(
+            os.path.getsize(os.path.join(self.root, f)) for f in files
+        )
+        n_physical = sum(
+            _parquet_num_rows(os.path.join(self.root, f)) for f in files
+        )
+        n_tombstones = sum(
+            _parquet_num_rows(os.path.join(self.root, f)) for f in dv_files
+        )
+        return {
+            "location": os.path.abspath(self.root),
+            "version": version,
+            "operation": m.get("operation", m["mode"]),
+            "committed_at": m["committed_at"],
+            "n_files": len(files),
+            "size_bytes": size,
+            "n_rows": n_physical - n_tombstones,
+            "n_dv_files": len(dv_files),
+            "n_tombstones": n_tombstones,
+            "column_renames": dict(m.get("column_renames", {})),
+            "dropped_columns": list(m.get("dropped_columns", [])),
+            "constraints": dict(m.get("constraints", {})),
+            "generated_columns": dict(m.get("generated_columns", {})),
+        }
+
     # -- write ----------------------------------------------------------
     # -- column mapping (rename/drop without rewriting data) ---------------
     def column_renames(self, version: int | None = None) -> dict:

@@ -167,3 +167,105 @@ def test_custom_bookkeeping_column_names(spark, dim):
         (1, "a", 10.0, 100, 200, False),
         (1, "b", 10.0, 200, None, True),
     ]
+
+
+# -- CDC delete events ------------------------------------------------------
+
+
+def _dbatch(spark, rows):
+    return spark.createDataFrame(
+        rows, "item int, status string, price double, ts int, deleted boolean"
+    )
+
+
+def _dapply(spark, dim, rows):
+    return apply_scd2(spark, dim, _dbatch(spark, rows), "item",
+                      ["status", "price"], "ts", delete_col="deleted")
+
+
+def test_delete_event_closes_without_reopening(spark, dim):
+    _dapply(spark, dim, [(1, "a", 10.0, 100, False)])
+    _dapply(spark, dim, [(1, None, None, 200, True)])
+    assert _rows(spark, dim) == [(1, "a", 10.0, 100, 200, False)]
+
+
+def test_delete_then_reinsert_reopens(spark, dim):
+    _dapply(spark, dim, [(1, "a", 10.0, 100, False)])
+    _dapply(spark, dim, [(1, None, None, 200, True)])
+    _dapply(spark, dim, [(1, "b", 11.0, 300, False)])
+    assert _rows(spark, dim) == [
+        (1, "a", 10.0, 100, 200, False),
+        (1, "b", 11.0, 300, None, True),
+    ]
+
+
+def test_delete_for_unknown_key_is_ignored(spark, dim):
+    v0 = _dapply(spark, dim, [(1, "a", 10.0, 100, False)])
+    v1 = _dapply(spark, dim, [(9, None, None, 200, True)])
+    assert v1 == v0
+    assert _rows(spark, dim) == [(1, "a", 10.0, 100, None, True)]
+
+
+def test_stale_delete_is_skipped(spark, dim):
+    _dapply(spark, dim, [(1, "a", 10.0, 100, False)])
+    v = _dapply(spark, dim, [(1, None, None, 50, True)])
+    assert _rows(spark, dim) == [(1, "a", 10.0, 100, None, True)]
+    assert v == dim.latest_version()
+
+
+def test_delete_flag_never_lands_in_dimension(spark, dim):
+    _dapply(spark, dim, [(1, "a", 10.0, 100, False)])
+    assert "deleted" not in dim.read(spark).columns
+
+
+def test_first_batch_drops_delete_events(spark, dim):
+    _dapply(spark, dim, [(1, "a", 10.0, 100, False), (2, None, None, 100, True)])
+    assert [r[0] for r in _rows(spark, dim)] == [1]
+
+
+# -- streaming end-to-end ----------------------------------------------------
+
+
+def test_scd2_from_cdc_stream_end_to_end(spark, tmp_path):
+    """Bronze CDC table -> versioned stream -> foreachBatch SCD-2
+    dimension, across two availableNow runs with a shared checkpoint
+    (the full pipeline a warehouse sync would run)."""
+    from jde_to_datalake_spark.sources.versioned_stream import versioned_stream
+    from jde_to_datalake_spark.streaming.ingest import checkpoint_app_id
+
+    src = VersionedTable(str(tmp_path / "cdc"))
+    dim = VersionedTable(str(tmp_path / "dim"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "item bigint, status string, price double, ts bigint"
+
+    def cdc(rows):
+        src.commit(spark.createDataFrame(rows, schema), mode="append")
+
+    def run():
+        app = checkpoint_app_id(ckpt)
+        q = (
+            versioned_stream(spark, src, schema=schema)
+            .writeStream.foreachBatch(
+                scd2_batch_writer(dim, "item", ["status", "price"], "ts",
+                                  app_id=app)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    cdc([(1, "a", 10.0, 100), (2, "b", 20.0, 100)])
+    run()
+    cdc([(1, "a", 11.0, 200), (3, "c", 30.0, 200)])
+    run()
+    # re-run with nothing new: dimension untouched
+    v = dim.latest_version()
+    run()
+    assert dim.latest_version() == v
+    assert sorted(tuple(r) for r in dim.read(spark).collect()) == [
+        (1, "a", 10.0, 100, 200, False),
+        (1, "a", 11.0, 200, None, True),
+        (2, "b", 20.0, 100, None, True),
+        (3, "c", 30.0, 200, None, True),
+    ]

@@ -441,3 +441,23 @@ def test_read_changes_by_timestamp(spark, table):
         table.read_changes(spark, 0, key="k", since_timestamp=ts0)
     with pytest.raises(ValueError, match="required"):
         table.read_changes(spark, key="k")
+
+
+def test_detail_reports_table_facts(spark, table):
+    table.commit(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]),
+                 mode="overwrite")
+    table.delete_where(spark, "k = 3")
+    table.add_constraint(spark, "k_pos", "k > 0")
+    table.rename_column("v", "val")
+    d = table.detail()
+    assert d["version"] == table.latest_version()
+    assert d["operation"] == "RENAME COLUMN"
+    assert d["n_rows"] == 2  # tombstone subtracted
+    assert d["n_tombstones"] == 1 and d["n_dv_files"] == 1
+    assert d["constraints"] == {"k_pos": "k > 0"}
+    assert d["column_renames"] == {"val": "v"}
+    assert d["size_bytes"] > 0 and d["n_files"] >= 1
+    # historical versions answer too
+    assert table.detail(0)["n_rows"] == 3
+    with pytest.raises(FileNotFoundError):
+        VersionedTable(str(table.root) + "-none").detail()
