@@ -1,0 +1,584 @@
+"""Delta-style SQL statements over versioned lake tables.
+
+Spark SQL itself covers every read-side statement once relations are
+registered as views (``plans/sql_api.py``), but the WRITE-side
+statements Delta users type — UPDATE / DELETE / MERGE INTO / RESTORE /
+OPTIMIZE / VACUUM / DESCRIBE HISTORY — have no Catalyst hook without a
+catalog plugin (no delta-spark in this environment). This module is
+that front end: a deliberately CONSTRAINED statement grammar parsed
+with depth-aware string scanning and dispatched onto
+:class:`~jde_to_datalake_spark.sources.versioned.VersionedTable`
+methods, so a pipeline can speak SQL end-to-end against the lake.
+
+Supported statements (keywords case-insensitive; one statement per
+call; expressions inside SET/WHERE/AND pass through verbatim to
+Spark's ``expr`` and may use any Spark SQL function):
+
+- ``SELECT ... FROM <t> [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...``
+  — any SELECT; registered lake tables are exposed as temp views at
+  their LATEST version, and a ``VERSION/TIMESTAMP AS OF`` suffix after
+  a lake-table reference time-travels that reference.
+- ``UPDATE <t> SET col = expr [, ...] [WHERE pred]``
+- ``DELETE FROM <t> [WHERE pred]``
+- ``MERGE INTO <t> [AS] a USING <view|(subquery)> [AS] b
+  ON a.k = b.k
+  [WHEN MATCHED [AND c] THEN UPDATE SET {* | col = expr, ...}]
+  [WHEN MATCHED [AND c] THEN DELETE]
+  [WHEN NOT MATCHED [AND c] THEN INSERT *]
+  [WHEN NOT MATCHED BY SOURCE [AND c] THEN {DELETE | UPDATE SET ...}]``
+  — clause order is first-match-wins, exactly
+  ``VersionedTable.merge_into``; the ON condition must be a single
+  same-named key equality (the partial-rewrite contract).
+- ``INSERT INTO <t> <select-statement>``
+- ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>``
+- ``RESTORE TABLE <t> TO VERSION AS OF n`` (or TIMESTAMP AS OF)
+- ``OPTIMIZE <t> [ZORDER BY (a[, b ...])]``
+- ``VACUUM <t> [RETAIN n HOURS]``
+- ``ALTER TABLE <t> RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
+  ``ADD CONSTRAINT name CHECK (pred)`` / ``DROP CONSTRAINT name``
+
+Every statement returns a DataFrame: SELECT/DESCRIBE return their
+relation; DML/maintenance return a one-row ``(version)`` frame (the
+published version), mirroring how Delta surfaces commit results.
+
+Unsupported SQL (multi-statement scripts, INSERT VALUES lists,
+non-equi MERGE conditions, UPDATE with FROM) raises ``ValueError``
+naming the constraint rather than mis-executing.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _split_top(s: str, sep: str = ",") -> "list[str]":
+    """Split at depth-0 separators (parens, single quotes, backticks
+    respected)."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", "`"):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _find_kw_top(s: str, kw: str) -> int:
+    """Index of the first depth-0, unquoted, word-bounded occurrence
+    of keyword ``kw`` (case-insensitive), or -1."""
+    depth, quote, i, n, k = 0, None, 0, len(s), len(kw)
+    up = s.upper()
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith(kw, i):
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            j = i + k
+            after_ok = j >= n or not (s[j].isalnum() or s[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def _alias_rewrite(expr: str, mapping: "dict[str, str]") -> str:
+    """Rewrite ``alias.`` qualifiers to the canonical ``t.``/``s.``
+    aliases ``merge_into`` resolves against (word-bounded, outside
+    quotes)."""
+    for old, new in mapping.items():
+        if old == new:
+            continue
+        expr = re.sub(
+            rf"(?<![A-Za-z0-9_`]){re.escape(old)}\s*\.",
+            f"{new}.",
+            expr,
+        )
+    return expr
+
+
+class LakeSQL:
+    """SQL statement dispatcher over registered versioned tables."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: "dict[str, VersionedTable]" = {}
+
+    def register(self, name: str, table: VersionedTable) -> None:
+        if not re.fullmatch(_IDENT, name):
+            raise ValueError(f"invalid table name: {name!r}")
+        self.tables[name] = table
+
+    # -- public entry -----------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        st = statement.strip().rstrip(";").strip()
+        head = st.split(None, 1)[0].upper() if st else ""
+        if head == "SELECT" or head == "WITH":
+            return self._select(st)
+        if head == "UPDATE":
+            return self._update(st)
+        if head == "DELETE":
+            return self._delete(st)
+        if head == "MERGE":
+            return self._merge(st)
+        if head == "INSERT":
+            return self._insert(st)
+        if head == "DESCRIBE":
+            return self._describe(st)
+        if head == "RESTORE":
+            return self._restore(st)
+        if head == "OPTIMIZE":
+            return self._optimize(st)
+        if head == "VACUUM":
+            return self._vacuum(st)
+        if head == "ALTER":
+            return self._alter(st)
+        raise ValueError(f"unsupported statement: {st[:60]!r}")
+
+    # -- helpers ------------------------------------------------------------
+    def _table(self, name: str) -> VersionedTable:
+        t = self.tables.get(name)
+        if t is None:
+            raise ValueError(
+                f"unknown lake table {name!r} (registered: "
+                f"{sorted(self.tables)})"
+            )
+        return t
+
+    def _version_df(self, version) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(None if version is None else int(version),)], "version bigint"
+        )
+
+    def _refresh_views(self) -> None:
+        for name, t in self.tables.items():
+            if t.latest_version() is not None:
+                t.read(self.spark, merge_schema=True).createOrReplaceTempView(
+                    name
+                )
+
+    # -- statements -----------------------------------------------------
+    def _select(self, st: str) -> DataFrame:
+        # time travel: FROM/JOIN <lake table> VERSION|TIMESTAMP AS OF x
+        pat = re.compile(
+            rf"\b(FROM|JOIN)\s+({_IDENT})\s+"
+            rf"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[0-9][0-9.\-:T ]*)",
+            re.IGNORECASE,
+        )
+        counter = [0]
+
+        def _sub(m):
+            kw, name, mode, lit = m.groups()
+            t = self._table(name)
+            if mode.upper() == "VERSION":
+                df = t.read(self.spark, int(lit), merge_schema=True)
+            else:
+                ts = lit.strip("'")
+                ts = float(ts) if re.fullmatch(r"[0-9.]+", ts) else ts
+                df = t.read(
+                    self.spark, as_of_timestamp=ts, merge_schema=True
+                )
+            counter[0] += 1
+            view = f"__{name}_asof_{counter[0]}"
+            df.createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        rewritten = pat.sub(_sub, st)
+        self._refresh_views()
+        return self.spark.sql(rewritten)
+
+    def _update(self, st: str) -> DataFrame:
+        m = re.match(rf"UPDATE\s+({_IDENT})\s+SET\s+", st, re.IGNORECASE)
+        if not m:
+            raise ValueError("expected: UPDATE <table> SET ... [WHERE ...]")
+        t = self._table(m.group(1))
+        rest = st[m.end():]
+        w = _find_kw_top(rest, "WHERE")
+        set_part, pred = (
+            (rest[:w], rest[w + 5:]) if w >= 0 else (rest, "true")
+        )
+        assignments = {}
+        for item in _split_top(set_part):
+            eq = item.find("=")
+            if eq <= 0:
+                raise ValueError(f"bad SET item: {item!r}")
+            col = item[:eq].strip().strip("`")
+            assignments[col] = item[eq + 1:].strip()
+        return self._version_df(
+            t.update_where(self.spark, assignments, pred.strip())
+        )
+
+    def _delete(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$",
+            st,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("expected: DELETE FROM <table> [WHERE ...]")
+        t = self._table(m.group(1))
+        pred = (m.group(2) or "true").strip()
+        return self._version_df(t.delete_where(self.spark, pred))
+
+    def _insert(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"INSERT\s+INTO\s+({_IDENT})\s+(SELECT\b.*|WITH\b.*)$",
+            st,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "expected: INSERT INTO <table> SELECT ... "
+                "(VALUES lists are not supported)"
+            )
+        t = self._table(m.group(1))
+        self._refresh_views()
+        batch = self.spark.sql(m.group(2))
+        if t.latest_version() is not None:
+            # Delta's INSERT semantics: align by NAME and implicitly
+            # cast to the table's column types (a bare `SELECT 4`
+            # literal is INT; committing it raw would wedge a BIGINT
+            # column's schema merge). Extra columns pass through as
+            # schema evolution; absent table columns are simply not
+            # written (older files already read them as NULL).
+            from pyspark.sql import functions as F
+
+            target = {
+                f.name: f.dataType
+                for f in t.read(self.spark, merge_schema=True).schema.fields
+            }
+            batch = batch.select(
+                *[
+                    F.col(c).cast(target[c]).alias(c)
+                    if c in target
+                    else F.col(c)
+                    for c in batch.columns
+                ]
+            )
+        return self._version_df(t.commit(batch, mode="append"))
+
+    def _merge(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
+            st,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("expected: MERGE INTO <table> [AS a] USING ...")
+        tname, talias = m.group(1), m.group(2) or "t"
+        rest = st[m.end():].strip()
+        # source: (subquery) or identifier
+        if rest.startswith("("):
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            src_sql, rest = rest[1:i], rest[i + 1:].strip()
+            self._refresh_views()
+            source = self.spark.sql(src_sql)
+        else:
+            sm = re.match(rf"({_IDENT})", rest)
+            if not sm:
+                raise ValueError("MERGE: missing source relation")
+            sname = sm.group(1)
+            rest = rest[sm.end():].strip()
+            if sname in self.tables:
+                source = self._table(sname).read(self.spark)
+            else:
+                source = self.spark.table(sname)
+        am = re.match(rf"(?:AS\s+)?({_IDENT})\s+ON\s+", rest, re.IGNORECASE)
+        if am and am.group(1).upper() != "ON":
+            salias = am.group(1)
+            rest = rest[am.end():]
+        else:
+            salias = "s"
+            om = re.match(r"ON\s+", rest, re.IGNORECASE)
+            if not om:
+                raise ValueError("MERGE: missing ON condition")
+            rest = rest[om.end():]
+        w = _find_kw_top(rest, "WHEN")
+        if w < 0:
+            raise ValueError("MERGE: no WHEN clause")
+        on_cond, clauses_txt = rest[:w].strip(), rest[w:]
+        km = re.fullmatch(
+            rf"`?({_IDENT})`?\s*\.\s*`?({_IDENT})`?\s*=\s*"
+            rf"`?({_IDENT})`?\s*\.\s*`?({_IDENT})`?",
+            on_cond,
+        )
+        if not km:
+            raise ValueError(
+                "MERGE ON must be a single alias-qualified key equality "
+                f"(got {on_cond!r})"
+            )
+        a1, c1, a2, c2 = km.groups()
+        pair = {a1: c1, a2: c2}
+        if set(pair) != {talias, salias} or c1 != c2:
+            raise ValueError(
+                "MERGE ON must equate the SAME key column of the target "
+                f"and source aliases ({talias!r}, {salias!r}); got "
+                f"{on_cond!r}"
+            )
+        key = c1
+        amap = {talias: "t", salias: "s"}
+
+        matched, not_matched, nbs = [], [], []
+        parts = []
+        txt = clauses_txt
+        while True:
+            nxt = _find_kw_top(txt[4:], "WHEN")
+            if nxt < 0:
+                parts.append(txt)
+                break
+            parts.append(txt[: nxt + 4])
+            txt = txt[nxt + 4:]
+        for clause in parts:
+            cm = re.match(
+                r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED"
+                r"(?:\s+BY\s+TARGET)?|MATCHED)\s*(?:AND\s+(.*?))?\s*"
+                r"THEN\s+(.*)$",
+                clause.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"bad MERGE clause: {clause.strip()[:60]!r}")
+            kind = re.sub(r"\s+", " ", cm.group(1).upper())
+            cond = (
+                _alias_rewrite(cm.group(2).strip(), amap)
+                if cm.group(2)
+                else None
+            )
+            action = cm.group(3).strip()
+            act_up = action.upper()
+            if act_up == "DELETE":
+                verb = ("delete", cond)
+            elif act_up.startswith("UPDATE"):
+                um = re.match(r"UPDATE\s+SET\s+(.*)$", action,
+                              re.IGNORECASE | re.DOTALL)
+                if not um:
+                    raise ValueError(f"bad UPDATE action: {action[:60]!r}")
+                body = um.group(1).strip()
+                if body == "*":
+                    verb = ("update", cond, None)
+                else:
+                    aset = {}
+                    for item in _split_top(body):
+                        eq = item.find("=")
+                        if eq <= 0:
+                            raise ValueError(f"bad SET item: {item!r}")
+                        col = item[:eq].strip().strip("`")
+                        col = re.sub(rf"^({_IDENT})\.", "", col)
+                        aset[col] = _alias_rewrite(item[eq + 1:].strip(), amap)
+                    verb = ("update", cond, aset)
+            elif act_up.startswith("INSERT"):
+                if action.upper().replace(" ", "") != "INSERT*":
+                    raise ValueError(
+                        "only INSERT * is supported (column lists / "
+                        "VALUES are not)"
+                    )
+                verb = ("insert", cond)
+            else:
+                raise ValueError(f"bad MERGE action: {action[:60]!r}")
+            if kind == "MATCHED":
+                if verb[0] == "insert":
+                    raise ValueError("WHEN MATCHED cannot INSERT")
+                matched.append(verb)
+            elif kind in ("NOT MATCHED", "NOT MATCHED BY TARGET"):
+                if verb[0] != "insert":
+                    raise ValueError("WHEN NOT MATCHED supports INSERT only")
+                not_matched.append(verb)
+            else:  # NOT MATCHED BY SOURCE
+                if verb[0] == "insert":
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE cannot INSERT"
+                    )
+                nbs.append(verb)
+        t = self._table(tname)
+        v = t.merge_into(
+            self.spark,
+            source,
+            key,
+            matched=matched,
+            not_matched=not_matched,
+            not_matched_by_source=nbs,
+        )
+        return self._version_df(v)
+
+    def _describe(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"DESCRIBE\s+(HISTORY|DETAIL)\s+({_IDENT})$", st, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError("expected: DESCRIBE HISTORY|DETAIL <table>")
+        t = self._table(m.group(2))
+        if m.group(1).upper() == "HISTORY":
+            rows = [
+                (
+                    h["version"],
+                    h["operation"],
+                    h["mode"],
+                    h["n_files"],
+                    h["n_added"],
+                    h["n_removed"],
+                    float(h["committed_at"]),
+                )
+                for h in t.history()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version bigint, operation string, mode string, "
+                "n_files bigint, n_added bigint, n_removed bigint, "
+                "committed_at double",
+            )
+        d = t.detail()
+        row = (
+            d["location"],
+            d["version"],
+            d["operation"],
+            float(d["committed_at"]),
+            d["n_files"],
+            d["size_bytes"],
+            d["n_rows"],
+            d["n_dv_files"],
+            d["n_tombstones"],
+            json.dumps(d["column_renames"], sort_keys=True),
+            json.dumps(d["dropped_columns"]),
+            json.dumps(d["constraints"], sort_keys=True),
+            json.dumps(d["generated_columns"], sort_keys=True),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "location string, version bigint, operation string, "
+            "committed_at double, n_files bigint, size_bytes bigint, "
+            "n_rows bigint, n_dv_files bigint, n_tombstones bigint, "
+            "column_renames string, dropped_columns string, "
+            "constraints string, generated_columns string",
+        )
+
+    def _restore(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+(VERSION|TIMESTAMP)"
+            rf"\s+AS\s+OF\s+('[^']*'|[0-9][0-9.\-:T ]*)$",
+            st,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "expected: RESTORE TABLE <t> TO VERSION|TIMESTAMP AS OF x"
+            )
+        t = self._table(m.group(1))
+        if m.group(2).upper() == "VERSION":
+            target = int(m.group(3))
+        else:
+            ts = m.group(3).strip("'")
+            ts = float(ts) if re.fullmatch(r"[0-9.]+", ts) else ts
+            target = t.version_at(ts)
+        return self._version_df(t.restore(target))
+
+    def _optimize(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
+            st,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("expected: OPTIMIZE <t> [ZORDER BY (a, b)]")
+        t = self._table(m.group(1))
+        if m.group(2):
+            # ZORDER BY: full clustered rewrite on the named columns
+            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            v = t.compact(
+                self.spark,
+                target_partitions=4,
+                cluster_by=cols if len(cols) > 1 else cols[0],
+            )
+        else:
+            # plain OPTIMIZE: bin-pack small files, carry the rest
+            v = t.compact_files(self.spark, max_file_bytes=32 << 20)
+        return self._version_df(v)
+
+    def _vacuum(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?$",
+            st,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("expected: VACUUM <t> [RETAIN n HOURS]")
+        t = self._table(m.group(1))
+        seconds = float(m.group(2)) * 3600 if m.group(2) else 3600.0
+        removed = t.vacuum(keep_last=1, retention_seconds=seconds)
+        return self.spark.createDataFrame(
+            [(len(removed),)], "files_removed bigint"
+        )
+
+    def _alter(self, st: str) -> DataFrame:
+        pre = rf"ALTER\s+TABLE\s+({_IDENT})\s+"
+        m = re.match(
+            pre + rf"RENAME\s+COLUMN\s+`?({_IDENT})`?\s+TO\s+`?({_IDENT})`?$",
+            st,
+            re.IGNORECASE,
+        )
+        if m:
+            return self._version_df(
+                self._table(m.group(1)).rename_column(m.group(2), m.group(3))
+            )
+        m = re.match(pre + rf"DROP\s+COLUMN\s+`?({_IDENT})`?$", st,
+                     re.IGNORECASE)
+        if m:
+            return self._version_df(
+                self._table(m.group(1)).drop_column(m.group(2))
+            )
+        m = re.match(
+            pre + rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)$",
+            st,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._version_df(
+                self._table(m.group(1)).add_constraint(
+                    self.spark, m.group(2), m.group(3).strip()
+                )
+            )
+        m = re.match(pre + rf"DROP\s+CONSTRAINT\s+({_IDENT})$", st,
+                     re.IGNORECASE)
+        if m:
+            return self._version_df(
+                self._table(m.group(1)).drop_constraint(m.group(2))
+            )
+        raise ValueError(
+            "expected: ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN a"
+            " | ADD CONSTRAINT n CHECK (pred) | DROP CONSTRAINT n"
+        )

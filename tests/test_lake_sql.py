@@ -1,0 +1,175 @@
+"""Delta-style SQL statements over the versioned lake
+(plans/lake_sql.py): UPDATE / DELETE / MERGE INTO / INSERT / time
+travel / DESCRIBE / RESTORE / OPTIMIZE / VACUUM / ALTER, each
+dispatched onto the VersionedTable method it names."""
+
+import time
+
+import pytest
+
+from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+
+@pytest.fixture()
+def lk(spark, tmp_path):
+    lk = LakeSQL(spark)
+    t = VersionedTable(str(tmp_path / "items"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "n"]
+        ),
+        mode="overwrite",
+    )
+    lk.register("items", t)
+    return lk
+
+
+def _rows(lk):
+    return sorted(tuple(r) for r in lk.sql("SELECT * FROM items").collect())
+
+
+def test_select_and_time_travel(lk):
+    assert _rows(lk) == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    lk.sql("DELETE FROM items WHERE k = 3")
+    got = lk.sql("SELECT count(*) AS c FROM items VERSION AS OF 0").collect()
+    assert got[0]["c"] == 3
+    got = lk.sql(
+        f"SELECT count(*) AS c FROM items TIMESTAMP AS OF {time.time()}"
+    ).collect()
+    assert got[0]["c"] == 2
+
+
+def test_update_statement(lk):
+    out = lk.sql("UPDATE items SET n = n + 1, s = upper(s) WHERE k >= 2")
+    assert out.columns == ["version"]
+    assert _rows(lk) == [(1, "a", 10.0), (2, "B", 21.0), (3, "C", 31.0)]
+
+
+def test_delete_statement(lk):
+    lk.sql("DELETE FROM items WHERE k = 2")
+    assert _rows(lk) == [(1, "a", 10.0), (3, "c", 30.0)]
+
+
+def test_insert_select_casts_to_table_types(lk):
+    # bare literals are INT/DECIMAL; INSERT must align to the table's
+    # BIGINT/DOUBLE schema or later merged reads wedge
+    lk.sql("INSERT INTO items SELECT 4 AS k, 'd' AS s, 40 AS n")
+    assert _rows(lk) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+    ]
+
+
+def test_merge_statement_full_clauses(lk):
+    lk.sql(
+        """
+        MERGE INTO items AS d USING (
+            SELECT 2 AS k, 'x' AS s, CAST(5 AS DOUBLE) AS n
+            UNION ALL SELECT 3, 'y', CAST(99 AS DOUBLE)
+            UNION ALL SELECT 9, 'new', CAST(90 AS DOUBLE)
+        ) AS u
+        ON d.k = u.k
+        WHEN MATCHED AND u.n < d.n THEN UPDATE SET n = d.n + u.n
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    # k=2: condition true -> updated; k=3: condition false -> deleted;
+    # k=9: inserted
+    assert _rows(lk) == [(1, "a", 10.0), (2, "b", 25.0), (9, "new", 90.0)]
+
+
+def test_merge_not_matched_by_source(lk):
+    lk.sql(
+        """
+        MERGE INTO items t USING (
+            SELECT 1 AS k, 'a' AS s, CAST(10 AS DOUBLE) AS n
+        ) s
+        ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    assert _rows(lk) == [(1, "a", 10.0)]
+
+
+def test_describe_history_and_detail(lk):
+    lk.sql("UPDATE items SET n = 0 WHERE k = 1")
+    h = lk.sql("DESCRIBE HISTORY items").collect()
+    assert [r["operation"] for r in h] == ["UPDATE", "overwrite"]
+    d = lk.sql("DESCRIBE DETAIL items").collect()[0]
+    assert d["n_rows"] == 3 and d["version"] == 1
+
+
+def test_restore_statement(lk):
+    lk.sql("DELETE FROM items")
+    lk.sql("RESTORE TABLE items TO VERSION AS OF 0")
+    assert len(_rows(lk)) == 3
+
+
+def test_alter_statements(lk):
+    lk.sql("ALTER TABLE items RENAME COLUMN n TO amount")
+    assert lk.sql("SELECT amount FROM items WHERE k = 1").collect()[0][0] == 10.0
+    lk.sql("ALTER TABLE items ADD CONSTRAINT amt_pos CHECK (amount > 0)")
+    with pytest.raises(ValueError, match="amt_pos"):
+        lk.sql("UPDATE items SET amount = -1 WHERE k = 1")
+    lk.sql("ALTER TABLE items DROP CONSTRAINT amt_pos")
+    lk.sql("UPDATE items SET amount = -1 WHERE k = 1")  # now allowed
+    assert (1, "a", -1.0) in _rows(lk)
+
+
+def test_optimize_and_vacuum(lk):
+    for i in range(3):
+        lk.sql(f"INSERT INTO items SELECT {10 + i} AS k, 'z' AS s, 1 AS n")
+    before = _rows(lk)
+    lk.sql("OPTIMIZE items ZORDER BY (k)")
+    assert _rows(lk) == before
+    removed = lk.sql("VACUUM items RETAIN 0.0 HOURS").collect()[0]
+    assert removed["files_removed"] > 0
+    assert _rows(lk) == before
+
+
+def test_error_shapes(lk, spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown lake table"):
+        lk.sql("UPDATE nope SET a = 1")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        lk.sql("TRUNCATE TABLE items")
+    with pytest.raises(ValueError, match="key equality"):
+        lk.sql(
+            "MERGE INTO items t USING (SELECT 1 AS k) s ON t.k < s.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="INSERT \\*"):
+        lk.sql(
+            "MERGE INTO items t USING (SELECT 1 AS k) s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (1)"
+        )
+    with pytest.raises(ValueError, match="cannot INSERT"):
+        lk.sql(
+            "MERGE INTO items t USING (SELECT 1 AS k) s ON t.k = s.k "
+            "WHEN MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="VALUES lists"):
+        lk.sql("INSERT INTO items VALUES (1, 'a', 1.0)")
+
+
+def test_merge_source_can_be_registered_lake_table(lk, spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "feed"))
+    src.commit(
+        spark.createDataFrame([(1, "A", 99.0), (7, "g", 70.0)], ["k", "s", "n"]),
+        mode="overwrite",
+    )
+    lk.register("feed", src)
+    lk.sql(
+        "MERGE INTO items t USING feed s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _rows(lk) == [
+        (1, "A", 99.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+        (7, "g", 70.0),
+    ]
