@@ -35,7 +35,13 @@ Spark's ``expr`` and may use any Spark SQL function):
 - ``OPTIMIZE <t> [ZORDER BY (a[, b ...])]``
 - ``VACUUM <t> [RETAIN n HOURS]``
 - ``ALTER TABLE <t> RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
-  ``ADD CONSTRAINT name CHECK (pred)`` / ``DROP CONSTRAINT name``
+  ``ADD CONSTRAINT name CHECK (pred)`` / ``DROP CONSTRAINT name`` /
+  ``ADD COLUMN c GENERATED ALWAYS AS (expr)``
+- ``CREATE TABLE <name> LOCATION '<path>' [AS <select>]`` — register
+  (or CTAS-create) a versioned table at a filesystem location
+- ``CONVERT TO VERSIONED '<path>' AS <name>`` — adopt an existing
+  plain-parquet directory metadata-only (Delta's CONVERT TO DELTA)
+- ``SHOW TABLES``
 
 Every statement returns a DataFrame: SELECT/DESCRIBE return their
 relation; DML/maintenance return a one-row ``(version)`` frame (the
@@ -163,6 +169,12 @@ class LakeSQL:
             return self._vacuum(st)
         if head == "ALTER":
             return self._alter(st)
+        if head == "CREATE":
+            return self._create(st)
+        if head == "CONVERT":
+            return self._convert(st)
+        if head == "SHOW":
+            return self._show(st)
         raise ValueError(f"unsupported statement: {st[:60]!r}")
 
     # -- helpers ------------------------------------------------------------
@@ -486,6 +498,68 @@ class LakeSQL:
             "constraints string, generated_columns string",
         )
 
+    def _create(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s+LOCATION\s+'([^']+)'"
+            rf"(?:\s+AS\s+(SELECT\b.*|WITH\b.*))?$",
+            st,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "expected: CREATE TABLE <name> LOCATION '<path>' "
+                "[AS SELECT ...] (column-list DDL is not supported — "
+                "the schema comes from the data)"
+            )
+        name, path, query = m.groups()
+        if name in self.tables:
+            raise ValueError(f"table {name!r} already registered")
+        t = VersionedTable(path)
+        if query:
+            if t.latest_version() is not None:
+                raise ValueError(
+                    f"{path}: already a versioned table — CTAS would "
+                    "clobber it; register it with CREATE TABLE (no AS) "
+                    "or pick a new location"
+                )
+            self._refresh_views()
+            t.commit(self.spark.sql(query), mode="overwrite")
+        self.register(name, t)
+        return self._version_df(t.latest_version())
+
+    def _convert(self, st: str) -> DataFrame:
+        m = re.match(
+            rf"CONVERT\s+TO\s+VERSIONED\s+'([^']+)'\s+AS\s+({_IDENT})$",
+            st,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "expected: CONVERT TO VERSIONED '<path>' AS <name>"
+            )
+        path, name = m.groups()
+        if name in self.tables:
+            raise ValueError(f"table {name!r} already registered")
+        t = VersionedTable.convert_from_parquet(path)
+        self.register(name, t)
+        return self._version_df(t.latest_version())
+
+    def _show(self, st: str) -> DataFrame:
+        if not re.fullmatch(r"SHOW\s+TABLES", st, re.IGNORECASE):
+            raise ValueError("expected: SHOW TABLES")
+        rows = [
+            (
+                n,
+                t.root,
+                -1 if t.latest_version() is None else t.latest_version(),
+            )
+            for n, t in sorted(self.tables.items())
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", "", -1)],
+            "name string, location string, version bigint",
+        ).filter("name <> ''")
+
     def _restore(self, st: str) -> DataFrame:
         m = re.match(
             rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+(VERSION|TIMESTAMP)"
@@ -578,7 +652,21 @@ class LakeSQL:
             return self._version_df(
                 self._table(m.group(1)).drop_constraint(m.group(2))
             )
+        m = re.match(
+            pre
+            + rf"ADD\s+COLUMN\s+`?({_IDENT})`?\s+GENERATED\s+ALWAYS\s+AS"
+            r"\s*\((.*)\)$",
+            st,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._version_df(
+                self._table(m.group(1)).add_generated_column(
+                    self.spark, m.group(2), m.group(3).strip()
+                )
+            )
         raise ValueError(
             "expected: ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN a"
             " | ADD CONSTRAINT n CHECK (pred) | DROP CONSTRAINT n"
+            " | ADD COLUMN c GENERATED ALWAYS AS (expr)"
         )

@@ -587,6 +587,64 @@ class VersionedTable:
             "generated_columns": dict(m.get("generated_columns", {})),
         }
 
+    @classmethod
+    def convert_from_parquet(
+        cls, root: str, txn_retention_seconds: "float | None" = None
+    ) -> "VersionedTable":
+        """Delta's CONVERT TO DELTA: adopt an existing directory of
+        plain parquet files as version 0 of a versioned table WITHOUT
+        rewriting a byte — the commit lists the files it found and
+        harvests their footer stats (so data skipping works from the
+        first read), and every later write goes through the normal
+        transaction log.
+
+        Constraints, both from the row-identity model: hive-partitioned
+        layouts are REJECTED (partition values live in directory names,
+        not file bytes — adopting them would silently drop those
+        columns; read + ``commit`` such data instead), and duplicate
+        basenames are rejected (deletion vectors address rows by file
+        basename). A directory that is already a versioned table is
+        rejected rather than double-initialized.
+        """
+        t = cls(root, txn_retention_seconds=txn_retention_seconds)
+        if t.latest_version() is not None:
+            raise ValueError(
+                f"{root}: already a versioned table "
+                f"(latest version {t.latest_version()})"
+            )
+        files = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for f in sorted(filenames):
+                if f.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, f), root)
+                    )
+        if not files:
+            raise FileNotFoundError(f"{root}: no parquet files to convert")
+        parted = [f for f in files if "=" in os.path.dirname(f)]
+        if parted:
+            raise ValueError(
+                f"{root}: hive-partitioned layout ({parted[0]!r}) — "
+                "partition values live in paths, not file bytes; read the "
+                "dataset and commit() it instead of converting in place"
+            )
+        bases = [os.path.basename(f) for f in files]
+        if len(set(bases)) != len(bases):
+            raise ValueError(
+                f"{root}: duplicate file basenames — deletion vectors "
+                "address rows by basename, so adopted names must be unique"
+            )
+        t.publish(
+            sorted(files),
+            mode="overwrite",
+            expected_base=None,
+            annotations={"operation": "CONVERT"},
+        )
+        return t
+
     # -- write ----------------------------------------------------------
     # -- column mapping (rename/drop without rewriting data) ---------------
     def column_renames(self, version: int | None = None) -> dict:

@@ -173,3 +173,59 @@ def test_merge_source_can_be_registered_lake_table(lk, spark, tmp_path):
         (3, "c", 30.0),
         (7, "g", 70.0),
     ]
+
+
+def test_create_table_ctas_and_show(lk, spark, tmp_path):
+    lk.sql(
+        f"CREATE TABLE summary LOCATION '{tmp_path / 'sum'}' AS "
+        "SELECT s, count(*) AS cnt FROM items GROUP BY s"
+    )
+    assert lk.sql("SELECT count(*) AS c FROM summary").collect()[0]["c"] == 3
+    tables = {r["name"] for r in lk.sql("SHOW TABLES").collect()}
+    assert tables == {"items", "summary"}
+    with pytest.raises(ValueError, match="already registered"):
+        lk.sql(f"CREATE TABLE summary LOCATION '{tmp_path / 'x'}'")
+    # registering an existing table (no AS) attaches without writing
+    lk2 = LakeSQL(spark)
+    lk2.sql(f"CREATE TABLE s2 LOCATION '{tmp_path / 'sum'}'")
+    assert lk2.sql("SELECT count(*) AS c FROM s2").collect()[0]["c"] == 3
+
+
+def test_convert_adopts_plain_parquet_metadata_only(lk, spark, tmp_path):
+    plain = str(tmp_path / "plain")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").coalesce(2) \
+        .write.parquet(plain)
+    import os
+    before = sorted(os.listdir(plain))
+    lk.sql(f"CONVERT TO VERSIONED '{plain}' AS adopted")
+    # no data file rewritten or added
+    data_after = [f for f in sorted(os.listdir(plain))
+                  if f.endswith(".parquet")]
+    assert data_after == [f for f in before if f.endswith(".parquet")]
+    assert lk.sql("SELECT sum(v) AS s FROM adopted").collect()[0]["s"] == 9900
+    h = lk.sql("DESCRIBE HISTORY adopted").collect()
+    assert [r["operation"] for r in h] == ["CONVERT"]
+    # adopted files have harvested stats: a later UPDATE partial-rewrites
+    lk.sql("UPDATE adopted SET v = 0 WHERE k = 5")
+    assert lk.sql(
+        "SELECT v FROM adopted WHERE k = 5"
+    ).collect()[0]["v"] == 0
+
+
+def test_convert_rejects_hive_partitioned(lk, spark, tmp_path):
+    part = str(tmp_path / "part")
+    spark.range(10).selectExpr("id AS k", "id % 2 AS p") \
+        .write.partitionBy("p").parquet(part)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        lk.sql(f"CONVERT TO VERSIONED '{part}' AS nope")
+
+
+def test_alter_add_generated_column(lk):
+    lk.sql(
+        "ALTER TABLE items ADD COLUMN n2 GENERATED ALWAYS AS (n * 2)"
+    )
+    lk.sql("INSERT INTO items SELECT 7 AS k, 'g' AS s, 70 AS n")
+    got = lk.sql(
+        "SELECT n2 FROM items WHERE k = 7"
+    ).collect()
+    assert got[0]["n2"] == 140.0
