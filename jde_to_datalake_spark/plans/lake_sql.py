@@ -202,9 +202,13 @@ class LakeSQL:
     # -- statements -----------------------------------------------------
     def _select(self, st: str) -> DataFrame:
         # time travel: FROM/JOIN <lake table> VERSION|TIMESTAMP AS OF x
+        # unquoted literals must be space-free (epoch seconds or
+        # compact ISO) — a spacey ISO stamp needs quotes; letting the
+        # class eat a space would also glue the replacement view name
+        # onto the next keyword
         pat = re.compile(
             rf"\b(FROM|JOIN)\s+({_IDENT})\s+"
-            rf"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[0-9][0-9.\-:T ]*)",
+            rf"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[0-9][0-9.\-:T]*)",
             re.IGNORECASE,
         )
         counter = [0]
@@ -215,7 +219,10 @@ class LakeSQL:
             if mode.upper() == "VERSION":
                 df = t.read(self.spark, int(lit), merge_schema=True)
             else:
-                ts = lit.strip("'")
+                # the unquoted-literal class includes space (ISO dates
+                # with a time part) so a trailing clause leaves one:
+                # strip BEFORE classifying or fromisoformat chokes
+                ts = lit.strip().strip("'").strip()
                 ts = float(ts) if re.fullmatch(r"[0-9.]+", ts) else ts
                 df = t.read(
                     self.spark, as_of_timestamp=ts, merge_schema=True
@@ -309,10 +316,19 @@ class LakeSQL:
             raise ValueError("expected: MERGE INTO <table> [AS a] USING ...")
         tname, talias = m.group(1), m.group(2) or "t"
         rest = st[m.end():].strip()
-        # source: (subquery) or identifier
+        # source: (subquery) or identifier. The paren scan is
+        # quote-aware — a ')' inside a string literal must not close
+        # the subquery
         if rest.startswith("("):
-            depth, i = 0, 0
+            depth, i, quote = 0, 0, None
             for i, ch in enumerate(rest):
+                if quote:
+                    if ch == quote:
+                        quote = None
+                    continue
+                if ch in ("'", "`"):
+                    quote = ch
+                    continue
                 depth += ch == "("
                 depth -= ch == ")"
                 if depth == 0:
@@ -563,7 +579,7 @@ class LakeSQL:
     def _restore(self, st: str) -> DataFrame:
         m = re.match(
             rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+(VERSION|TIMESTAMP)"
-            rf"\s+AS\s+OF\s+('[^']*'|[0-9][0-9.\-:T ]*)$",
+            rf"\s+AS\s+OF\s+('[^']*'|[0-9][0-9.\-:T]*)$",
             st,
             re.IGNORECASE,
         )
@@ -575,7 +591,7 @@ class LakeSQL:
         if m.group(2).upper() == "VERSION":
             target = int(m.group(3))
         else:
-            ts = m.group(3).strip("'")
+            ts = m.group(3).strip().strip("'").strip()
             ts = float(ts) if re.fullmatch(r"[0-9.]+", ts) else ts
             target = t.version_at(ts)
         return self._version_df(t.restore(target))

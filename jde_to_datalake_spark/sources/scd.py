@@ -23,8 +23,10 @@ key by ``ts_col``):
   row's ``valid_from`` is STALE and skipped — re-applying an old or
   duplicate batch is a no-op, which is what makes at-least-once CDC
   delivery and the optimistic retry loop safe;
-- a key with no current row (brand new, or previously closed) gets a
-  fresh current row.
+- a key with no current row gets a fresh current row — but a
+  previously-closed key reopens only for a timestamp STRICTLY newer
+  than its last recorded event, so a redelivered stale upsert can
+  never resurrect a deleted/closed entity with old data.
 
 Scale: the same partial-rewrite discipline as ``merge`` — the batch's
 keys are probed against footer stats, only files that can hold a
@@ -182,7 +184,6 @@ def _apply_scd2_once(
         ins = _as_dim(latest.filter(_not_deleted(latest)))
         if ins.isEmpty():
             return prev
-        gen = table.generated_columns(prev)
         ins = table._apply_generated(ins)
         table._enforce_constraints(ins)
         staged = table.stage(table._to_physical_df(ins, prev))
@@ -195,10 +196,10 @@ def _apply_scd2_once(
             annotations={"operation": "SCD2"},
         )
 
-    scan = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table.root, f) for f in touched]
-    )
-    live = table._to_logical_df(table._apply_dvs(scan, spark, prev), prev)
+    live = table._live_scan(spark, touched, prev)
+    # consumed by the probe pair, the kept-rows rewrite, and the
+    # open-rows joins: compute the touched scan once, share blocks
+    live = live.localCheckpoint(eager=False)
     tcols = list(live.columns)
 
     # classify each touched row against its (at most one) batch row
@@ -215,15 +216,42 @@ def _apply_scd2_once(
     closes = is_cur & fresh & (changed | ~_not_deleted(j, "s."))
 
     cur_rows = live.filter(F.col(current_col)).alias("c")
+    # per-key last-event instant over the key's WHOLE history (open or
+    # closed): a closed key may reopen only for a STRICTLY newer
+    # timestamp — otherwise a redelivered stale upsert would resurrect
+    # a deleted/closed entity with old data (at-least-once safety)
+    hist_agg = live.groupBy(key).agg(
+        F.max(F.coalesce(F.col(end_col), F.col(start_col))).alias(
+            "__last_ev"
+        ),
+        F.max(F.col(current_col).cast("int")).alias("__has_cur"),
+    )
+
+    def _openable_new(df):
+        """Batch rows (non-delete) allowed to OPEN a row for a key
+        with no current row: unknown keys, or closed keys the row's
+        timestamp strictly postdates."""
+        return (
+            df.filter(_not_deleted(df)).alias("s")
+            .join(
+                hist_agg.alias("h"),
+                F.col(f"s.`{key}`") == F.col(f"h.`{key}`"),
+                "left",
+            )
+            .filter(
+                F.col("__has_cur").isNull()
+                | (
+                    (F.col("__has_cur") == 0)
+                    & (F.col(f"s.`{ts_col}`") > F.col("__last_ev"))
+                )
+            )
+            .select("s.*")
+        )
+
     # probe jobs: anything to do at all? (an idempotent re-apply must
     # not rewrite byte-identical files)
     n_closes = j.filter(closes).limit(1).count()
-    n_new = (
-        latest.filter(_not_deleted(latest))
-        .join(cur_rows.select(F.col(key)), on=key, how="left_anti")
-        .limit(1)
-        .count()
-    )
+    n_new = _openable_new(latest).limit(1).count()
     if n_closes == 0 and n_new == 0:
         return prev
 
@@ -262,9 +290,7 @@ def _apply_scd2_once(
         )
         .select("s.*")
     )
-    brand_new = latest.filter(_not_deleted(latest)).join(
-        cur_rows.select(F.col(key)), on=key, how="left_anti"
-    )
+    brand_new = _openable_new(latest)
     opens = _as_dim(matched_new.unionByName(brand_new))
 
     gen = table.generated_columns(prev)

@@ -191,6 +191,20 @@ def _dv_referenced_files(path: str) -> "list[str] | None":
         return None
 
 
+def _dv_live_rows(path: str, live_bases: set) -> int:
+    """How many tombstone rows of a deletion-vector sidecar aim at a
+    file in ``live_bases`` — one metadata-sized column read."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["file"])
+        return sum(
+            1 for f in t.column("file").to_pylist() if f in live_bases
+        )
+    except Exception:
+        return 0
+
+
 def _txn_pairs(txn) -> "list[tuple[str, int]]":
     """Normalize the ``txn`` argument: None, one (app_id, version)
     pair, or a list of pairs (Delta's multiple-setTransaction form)."""
@@ -568,9 +582,16 @@ class VersionedTable:
         n_physical = sum(
             _parquet_num_rows(os.path.join(self.root, f)) for f in files
         )
-        n_tombstones = sum(
-            _parquet_num_rows(os.path.join(self.root, f)) for f in dv_files
-        )
+        # count only tombstones aimed at LIVE files: a sidecar survives
+        # as long as ANY of its referenced files is live, but rows
+        # aimed at already-rewritten files were materialized by that
+        # rewrite — subtracting them again would undercount vs read()
+        live_bases = {os.path.basename(f) for f in files}
+        n_tombstones = 0
+        for f in dv_files:
+            n_tombstones += _dv_live_rows(
+                os.path.join(self.root, f), live_bases
+            )
         return {
             "location": os.path.abspath(self.root),
             "version": version,
@@ -1576,6 +1597,20 @@ class VersionedTable:
             *[os.path.join(self.root, f) for f in dvs]
         )
 
+    def _live_scan(
+        self, spark: SparkSession, files: "list[str]", version: int
+    ) -> DataFrame:
+        """The LIVE rows of ``files`` at ``version``: a merge-schema
+        parquet scan with deletion vectors applied and column mapping
+        translated — the one read shape every partial-rewrite write
+        path (update_where / merge_into / SCD2) starts from."""
+        scan = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+        return self._to_logical_df(
+            self._apply_dvs(scan, spark, version), version
+        )
+
     def _apply_dvs(self, df: DataFrame, spark, version) -> DataFrame:
         """Filter a scan of a version's data files down to live rows.
 
@@ -1806,18 +1841,10 @@ class VersionedTable:
         if not candidates:
             return prev
 
-        def _live(files):
-            scan = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, f) for f in files]
-            )
-            return self._to_logical_df(
-                self._apply_dvs(scan, spark, prev), prev
-            )
-
         # one metadata-scale job: which files hold >=1 matching LIVE row
         touched_set = {
             os.path.basename(r["f"])
-            for r in _live(candidates)
+            for r in self._live_scan(spark, candidates, prev)
             .filter(predicate)
             .select(F.col("_metadata.file_name").alias("f"))
             .distinct()
@@ -1830,13 +1857,16 @@ class VersionedTable:
         untouched = [
             f for f in manifest["files"] if os.path.basename(f) not in touched_set
         ]
-        rows = _live(touched)
-        missing = [c for c in assignments if c not in rows.columns]
-        if missing:
-            raise ValueError(
-                f"update_where: unknown column(s) {missing} — the table's "
-                f"live columns are {rows.columns}"
-            )
+        rows = self._live_scan(spark, touched, prev)
+        # assignments naming a column the TOUCHED files don't carry are
+        # schema evolution, exactly like commit/merge (there is no
+        # table-wide schema to validate against — schema is per-file):
+        # the pre-update value is NULL and the rewrite materializes the
+        # column for these files. A genuinely-new name creates the
+        # column, same as an evolved append would.
+        for c in assignments:
+            if c not in rows.columns:
+                rows = rows.withColumn(c, F.lit(None))
         # flag FIRST (predicate over pre-update values), then replace all
         # assigned columns in ONE withColumns call so every SET expression
         # also resolves against the pre-update row
@@ -2526,9 +2556,12 @@ class VersionedTable:
         not_matched_by_source: "list[tuple] | tuple" = (),
         txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
         retries: int = 0,
-    ) -> int:
+    ) -> "int | None":
         """Delta's full MERGE INTO statement — the general form of
-        ``merge`` (which is the common upsert fast path).
+        ``merge`` (which is the common upsert fast path). Returns the
+        published version; the CURRENT version when no clause acts
+        (no-op), and ``None`` when the table has no commits yet and
+        nothing inserts.
 
         Target and source rows are matched on equality of ``key``;
         each row then takes the FIRST clause (in list order) whose
@@ -2698,14 +2731,6 @@ class VersionedTable:
                 any_nonnull=s["kmin"] is not None,
             )
 
-        def _live(files):
-            scan = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, f) for f in files]
-            )
-            return self._to_logical_df(
-                self._apply_dvs(scan, spark, prev), prev
-            )
-
         def _publish_staged(staged, carry):
             if not staged or all(
                 _parquet_num_rows(os.path.join(self.root, f)) == 0
@@ -2735,7 +2760,12 @@ class VersionedTable:
                 self.stage(self._to_physical_df(ins, prev)), manifest["files"]
             )
 
-        live = _live(touched)
+        live = self._live_scan(spark, touched, prev)
+        # the touched scan has up to three consumers below (no-op
+        # probe, kept-rows rewrite, insert anti-join); a lazy local
+        # checkpoint computes it once and shares blocks instead of
+        # re-scanning per consumer (round-2 multi-consumer lesson)
+        live = live.localCheckpoint(eager=False)
         tcols = list(live.columns)
 
         if not matched and not nbs:

@@ -229,3 +229,22 @@ def test_alter_add_generated_column(lk):
         "SELECT n2 FROM items WHERE k = 7"
     ).collect()
     assert got[0]["n2"] == 140.0
+
+
+def test_time_travel_literal_with_trailing_clause(lk):
+    # the unquoted literal must not swallow the following clause
+    got = lk.sql(
+        f"SELECT count(*) AS c FROM items TIMESTAMP AS OF {time.time()} "
+        "WHERE k >= 2"
+    ).collect()
+    assert got[0]["c"] == 2
+
+
+def test_merge_subquery_with_paren_in_string_literal(lk):
+    lk.sql(
+        "MERGE INTO items t USING (SELECT 1 AS k, 'a)' AS s, "
+        "CAST(1 AS DOUBLE) AS n) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET s = s.s "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert (1, "a)", 10.0) in _rows(lk)

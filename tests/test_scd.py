@@ -269,3 +269,29 @@ def test_scd2_from_cdc_stream_end_to_end(spark, tmp_path):
         (2, "b", 20.0, 100, None, True),
         (3, "c", 30.0, 200, None, True),
     ]
+
+
+def test_empty_batch_is_noop(spark, dim):
+    empty = spark.createDataFrame(
+        [], "item int, status string, price double, ts int"
+    )
+    # on a fresh table: nothing to create
+    assert apply_scd2(spark, dim, empty, "item", ["status", "price"], "ts") is None
+    # on a populated table: current version unchanged
+    v0 = _apply(spark, dim, [(1, "a", 10.0, 100)])
+    assert apply_scd2(spark, dim, empty, "item", ["status", "price"], "ts") == v0
+
+
+def test_stale_redelivery_cannot_resurrect_closed_key(spark, dim):
+    """At-least-once CDC: redelivering the ORIGINAL upsert after the
+    key was deleted must not reopen it with stale data (a closed key
+    reopens only for a strictly newer timestamp)."""
+    _dapply(spark, dim, [(1, "a", 10.0, 100, False)])
+    _dapply(spark, dim, [(1, None, None, 200, True)])
+    v = dim.latest_version()
+    assert _dapply(spark, dim, [(1, "a", 10.0, 100, False)]) == v
+    assert _rows(spark, dim) == [(1, "a", 10.0, 100, 200, False)]
+    # an in-between stale upsert (newer than the open, older than the
+    # close) is equally dead
+    assert _dapply(spark, dim, [(1, "b", 9.9, 150, False)]) == v
+    assert _rows(spark, dim) == [(1, "a", 10.0, 100, 200, False)]

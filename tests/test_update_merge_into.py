@@ -144,10 +144,22 @@ def test_update_where_change_feed_classifies_updates(spark, table):
     assert got == [(2, "update_postimage"), (2, "update_preimage")]
 
 
-def test_update_where_unknown_column_raises(spark, table):
-    table.commit(spark.createDataFrame([(1, 1)], ["k", "n"]), mode="overwrite")
-    with pytest.raises(ValueError, match="unknown column"):
-        table.update_where(spark, {"nope": "1"}, "true")
+def test_update_where_assigning_evolved_column(spark, table):
+    """A SET on a column the touched files don't carry is schema
+    evolution (the lake has no table-wide schema): old value NULL,
+    rewrite materializes the column — the Delta-schema-evolved
+    UPDATE shape, and why a typo'd name creates a column instead of
+    raising (consistent with evolved appends)."""
+    table.commit(spark.createDataFrame([(1, 1), (2, 2)], ["k", "n"]),
+                 mode="overwrite")
+    table.update_where(spark, {"w": "n * 10"}, "k = 2")
+    got = sorted(
+        tuple(r)
+        for r in table.read(spark, merge_schema=True)
+        .select("k", "n", "w")
+        .collect()
+    )
+    assert got == [(1, 1, None), (2, 2, 20)]
 
 
 def test_update_where_prune_ranges_limits_scan(spark, table):
@@ -461,3 +473,24 @@ def test_detail_reports_table_facts(spark, table):
     assert table.detail(0)["n_rows"] == 3
     with pytest.raises(FileNotFoundError):
         VersionedTable(str(table.root) + "-none").detail()
+
+
+def test_detail_counts_only_live_tombstones(spark, table):
+    """A sidecar surviving because ONE of its files is still live must
+    not double-subtract tombstones whose file was already rewritten."""
+    table.commit(spark.createDataFrame([(i, "x") for i in range(4)], ["k", "v"]),
+                 mode="append")
+    table.commit(spark.createDataFrame([(10, "y"), (11, "y")], ["k", "v"]),
+                 mode="append")
+    # one delete spanning both commits' files -> sidecar refs 2+ files
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try:
+        table.delete_where(spark, "k in (0, 10)")
+    finally:
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+    n_live = table.read(spark).count()
+    assert table.detail()["n_rows"] == n_live
+    # rewrite ONE of the tombstoned files (k=10's); the sidecar stays
+    # for the other -> detail must still equal read()
+    table.update_where(spark, {"v": "'z'"}, "k = 11")
+    assert table.detail()["n_rows"] == table.read(spark).count() == 4
