@@ -61,10 +61,15 @@ import itertools
 import os
 from typing import Iterator
 
+from dataclasses import dataclass
+from typing import Optional
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -590,6 +595,97 @@ class VersionedTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return VersionedTableStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return VersionedTableStreamWriter(schema, self.options)
+
+
+@dataclass
+class _StagedSinkFile(WriterCommitMessage):
+    """One task's staged output: the file it wrote (None when the
+    partition was empty) and its row count."""
+
+    name: Optional[str]
+    rows: int
+
+
+class VersionedTableStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("versioned_table").option("path", root)``
+    — the versioned table as a NATIVE streaming sink, one atomic table
+    version per micro-batch.
+
+    The write follows the table's own write-audit-publish discipline
+    split across the cluster: each TASK stages one parquet file into
+    the table root (unreferenced — invisible to readers, reclaimable
+    by ``vacuum`` if the batch dies), and the DRIVER's ``commit``
+    publishes exactly the staged files as one append version. A
+    failed batch's ``abort`` deletes its staged files; a torn write
+    can never surface.
+
+    ``.option("txn_app_id", <id>)`` makes the sink EXACTLY-ONCE: the
+    commit is stamped (app_id, batchId) and a re-delivered batch
+    (crash between sink commit and checkpoint advance) is discarded
+    instead of re-applied — the same txn contract as
+    ``derive_batch_writer``/``scd2_batch_writer``, here for plain
+    appends with no foreachBatch wrapper at all. Bind the id to the
+    checkpoint lineage (``streaming.ingest.checkpoint_app_id``).
+
+    Timestamps are written as INT64 micros (pyarrow's default), so
+    footer stats and data skipping work on them like any staged
+    write. Empty partitions stage nothing; an all-empty batch
+    commits nothing (no empty versions).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError(
+                "versioned_table sink requires .option('path', ...)"
+            )
+        self.app_id = options.get("txn_app_id")
+        self.schema = schema
+        # instantiating the table creates the log dir, so executor
+        # tasks (which only ever write plain files) find the root
+        VersionedTable(self.root)
+
+    def write(self, iterator) -> _StagedSinkFile:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _StagedSinkFile(None, 0)
+        arrow = pa.Table.from_pylist(
+            rows, schema=to_arrow_schema(self.schema)
+        )
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(arrow, os.path.join(self.root, name))
+        return _StagedSinkFile(name, len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        t = VersionedTable(self.root)
+        staged = [m.name for m in messages if m is not None and m.name]
+        if self.app_id is not None:
+            last = t.last_txn_version(self.app_id)
+            if last is not None and last >= batchId:
+                t.discard(staged)  # re-delivered batch: already applied
+                return
+        if not staged:
+            return  # empty micro-batch: no empty version
+        t.publish(
+            staged,
+            mode="append",
+            txn=(self.app_id, batchId) if self.app_id else None,
+            annotations={"operation": "STREAMING UPDATE"},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        VersionedTable(self.root).discard(
+            [m.name for m in messages if m is not None and m.name]
+        )
 
 
 def versioned_stream(

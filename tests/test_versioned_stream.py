@@ -399,3 +399,111 @@ def test_stream_planning_reads_deltas_not_manifests(spark, tmp_path):
             {"path": t.root, "max_files_per_trigger": "3"},
         )
         assert reader._pace(0, hi) == 3  # 3 one-file versions admitted
+
+
+# -- native streaming SINK (writeStream.format("versioned_table")) ----------
+
+
+def test_native_sink_end_to_end_exactly_once(spark, tmp_path):
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+        versioned_stream,
+    )
+    from jde_to_datalake_spark.streaming.ingest import checkpoint_app_id
+
+    spark.dataSource.register(VersionedTableDataSource)
+    src = VersionedTable(str(tmp_path / "src"))
+    dst_path = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    src.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+        mode="overwrite",
+    )
+
+    def run():
+        q = (
+            versioned_stream(spark, src, schema="k bigint, v string")
+            .writeStream.format("versioned_table")
+            .option("path", dst_path)
+            .option("txn_app_id", checkpoint_app_id(ckpt))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    dst = VersionedTable(dst_path)
+    assert sorted(tuple(r) for r in dst.read(spark).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    v1 = dst.latest_version()
+    run()  # nothing new: no version, no empty commit
+    assert dst.latest_version() == v1
+    src.commit(spark.createDataFrame([(3, "c")], ["k", "v"]), mode="append")
+    run()
+    assert sorted(tuple(r) for r in dst.read(spark).collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    assert [h["operation"] for h in dst.history()] == [
+        "STREAMING UPDATE",
+        "STREAMING UPDATE",
+    ]
+
+
+def test_native_sink_redelivered_batch_is_discarded(spark, tmp_path):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamWriter,
+    )
+
+    dst_path = str(tmp_path / "dst")
+    w = VersionedTableStreamWriter(
+        _parse_datatype_string("k bigint, v string"),
+        {"path": dst_path, "txn_app_id": "sink-test"},
+    )
+    rows = spark.createDataFrame([(1, "a")], ["k", "v"]).collect()
+    m0 = w.write(iter(rows))
+    w.commit([m0], 0)
+    dst = VersionedTable(dst_path)
+    v0 = dst.latest_version()
+    # crash-window re-delivery of batch 0: staged bytes are discarded,
+    # no second version, no orphan file
+    m1 = w.write(iter(rows))
+    w.commit([m1], 0)
+    assert dst.latest_version() == v0
+    assert dst.read(spark).count() == 1
+    import os
+
+    orphan = [
+        f
+        for f in os.listdir(dst_path)
+        if f.endswith(".parquet")
+        and f not in set(dst._manifest(v0)["files"])
+    ]
+    assert orphan == []
+
+
+def test_native_sink_abort_discards_staged(spark, tmp_path):
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamWriter,
+    )
+
+    dst_path = str(tmp_path / "dst")
+    w = VersionedTableStreamWriter(
+        _parse_datatype_string("k bigint, v string"),
+        {"path": dst_path},
+    )
+    rows = spark.createDataFrame([(1, "a")], ["k", "v"]).collect()
+    m = w.write(iter(rows))
+    w.abort([m, None], 0)
+    import os
+
+    assert [f for f in os.listdir(dst_path) if f.endswith(".parquet")] == []
+    assert VersionedTable(dst_path).latest_version() is None
