@@ -33,7 +33,7 @@ Spark's ``expr`` and may use any Spark SQL function):
 - ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>``
 - ``RESTORE TABLE <t> TO VERSION AS OF n`` (or TIMESTAMP AS OF)
 - ``OPTIMIZE <t> [ZORDER BY (a[, b ...])]``
-- ``VACUUM <t> [RETAIN n HOURS]``
+- ``VACUUM <t> [RETAIN n HOURS] [DRY RUN]``
 - ``ALTER TABLE <t> RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
   ``ADD CONSTRAINT name CHECK (pred)`` / ``DROP CONSTRAINT name`` /
   ``ADD COLUMN c GENERATED ALWAYS AS (expr)``
@@ -621,14 +621,24 @@ class LakeSQL:
 
     def _vacuum(self, st: str) -> DataFrame:
         m = re.match(
-            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?$",
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?"
+            rf"(\s+DRY\s+RUN)?$",
             st,
             re.IGNORECASE,
         )
         if not m:
-            raise ValueError("expected: VACUUM <t> [RETAIN n HOURS]")
+            raise ValueError(
+                "expected: VACUUM <t> [RETAIN n HOURS] [DRY RUN]"
+            )
         t = self._table(m.group(1))
         seconds = float(m.group(2)) * 3600 if m.group(2) else 3600.0
+        if m.group(3):
+            would = t.vacuum(
+                keep_last=1, retention_seconds=seconds, dry_run=True
+            )
+            return self.spark.createDataFrame(
+                [(f,) for f in would] or [("",)], "would_remove string"
+            ).filter("would_remove <> ''")
         removed = t.vacuum(keep_last=1, retention_seconds=seconds)
         return self.spark.createDataFrame(
             [(len(removed),)], "files_removed bigint"

@@ -3224,11 +3224,16 @@ class VersionedTable:
         )
 
     def vacuum(
-        self, keep_last: int = 1, retention_seconds: float = 3600.0
+        self,
+        keep_last: int = 1,
+        retention_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Drop manifests beyond the newest ``keep_last`` and delete
         data files no retained version references. Returns removed
-        files.
+        files. ``dry_run=True`` (Delta's VACUUM DRY RUN) returns the
+        files a real run WOULD delete without touching anything —
+        manifests, data files, and temp files all stay.
 
         ``retention_seconds`` guards IN-FLIGHT writers (the same hazard
         Delta's retention window exists for): a concurrent
@@ -3255,6 +3260,18 @@ class VersionedTable:
         # (the state is derived from the log being trimmed), and
         # os.replace keeps readers atomic — they see the old record or
         # the augmented one, never a torn file.
+        if dry_run:
+            cutoff = time.time() - retention_seconds
+            would = []
+            for f in os.listdir(self.root):
+                p = os.path.join(self.root, f)
+                if (
+                    f.endswith(".parquet")
+                    and f not in referenced
+                    and os.path.getmtime(p) <= cutoff
+                ):
+                    would.append(f)
+            return would
         if retained and vs[:-keep_last]:
             oldest = retained[0]
             rec = self._read_record(oldest)

@@ -248,3 +248,18 @@ def test_merge_subquery_with_paren_in_string_literal(lk):
         "WHEN NOT MATCHED THEN INSERT *"
     )
     assert (1, "a)", 10.0) in _rows(lk)
+
+
+def test_vacuum_dry_run_previews_without_deleting(lk, spark):
+    lk.sql("UPDATE items SET n = 0 WHERE k = 1")  # old version's file dies
+    would = [r["would_remove"]
+             for r in lk.sql("VACUUM items RETAIN 0.0 HOURS DRY RUN").collect()]
+    assert would, "the rewritten file should be reclaimable"
+    import os
+    t = lk.tables["items"]
+    for f in would:
+        assert os.path.exists(os.path.join(t.root, f)), "dry run must not delete"
+    # history untouched: version 0 still readable after the dry run
+    assert t.read(spark, 0).count() == 3
+    removed = lk.sql("VACUUM items RETAIN 0.0 HOURS").collect()[0]["files_removed"]
+    assert removed == len(would)
