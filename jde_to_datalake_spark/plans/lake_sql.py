@@ -572,9 +572,8 @@ class LakeSQL:
             for n, t in sorted(self.tables.items())
         ]
         return self.spark.createDataFrame(
-            rows or [("", "", -1)],
-            "name string, location string, version bigint",
-        ).filter("name <> ''")
+            rows, "name string, location string, version bigint"
+        )
 
     def _restore(self, st: str) -> DataFrame:
         m = re.match(
@@ -637,8 +636,8 @@ class LakeSQL:
                 keep_last=1, retention_seconds=seconds, dry_run=True
             )
             return self.spark.createDataFrame(
-                [(f,) for f in would] or [("",)], "would_remove string"
-            ).filter("would_remove <> ''")
+                [(f,) for f in would], "would_remove string"
+            )
         removed = t.vacuum(keep_last=1, retention_seconds=seconds)
         return self.spark.createDataFrame(
             [(len(removed),)], "files_removed bigint"

@@ -245,6 +245,15 @@ def _to_epoch_seconds(v) -> float:
     )
 
 
+def _expr_references(expr_sql: str, name: str) -> bool:
+    """Conservative check: does a stored SQL expression reference the
+    column ``name``? Word-bounded match, backtick-quoted or bare."""
+    import re as _re
+
+    pat = rf"(?<![A-Za-z0-9_])`?{_re.escape(name)}`?(?![A-Za-z0-9_])"
+    return _re.search(pat, expr_sql) is not None
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, "_log")
 
@@ -974,6 +983,27 @@ class VersionedTable:
                 f"[{names}]; first offending row: {bad[0].asDict()}"
             )
 
+    def _reject_dependent_column(self, version, name: str, op: str):
+        """Delta's dependent-column rule: a column referenced by a
+        CHECK constraint or a generated-column expression cannot be
+        renamed or dropped — the stored SQL would silently dangle (the
+        constraint stops resolving, or resolves against the WRONG
+        column). Drop the dependency first, then alter the column."""
+        for cname, sql in self.constraints(version).items():
+            if _expr_references(sql, name):
+                raise ValueError(
+                    f"{op}: column {name!r} is referenced by constraint "
+                    f"{cname!r} (CHECK ({sql})); drop the constraint "
+                    "first"
+                )
+        for gname, sql in self.generated_columns(version).items():
+            if gname == name or _expr_references(sql, name):
+                raise ValueError(
+                    f"{op}: column {name!r} is {'a' if gname == name else 'referenced by'} "
+                    f"generated column {gname!r} (GENERATED ALWAYS AS "
+                    f"({sql})); drop the generated column first"
+                )
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
         column mapping, name mode): no data file is touched at any
@@ -1001,6 +1031,7 @@ class VersionedTable:
             )
         if old in dropped:
             raise ValueError(f"{old!r} was dropped")
+        self._reject_dependent_column(prev, old, "rename_column")
         live = self._live_physical_columns(prev)
         old_physical = renames.get(old, old)
         if old not in renames and old_physical not in live:
@@ -1045,6 +1076,7 @@ class VersionedTable:
         physical = renames.pop(name, name)
         if physical in dropped:
             raise ValueError(f"{name!r} is already dropped")
+        self._reject_dependent_column(prev, name, "drop_column")
         # validate existence (round-6 advisor, low): a typo'd drop used
         # to record a phantom physical name that permanently blocked
         # any future column of that name, even though no file carried it

@@ -597,16 +597,15 @@ class VersionedTableDataSource(DataSource):
         return VersionedTableStreamReader(schema, self.options)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
-        return VersionedTableStreamWriter(schema, self.options)
+        return VersionedTableStreamWriter(schema, self.options, overwrite)
 
 
 @dataclass
 class _StagedSinkFile(WriterCommitMessage):
-    """One task's staged output: the file it wrote (None when the
-    partition was empty) and its row count."""
+    """One task's staged output: the file it wrote, or None when the
+    partition was empty."""
 
     name: Optional[str]
-    rows: int
 
 
 class VersionedTableStreamWriter(DataSourceStreamWriter):
@@ -618,9 +617,11 @@ class VersionedTableStreamWriter(DataSourceStreamWriter):
     split across the cluster: each TASK stages one parquet file into
     the table root (unreferenced — invisible to readers, reclaimable
     by ``vacuum`` if the batch dies), and the DRIVER's ``commit``
-    publishes exactly the staged files as one append version. A
-    failed batch's ``abort`` deletes its staged files; a torn write
-    can never surface.
+    publishes exactly the staged files as one table version (append
+    in update/append output modes; a full replace when Spark signals
+    truncation — ``outputMode("complete")``). A failed batch's
+    ``abort`` deletes its staged files; a torn write can never
+    surface.
 
     ``.option("txn_app_id", <id>)`` makes the sink EXACTLY-ONCE: the
     commit is stamped (app_id, batchId) and a re-delivered batch
@@ -630,40 +631,95 @@ class VersionedTableStreamWriter(DataSourceStreamWriter):
     appends with no foreachBatch wrapper at all. Bind the id to the
     checkpoint lineage (``streaming.ingest.checkpoint_app_id``).
 
-    Timestamps are written as INT64 micros (pyarrow's default), so
-    footer stats and data skipping work on them like any staged
-    write. Empty partitions stage nothing; an all-empty batch
-    commits nothing (no empty versions).
+    Write-contract parity with ``commit()``: when the target table
+    declares CHECK constraints, generated columns, or an active
+    column mapping, the driver re-reads the staged bytes and routes
+    them through the SAME validate/fill/translate pipeline every
+    other write path uses (one extra staged pass, only when such
+    metadata exists — a plain table publishes the task files
+    directly). Timestamps: Spark's python write worker hands tasks
+    naive LOCAL-time datetimes for TIMESTAMP columns; the task
+    re-attaches the host zone before Arrow encodes them as UTC
+    micros, so the stored instant is exact on any host timezone.
+    Empty partitions stage nothing; an all-empty batch commits
+    nothing (no empty versions).
     """
 
-    def __init__(self, schema: StructType, options: dict):
+    #: rows per Arrow record batch inside one task's staged file —
+    #: bounds executor memory to O(chunk), not O(partition)
+    CHUNK_ROWS: int = 10_000
+
+    def __init__(
+        self, schema: StructType, options: dict, overwrite: bool = False
+    ):
         self.root = options.get("path")
         if not self.root:
             raise ValueError(
                 "versioned_table sink requires .option('path', ...)"
             )
-        self.app_id = options.get("txn_app_id")
+        # '' (misconfigured env var) must not half-enable the txn
+        # branch: one normalized predicate for stamp AND check
+        self.app_id = options.get("txn_app_id") or None
         self.schema = schema
+        self.overwrite = bool(overwrite)
         # instantiating the table creates the log dir, so executor
         # tasks (which only ever write plain files) find the root
         VersionedTable(self.root)
 
     def write(self, iterator) -> _StagedSinkFile:
+        import datetime as _dt
         import uuid as _uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import TimestampType
 
-        rows = [r.asDict(recursive=True) for r in iterator]
-        if not rows:
-            return _StagedSinkFile(None, 0)
-        arrow = pa.Table.from_pylist(
-            rows, schema=to_arrow_schema(self.schema)
-        )
+        arrow_schema = to_arrow_schema(self.schema)
+        # TIMESTAMP (ltz) columns arrive as naive LOCAL datetimes
+        # (the worker does value.astimezone().replace(tzinfo=None));
+        # re-attach the local zone so the tz-aware arrow field stores
+        # the true instant instead of local-wall-clock-as-UTC
+        ts_fields = [
+            f.name
+            for f in self.schema.fields
+            if isinstance(f.dataType, TimestampType)
+        ]
+
+        def _fix(row) -> dict:
+            d = row.asDict(recursive=True)
+            for c in ts_fields:
+                v = d.get(c)
+                if v is not None and v.tzinfo is None:
+                    # arrow's from_pylist IGNORES tzinfo and takes the
+                    # wall-clock fields verbatim, so the value must be
+                    # rewritten to its UTC wall clock, not just made
+                    # timezone-aware
+                    d[c] = v.astimezone(_dt.timezone.utc)
+            return d
+
         name = f"part-{_uuid.uuid4().hex}.parquet"
-        pq.write_table(arrow, os.path.join(self.root, name))
-        return _StagedSinkFile(name, len(rows))
+        path = os.path.join(self.root, name)
+        writer = None
+        wrote = 0
+        try:
+            while True:
+                chunk = list(itertools.islice(iterator, self.CHUNK_ROWS))
+                if not chunk:
+                    break
+                batch = pa.RecordBatch.from_pylist(
+                    [_fix(r) for r in chunk], schema=arrow_schema
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(path, arrow_schema)
+                writer.write_batch(batch)
+                wrote += len(chunk)
+        finally:
+            if writer is not None:
+                writer.close()
+        if not wrote:
+            return _StagedSinkFile(None)
+        return _StagedSinkFile(name)
 
     def commit(self, messages, batchId: int) -> None:
         t = VersionedTable(self.root)
@@ -675,10 +731,38 @@ class VersionedTableStreamWriter(DataSourceStreamWriter):
                 return
         if not staged:
             return  # empty micro-batch: no empty version
+        mode = "overwrite" if self.overwrite else "append"
+        txn = (self.app_id, batchId) if self.app_id else None
+        prev = t.latest_version()
+        needs_pipeline = prev is not None and (
+            t.constraints(prev)
+            or t.generated_columns(prev)
+            or t.column_renames(prev)
+            or t.dropped_columns(prev)
+        )
+        if needs_pipeline:
+            # tables with write contracts or an active column mapping
+            # take the same validate/fill/translate path as commit():
+            # re-read the staged bytes, run the pipeline, publish the
+            # RESULT, and drop the raw task files
+            from pyspark.sql import SparkSession
+
+            spark = (
+                SparkSession.getActiveSession()
+                or SparkSession.builder.getOrCreate()
+            )
+            df = t.read_staged(spark, staged)
+            try:
+                t.commit(df, mode=mode, txn=txn, annotations={
+                    "operation": "STREAMING UPDATE",
+                })
+            finally:
+                t.discard(staged)
+            return
         t.publish(
             staged,
-            mode="append",
-            txn=(self.app_id, batchId) if self.app_id else None,
+            mode=mode,
+            txn=txn,
             annotations={"operation": "STREAMING UPDATE"},
         )
 

@@ -290,3 +290,32 @@ def test_rename_and_drop_validate_the_column_exists(spark, table):
     )
     table.drop_column("nope")  # now it exists, the drop is legal
     assert "nope" not in table.read(spark).columns
+
+
+def test_rename_and_drop_reject_dependent_columns(spark, tmp_path):
+    """Delta's dependent-column rule: a column referenced by a CHECK
+    constraint or a generated-column expression cannot be renamed or
+    dropped — the stored SQL would dangle (or resolve against the
+    wrong column after a later re-add)."""
+    import pytest
+
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 10)], ["k", "n"]), mode="overwrite")
+    t.add_constraint(spark, "n_pos", "n > 0")
+    t.add_generated_column(spark, "n2", "n * 2")
+    with pytest.raises(ValueError, match="constraint 'n_pos'"):
+        t.rename_column("n", "amount")
+    with pytest.raises(ValueError, match="constraint 'n_pos'"):
+        t.drop_column("n")
+    with pytest.raises(ValueError, match="generated column"):
+        t.drop_column("n2")
+    # unreferenced columns still alter freely
+    t.rename_column("k", "id")
+    assert t.read(spark).columns[0] == "id"
+    # dropping the dependency unlocks the column
+    t.drop_constraint("n_pos")
+    t.drop_generated_column("n2")
+    t.rename_column("n", "amount")
+    assert "amount" in t.read(spark).columns

@@ -429,7 +429,7 @@ def test_history_reports_operation_names(spark, table):
 def test_history_reports_ddl_operations(spark, table):
     table.commit(spark.createDataFrame([(1, 10)], ["k", "n"]), mode="overwrite")
     table.add_constraint(spark, "n_pos", "n > 0")
-    table.rename_column("n", "amount")
+    table.rename_column("k", "id")  # n is constraint-protected
     ops = [h["operation"] for h in table.history()]
     assert ops == ["RENAME COLUMN", "ADD CONSTRAINT", "overwrite"]
 

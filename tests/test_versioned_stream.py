@@ -507,3 +507,147 @@ def test_native_sink_abort_discards_staged(spark, tmp_path):
 
     assert [f for f in os.listdir(dst_path) if f.endswith(".parquet")] == []
     assert VersionedTable(dst_path).latest_version() is None
+
+
+def test_native_sink_timestamps_survive_non_utc_host(spark, tmp_path, monkeypatch):
+    """Spark's python write worker hands tasks naive LOCAL datetimes
+    for TIMESTAMP columns; the sink must re-attach the host zone
+    before the tz-aware arrow encode, or a non-UTC host shifts every
+    stored instant by its UTC offset."""
+    import datetime as dt
+    import time as _time
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamWriter,
+    )
+
+    monkeypatch.setenv("TZ", "Etc/GMT-2")  # local = UTC+2
+    _time.tzset()
+    try:
+        dst_path = str(tmp_path / "dst")
+        w = VersionedTableStreamWriter(
+            _parse_datatype_string("k bigint, ts timestamp"),
+            {"path": dst_path},
+        )
+        # the worker would deliver instant 10:00Z as naive 12:00 local
+        local_naive = dt.datetime(2026, 8, 15, 12, 0, 0)
+        from pyspark.sql import Row
+
+        m = w.write(iter([Row(k=1, ts=local_naive)]))
+        stored = pq.read_table(
+            str(tmp_path / "dst" / m.name), columns=["ts"]
+        ).column("ts").to_pylist()[0]
+        assert stored == local_naive.astimezone()  # the true instant
+        assert stored.astimezone(dt.timezone.utc).hour == 10
+    finally:
+        monkeypatch.setenv("TZ", "UTC")
+        _time.tzset()
+
+
+def test_native_sink_routes_through_write_contracts(spark, tmp_path):
+    """Tables with constraints / column mapping take commit()'s
+    validate/translate pipeline — a violating batch fails loudly and
+    publishes nothing; logical names survive an active rename."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamWriter,
+    )
+
+    dst_path = str(tmp_path / "dst")
+    t = VersionedTable(dst_path)
+    t.commit(spark.createDataFrame([(1, 10)], ["k", "n"]), mode="overwrite")
+    t.add_constraint(spark, "n_pos", "n > 0")
+    t.rename_column("k", "id")  # n itself is constraint-protected
+    w = VersionedTableStreamWriter(
+        _parse_datatype_string("id bigint, n bigint"), {"path": dst_path}
+    )
+    from pyspark.sql import Row
+
+    good = w.write(iter([Row(id=2, n=20)]))
+    w.commit([good], 0)
+    got = sorted(tuple(r) for r in t.read(spark, merge_schema=True).collect())
+    assert got == [(1, 10), (2, 20)]
+    assert t.read(spark).columns == ["id", "n"]
+    v = t.latest_version()
+    bad = w.write(iter([Row(id=3, n=-5)]))
+    with pytest.raises(ValueError, match="n_pos"):
+        w.commit([bad], 1)
+    assert t.latest_version() == v  # nothing published
+    import os
+
+    live = set()
+    for vv in t.versions():
+        live |= set(t._manifest(vv)["files"])
+    orphans = [
+        f
+        for f in os.listdir(dst_path)
+        if f.endswith(".parquet") and f not in live
+    ]
+    assert orphans == []  # staged bytes of the failed batch discarded
+
+
+def test_native_sink_overwrite_flag_truncates(spark, tmp_path):
+    """outputMode('complete') hands the sink overwrite=True: every
+    batch replaces the table instead of appending."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamWriter,
+    )
+    from pyspark.sql import Row
+
+    dst_path = str(tmp_path / "dst")
+    w = VersionedTableStreamWriter(
+        _parse_datatype_string("k bigint"), {"path": dst_path}, overwrite=True
+    )
+    w.commit([w.write(iter([Row(k=1), Row(k=2)]))], 0)
+    w.commit([w.write(iter([Row(k=9)]))], 1)
+    t = VersionedTable(dst_path)
+    assert [r["k"] for r in t.read(spark).collect()] == [9]
+
+
+def test_native_sink_empty_app_id_is_unset(spark, tmp_path):
+    """txn_app_id='' (misconfigured env var) must behave as NO app id
+    (at-least-once), never as a half-enabled idempotency check."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamWriter,
+    )
+    from pyspark.sql import Row
+
+    dst_path = str(tmp_path / "dst")
+    w = VersionedTableStreamWriter(
+        _parse_datatype_string("k bigint"),
+        {"path": dst_path, "txn_app_id": ""},
+    )
+    assert w.app_id is None
+    w.commit([w.write(iter([Row(k=1)]))], 0)
+    w.commit([w.write(iter([Row(k=1)]))], 0)  # same batch id: re-applied
+    assert VersionedTable(dst_path).read(spark).count() == 2
+
+
+def test_native_sink_chunked_write_bounds_memory(spark, tmp_path):
+    """write() streams the iterator in CHUNK_ROWS record batches into
+    one file (bounded executor heap) — the staged file holds every
+    row exactly once."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableStreamWriter,
+    )
+    from pyspark.sql import Row
+
+    dst_path = str(tmp_path / "dst")
+    w = VersionedTableStreamWriter(
+        _parse_datatype_string("k bigint"), {"path": dst_path}
+    )
+    w.CHUNK_ROWS = 7
+    m = w.write(Row(k=i) for i in range(100))
+    w.commit([m], 0)
+    t = VersionedTable(dst_path)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(100))
