@@ -121,16 +121,23 @@ def _find_kw_top(s: str, kw: str) -> int:
 def _alias_rewrite(expr: str, mapping: "dict[str, str]") -> str:
     """Rewrite ``alias.`` qualifiers to the canonical ``t.``/``s.``
     aliases ``merge_into`` resolves against (word-bounded, outside
-    quotes)."""
-    for old, new in mapping.items():
-        if old == new:
-            continue
-        expr = re.sub(
-            rf"(?<![A-Za-z0-9_`]){re.escape(old)}\s*\.",
-            f"{new}.",
-            expr,
-        )
-    return expr
+    quotes).
+
+    Single-pass: one alternation regex with a per-match callback, so a
+    user alias that collides with a canonical alias (e.g. source
+    aliased ``t`` while the target maps to ``t``) is rewritten exactly
+    once — chained substitutions would re-rewrite the first pass's
+    output and silently point target references at the source.
+    """
+    live = {old: new for old, new in mapping.items() if old != new}
+    if not live:
+        return expr
+    alt = "|".join(re.escape(o) for o in sorted(live, key=len, reverse=True))
+    return re.sub(
+        rf"(?<![A-Za-z0-9_`])({alt})\s*\.",
+        lambda m: f"{live[m.group(1)]}.",
+        expr,
+    )
 
 
 class LakeSQL:
@@ -296,6 +303,40 @@ class LakeSQL:
                 f.name: f.dataType
                 for f in t.read(self.spark, merge_schema=True).schema.fields
             }
+            # Delta's store assignment is ANSI: an incompatible value
+            # FAILS the insert rather than becoming NULL. Validate with
+            # try_cast (null-on-failure regardless of the session's
+            # ANSI setting) so any non-null value the cast cannot
+            # represent aborts the statement with a clean error before
+            # anything commits — whether the session would have thrown
+            # mid-write (ANSI on) or silently inserted NULL (ANSI off).
+            lossy = [
+                c
+                for c in batch.columns
+                if c in target and batch.schema[c].dataType != target[c]
+            ]
+            if lossy:
+                nulled = batch.select(
+                    *[
+                        F.sum(
+                            F.when(
+                                F.col(c).isNotNull()
+                                & F.col(c)
+                                .try_cast(target[c])
+                                .isNull(),
+                                1,
+                            ).otherwise(0)
+                        ).alias(c)
+                        for c in lossy
+                    ]
+                ).first()
+                bad = {c: int(nulled[c] or 0) for c in lossy if nulled[c]}
+                if bad:
+                    raise ValueError(
+                        "INSERT INTO: value(s) not castable to the table's "
+                        f"column type (ANSI store assignment): {bad} "
+                        "(column -> offending row count)"
+                    )
             batch = batch.select(
                 *[
                     F.col(c).cast(target[c]).alias(c)
@@ -595,27 +636,51 @@ class LakeSQL:
             target = t.version_at(ts)
         return self._version_df(t.restore(target))
 
+    #: OPTIMIZE's default output-file size target. Delta's equivalent
+    #: (``delta.targetFileSize``) defaults near 1 GB on a cluster; 128
+    #: MB keeps enough file granularity for the stats-pruned
+    #: partial-rewrite paths at this engine's test scales while still
+    #: collapsing small-file debris. Overridable per statement via
+    #: ``TARGET SIZE <n> MB``.
+    OPTIMIZE_TARGET_FILE_BYTES: int = 128 << 20
+
     def _optimize(self, st: str) -> DataFrame:
         m = re.match(
             rf"OPTIMIZE\s+({_IDENT})"
-            rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$",
+            rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?"
+            rf"(?:\s+TARGET\s+SIZE\s+([0-9]+)\s*MB)?$",
             st,
             re.IGNORECASE,
         )
         if not m:
-            raise ValueError("expected: OPTIMIZE <t> [ZORDER BY (a, b)]")
+            raise ValueError(
+                "expected: OPTIMIZE <t> [ZORDER BY (a, b)] "
+                "[TARGET SIZE n MB]"
+            )
         t = self._table(m.group(1))
+        file_bytes = (
+            (int(m.group(3)) << 20)
+            if m.group(3)
+            else self.OPTIMIZE_TARGET_FILE_BYTES
+        )
         if m.group(2):
-            # ZORDER BY: full clustered rewrite on the named columns
+            # ZORDER BY: full clustered rewrite on the named columns.
+            # Output file count is sized from the table's CURRENT
+            # bytes (detail() is metadata-only) so a large table keeps
+            # its file granularity — a constant would collapse it to a
+            # handful of giant files and defeat the partial-rewrite
+            # paths that depend on per-file stats pruning.
             cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            size = t.detail()["size_bytes"]
+            nparts = max(1, -(-size // file_bytes))
             v = t.compact(
                 self.spark,
-                target_partitions=4,
+                target_partitions=int(nparts),
                 cluster_by=cols if len(cols) > 1 else cols[0],
             )
         else:
             # plain OPTIMIZE: bin-pack small files, carry the rest
-            v = t.compact_files(self.spark, max_file_bytes=32 << 20)
+            v = t.compact_files(self.spark, max_file_bytes=file_bytes)
         return self._version_df(v)
 
     def _vacuum(self, st: str) -> DataFrame:

@@ -193,16 +193,16 @@ def _dv_referenced_files(path: str) -> "list[str] | None":
 
 def _dv_live_rows(path: str, live_bases: set) -> int:
     """How many tombstone rows of a deletion-vector sidecar aim at a
-    file in ``live_bases`` — one metadata-sized column read."""
-    try:
-        import pyarrow.parquet as pq
+    file in ``live_bases`` — one metadata-sized column read.
 
-        t = pq.read_table(path, columns=["file"])
-        return sum(
-            1 for f in t.column("file").to_pylist() if f in live_bases
-        )
-    except Exception:
-        return 0
+    A corrupt or unreadable sidecar PROPAGATES: silently treating it
+    as zero tombstones would make ``detail()`` report an inflated
+    ``n_rows`` on a damaged table instead of surfacing the problem
+    (``read()`` would fail on the same sidecar anyway)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["file"])
+    return sum(1 for f in t.column("file").to_pylist() if f in live_bases)
 
 
 def _txn_pairs(txn) -> "list[tuple[str, int]]":
@@ -312,14 +312,19 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def version_at(self, timestamp) -> int:
+    def version_at(self, timestamp, clamp_future: bool = False) -> int:
         """Resolve a wall-clock instant to the table version a reader
         at that instant would have seen: the LATEST retained version
         whose ``committed_at`` is <= ``timestamp`` — Delta's
         ``timestampAsOf`` rule, including both edges: an instant
         before the earliest retained commit raises (``vacuum`` bounds
         how far back, exactly like Delta's retention window), and an
-        instant after the newest commit resolves to the newest.
+        instant AFTER the newest commit raises too (Delta's
+        "timestamp after latest commit" error — a typo'd future
+        timestamp must not silently read latest). Pass
+        ``clamp_future=True`` for the one context where Delta clamps
+        instead: a change-feed ``endingTimestamp`` beyond the newest
+        commit reads up to latest.
 
         ``timestamp`` may be a float/int epoch-seconds value, a
         ``datetime`` (naive = UTC, matching the log's ``time.time()``
@@ -329,13 +334,16 @@ class VersionedTable:
         """
         ts = _to_epoch_seconds(timestamp)
         best = None
+        newest_at = None
         # committed_at is wall-clock and so not guaranteed strictly
         # monotonic across writers; scan every retained record rather
         # than binary-searching an ordering the log does not promise.
         # Ties and clock jogs resolve to the HIGHEST qualifying
         # version — the snapshot a reader at that instant observes.
         for v in self.versions():
-            if self._read_record(v)["committed_at"] <= ts:
+            at = self._read_record(v)["committed_at"]
+            newest_at = at if newest_at is None else max(newest_at, at)
+            if at <= ts:
                 best = v
         if best is None:
             raise ValueError(
@@ -343,6 +351,12 @@ class VersionedTable:
                 f"{timestamp!r} (earliest retained version is "
                 f"{self.versions()[0] if self.versions() else None}; "
                 "vacuum may have removed older history)"
+            )
+        if not clamp_future and ts > newest_at:
+            raise ValueError(
+                f"{self.root}: timestamp {timestamp!r} is after the "
+                f"latest commit (committed_at={newest_at}); pass the "
+                "version explicitly to read the newest snapshot"
             )
         return best
 
@@ -2001,7 +2015,9 @@ class VersionedTable:
                 raise ValueError(
                     "read_changes: pass v_to OR until_timestamp, not both"
                 )
-            v_to = self.version_at(until_timestamp)
+            # Delta's endingTimestamp clamps past-the-newest-commit to
+            # latest (unlike timestampAsOf, which errors).
+            v_to = self.version_at(until_timestamp, clamp_future=True)
         if v_to is None:
             v_to = self.latest_version()
         if v_to is None:

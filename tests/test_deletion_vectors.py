@@ -360,3 +360,17 @@ def test_rewrite_of_every_ref_still_prunes_sidecar(spark, table):
     assert table.dv_files() == []
     ks = {r["k"] for r in table.read(spark).collect()}
     assert 3 not in ks
+
+
+def test_detail_propagates_corrupt_dv_sidecar(spark, table, tmp_path):
+    """A damaged deletion-vector sidecar must surface, not silently
+    count as zero tombstones (which would inflate detail()'s n_rows)."""
+    import os
+
+    table.commit(_base(spark), mode="overwrite")
+    table.delete_where(spark, "grp = 3")
+    dv = table.dv_files()[0]
+    with open(os.path.join(table.root, dv), "wb") as fh:
+        fh.write(b"not parquet")
+    with pytest.raises(Exception):
+        table.detail()

@@ -34,10 +34,18 @@ def test_select_and_time_travel(lk):
     lk.sql("DELETE FROM items WHERE k = 3")
     got = lk.sql("SELECT count(*) AS c FROM items VERSION AS OF 0").collect()
     assert got[0]["c"] == 3
+    t = lk.tables["items"]
+    last_at = t._read_record(t.latest_version())["committed_at"]
     got = lk.sql(
-        f"SELECT count(*) AS c FROM items TIMESTAMP AS OF {time.time()}"
+        f"SELECT count(*) AS c FROM items TIMESTAMP AS OF {last_at}"
     ).collect()
     assert got[0]["c"] == 2
+    # Delta parity: an instant after the latest commit errors
+    with pytest.raises(ValueError, match="after the latest commit"):
+        lk.sql(
+            f"SELECT count(*) AS c FROM items TIMESTAMP AS OF "
+            f"{time.time() + 3600}"
+        )
 
 
 def test_update_statement(lk):
@@ -233,8 +241,10 @@ def test_alter_add_generated_column(lk):
 
 def test_time_travel_literal_with_trailing_clause(lk):
     # the unquoted literal must not swallow the following clause
+    t = lk.tables["items"]
+    last_at = t._read_record(t.latest_version())["committed_at"]
     got = lk.sql(
-        f"SELECT count(*) AS c FROM items TIMESTAMP AS OF {time.time()} "
+        f"SELECT count(*) AS c FROM items TIMESTAMP AS OF {last_at} "
         "WHERE k >= 2"
     ).collect()
     assert got[0]["c"] == 2
@@ -263,3 +273,67 @@ def test_vacuum_dry_run_previews_without_deleting(lk, spark):
     assert t.read(spark, 0).count() == 3
     removed = lk.sql("VACUUM items RETAIN 0.0 HOURS").collect()[0]["files_removed"]
     assert removed == len(would)
+
+
+def test_merge_source_alias_colliding_with_canonical_target_alias(lk):
+    # Source aliased 't' (the canonical target alias). A sequential
+    # alias rewrite would turn 't.n < a.n' into 's.n < s.n' (target
+    # refs silently resolving against the source) and delete the row;
+    # the single-pass rewrite must update it instead.
+    lk.sql(
+        """
+        MERGE INTO items AS a USING (
+            SELECT 2 AS k, 'x' AS s, CAST(5 AS DOUBLE) AS n
+        ) AS t
+        ON a.k = t.k
+        WHEN MATCHED AND t.n < a.n THEN UPDATE SET n = t.n
+        WHEN MATCHED THEN DELETE
+        """
+    )
+    assert _rows(lk) == [(1, "a", 10.0), (2, "b", 5.0), (3, "c", 30.0)]
+
+
+def test_merge_aliases_swapped_with_canonical(lk):
+    # target aliased 's', source aliased 't' — a full swap of the
+    # canonical aliases; both must land correctly in one pass
+    lk.sql(
+        """
+        MERGE INTO items AS s USING (
+            SELECT 3 AS k, CAST(100 AS DOUBLE) AS n
+        ) AS t
+        ON s.k = t.k
+        WHEN MATCHED AND t.n > s.n THEN UPDATE SET n = t.n + s.n
+        """
+    )
+    assert _rows(lk) == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 130.0)]
+
+
+def test_insert_select_rejects_uncastable_values(lk):
+    # Delta's ANSI store assignment: a value the cast would NULL out
+    # fails the statement instead of silently inserting NULL
+    with pytest.raises(ValueError, match="not castable"):
+        lk.sql(
+            "INSERT INTO items "
+            "SELECT 'oops' AS k, 'd' AS s, CAST(1 AS DOUBLE) AS n"
+        )
+    assert len(_rows(lk)) == 3  # nothing committed
+
+
+def test_optimize_zorder_sizes_output_from_table_bytes(lk):
+    for i in range(6):
+        lk.sql(
+            f"INSERT INTO items SELECT {10 + i} AS k, 'z' AS s, "
+            "CAST(1 AS DOUBLE) AS n"
+        )
+    before = _rows(lk)
+    t = lk.tables["items"]
+    # target roughly a third of the table -> ZORDER must NOT collapse
+    # the table to one file (the old hardcoded constant always did 4)
+    lk.OPTIMIZE_TARGET_FILE_BYTES = max(1, t.detail()["size_bytes"] // 3)
+    lk.sql("OPTIMIZE items ZORDER BY (k)")
+    assert _rows(lk) == before
+    assert t.detail()["n_files"] >= 2
+    # explicit TARGET SIZE overrides the default: huge target -> 1 file
+    lk.sql("OPTIMIZE items ZORDER BY (k) TARGET SIZE 1024 MB")
+    assert t.detail()["n_files"] == 1
+    assert _rows(lk) == before

@@ -29,11 +29,23 @@ def test_version_at_resolves_wall_clock(spark, table):
     v1 = table.commit(spark.createDataFrame([(2, "b")], ["k", "v"]), mode="append")
     assert table.version_at(ts0) == v0
     assert table.version_at(time.time()) == v1
-    # future instants resolve to the newest commit
-    assert table.version_at(time.time() + 3600) == v1
+    # future instants raise (Delta's "timestamp after latest commit")
+    with pytest.raises(ValueError, match="after the latest commit"):
+        table.version_at(time.time() + 3600)
+    # ... unless the caller opts into change-feed-style clamping
+    assert table.version_at(time.time() + 3600, clamp_future=True) == v1
     # instants before the earliest retained commit raise (vacuum bound)
     with pytest.raises(ValueError, match="no retained commit"):
         table.version_at(ts0 - 1000)
+
+
+def test_read_changes_until_timestamp_clamps_future(spark, table):
+    table.commit(spark.createDataFrame([(1, "a")], ["k", "v"]), mode="overwrite")
+    table.commit(spark.createDataFrame([(2, "b")], ["k", "v"]), mode="append")
+    ch = table.read_changes(
+        spark, v_from=0, until_timestamp=time.time() + 3600, key="k"
+    )
+    assert [(r["k"], r["_change_type"]) for r in ch.collect()] == [(2, "insert")]
 
 
 def test_read_as_of_timestamp(spark, table):
