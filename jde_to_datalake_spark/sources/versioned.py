@@ -287,6 +287,12 @@ class VersionedTable:
     #: checkpoint every N commits).
     CHECKPOINT_INTERVAL: int = 10
 
+    #: how many consecutive lost races publish() will reconcile and
+    #: re-base across before giving up — each retry is metadata-only
+    #: (delta-record reads + one link attempt), so this bounds driver
+    #: work under pathological contention, not normal operation
+    MAX_RECONCILE: int = 5
+
     def __init__(self, root: str, txn_retention_seconds: float | None = None):
         self.root = root
         self.txn_retention_seconds = (
@@ -1209,6 +1215,8 @@ class VersionedTable:
         dropped_columns: list[str] | None = None,
         constraints: dict | None = None,
         generated_columns: dict | None = None,
+        read_files: list[str] | None = None,
+        read_ranges: dict | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -1259,24 +1267,316 @@ class VersionedTable:
         manifest's), skipping their per-file footer reads.
         ``annotations`` adds audit keys to the manifest (e.g.
         ``restored_from``); reserved manifest keys are rejected.
+
+        **Commit reconciliation** (Delta's ConflictChecker): when
+        another writer commits between this publish's base and its
+        link attempt, the publish does NOT immediately fail. If this
+        commit's logical intent provably COMMUTES with every
+        intervening commit — checked file-by-file against their
+        O(changed) delta records — it is re-based onto the new latest
+        version and re-linked, with no caller re-execution:
+
+        - a BLIND APPEND (mode='append', no ``expected_base``) commutes
+          with everything except a metadata change (new constraint /
+          generated column / column mapping — the staged rows were
+          validated under the old rules) or a same-app txn stamp;
+        - a READ-MODIFY-WRITE (``carry`` + ``expected_base``) declares
+          its read set via ``read_files`` (the files its computation
+          scanned) and optionally ``read_ranges`` ({column: (lo, hi)}
+          — the key envelope of its probe, e.g. a merge batch's
+          [min_key, max_key]). It commutes when no intervening commit
+          removed a file it read or rewrote, tombstoned rows in one
+          (DV adds aimed at its read set), changed metadata, stamped
+          the same txn app, or added a file whose footer stats
+          overlap ``read_ranges`` (no ranges or no stats = assume
+          overlap — conservative). On re-base the carry list is
+          recomputed against the new latest manifest, so a concurrent
+          OPTIMIZE of untouched files or a key-disjoint merge simply
+          drops out / flows in by reference.
+
+        Anything else (full overwrites, explicit ``dv_files``, DDL
+        commits) keeps the strict behavior: ``ConcurrentCommitError``,
+        and the caller's ``retries=N`` re-runs against the fresh
+        snapshot. A non-commuting reconciliation raises the same
+        error, so opting in never weakens snapshot isolation — it only
+        removes re-executions that would have produced the identical
+        result.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         if carry is not None and mode != "overwrite":
             raise ValueError("carry requires mode='overwrite'")
-        new_files = staged
-        if expected_base is _UNSET:
-            prev = self.latest_version()
-        else:
+        if read_files is not None and carry is None:
+            raise ValueError("read_files requires carry (a partial rewrite)")
+        pinned = expected_base is not _UNSET
+        if pinned:
             prev = expected_base
+        else:
+            prev = self.latest_version()
+        sets_metadata = any(
+            x is not None
+            for x in (
+                column_renames,
+                dropped_columns,
+                constraints,
+                generated_columns,
+            )
+        )
+        blind_append = mode == "append" and not pinned
+        declared_reads = read_files is not None or read_ranges is not None
+        can_reconcile = (
+            not sets_metadata
+            and dv_files is None
+            and (blind_append or (carry is not None and declared_reads))
+        )
+        # the protected set: everything this commit READ or RETIRES —
+        # computed once against the ORIGINAL base; an intervening
+        # commit touching any of it does not commute
+        my_removes: set = set()
+        protected: set = set()
+        if carry is not None and prev is not None:
+            base_files = self._manifest(prev)["files"]
+            my_removes = set(base_files) - set(carry)
+            protected = my_removes | set(read_files or [])
+            protected |= {os.path.basename(f) for f in protected}
+        my_txn_apps = {str(a) for a, _v in _txn_pairs(txn)}
+        checked_to = prev
+        for _attempt in range(1 + self.MAX_RECONCILE):
             latest = self.latest_version()
             if latest != prev:
-                # fail fast with the clearer message; the manifest link
-                # below still arbitrates the remaining race atomically
-                raise ConcurrentCommitError(
-                    f"stale snapshot: read version {prev}, but latest is "
-                    f"{latest} — re-read and retry the merge/compact"
+                if not can_reconcile:
+                    if pinned:
+                        raise ConcurrentCommitError(
+                            f"stale snapshot: read version {prev}, but "
+                            f"latest is {latest} — re-read and retry the "
+                            "merge/compact"
+                        )
+                    raise ConcurrentCommitError(
+                        f"version "
+                        f"{0 if prev is None else prev + 1} was committed "
+                        "by another writer"
+                    )
+                self._check_commutes(
+                    checked_to,
+                    latest,
+                    blind_append=blind_append,
+                    protected=protected,
+                    read_ranges=read_ranges,
+                    txn_apps=my_txn_apps,
                 )
+                checked_to = latest
+                prev = latest
+                if carry is not None:
+                    carry = [
+                        f
+                        for f in self._manifest(latest)["files"]
+                        if f not in my_removes
+                    ]
+            try:
+                return self._publish_once(
+                    prev,
+                    staged,
+                    mode,
+                    carry,
+                    txn,
+                    dv_files,
+                    known_stats,
+                    annotations,
+                    column_renames,
+                    dropped_columns,
+                    constraints,
+                    generated_columns,
+                )
+            except ConcurrentCommitError:
+                if not can_reconcile:
+                    raise
+                # loop: re-read latest, check the new tail, re-base
+                continue
+        raise ConcurrentCommitError(
+            f"{self.root}: publish lost {self.MAX_RECONCILE} consecutive "
+            "reconciliation races — the table is under very heavy write "
+            "contention; re-run the operation"
+        )
+
+    def _check_commutes(
+        self,
+        lo: "int | None",
+        hi: int,
+        blind_append: bool,
+        protected: set,
+        read_ranges: "dict | None",
+        txn_apps: set,
+    ) -> None:
+        """Raise ``ConcurrentCommitError`` unless every commit in
+        ``(lo, hi]`` provably commutes with the in-flight publish (see
+        ``publish``). Reads each intervening commit's raw delta record
+        — O(changed files) per commit, never table-sized."""
+        start = 0 if lo is None else lo + 1
+        for v in range(start, hi + 1):
+            s = self._commit_summary(v)
+            if s["metadata_changed"]:
+                raise ConcurrentCommitError(
+                    f"concurrent metadata change at version {v} "
+                    "(constraints / generated columns / column mapping) "
+                    "— re-run against the new snapshot"
+                )
+            if txn_apps and txn_apps & s["txn_apps"]:
+                raise ConcurrentCommitError(
+                    f"version {v} stamped txn app "
+                    f"{sorted(txn_apps & s['txn_apps'])} concurrently — "
+                    "idempotent-writer replay state is ambiguous; re-run"
+                )
+            if blind_append:
+                continue  # adds/removes/DVs cannot affect a blind append
+            removed = set(s["remove"]) | {
+                os.path.basename(f) for f in s["remove"]
+            }
+            if protected & removed:
+                raise ConcurrentCommitError(
+                    f"version {v} removed file(s) this commit read or "
+                    "rewrote — re-run against the new snapshot"
+                )
+            for d in s["dv_add"]:
+                refs = s["dv_refs"].get(d)
+                if refs is None or any(
+                    r in protected for r in refs
+                ):
+                    raise ConcurrentCommitError(
+                        f"version {v} tombstoned rows in file(s) this "
+                        "commit read — re-run against the new snapshot"
+                    )
+            for f in s["add"]:
+                if not self._add_is_disjoint(
+                    f, s["add_stats"].get(f), read_ranges
+                ):
+                    raise ConcurrentCommitError(
+                        f"version {v} added file {f!r} that may contain "
+                        "rows this commit should have read — re-run "
+                        "against the new snapshot"
+                    )
+
+    @staticmethod
+    def _add_is_disjoint(
+        fname: str, fstats: "dict | None", read_ranges: "dict | None"
+    ) -> bool:
+        """Can the added file provably contain NO row the in-flight
+        commit's read predicate matches? ``read_ranges`` semantics:
+        ``None`` = the commit's read predicate is unbounded (any new
+        row might have mattered — every add conflicts); ``{}`` = the
+        result depends only on rows in ``read_files`` (no new row
+        could matter — e.g. a compaction, or a merge whose batch keys
+        are all NULL); ``{col: (lo, hi)}`` = only rows with ``col``
+        inside the range mattered — disjoint iff the file's footer
+        stats for some range column sit entirely outside it. Missing
+        stats mean "maybe overlaps" (conservative)."""
+        if read_ranges is None:
+            return False
+        if not read_ranges:
+            return True
+        if not fstats:
+            return False
+        for column, (lower, upper) in read_ranges.items():
+            s = fstats.get(column)
+            if s is None:
+                continue  # no stats for this column: inconclusive
+            mn, mx = s
+            lo_p = _stat_probe_value(lower) if lower is not None else None
+            hi_p = _stat_probe_value(upper) if upper is not None else None
+            try:
+                if hi_p is not None and mn > hi_p:
+                    return True
+                if lo_p is not None and mx < lo_p:
+                    return True
+            except TypeError:
+                continue  # incomparable bound types: inconclusive
+        return False
+
+    def _commit_summary(self, version: int) -> dict:
+        """Normalized conflict-relevant view of one commit: files/DVs
+        added+removed, new-file stats, txn apps stamped, and whether
+        table metadata changed. Delta-format records answer from the
+        record alone; legacy full manifests fall back to a
+        two-manifest diff."""
+        rec = self._read_record(version)
+        if "files" not in rec:
+            meta_changed = any(
+                k in rec
+                for k in (
+                    "set_column_renames",
+                    "set_dropped_columns",
+                    "set_constraints",
+                    "set_generated_columns",
+                )
+            )
+            return {
+                "add": list(rec.get("add", [])),
+                "remove": list(rec.get("remove", [])),
+                "add_stats": dict(rec.get("add_stats", {})),
+                "dv_add": list(rec.get("dv_add", [])),
+                "dv_refs": dict(rec.get("dv_refs_upd", {})),
+                "txn_apps": set(rec.get("txn", {})),
+                "metadata_changed": meta_changed,
+            }
+        prev = (
+            self._manifest(version - 1)
+            if version > 0
+            else {"files": [], "dv_files": []}
+        )
+        old_f, new_f = set(prev.get("files", [])), set(rec["files"])
+        old_d = set(prev.get("dv_files", []))
+        added = [f for f in rec["files"] if f not in old_f]
+        meta_changed = any(
+            (prev.get(k) or None) != (rec.get(k) or None)
+            for k in (
+                "column_renames",
+                "dropped_columns",
+                "constraints",
+                "generated_columns",
+            )
+        )
+        old_txns = prev.get("txns", {})
+        txn_apps = {
+            a
+            for a, e in rec.get("txns", {}).items()
+            if old_txns.get(a) != e
+        }
+        return {
+            "add": added,
+            "remove": [f for f in prev.get("files", []) if f not in new_f],
+            "add_stats": {
+                f: s
+                for f, s in rec.get("stats", {}).items()
+                if f in set(added)
+            },
+            "dv_add": [
+                d for d in rec.get("dv_files", []) if d not in old_d
+            ],
+            "dv_refs": dict(rec.get("dv_refs", {})),
+            "txn_apps": txn_apps,
+            "metadata_changed": meta_changed,
+        }
+
+    def _publish_once(
+        self,
+        prev: "int | None",
+        staged: list[str],
+        mode: str,
+        carry: "list[str] | None",
+        txn,
+        dv_files: "list[str] | None",
+        known_stats: "dict | None",
+        annotations: "dict | None",
+        column_renames: "dict | None",
+        dropped_columns: "list[str] | None",
+        constraints: "dict | None",
+        generated_columns: "dict | None",
+    ) -> int:
+        """One publish attempt against base version ``prev`` — builds
+        the manifest + delta record and atomically links it as
+        ``prev + 1``. Raises ``ConcurrentCommitError`` if that version
+        number was taken (the reconciliation loop in ``publish``
+        decides whether to re-base or surface it)."""
+        new_files = staged
         # the base manifest is consulted for the file list, the
         # carried stats, and the txn map — read and parse it ONCE
         prev_manifest = self._manifest(prev) if prev is not None else {}
@@ -1952,6 +2252,19 @@ class VersionedTable:
             carry=untouched,
             txn=txn,
             annotations={"operation": "UPDATE"},
+            # reconciliation read declaration: the probe scanned every
+            # candidate file; with prune_ranges the predicate is
+            # bounded by those footer ranges (physical names — the
+            # stats key space), otherwise any concurrent add may match
+            read_files=candidates,
+            read_ranges=(
+                {
+                    self._to_physical_name(c, prev): b
+                    for c, b in prune_ranges.items()
+                }
+                if prune_ranges
+                else None
+            ),
         )
 
     # -- change data feed -------------------------------------------------
@@ -2455,8 +2768,13 @@ class VersionedTable:
         """Keyed MERGE: matched rows replaced, new rows inserted —
         rewriting ONLY the files the batch can touch.
 
-        ``retries``: on ``ConcurrentCommitError`` (another writer
-        published between this merge's read and its publish), re-run
+        Concurrency: the publish declares this merge's read set (the
+        touched files + the batch's key envelope), so a lost race
+        against a COMMUTING writer — a blind append, a key-disjoint
+        merge, an OPTIMIZE of untouched files — reconciles inside
+        ``publish`` with no re-execution (see ``publish``'s commit-
+        reconciliation contract). ``retries``: when the intervening
+        commit genuinely overlaps (``ConcurrentCommitError``), re-run
         the whole merge against the NEW snapshot up to this many times
         — Delta's optimistic-conflict retry. Safe because a losing
         publish commits nothing (its staged files are orphans vacuum
@@ -2533,9 +2851,17 @@ class VersionedTable:
             F.count(F.lit(1)).alias("n_groups"),
             F.max(F.when(F.col(key).isNotNull(), F.col("__n"))).alias("max_n"),
             F.min(key).alias("kmin"),
+            F.max(key).alias("kmax"),
         ).collect()[0]
         if s["n_groups"] == 0:
             return prev  # empty batch: nothing to merge (None if no table yet)
+        # the read predicate this merge declares for commit
+        # reconciliation: only rows whose key falls inside the batch's
+        # key envelope could have changed its outcome; an all-NULL-key
+        # batch reads nothing (equi-join on NULL matches no row)
+        read_ranges = (
+            {key: (s["kmin"], s["kmax"])} if s["kmin"] is not None else {}
+        )
         if s["max_n"] is not None and s["max_n"] > 1:
             dup = (
                 grouped.filter(F.col("__n") > 1)
@@ -2576,6 +2902,8 @@ class VersionedTable:
                 carry=untouched,
                 txn=txn,
                 annotations={"operation": "MERGE"},
+                read_files=[],
+                read_ranges=read_ranges,
             )
         reader = spark.read.option("mergeSchema", "true")
         current = self._apply_dvs(
@@ -2591,6 +2919,8 @@ class VersionedTable:
             carry=untouched,
             txn=txn,
             annotations={"operation": "MERGE"},
+            read_files=touched,
+            read_ranges=read_ranges,
         )
 
     # -- full-clause MERGE --------------------------------------------------
@@ -2720,6 +3050,7 @@ class VersionedTable:
             F.count(F.lit(1)).alias("n_groups"),
             F.max(F.when(F.col(key).isNotNull(), F.col("__n"))).alias("max_n"),
             F.min(key).alias("kmin"),
+            F.max(key).alias("kmax"),
         ).collect()[0]
         if s["max_n"] is not None and s["max_n"] > 1:
             dup = (
@@ -2770,6 +3101,10 @@ class VersionedTable:
             # a by-source clause inspects EVERY target row: all files
             # are candidates (Delta pays the same full-rewrite cost)
             touched, untouched = list(manifest["files"]), []
+            # ... and ABSENCE from the source matters, so a concurrent
+            # add of any row could change the outcome: the read
+            # predicate is unbounded (reconciliation always re-runs)
+            read_ranges = None
         else:
             touched, untouched = self._key_touched_files(
                 spark,
@@ -2778,8 +3113,13 @@ class VersionedTable:
                 manifest,
                 any_nonnull=s["kmin"] is not None,
             )
+            read_ranges = (
+                {key_phys: (s["kmin"], s["kmax"])}
+                if s["kmin"] is not None
+                else {}
+            )
 
-        def _publish_staged(staged, carry):
+        def _publish_staged(staged, carry, read_files):
             if not staged or all(
                 _parquet_num_rows(os.path.join(self.root, f)) == 0
                 for f in staged
@@ -2794,6 +3134,8 @@ class VersionedTable:
                 carry=carry,
                 txn=txn,
                 annotations={"operation": "MERGE"},
+                read_files=read_files,
+                read_ranges=read_ranges,
             )
 
         if not touched:
@@ -2805,7 +3147,9 @@ class VersionedTable:
                 return prev
             self._enforce_constraints(ins)
             return _publish_staged(
-                self.stage(self._to_physical_df(ins, prev)), manifest["files"]
+                self.stage(self._to_physical_df(ins, prev)),
+                manifest["files"],
+                read_files=[],
             )
 
         live = self._live_scan(spark, touched, prev)
@@ -2834,7 +3178,9 @@ class VersionedTable:
                 return prev
             self._enforce_constraints(ins)
             return _publish_staged(
-                self.stage(self._to_physical_df(ins, prev)), manifest["files"]
+                self.stage(self._to_physical_df(ins, prev)),
+                manifest["files"],
+                read_files=touched,
             )
 
         # general path: one full-outer join over the touched rows
@@ -2973,6 +3319,8 @@ class VersionedTable:
             carry=untouched,
             txn=txn,
             annotations={"operation": "MERGE"},
+            read_files=touched,
+            read_ranges=read_ranges,
         )
 
     # -- streaming sink ---------------------------------------------------
@@ -3120,8 +3468,12 @@ class VersionedTable:
         """Rewrite the latest version's files into ``target_partitions``
         parquet files (small-file compaction as a normal overwrite
         commit — old versions stay readable until vacuumed). Pinned to
-        the snapshot it read: a commit landing mid-compaction fails
-        the compaction (re-run it) rather than being thrown away.
+        the snapshot it read; commit reconciliation lets a concurrent
+        blind append or key-disjoint merge land mid-compaction and
+        both commit (the appended/merged files re-base into the new
+        version by reference), while an overlapping rewrite still
+        fails the compaction (re-run it) rather than being thrown
+        away.
 
         ``cluster_by`` as ONE column range-partitions and sorts the
         rewrite on it — the OPTIMIZE-with-clustering move: each
@@ -3156,11 +3508,26 @@ class VersionedTable:
         rewritten = self._clustered_rewrite(
             latest, target_partitions, cluster_by, zorder_bits
         )
-        return self.commit(
-            rewritten,
+        # publish as a carry-[] partial rewrite (retiring every base
+        # file) rather than a bare overwrite: the read declaration —
+        # content of all base files, no dependence on absent rows —
+        # lets reconciliation re-base the compaction over a concurrent
+        # blind append instead of failing it. DV semantics are
+        # unchanged: the rewrite materialized the tombstones, and the
+        # publish prunes sidecars whose referenced files all retired.
+        rewritten = self._apply_generated(rewritten)
+        self._enforce_constraints(rewritten)
+        base_files = (
+            self._manifest(base)["files"] if base is not None else []
+        )
+        return self.publish(
+            self.stage(self._to_physical_df(rewritten, base)),
             mode="overwrite",
             expected_base=base,
+            carry=[],
             annotations={"operation": "OPTIMIZE"},
+            read_files=base_files,
+            read_ranges={},
         )
 
     def _clustered_rewrite(
@@ -3262,13 +3629,20 @@ class VersionedTable:
             live, target_partitions, cluster_by, zorder_bits
         )
         # frames here are PHYSICAL (straight from the files): stage
-        # directly, bypassing the logical->physical translation
+        # directly, bypassing the logical->physical translation.
+        # Reconciliation declaration: the result depends only on the
+        # rewritten slice's content (read_files) and on NO absent row
+        # (read_ranges={}), so the sweep commutes with concurrent
+        # appends and key-disjoint merges — maintenance never blocks
+        # ingest.
         return self.publish(
             self.stage(rewritten),
             mode="overwrite",
             expected_base=base,
             carry=carry,
             annotations={"operation": "OPTIMIZE"},
+            read_files=sorted(sel),
+            read_ranges={},
         )
 
     def vacuum(

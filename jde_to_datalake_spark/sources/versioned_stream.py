@@ -643,6 +643,15 @@ class VersionedTableStreamWriter(DataSourceStreamWriter):
     micros, so the stored instant is exact on any host timezone.
     Empty partitions stage nothing; an all-empty batch commits
     nothing (no empty versions).
+
+    Throughput bound (honest): the Python ``DataSourceStreamWriter``
+    API hands ``write()`` a ROW iterator, so each task pays a per-row
+    Python encode before the Arrow/parquet write — chunked and
+    heap-bounded, but roughly an order of magnitude slower per byte
+    than the JVM parquet write ``foreach_batch_writer`` /
+    ``derive_table`` use. Route BULK ingest through those (same
+    txn-stamped exactly-once); this sink is the no-wrapper
+    statement-parity surface for moderate-rate streams.
     """
 
     #: rows per Arrow record batch inside one task's staged file —

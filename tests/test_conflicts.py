@@ -1,0 +1,277 @@
+"""Logical conflict detection between concurrent writers (Delta's
+ConflictChecker re-expressed over the O(changed) commit-delta log).
+
+The table-level compare-and-swap arbitrates every race; these tests
+pin the RECONCILIATION layer on top: a commit whose logical intent
+provably commutes with the intervening commits re-bases and re-links
+with no caller re-execution, while overlapping intents still raise
+``ConcurrentCommitError`` (and the opt-in ``retries=N`` re-runs).
+
+Reference anchor: the 5-/10-/30-minute DAGs all write concurrently to
+one staging store (dag_bakery_system_to_jde.py:449,
+dag_bakery_ops_to_jde.py:351) — multi-writer ingest is the reference's
+own posture, so disjoint writers must not serialize each other.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.sources.versioned import (
+    ConcurrentCommitError,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return VersionedTable(str(tmp_path / "tbl"))
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, ["k", "v"])
+
+
+def _clustered(spark, table, n=100, files=4):
+    """A key-clustered table: each file covers a narrow disjoint key
+    range, so footer stats make disjoint-key merges touch disjoint
+    files."""
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    table.commit(df.repartitionByRange(files, "k").sortWithinPartitions("k"),
+                 mode="overwrite")
+    return table
+
+
+def _rows(spark, table):
+    return sorted(tuple(r) for r in table.read(spark).collect())
+
+
+def _race(table, monkeypatch, interloper):
+    """Arrange ``interloper()`` to commit AFTER the caller's next
+    operation reads its base but BEFORE its manifest link lands — the
+    classic read-publish race, injected deterministically by wrapping
+    the first ``_publish_once`` attempt (so the loser hits the atomic
+    link failure and must reconcile or raise)."""
+    real_once = table._publish_once
+    fired = {"done": False}
+
+    def raced_once(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            interloper()
+        return real_once(*a, **kw)
+
+    monkeypatch.setattr(table, "_publish_once", raced_once)
+    return fired
+
+
+# -- blind appends ----------------------------------------------------------
+
+
+def test_concurrent_blind_appends_both_commit(spark, table, monkeypatch):
+    table.commit(_kv(spark, [(1, "a")]), mode="overwrite")
+    other = VersionedTable(table.root)
+
+    _race(table, monkeypatch,
+          lambda: other.commit(_kv(spark, [(2, "b")]), mode="append"))
+    v = table.commit(_kv(spark, [(3, "c")]), mode="append")
+
+    assert v == 2  # re-based onto the interloper's version
+    assert _rows(spark, table) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_blind_append_commutes_with_merge(spark, table, monkeypatch):
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.merge(spark, _kv(spark, [(5, 555)]), "k"),
+    )
+    table.commit(_kv(spark, [(1000, 1)]), mode="append")
+
+    got = dict(_rows(spark, table))
+    assert got[5] == 555 and got[1000] == 1
+
+
+def test_blind_append_conflicts_with_concurrent_constraint(
+    spark, table, monkeypatch
+):
+    # the staged rows were validated under the OLD rules: a concurrent
+    # ADD CONSTRAINT must fail the append, not silently bypass it
+    table.commit(_kv(spark, [(1, "a")]), mode="overwrite")
+    other = VersionedTable(table.root)
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.add_constraint(spark, "k_pos", "k > 0"),
+    )
+    with pytest.raises(ConcurrentCommitError, match="metadata"):
+        table.commit(_kv(spark, [(2, "b")]), mode="append")
+
+
+# -- key-disjoint merges ------------------------------------------------------
+
+
+def test_disjoint_merges_commute_with_one_execution_each(
+    spark, table, monkeypatch
+):
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+
+    # count executions of the loser's merge via its stage() calls
+    # (every merge execution stages exactly once before publishing)
+    calls = {"n": 0}
+    real_stage = table.stage
+
+    def counting_stage(df, *a, **kw):
+        calls["n"] += 1
+        return real_stage(df, *a, **kw)
+
+    monkeypatch.setattr(table, "stage", counting_stage)
+    # interloper merges keys 0-4 (files at the low end) while the
+    # loser merges keys 90-94 (files at the high end)
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.merge(
+            spark, _kv(spark, [(i, -i) for i in range(5)]), "k"
+        ),
+    )
+    v = table.merge(
+        spark, _kv(spark, [(i, i * 1000) for i in range(90, 95)]), "k"
+    )
+
+    assert calls["n"] == 1  # ONE execution: reconciled, not re-run
+    assert v == 2
+    got = dict(_rows(spark, table))
+    assert got[0] == 0 and got[4] == -4  # interloper's writes live
+    assert got[90] == 90000 and got[94] == 94000  # loser's writes live
+    assert len(got) == 100
+
+
+def test_overlapping_merges_conflict_and_retry_reruns(
+    spark, table, monkeypatch
+):
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+
+    fired = _race(
+        table,
+        monkeypatch,
+        lambda: other.merge(spark, _kv(spark, [(50, -50)]), "k"),
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table.merge(spark, _kv(spark, [(50, 5000), (51, 5100)]), "k")
+    assert fired["done"]
+
+    # retries=1: the first attempt loses the same race again, the
+    # retry re-executes against the fresh snapshot and wins
+    fired["done"] = False
+    v = table.merge(
+        spark, _kv(spark, [(50, 5000), (51, 5100)]), "k", retries=1
+    )
+    assert v is not None
+    got = dict(_rows(spark, table))
+    assert got[50] == 5000 and got[51] == 5100
+
+
+def test_merge_conflicts_with_concurrent_delete_of_read_files(
+    spark, table, monkeypatch
+):
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+
+    # interloper tombstones rows in the same key region the merge read
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.delete_where(spark, "k = 51"),
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table.merge(spark, _kv(spark, [(50, 5000)]), "k")
+
+
+def test_merge_commutes_with_optimize_of_untouched_files(
+    spark, table, monkeypatch
+):
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+    m = table._manifest(table.latest_version())
+    # compact only the files NOT holding keys 90-94
+    low_files = table.files_for_ranges({"k": (0, 49)}, table.latest_version())
+    assert low_files and set(low_files) < set(m["files"])
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.compact_files(spark, files=low_files),
+    )
+    v = table.merge(spark, _kv(spark, [(92, 9200)]), "k")
+    assert v == 2
+    got = dict(_rows(spark, table))
+    assert got[92] == 9200 and len(got) == 100
+
+
+# -- maintenance vs ingest ----------------------------------------------------
+
+
+def test_compaction_commutes_with_concurrent_append(
+    spark, table, monkeypatch
+):
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.commit(
+            spark.createDataFrame([(1000, 1)], ["k", "v"]), mode="append"
+        ),
+    )
+    v = table.compact(spark, target_partitions=2)
+    assert v == 2
+    got = dict(_rows(spark, table))
+    assert got[1000] == 1 and len(got) == 101
+
+
+def test_same_txn_app_stamped_concurrently_conflicts(
+    spark, table, monkeypatch
+):
+    table.commit(_kv(spark, [(1, "a")]), mode="overwrite")
+    other = VersionedTable(table.root)
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.commit(
+            _kv(spark, [(2, "b")]), mode="append", txn=("app", 7)
+        ),
+    )
+    with pytest.raises(ConcurrentCommitError, match="txn app"):
+        table.commit(_kv(spark, [(3, "c")]), mode="append", txn=("app", 8))
+
+
+def test_reconciled_merge_inherits_interloper_dv_state(
+    spark, table, monkeypatch
+):
+    """An interloper's deletion vectors aimed at files the loser never
+    read must survive the loser's re-based publish."""
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.delete_where(spark, "k = 3"),
+    )
+    table.merge(spark, _kv(spark, [(92, 9200)]), "k")
+    got = dict(_rows(spark, table))
+    assert 3 not in got  # the interloper's delete held
+    assert got[92] == 9200
+    assert len(got) == 99

@@ -28,7 +28,8 @@ def test_version_at_resolves_wall_clock(spark, table):
     time.sleep(0.02)
     v1 = table.commit(spark.createDataFrame([(2, "b")], ["k", "v"]), mode="append")
     assert table.version_at(ts0) == v0
-    assert table.version_at(time.time()) == v1
+    at1 = table._read_record(v1)["committed_at"]
+    assert table.version_at(at1) == v1
     # future instants raise (Delta's "timestamp after latest commit")
     with pytest.raises(ValueError, match="after the latest commit"):
         table.version_at(time.time() + 3600)
@@ -62,9 +63,16 @@ def test_version_at_accepts_datetime_and_iso(spark, table):
     import datetime as dt
 
     table.commit(spark.createDataFrame([(1, "a")], ["k", "v"]), mode="overwrite")
-    now_utc = dt.datetime.now(dt.timezone.utc)
-    assert table.version_at(now_utc) == 0
-    assert table.version_at(now_utc.isoformat()) == 0
+    table.commit(spark.createDataFrame([(2, "b")], ["k", "v"]), mode="append")
+    at0 = table._read_record(0)["committed_at"]
+    at1 = table._read_record(1)["committed_at"]
+    # probe strictly inside [at0, at1): datetime carries microseconds
+    # and fromtimestamp may round UP past a float commit stamp
+    probe = dt.datetime.fromtimestamp(
+        max(at0, at1 - 0.001), dt.timezone.utc
+    )
+    assert table.version_at(probe) == 0
+    assert table.version_at(probe.isoformat()) == 0
 
 
 # -- update_where ---------------------------------------------------------

@@ -175,6 +175,7 @@ _OPS = st.lists(
         st.tuples(st.just("sync"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("compact"), st.just([])),
         st.tuples(st.just("compact_small"), st.just([])),
+        st.tuples(st.just("interleaved"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("restore"), st.lists(st.integers(0, 99), min_size=1, max_size=1)),
         st.tuples(st.just("clone"), st.just([])),
         st.tuples(st.just("vacuum"), st.just([])),
@@ -258,6 +259,37 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 not_matched_by_source=[("delete", None)],
             )
             model = set(rows)
+        elif op == "interleaved":
+            # two WRITERS race: a second handle merges a disjoint key
+            # (100+stamp) between this handle's merge reading its base
+            # and linking its manifest — commit reconciliation must
+            # let BOTH land (key ranges disjoint -> they commute)
+            if empty:
+                continue
+            other = VT(table.root)
+            ik = 100 + stamp
+            fired = {"done": False}
+            real_once = table._publish_once
+
+            def raced(*a, **kw):
+                if not fired["done"]:
+                    fired["done"] = True
+                    other.merge(
+                        spark,
+                        spark.createDataFrame([(ik, f"i{stamp}")], ["k", name]),
+                        key="k",
+                    )
+                return real_once(*a, **kw)
+
+            table._publish_once = raced
+            try:
+                table.merge(spark, mk(rows), key="k")
+            finally:
+                table.__dict__.pop("_publish_once", None)
+            merged_keys = {k for k, _ in rows} | {ik}
+            model = {kv for kv in model if kv[0] not in merged_keys} | set(
+                rows
+            ) | {(ik, f"i{stamp}")}
         elif op == "compact":
             if empty:
                 continue
