@@ -27,8 +27,9 @@ Spark's ``expr`` and may use any Spark SQL function):
   [WHEN NOT MATCHED [AND c] THEN INSERT *]
   [WHEN NOT MATCHED BY SOURCE [AND c] THEN {DELETE | UPDATE SET ...}]``
   — clause order is first-match-wins, exactly
-  ``VersionedTable.merge_into``; the ON condition must be a single
-  same-named key equality (the partial-rewrite contract).
+  ``VersionedTable.merge_into``; the ON condition is one or more
+  AND-ed same-named key equalities (a composite key; the
+  partial-rewrite contract per column).
 - ``INSERT INTO <t> <select-statement>``
 - ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>``
 - ``RESTORE TABLE <t> TO VERSION AS OF n`` (or TIMESTAMP AS OF)
@@ -39,8 +40,10 @@ Spark's ``expr`` and may use any Spark SQL function):
   ``ADD COLUMN c GENERATED ALWAYS AS (expr)``
 - ``CREATE TABLE <name> LOCATION '<path>' [AS <select>]`` — register
   (or CTAS-create) a versioned table at a filesystem location
-- ``CONVERT TO VERSIONED '<path>' AS <name>`` — adopt an existing
-  plain-parquet directory metadata-only (Delta's CONVERT TO DELTA)
+- ``CONVERT TO VERSIONED '<path>' AS <name> [PARTITIONED BY (a, b)]``
+  — adopt an existing plain-parquet directory metadata-only (Delta's
+  CONVERT TO DELTA [PARTITIONED BY]; hive ``k=v`` layouts adopt with
+  partition values recorded as file-skipping stats)
 - ``SHOW TABLES``
 
 Every statement returns a DataFrame: SELECT/DESCRIBE return their
@@ -401,25 +404,30 @@ class LakeSQL:
         if w < 0:
             raise ValueError("MERGE: no WHEN clause")
         on_cond, clauses_txt = rest[:w].strip(), rest[w:]
-        km = re.fullmatch(
-            rf"`?({_IDENT})`?\s*\.\s*`?({_IDENT})`?\s*=\s*"
-            rf"`?({_IDENT})`?\s*\.\s*`?({_IDENT})`?",
-            on_cond,
-        )
-        if not km:
-            raise ValueError(
-                "MERGE ON must be a single alias-qualified key equality "
-                f"(got {on_cond!r})"
+        # one or more AND-ed same-named alias-qualified equalities —
+        # a composite ON key (the partial-rewrite contract per column)
+        key_cols: "list[str]" = []
+        for term in re.split(r"\s+AND\s+", on_cond, flags=re.IGNORECASE):
+            km = re.fullmatch(
+                rf"`?({_IDENT})`?\s*\.\s*`?({_IDENT})`?\s*=\s*"
+                rf"`?({_IDENT})`?\s*\.\s*`?({_IDENT})`?",
+                term.strip(),
             )
-        a1, c1, a2, c2 = km.groups()
-        pair = {a1: c1, a2: c2}
-        if set(pair) != {talias, salias} or c1 != c2:
-            raise ValueError(
-                "MERGE ON must equate the SAME key column of the target "
-                f"and source aliases ({talias!r}, {salias!r}); got "
-                f"{on_cond!r}"
-            )
-        key = c1
+            if not km:
+                raise ValueError(
+                    "MERGE ON must be AND-ed alias-qualified key "
+                    f"equalities (got {term.strip()!r})"
+                )
+            a1, c1, a2, c2 = km.groups()
+            pair = {a1: c1, a2: c2}
+            if set(pair) != {talias, salias} or c1 != c2:
+                raise ValueError(
+                    "each MERGE ON term must equate the SAME key column "
+                    f"of the target and source aliases ({talias!r}, "
+                    f"{salias!r}); got {term.strip()!r}"
+                )
+            key_cols.append(c1)
+        key = key_cols[0] if len(key_cols) == 1 else key_cols
         amap = {talias: "t", salias: "s"}
 
         matched, not_matched, nbs = [], [], []
@@ -586,18 +594,27 @@ class LakeSQL:
 
     def _convert(self, st: str) -> DataFrame:
         m = re.match(
-            rf"CONVERT\s+TO\s+VERSIONED\s+'([^']+)'\s+AS\s+({_IDENT})$",
+            rf"CONVERT\s+TO\s+VERSIONED\s+'([^']+)'\s+AS\s+({_IDENT})"
+            rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?$",
             st,
             re.IGNORECASE,
         )
         if not m:
             raise ValueError(
-                "expected: CONVERT TO VERSIONED '<path>' AS <name>"
+                "expected: CONVERT TO VERSIONED '<path>' AS <name> "
+                "[PARTITIONED BY (a, b)]"
             )
-        path, name = m.groups()
+        path, name, pby = m.groups()
         if name in self.tables:
             raise ValueError(f"table {name!r} already registered")
-        t = VersionedTable.convert_from_parquet(path)
+        t = VersionedTable.convert_from_parquet(
+            path,
+            partitioned_by=(
+                [c.strip().strip("`") for c in pby.split(",")]
+                if pby
+                else None
+            ),
+        )
         self.register(name, t)
         return self._version_df(t.latest_version())
 

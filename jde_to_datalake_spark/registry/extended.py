@@ -993,6 +993,8 @@ def _snapshot_lake_booleans(
         "write_contracts_exact": True,
         "dml_merge_exact": True,
         "scd2_exact": True,
+        "lake_sql_exact": True,
+        "hive_convert_exact": True,
     }
     tmp = _tempfile.mkdtemp(prefix="jdespark-lake-")
     try:
@@ -1371,6 +1373,120 @@ def _snapshot_lake_booleans(
             ).count()
             == 0
         )
+
+        # -- LakeSQL statement path ≡ Python path (round 8): one
+        # UPDATE → MERGE INTO → SELECT ... TIMESTAMP AS OF →
+        # DESCRIBE DETAIL sequence through the SQL front end on a
+        # fifth staged table, each statement's effect checked against
+        # Python-computed expectations. A parser/dispatch regression
+        # flips the boolean and hash-fails the row.
+        from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+
+        sqlt = VersionedTable(_os.path.join(tmp, "sqlt"))
+        rows5 = cust.select(
+            "c_custkey",
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        ).limit(200)
+        sqlt.commit(rows5)
+        lk = LakeSQL(spark)
+        lk.register("sqlt", sqlt)
+        pre5 = (
+            sqlt.read(spark)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+            .collect()[0]
+        )
+        ts5 = sqlt._read_record(sqlt.latest_version())["committed_at"]
+        n_even = (
+            sqlt.read(spark).filter(F.col("c_custkey") % 2 == 0).count()
+        )
+        lk.sql("UPDATE sqlt SET cents = cents + 7 WHERE c_custkey % 2 = 0")
+        post5 = (
+            sqlt.read(spark)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+            .collect()[0]
+        )
+        sql_update_ok = (
+            post5["n"] == pre5["n"]
+            and post5["s"] == pre5["s"] + 7 * n_even
+        )
+        kmin5 = sqlt.read(spark).agg(F.min("c_custkey")).collect()[0][0]
+        lk.sql(
+            f"MERGE INTO sqlt t USING ("
+            f"SELECT CAST({kmin5} AS BIGINT) AS c_custkey, "
+            f"CAST(1 AS BIGINT) AS cents "
+            f"UNION ALL SELECT CAST(-77 AS BIGINT), CAST(5 AS BIGINT)"
+            f") s ON t.c_custkey = s.c_custkey "
+            f"WHEN MATCHED THEN DELETE "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        after5 = sqlt.read(spark)
+        sql_merge_ok = (
+            after5.filter(F.col("c_custkey") == kmin5).count() == 0
+            and after5.filter(
+                (F.col("c_custkey") == -77) & (F.col("cents") == 5)
+            ).count()
+            == 1
+            and after5.count() == pre5["n"]
+        )
+        tt5 = lk.sql(
+            f"SELECT count(*) AS n, sum(cents) AS s FROM sqlt "
+            f"TIMESTAMP AS OF {ts5}"
+        ).collect()[0]
+        sql_tt_ok = (tt5["n"], tt5["s"]) == (pre5["n"], pre5["s"])
+        det5 = lk.sql("DESCRIBE DETAIL sqlt").collect()[0]
+        sql_detail_ok = det5["n_rows"] == after5.count()
+        out["lake_sql_exact"] = bool(
+            sql_update_ok and sql_merge_ok and sql_tt_ok and sql_detail_ok
+        )
+
+        # -- hive-layout CONVERT (round 8): adopt a Spark-written
+        # partitioned dataset metadata-only, read it back exactly,
+        # prune files on the partition column, and keep the layout on
+        # a later append.
+        hive_src = _os.path.join(tmp, "hive")
+        h0 = cust.select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_custkey") % 4).cast("int").alias("grp"),
+        ).limit(400)
+        h0.write.partitionBy("grp").parquet(hive_src)
+        ht = VersionedTable.convert_from_parquet(
+            hive_src, partitioned_by=["grp"]
+        )
+        exp_n = h0.count()
+        exp_g1 = h0.filter(F.col("grp") == 1).count()
+        hr = ht.read(spark)
+        hive_read_ok = (
+            hr.count() == exp_n
+            and hr.filter(F.col("grp") == 1).count() == exp_g1
+            and hr.agg(F.sum("c_custkey")).collect()[0][0]
+            == h0.agg(F.sum("c_custkey")).collect()[0][0]
+        )
+        pruned_h = ht.files_for_ranges({"grp": (1, 1)})
+        hive_prune_ok = (
+            0 < len(pruned_h) < len(ht._manifest(0)["files"])
+            and ht.read_where_all(spark, {"grp": (1, 1)}).count() == exp_g1
+        )
+        v_h1 = ht.commit(
+            spark.createDataFrame(
+                [(10**9, 1.0, 9)],
+                "c_custkey bigint, c_acctbal double, grp int",
+            ),
+            mode="append",
+        )
+        new_h = set(ht._manifest(v_h1)["files"]) - set(
+            ht._manifest(0)["files"]
+        )
+        hive_layout_ok = (
+            bool(new_h)
+            and all("grp=9" in f for f in new_h)
+            and ht.read(spark).count() == exp_n + 1
+        )
+        out["hive_convert_exact"] = bool(
+            hive_read_ok and hive_prune_ok and hive_layout_ok
+        )
     except _EmptyCustomer:
         pass  # vacuous-True defaults stand
     finally:
@@ -1433,9 +1549,18 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot. An eighth (``scd2_exact``) gates SCD Type 2 maintenance
     (sources/scd.py) on a fourth staged dimension: exactly one current
     row per key, one closed row per change with chaining valid_to =
-    valid_from, and idempotent re-apply committing nothing. The whole
-    lake workout is cached per (session, sf_dir) — repeated query
-    constructions reuse the scalars (round-6 judge item #5)."""
+    valid_from, and idempotent re-apply committing nothing. A ninth
+    (``lake_sql_exact``, round 8) gates the SQL front end: an UPDATE →
+    MERGE INTO → SELECT ... TIMESTAMP AS OF → DESCRIBE DETAIL
+    statement sequence through ``plans/lake_sql.py`` must equal the
+    Python-computed expectations on the same table — SQL-path ≡
+    Python-path, oracle-hashed. A tenth (``hive_convert_exact``,
+    round 8) gates hive-layout adoption: CONVERT ... PARTITIONED BY
+    over a Spark-written ``grp=`` dataset reads back exactly, prunes
+    files on the partition column, and keeps the layout on a later
+    append. The whole lake workout is cached per (session, sf_dir) —
+    repeated query constructions reuse the scalars (round-6 judge
+    item #5)."""
     from jde_to_datalake_spark.operators.reconcile import snapshot_diff
 
     cust = _t(spark, sf_dir, "customer")
@@ -1476,6 +1601,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "write_contracts_exact",
                 "dml_merge_exact",
                 "scd2_exact",
+                "lake_sql_exact",
+                "hive_convert_exact",
             )
         ],
     )
@@ -1520,7 +1647,9 @@ SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
        TRUE AS rename_mapping_exact,
        TRUE AS write_contracts_exact,
        TRUE AS dml_merge_exact,
-       TRUE AS scd2_exact
+       TRUE AS scd2_exact,
+       TRUE AS lake_sql_exact,
+       TRUE AS hive_convert_exact
 FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
 """
 

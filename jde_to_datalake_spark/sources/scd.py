@@ -56,7 +56,7 @@ def apply_scd2(
     spark: SparkSession,
     table: VersionedTable,
     updates: DataFrame,
-    key: str,
+    key: "str | list[str]",
     tracked: "list[str]",
     ts_col: str,
     start_col: str = "valid_from",
@@ -89,7 +89,8 @@ def apply_scd2(
                 f"apply_scd2: column {c!r} is SCD bookkeeping — the "
                 "batch must not supply it"
             )
-    need = [key, ts_col, *tracked] + ([delete_col] if delete_col else [])
+    keys = [key] if isinstance(key, str) else list(key)
+    need = [*keys, ts_col, *tracked] + ([delete_col] if delete_col else [])
     missing = [c for c in need if c not in updates.columns]
     if missing:
         raise ValueError(f"apply_scd2: batch lacks column(s) {missing}")
@@ -115,6 +116,13 @@ def apply_scd2(
                 raise
 
 
+def _and_eq(a: str, b: str, keys: "list[str]"):
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"{a}.`{k}`") == F.col(f"{b}.`{k}`"))
+    return cond
+
+
 def _apply_scd2_once(
     spark,
     table,
@@ -130,12 +138,16 @@ def _apply_scd2_once(
 ) -> "int | None":
     # SEQUENCE BY: latest row per key wins within the batch (NULL keys
     # are dropped — a dimension row needs an identity)
+    keys = [key] if isinstance(key, str) else list(key)
+    ident = F.lit(True)
+    for k in keys:
+        ident = ident & F.col(k).isNotNull()
     latest = (
-        updates.filter(F.col(key).isNotNull())
+        updates.filter(ident)
         .withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+                Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
             ),
         )
         .filter(F.col("__rn") == 1)
@@ -174,9 +186,9 @@ def _apply_scd2_once(
         )
 
     manifest = table._manifest(prev)
-    key_phys = table._to_physical_name(key)
+    keys_phys = [table._to_physical_name(k) for k in keys]
     touched, untouched = table._key_touched_files(
-        spark, latest.select(key), key_phys, manifest
+        spark, latest.select(*keys).toDF(*keys_phys), keys_phys, manifest
     )
     if not touched:
         # no file can hold a batch key: every batch row is a new key
@@ -186,7 +198,11 @@ def _apply_scd2_once(
             return prev
         ins = table._apply_generated(ins)
         table._enforce_constraints(ins)
-        staged = table.stage(table._to_physical_df(ins, prev))
+        staged = table.stage(
+            table._align_types(
+                spark, table._to_physical_df(ins, prev), prev
+            )
+        )
         return table.publish(
             staged,
             mode="overwrite",
@@ -205,7 +221,10 @@ def _apply_scd2_once(
     # classify each touched row against its (at most one) batch row
     t = live.alias("t")
     s = latest.withColumn("__src", F.lit(True)).alias("s")
-    j = t.join(s, F.col(f"t.`{key}`") == F.col(f"s.`{key}`"), "left")
+    jcond = F.lit(True)
+    for k in keys:
+        jcond = jcond & (F.col(f"t.`{k}`") == F.col(f"s.`{k}`"))
+    j = t.join(s, jcond, "left")
     is_cur = F.col(f"t.`{current_col}`")
     fresh = F.col("__src").isNotNull() & (
         F.col(f"s.`{ts_col}`") > F.col(f"t.`{start_col}`")
@@ -220,7 +239,7 @@ def _apply_scd2_once(
     # closed): a closed key may reopen only for a STRICTLY newer
     # timestamp — otherwise a redelivered stale upsert would resurrect
     # a deleted/closed entity with old data (at-least-once safety)
-    hist_agg = live.groupBy(key).agg(
+    hist_agg = live.groupBy(*keys).agg(
         F.max(F.coalesce(F.col(end_col), F.col(start_col))).alias(
             "__last_ev"
         ),
@@ -235,7 +254,7 @@ def _apply_scd2_once(
             df.filter(_not_deleted(df)).alias("s")
             .join(
                 hist_agg.alias("h"),
-                F.col(f"s.`{key}`") == F.col(f"h.`{key}`"),
+                _and_eq("s", "h", keys),
                 "left",
             )
             .filter(
@@ -280,7 +299,7 @@ def _apply_scd2_once(
         latest.alias("s")
         .join(
             cur_rows,
-            F.col(f"s.`{key}`") == F.col(f"c.`{key}`"),
+            _and_eq("s", "c", keys),
             "inner",
         )
         .filter(
@@ -313,7 +332,7 @@ def _apply_scd2_once(
 
 def scd2_batch_writer(
     table: VersionedTable,
-    key: str,
+    key: "str | list[str]",
     tracked: "list[str]",
     ts_col: str,
     app_id: Optional[str] = None,

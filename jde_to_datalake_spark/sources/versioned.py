@@ -167,6 +167,43 @@ def _iso_naive_utc(v) -> str:
     return v.isoformat()
 
 
+def _parse_partition_value(s: str):
+    """Decode one hive ``k=v`` directory value the way Spark's
+    partition discovery does: URL-unescape, ``__HIVE_DEFAULT_PARTITION__``
+    is NULL, and numerics parse (int, then float) so footer-stat
+    comparisons stay numeric; everything else stays a string."""
+    from urllib.parse import unquote
+
+    s = unquote(s)
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s
+
+
+def _path_partitions(relpath: str) -> dict:
+    """``{column: value}`` parsed from a file's hive-style directory
+    segments (``year=2024/month=06/part-x.parquet`` ->
+    ``{"year": 2024, "month": 6}``). Empty for flat paths."""
+    out: dict = {}
+    d = os.path.dirname(relpath)
+    if not d:
+        return out
+    for seg in d.replace("\\", "/").split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k:
+                out[k] = _parse_partition_value(v)
+    return out
+
+
 def _stat_probe_value(v):
     """Normalize a skipping probe bound/value to the form footer
     stats are stored in: DATE/TIMESTAMP become canonical ISO-8601
@@ -314,6 +351,22 @@ class VersionedTable:
                     continue
         return sorted(out)
 
+    def _walk_parquet(self) -> list[str]:
+        """Every ``.parquet`` relpath under the table root, including
+        hive partition subdirectories; ``_``/``.``-prefixed dirs
+        (the log, in-flight staging dirs) are skipped."""
+        out = []
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(dirpath, f), self.root)
+                    )
+        return sorted(out)
+
     def latest_version(self) -> int | None:
         vs = self.versions()
         return vs[-1] if vs else None
@@ -450,6 +503,13 @@ class VersionedTable:
             if "set_generated_columns" in rec
             else prev.get("generated_columns")
         )
+        pb = (
+            rec["set_partitioned_by"]
+            if "set_partitioned_by" in rec
+            else prev.get("partitioned_by")
+        )
+        if pb:
+            state["partitioned_by"] = list(pb)
         if cr:
             state["column_renames"] = dict(cr)
         if dc:
@@ -639,7 +699,10 @@ class VersionedTable:
 
     @classmethod
     def convert_from_parquet(
-        cls, root: str, txn_retention_seconds: "float | None" = None
+        cls,
+        root: str,
+        txn_retention_seconds: "float | None" = None,
+        partitioned_by: "list[str] | None" = None,
     ) -> "VersionedTable":
         """Delta's CONVERT TO DELTA: adopt an existing directory of
         plain parquet files as version 0 of a versioned table WITHOUT
@@ -648,13 +711,25 @@ class VersionedTable:
         first read), and every later write goes through the normal
         transaction log.
 
-        Constraints, both from the row-identity model: hive-partitioned
-        layouts are REJECTED (partition values live in directory names,
-        not file bytes — adopting them would silently drop those
-        columns; read + ``commit`` such data instead), and duplicate
-        basenames are rejected (deletion vectors address rows by file
-        basename). A directory that is already a versioned table is
-        rejected rather than double-initialized.
+        ``partitioned_by`` is Delta's ``CONVERT TO DELTA ...
+        PARTITIONED BY``: adopt a hive-partitioned layout
+        (``year=/month=/day=`` — the reference's own lake layout,
+        s3_helper.py:45) metadata-only. Partition values parsed from
+        the directory names are recorded as per-file constant min=max
+        stats (file skipping then subsumes partition pruning — a
+        ``files_for_range`` probe on ``year`` scans a file subset with
+        zero data movement), the columns surface on every read via
+        ``basePath`` discovery, and later writes lay their files out
+        in the same ``k=v`` directories. Genuinely ambiguous layouts
+        are rejected: every file must carry exactly the named
+        partition columns in its path, and no others.
+
+        Without ``partitioned_by``, hive layouts are REJECTED
+        (partition values live in directory names, not file bytes —
+        adopting them flat would silently drop those columns).
+        Duplicate basenames are rejected (deletion vectors address
+        rows by file basename). A directory that is already a
+        versioned table is rejected rather than double-initialized.
         """
         t = cls(root, txn_retention_seconds=txn_retention_seconds)
         if t.latest_version() is not None:
@@ -675,25 +750,90 @@ class VersionedTable:
         if not files:
             raise FileNotFoundError(f"{root}: no parquet files to convert")
         parted = [f for f in files if "=" in os.path.dirname(f)]
-        if parted:
+        if partitioned_by is None and parted:
             raise ValueError(
                 f"{root}: hive-partitioned layout ({parted[0]!r}) — "
-                "partition values live in paths, not file bytes; read the "
-                "dataset and commit() it instead of converting in place"
+                "pass partitioned_by=[...] to adopt it metadata-only "
+                "(partition values live in paths, not file bytes)"
             )
+        if partitioned_by is not None:
+            want = list(partitioned_by)
+            if not want:
+                raise ValueError("partitioned_by must name >=1 column")
+            for f in files:
+                got = _path_partitions(f)
+                if sorted(got) != sorted(want):
+                    raise ValueError(
+                        f"{root}: ambiguous hive layout — {f!r} carries "
+                        f"partition segments {sorted(got)}, expected "
+                        f"exactly {sorted(want)}"
+                    )
         bases = [os.path.basename(f) for f in files]
         if len(set(bases)) != len(bases):
-            raise ValueError(
-                f"{root}: duplicate file basenames — deletion vectors "
-                "address rows by basename, so adopted names must be unique"
-            )
+            if partitioned_by is None:
+                raise ValueError(
+                    f"{root}: duplicate file basenames — deletion "
+                    "vectors address rows by basename, so adopted "
+                    "names must be unique"
+                )
+            # Spark-written hive layouts reuse part file names across
+            # partition directories. Deletion vectors address rows by
+            # BASENAME, so adopt each file through a HARD LINK to a
+            # unique name inside its own partition directory — still
+            # metadata-only (one link syscall per file, zero bytes
+            # copied; the original names stay valid for any readers
+            # outside the table until vacuum reclaims them as
+            # unreferenced).
+            linked = []
+            for f in sorted(files):
+                dst = os.path.join(
+                    os.path.dirname(f), f"part-{uuid.uuid4().hex}.parquet"
+                )
+                os.link(
+                    os.path.join(root, f), os.path.join(root, dst)
+                )
+                linked.append(dst)
+            files = linked
         t.publish(
             sorted(files),
             mode="overwrite",
             expected_base=None,
             annotations={"operation": "CONVERT"},
+            partitioned_by=partitioned_by,
         )
         return t
+
+    # -- hive partitioning --------------------------------------------------
+    def partitioned_by(self, version: int | None = None) -> list[str]:
+        """The table's hive partition columns (empty when the table is
+        not partitioned). Set once by ``convert_from_parquet(...,
+        partitioned_by=[...])`` and inherited by every later commit:
+        partition values live in directory names (``year=2024/...``),
+        are recorded as constant min=max footer stats at publish (so
+        data skipping subsumes partition pruning), surface as columns
+        on every read (``basePath`` discovery), and staged writes lay
+        new files out in the same ``k=v`` directories."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return []
+        return list(self._manifest(version).get("partitioned_by", []))
+
+    def _data_reader(
+        self,
+        spark: SparkSession,
+        merge_schema: bool = False,
+        version: int | None = None,
+    ):
+        """The DataFrameReader every data-file scan uses: mergeSchema
+        on demand, and ``basePath`` discovery when the table is hive-
+        partitioned so ``k=v`` directory values surface as columns."""
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if self.partitioned_by(version):
+            reader = reader.option("basePath", self.root)
+        return reader
 
     # -- write ----------------------------------------------------------
     # -- column mapping (rename/drop without rewriting data) ---------------
@@ -1036,6 +1176,12 @@ class VersionedTable:
             raise FileNotFoundError(f"{self.root}: no commits yet")
         if old == new:
             raise ValueError("rename_column: old and new are the same")
+        if old in self.partitioned_by(prev):
+            raise ValueError(
+                f"rename_column: {old!r} is a hive partition column — "
+                "its name is encoded in every file's directory path "
+                "and cannot change metadata-only"
+            )
         renames = self.column_renames(prev)
         dropped = set(self.dropped_columns(prev))
         if new in renames:
@@ -1096,6 +1242,12 @@ class VersionedTable:
         physical = renames.pop(name, name)
         if physical in dropped:
             raise ValueError(f"{name!r} is already dropped")
+        if name in self.partitioned_by(prev):
+            raise ValueError(
+                f"drop_column: {name!r} is a hive partition column — "
+                "partition values live in directory paths; repartition "
+                "the table (read + commit elsewhere) to remove it"
+            )
         self._reject_dependent_column(prev, name, "drop_column")
         # validate existence (round-6 advisor, low): a typo'd drop used
         # to record a phantom physical name that permanently blocked
@@ -1122,7 +1274,15 @@ class VersionedTable:
         """Write data files WITHOUT publishing them (the W of
         write-audit-publish). Staged files are invisible to readers —
         no manifest references them — and are reclaimed by ``vacuum``
-        if never published."""
+        if never published.
+
+        Zero-row part files (empty shuffle partitions) are dropped
+        before staging returns: they carry no footer stats, so every
+        stats-pruned path (merge probes, read_where, conflict
+        reconciliation) would conservatively treat them as
+        "may match anything" forever. When EVERY part is empty one is
+        kept — an intentionally-empty commit (overwrite-to-empty)
+        must stay readable with its schema."""
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
         # write TIMESTAMP (ltz) as INT64 micros, not Spark's legacy
         # INT96: INT96 columns carry NO parquet statistics, which would
@@ -1135,14 +1295,55 @@ class VersionedTable:
         _TS_CONF = "spark.sql.parquet.outputTimestampType"
         prev_ts = spark.conf.get(_TS_CONF, None)
         spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
+        pby = self.partitioned_by()
         try:
-            df.write.mode("overwrite").parquet(staging)
+            writer = df.write.mode("overwrite")
+            if pby:
+                missing = [c for c in pby if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"stage: partitioned table requires partition "
+                        f"column(s) {missing} in every written frame"
+                    )
+                writer = writer.partitionBy(*pby)
+            writer.parquet(staging)
         finally:
             if prev_ts is None:
                 spark.conf.unset(_TS_CONF)
             else:
                 spark.conf.set(_TS_CONF, prev_ts)
         new_files = []
+        if pby:
+            # partitioned layout: move each part file to the root
+            # PRESERVING its k=v directory path (hive layout is the
+            # on-disk contract; partition values live only there)
+            for dirpath, dirnames, filenames in os.walk(staging):
+                dirnames[:] = [
+                    d for d in dirnames if not d.startswith(("_", "."))
+                ]
+                for f in filenames:
+                    if not f.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(dirpath, staging)
+                    rel_dir = "" if rel_dir == "." else rel_dir
+                    dst_rel = os.path.join(
+                        rel_dir, f"part-{uuid.uuid4().hex}.parquet"
+                    )
+                    os.makedirs(
+                        os.path.dirname(
+                            os.path.join(self.root, dst_rel)
+                        ) or self.root,
+                        exist_ok=True,
+                    )
+                    os.rename(
+                        os.path.join(dirpath, f),
+                        os.path.join(self.root, dst_rel),
+                    )
+                    new_files.append(dst_rel)
+            import shutil
+
+            shutil.rmtree(staging)
+            return self._drop_empty_parts(sorted(new_files))
         for f in os.listdir(staging):
             if f.endswith(".parquet"):
                 dst = f"part-{uuid.uuid4().hex}.parquet"
@@ -1154,11 +1355,26 @@ class VersionedTable:
         for f in os.listdir(staging):
             os.remove(os.path.join(staging, f))
         os.rmdir(staging)
-        return new_files
+        return self._drop_empty_parts(new_files)
+
+    def _drop_empty_parts(self, staged: list[str]) -> list[str]:
+        """Discard zero-row staged parts (keep one if ALL are empty —
+        see ``stage``). Footer num_rows is a metadata read."""
+        nonempty = [
+            f
+            for f in staged
+            if _parquet_num_rows(os.path.join(self.root, f)) > 0
+        ]
+        if not nonempty:
+            keep = staged[:1]
+            self.discard(staged[1:])
+            return keep
+        self.discard([f for f in staged if f not in set(nonempty)])
+        return nonempty
 
     def read_staged(self, spark: SparkSession, staged: list[str]) -> DataFrame:
         """The audit surface: exactly the rows a publish would add."""
-        return spark.read.parquet(
+        return self._data_reader(spark).parquet(
             *[os.path.join(self.root, f) for f in staged]
         )
 
@@ -1217,6 +1433,7 @@ class VersionedTable:
         generated_columns: dict | None = None,
         read_files: list[str] | None = None,
         read_ranges: dict | None = None,
+        partitioned_by: list[str] | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -1320,6 +1537,7 @@ class VersionedTable:
                 dropped_columns,
                 constraints,
                 generated_columns,
+                partitioned_by,
             )
         )
         blind_append = mode == "append" and not pinned
@@ -1386,6 +1604,7 @@ class VersionedTable:
                     dropped_columns,
                     constraints,
                     generated_columns,
+                    partitioned_by,
                 )
             except ConcurrentCommitError:
                 if not can_reconcile:
@@ -1506,6 +1725,7 @@ class VersionedTable:
                     "set_dropped_columns",
                     "set_constraints",
                     "set_generated_columns",
+                    "set_partitioned_by",
                 )
             )
             return {
@@ -1532,6 +1752,7 @@ class VersionedTable:
                 "dropped_columns",
                 "constraints",
                 "generated_columns",
+                "partitioned_by",
             )
         )
         old_txns = prev.get("txns", {})
@@ -1570,6 +1791,7 @@ class VersionedTable:
         dropped_columns: "list[str] | None",
         constraints: "dict | None",
         generated_columns: "dict | None",
+        partitioned_by: "list[str] | None" = None,
     ) -> int:
         """One publish attempt against base version ``prev`` — builds
         the manifest + delta record and atomically links it as
@@ -1633,6 +1855,24 @@ class VersionedTable:
                 fs = _footer_stats(os.path.join(self.root, f))
                 if fs:
                     stats[f] = fs
+        # hive-partitioned tables: partition values live in directory
+        # names, not file bytes — record each new file's values as
+        # constant min=max column stats, so files_for_range/values
+        # (and every read_where on top) prune on partition columns
+        # exactly like Delta's partition pruning, with zero extra
+        # machinery. NULL partitions simply record no stat
+        # (conservative: the file is never pruned on that column).
+        partitioned_explicit = partitioned_by is not None
+        if partitioned_by is None and prev is not None:
+            partitioned_by = prev_manifest.get("partitioned_by")
+        if partitioned_by:
+            for f in new_files:
+                pvals = _path_partitions(f)
+                cs = stats.setdefault(f, {})
+                for c in partitioned_by:
+                    v = pvals.get(c)
+                    if v is not None:
+                        cs[c] = [v, v]
         # the per-app idempotent-txn map is ACCUMULATED across commits
         # (every manifest carries the full map), so lookups read one
         # manifest and the record survives vacuum/compaction — the
@@ -1727,6 +1967,8 @@ class VersionedTable:
         generated_explicit = generated_columns is not None
         if generated_columns is None and prev is not None:
             generated_columns = prev_manifest.get("generated_columns")
+        if partitioned_by:
+            manifest["partitioned_by"] = list(partitioned_by)
         if column_renames:
             manifest["column_renames"] = dict(column_renames)
         if dropped_columns:
@@ -1739,7 +1981,7 @@ class VersionedTable:
             clash = annotations.keys() & manifest.keys() | {
                 "dv_files", "dv_refs", "txns",
                 "column_renames", "dropped_columns", "constraints",
-                "generated_columns",
+                "generated_columns", "partitioned_by",
             } & annotations.keys()
             if clash:
                 raise ValueError(
@@ -1804,6 +2046,8 @@ class VersionedTable:
             }
         if txn_rec:
             record["txn"] = txn_rec
+        if partitioned_explicit:
+            record["set_partitioned_by"] = list(partitioned_by or [])
         if schema_explicit:
             record["set_column_renames"] = dict(column_renames or {})
             record["set_dropped_columns"] = list(dropped_columns or [])
@@ -1910,9 +2154,7 @@ class VersionedTable:
         files = self._manifest(version)["files"]
         if not files:
             raise FileNotFoundError(f"{self.root}@{version}: empty commit")
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
+        reader = self._data_reader(spark, merge_schema, version)
         df = reader.parquet(*[os.path.join(self.root, f) for f in files])
         return self._to_logical_df(self._apply_dvs(df, spark, version), version)
 
@@ -1950,7 +2192,7 @@ class VersionedTable:
         parquet scan with deletion vectors applied and column mapping
         translated — the one read shape every partial-rewrite write
         path (update_where / merge_into / SCD2) starts from."""
-        scan = spark.read.option("mergeSchema", "true").parquet(
+        scan = self._data_reader(spark, True, version).parquet(
             *[os.path.join(self.root, f) for f in files]
         )
         return self._to_logical_df(
@@ -2062,7 +2304,7 @@ class VersionedTable:
         if not files:
             return prev
         scan = (
-            spark.read.option("mergeSchema", "true")
+            self._data_reader(spark, True, prev)
             .parquet(*[os.path.join(self.root, f) for f in files])
         )
         hits = (
@@ -2358,13 +2600,13 @@ class VersionedTable:
                     F.lit(False)
                 )
             return self._to_logical_df(
-                spark.read.option("mergeSchema", "true")
+                self._data_reader(spark, True, v_to)
                 .parquet(*[os.path.join(self.root, f) for f in files])
                 .filter(F.lit(False)),
                 v_to,
             )
 
-        reader = spark.read.option("mergeSchema", "true")
+        reader = self._data_reader(spark, True, v_to)
         # candidate deletes: live-at-v_from rows of removed files ...
         if removed:
             old_rows = self._to_logical_df(
@@ -2636,9 +2878,7 @@ class VersionedTable:
             return self.read(spark, version, merge_schema).filter(
                 F.lit(False)
             )
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
+        reader = self._data_reader(spark, merge_schema, version)
         df = reader.parquet(
             *[os.path.join(self.root, f) for f in files]
         )
@@ -2673,12 +2913,10 @@ class VersionedTable:
                 cond = cond & (F.col(p) <= F.lit(upper))
         if not files:
             return self.read(spark, version, merge_schema).filter(F.lit(False))
-        reader = spark.read
-        if merge_schema:
-            # match read() semantics on schema-evolved tables: without
-            # this the pruned scan resolves to one file's schema and
-            # silently drops evolved columns (round-4 advisor finding)
-            reader = reader.option("mergeSchema", "true")
+        # merge_schema matches read() semantics on schema-evolved
+        # tables: without it the pruned scan resolves to one file's
+        # schema and silently drops evolved columns (round-4 advisor)
+        reader = self._data_reader(spark, merge_schema, version)
         df = reader.parquet(
             *[os.path.join(self.root, f) for f in files]
         )
@@ -2706,39 +2944,87 @@ class VersionedTable:
         )
 
     # -- upsert ---------------------------------------------------------
+    def _align_types(
+        self, spark: SparkSession, df: DataFrame, version: int
+    ) -> DataFrame:
+        """Cast ``df``'s columns that already exist in the table to
+        the table's merged column types (PHYSICAL names on both
+        sides). The general merge path gets this coercion for free
+        from its union with the table scan; the insert-only fast
+        paths (``not touched`` / insert-only MERGE, SCD new-key
+        batches) stage the source frame directly, and WITHOUT
+        alignment a narrower source type (int batch into a bigint
+        table) writes mixed-type files whose plain-read success
+        depends on which footer Spark samples for the schema. Schema
+        resolution here is a plan-only metadata read. Extra (evolved)
+        columns pass through untouched."""
+        files = self._manifest(version)["files"]
+        if not files:
+            return df
+        target = {
+            f.name: f.dataType
+            for f in self._data_reader(spark, True, version)
+            .parquet(*[os.path.join(self.root, f) for f in files])
+            .schema.fields
+        }
+        casts = {
+            c: F.col(c).cast(target[c])
+            for c in df.columns
+            if c in target and df.schema[c].dataType != target[c]
+        }
+        return df.withColumns(casts) if casts else df
+
     def _key_touched_files(
         self,
         spark: SparkSession,
         keys_df: DataFrame,
-        key: str,
+        key: "str | list[str]",
         manifest: dict,
         any_nonnull: bool = True,
     ) -> "tuple[list[str], list[str]]":
         """Split a manifest's files into (touched, untouched) — a file
         is touched when its footer [min, max] for ``key`` (PHYSICAL
         name) can hold at least one of the batch's keys. One broadcast
-        range-join job: the ranges side is |files| rows (metadata
-        scale); ``keys_df``'s single column carries the batch's
-        distinct keys. Files lacking stats for ``key`` are
-        conservatively touched (unknown range = may match), so
+        range-join job per key column: the ranges side is |files| rows
+        (metadata scale); ``keys_df`` carries the batch's distinct
+        keys. Files lacking stats for a column are conservatively kept
+        by that column's probe (unknown range = may match), so
         correctness never depends on stats being present.
+
+        COMPOSITE keys (``key`` a list) INTERSECT the per-column
+        probes: a row matching on the full key tuple necessarily has
+        every component inside its file's per-column range, so a file
+        any single column's probe excludes can hold no match — each
+        additional key column prunes further (footer stats are
+        per-column; this is the sound per-column over-approximation of
+        tuple membership).
+
         ``any_nonnull=False`` (every batch key NULL) skips the probe:
         an equi-join on NULL matches nothing. Both lists preserve
         manifest order."""
+        keys = [key] if isinstance(key, str) else list(key)
         manifest_files = manifest["files"]
         file_stats = manifest.get("stats", {})
-        ranged, touched = [], []
-        for f in manifest_files:
-            st = file_stats.get(f, {}).get(key)
-            if st is not None:
-                ranged.append((f, st[0], st[1]))
-            else:
-                touched.append(f)  # no stats: may match, must rewrite
-        if ranged and any_nonnull:
+        if not any_nonnull:
+            # no matchable batch key: nothing can touch ranged files,
+            # and stat-less files cannot match a NULL key either
+            return ([], list(manifest_files))
+        candidates = set(manifest_files)
+        for kc in keys:
+            ranged = []
+            for f in manifest_files:
+                if f not in candidates:
+                    continue
+                st = file_stats.get(f, {}).get(kc)
+                if st is not None:
+                    ranged.append((f, st[0], st[1]))
+                # no stats for this column: stays a candidate
+            if not ranged:
+                continue
             rdf = spark.createDataFrame(ranged, ["__file", "__mn", "__mx"])
-            kcol = keys_df.columns[0]
-            hits = (
-                keys_df.select(F.col(kcol).alias("__k"))
+            hits = {
+                r["__file"]
+                for r in keys_df.select(F.col(kc).alias("__k"))
                 .dropna()
                 .distinct()
                 .join(
@@ -2749,24 +3035,31 @@ class VersionedTable:
                 .select("__file")
                 .distinct()
                 .collect()
-            )
-            touched.extend(r["__file"] for r in hits)
-        touched_set = set(touched)
+            }
+            candidates -= {f for f, _mn, _mx in ranged if f not in hits}
         return (
-            [f for f in manifest_files if f in touched_set],
-            [f for f in manifest_files if f not in touched_set],
+            [f for f in manifest_files if f in candidates],
+            [f for f in manifest_files if f not in candidates],
         )
 
     def merge(
         self,
         spark: SparkSession,
         updates: DataFrame,
-        key: str,
+        key: "str | list[str]",
         txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
         retries: int = 0,
     ) -> int:
         """Keyed MERGE: matched rows replaced, new rows inserted —
         rewriting ONLY the files the batch can touch.
+
+        ``key`` may be a COMPOSITE list (the reference's ledger key
+        ``(action_id, ingredient_id, lot_id)``, jde_helper.py:1367):
+        rows match on equality of the whole tuple, a row with any NULL
+        component matches nothing (pure insert), the duplicate guard
+        applies per tuple, and the file probe intersects the
+        per-column footer-stat tests so each key column prunes
+        further.
 
         Concurrency: the publish declares this merge's read set (the
         touched files + the batch's key envelope), so a lost race
@@ -2845,32 +3138,48 @@ class VersionedTable:
         updates = self._apply_generated(updates)
         self._enforce_constraints(updates)
         updates = self._to_physical_df(updates)
-        key = self._to_physical_name(key)
-        grouped = updates.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+        keys = [key] if isinstance(key, str) else list(key)
+        keys = [self._to_physical_name(k) for k in keys]
+        # a row is MATCHABLE when every key component is non-null —
+        # composite equality with any NULL component matches no row
+        # (SQL equi-join semantics), so such rows are pure inserts and
+        # exempt from the duplicate guard (Delta's rule)
+        matchable = F.lit(True)
+        for k in keys:
+            matchable = matchable & F.col(k).isNotNull()
+        grouped = updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
         s = grouped.agg(
             F.count(F.lit(1)).alias("n_groups"),
-            F.max(F.when(F.col(key).isNotNull(), F.col("__n"))).alias("max_n"),
-            F.min(key).alias("kmin"),
-            F.max(key).alias("kmax"),
+            F.max(F.when(matchable, F.col("__n"))).alias("max_n"),
+            *[f for k in keys for f in (
+                F.min(k).alias(f"kmin_{k}"), F.max(k).alias(f"kmax_{k}")
+            )],
+            F.max(matchable.cast("int")).alias("any_match"),
         ).collect()[0]
         if s["n_groups"] == 0:
             return prev  # empty batch: nothing to merge (None if no table yet)
+        any_matchable = bool(s["any_match"])
         # the read predicate this merge declares for commit
         # reconciliation: only rows whose key falls inside the batch's
-        # key envelope could have changed its outcome; an all-NULL-key
-        # batch reads nothing (equi-join on NULL matches no row)
+        # per-column key envelope could have changed its outcome; an
+        # all-NULL-key batch reads nothing (equi-join on NULL matches
+        # no row)
         read_ranges = (
-            {key: (s["kmin"], s["kmax"])} if s["kmin"] is not None else {}
+            {k: (s[f"kmin_{k}"], s[f"kmax_{k}"]) for k in keys}
+            if any_matchable
+            else {}
         )
         if s["max_n"] is not None and s["max_n"] > 1:
             dup = (
                 grouped.filter(F.col("__n") > 1)
-                .filter(F.col(key).isNotNull())
+                .filter(matchable)
                 .limit(1)
                 .collect()
             )
+            dupkey = tuple(dup[0][k] for k in keys)
             raise ValueError(
-                f"merge: updates contain duplicate key {dup[0][0]!r} — "
+                f"merge: updates contain duplicate key "
+                f"{dupkey if len(keys) > 1 else dupkey[0]!r} — "
                 "a key may match at most one update row (Delta MERGE "
                 "contract); dedupe the batch first"
             )
@@ -2884,19 +3193,16 @@ class VersionedTable:
                 annotations={"operation": "MERGE"},
             )
         manifest = self._manifest(prev)
-        # kmin None (all update keys NULL) leaves ranged files
-        # untouched: an equi-anti-join matches no existing row, so the
-        # merge is a pure insert
         touched, untouched = self._key_touched_files(
             spark,
-            grouped.select(key),
-            key,
+            grouped.select(*keys),
+            keys,
             manifest,
-            any_nonnull=s["kmin"] is not None,
+            any_nonnull=any_matchable,
         )
         if not touched:
             return self.publish(
-                self.stage(updates),
+                self.stage(self._align_types(spark, updates, prev)),
                 mode="overwrite",
                 expected_base=prev,
                 carry=untouched,
@@ -2905,13 +3211,15 @@ class VersionedTable:
                 read_files=[],
                 read_ranges=read_ranges,
             )
-        reader = spark.read.option("mergeSchema", "true")
+        reader = self._data_reader(spark, True, prev)
         current = self._apply_dvs(
             reader.parquet(*[os.path.join(self.root, f) for f in touched]),
             spark,
             prev,
         )
-        kept = current.join(updates.select(key).distinct(), key, "left_anti")
+        kept = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        )
         return self.publish(
             self.stage(kept.unionByName(updates, allowMissingColumns=True)),
             mode="overwrite",
@@ -2928,7 +3236,7 @@ class VersionedTable:
         self,
         spark: SparkSession,
         source: DataFrame,
-        key: str,
+        key: "str | list[str]",
         matched: "list[tuple] | tuple" = (),
         not_matched: "list[tuple] | tuple" = (("insert", None),),
         not_matched_by_source: "list[tuple] | tuple" = (),
@@ -2941,9 +3249,11 @@ class VersionedTable:
         (no-op), and ``None`` when the table has no commits yet and
         nothing inserts.
 
-        Target and source rows are matched on equality of ``key``;
-        each row then takes the FIRST clause (in list order) whose
-        condition holds, within its match class:
+        Target and source rows are matched on equality of ``key`` —
+        a single column or a COMPOSITE list (equality of the whole
+        tuple; any NULL component matches nothing); each row then
+        takes the FIRST clause (in list order) whose condition holds,
+        within its match class:
 
         - ``matched``: clauses over (target row, its matching source
           row) — ``("update", condition, set)`` or ``("delete",
@@ -3043,24 +3353,35 @@ class VersionedTable:
         self, spark, source, key, matched, not_matched, nbs, txn
     ) -> int:
         prev = self.latest_version()
-        # duplicate-source-key guard + key floor, one job (NULL keys
-        # exempt: they match nothing and are pure insert candidates)
-        grouped = source.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+        keys = [key] if isinstance(key, str) else list(key)
+        # duplicate-source-key guard + key floor, one job. A source
+        # row with ANY null key component matches nothing (composite
+        # equi-join semantics) — pure insert candidate, exempt from
+        # the guard (Delta's rule).
+        matchable = F.lit(True)
+        for k in keys:
+            matchable = matchable & F.col(k).isNotNull()
+        grouped = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
         s = grouped.agg(
             F.count(F.lit(1)).alias("n_groups"),
-            F.max(F.when(F.col(key).isNotNull(), F.col("__n"))).alias("max_n"),
-            F.min(key).alias("kmin"),
-            F.max(key).alias("kmax"),
+            F.max(F.when(matchable, F.col("__n"))).alias("max_n"),
+            *[f for k in keys for f in (
+                F.min(k).alias(f"kmin_{k}"), F.max(k).alias(f"kmax_{k}")
+            )],
+            F.max(matchable.cast("int")).alias("any_match"),
         ).collect()[0]
+        any_matchable = bool(s["any_match"])
         if s["max_n"] is not None and s["max_n"] > 1:
             dup = (
                 grouped.filter(F.col("__n") > 1)
-                .filter(F.col(key).isNotNull())
+                .filter(matchable)
                 .limit(1)
                 .collect()
             )
+            dupkey = tuple(dup[0][k] for k in keys)
             raise ValueError(
-                f"merge_into: source contains duplicate key {dup[0][0]!r} — "
+                f"merge_into: source contains duplicate key "
+                f"{dupkey if len(keys) > 1 else dupkey[0]!r} — "
                 "multiple source rows may not match one target row (Delta "
                 "MERGE contract); dedupe the source first"
             )
@@ -3096,7 +3417,7 @@ class VersionedTable:
         manifest = self._manifest(prev)
         if s["n_groups"] == 0 and not nbs:
             return prev  # empty source, no by-source clause: no-op
-        key_phys = self._to_physical_name(key)
+        keys_phys = [self._to_physical_name(k) for k in keys]
         if nbs:
             # a by-source clause inspects EVERY target row: all files
             # are candidates (Delta pays the same full-rewrite cost)
@@ -3108,14 +3429,17 @@ class VersionedTable:
         else:
             touched, untouched = self._key_touched_files(
                 spark,
-                grouped.select(key),
-                key_phys,
+                grouped.select(*keys).toDF(*keys_phys),
+                keys_phys,
                 manifest,
-                any_nonnull=s["kmin"] is not None,
+                any_nonnull=any_matchable,
             )
             read_ranges = (
-                {key_phys: (s["kmin"], s["kmax"])}
-                if s["kmin"] is not None
+                {
+                    kp: (s[f"kmin_{k}"], s[f"kmax_{k}"])
+                    for k, kp in zip(keys, keys_phys)
+                }
+                if any_matchable
                 else {}
             )
 
@@ -3147,7 +3471,11 @@ class VersionedTable:
                 return prev
             self._enforce_constraints(ins)
             return _publish_staged(
-                self.stage(self._to_physical_df(ins, prev)),
+                self.stage(
+                    self._align_types(
+                        spark, self._to_physical_df(ins, prev), prev
+                    )
+                ),
                 manifest["files"],
                 read_files=[],
             )
@@ -3168,8 +3496,8 @@ class VersionedTable:
                 source.withColumn("__src", F.lit(True))
                 .alias("s")
                 .join(
-                    live.select(F.col(key)).distinct(),
-                    on=key,
+                    live.select(*[F.col(k) for k in keys]).distinct(),
+                    on=keys,
                     how="left_anti",
                 )
             )
@@ -3178,7 +3506,11 @@ class VersionedTable:
                 return prev
             self._enforce_constraints(ins)
             return _publish_staged(
-                self.stage(self._to_physical_df(ins, prev)),
+                self.stage(
+                    self._align_types(
+                        spark, self._to_physical_df(ins, prev), prev
+                    )
+                ),
                 manifest["files"],
                 read_files=touched,
             )
@@ -3186,11 +3518,10 @@ class VersionedTable:
         # general path: one full-outer join over the touched rows
         t = live.withColumn("__tgt", F.lit(True)).alias("t")
         srcj = source.withColumn("__src", F.lit(True)).alias("s")
-        j = t.join(
-            srcj,
-            F.col(f"t.`{key}`") == F.col(f"s.`{key}`"),
-            "full_outer",
-        )
+        jcond = F.lit(True)
+        for k in keys:
+            jcond = jcond & (F.col(f"t.`{k}`") == F.col(f"s.`{k}`"))
+        j = t.join(srcj, jcond, "full_outer")
 
         def _first_match(clauses, prefix):
             expr = F.lit(None).cast("string")
@@ -3426,6 +3757,13 @@ class VersionedTable:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"{self.root}: no commits to clone")
+        if self.partitioned_by(version):
+            raise ValueError(
+                "clone_to: shallow clones of hive-partitioned tables "
+                "are not supported — the clone's basePath discovery "
+                "cannot span another table's root; compact() into a "
+                "new table instead"
+            )
         m = self._manifest(version)
         clone = VersionedTable(
             dest_root, txn_retention_seconds=self.txn_retention_seconds
@@ -3609,7 +3947,7 @@ class VersionedTable:
         if len(sel) <= 1:
             return base  # nothing to pack
         carry = [f for f in all_files if f not in sel]
-        scan = spark.read.option("mergeSchema", "true").parquet(
+        scan = self._data_reader(spark, True, base).parquet(
             *[os.path.join(self.root, f) for f in all_files if f in sel]
         )
         live = self._apply_dvs(scan, spark, base)
@@ -3684,16 +4022,12 @@ class VersionedTable:
         # the augmented one, never a torn file.
         if dry_run:
             cutoff = time.time() - retention_seconds
-            would = []
-            for f in os.listdir(self.root):
-                p = os.path.join(self.root, f)
-                if (
-                    f.endswith(".parquet")
-                    and f not in referenced
-                    and os.path.getmtime(p) <= cutoff
-                ):
-                    would.append(f)
-            return would
+            return [
+                f
+                for f in self._walk_parquet()
+                if f not in referenced
+                and os.path.getmtime(os.path.join(self.root, f)) <= cutoff
+            ]
         if retained and vs[:-keep_last]:
             oldest = retained[0]
             rec = self._read_record(oldest)
@@ -3713,15 +4047,16 @@ class VersionedTable:
         removed = []
         for v in vs[:-keep_last]:
             os.remove(_manifest_path(self.root, v))
-        for f in os.listdir(self.root):
+        for f in self._walk_parquet():
             p = os.path.join(self.root, f)
-            if (
-                f.endswith(".parquet")
-                and f not in referenced
-                and os.path.getmtime(p) <= cutoff
-            ):
+            if f not in referenced and os.path.getmtime(p) <= cutoff:
                 os.remove(p)
                 removed.append(f)
+                d = os.path.dirname(p)
+                # drop now-empty partition directories (hive layouts)
+                while d != self.root and not os.listdir(d):
+                    os.rmdir(d)
+                    d = os.path.dirname(d)
         for f in os.listdir(_log_dir(self.root)):
             if f.startswith("_tmp-"):
                 p = os.path.join(_log_dir(self.root), f)

@@ -127,11 +127,27 @@ def sniff_schema_ddl(root: str) -> str:
     sch = pq.read_schema(os.path.join(root, files[-1]))
     inv = {p: l for l, p in t.column_renames(v).items()}
     dropped = set(t.dropped_columns(v))
-    return ", ".join(
+    parts = [
         f"{inv.get(f.name, f.name)} {_arrow_field_ddl(f.type)}"
         for f in sch
         if f.name not in dropped
-    )
+    ]
+    # hive partition columns live in directory names, not footers —
+    # type them from the sniffed file's own path values
+    from jde_to_datalake_spark.sources.versioned import _path_partitions
+
+    pvals = _path_partitions(files[-1])
+    for c in t.partitioned_by(v):
+        v_ = pvals.get(c)
+        ddl = (
+            "bigint"
+            if isinstance(v_, int)
+            else "double"
+            if isinstance(v_, float)
+            else "string"
+        )
+        parts.append(f"{c} {ddl}")
+    return ", ".join(parts)
 
 
 #: the change-feed meta columns appended to the table schema in CDF
@@ -461,8 +477,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         pyarrow, so project the intersection; absent ones become typed
         nulls at emit, extra ones are ignored — parquet-by-name).
         Declared names are LOGICAL: the projection asks for their
-        physical storage names and renames back after the read."""
+        physical storage names and renames back after the read.
+
+        Hive-partitioned tables: a partition column lives in the
+        file's ``k=v`` directory path, not its bytes — declared
+        columns absent from the footer but present in the path are
+        appended as constant Arrow columns (the pyarrow twin of
+        Spark's basePath discovery)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from jde_to_datalake_spark.sources.versioned import (
+            _path_partitions,
+        )
 
         renames, dropped = self._mapping()
         path = os.path.join(root, name)
@@ -476,6 +503,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if any(c != p for c, p in want):
             back = {p: c for c, p in want}
             t = t.rename_columns([back.get(n, n) for n in t.column_names])
+        pvals = _path_partitions(os.path.relpath(path, root))
+        if pvals:
+            have = set(t.column_names)
+            for c in self._data_cols():
+                if c not in have and c in pvals and pvals[c] is not None:
+                    t = t.append_column(
+                        c, pa.array([pvals[c]] * t.num_rows)
+                    )
         return t
 
     def read(self, partition) -> Iterator[tuple]:

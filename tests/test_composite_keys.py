@@ -1,0 +1,193 @@
+"""Composite merge keys: merge / merge_into / SCD2 / LakeSQL MERGE all
+accept ``key: list[str]`` — the reference's ledger upserts on the
+composite ``(action_id, ingredient_id, lot_id)``
+(jde_helper.py:1367-1381), previously served only by the concat-utid
+convention (F7). File pruning intersects the per-column footer-stat
+probes, so a composite-key merge on a clustered table still rewrites
+a file subset."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return VersionedTable(str(tmp_path / "tbl"))
+
+
+def _base(spark, table, n=100):
+    df = spark.range(0, n).select(
+        (F.col("id") % 10).cast("int").alias("a"),
+        (F.col("id") / 10).cast("int").alias("b"),
+        (F.col("id") * 2).alias("v"),
+    )
+    table.commit(
+        df.repartitionByRange(4, "a", "b").sortWithinPartitions("a", "b"),
+        mode="overwrite",
+    )
+    return table
+
+
+def _rows(spark, t):
+    return {(r["a"], r["b"]): r["v"] for r in t.read(spark).collect()}
+
+
+# -- merge -------------------------------------------------------------------
+
+
+def test_composite_merge_updates_and_inserts(spark, table):
+    _base(spark, table)
+    src = spark.createDataFrame(
+        [(3, 0, 999), (99, 99, 1)], "a int, b int, v long"
+    )
+    table.merge(spark, src, key=["a", "b"])
+    got = _rows(spark, table)
+    assert got[(3, 0)] == 999
+    assert got[(99, 99)] == 1
+    assert len(got) == 101
+    # a same-a different-b row was NOT touched (composite, not single)
+    assert got[(3, 1)] == 26
+
+
+def test_composite_merge_duplicate_key_rejected(spark, table):
+    _base(spark, table)
+    dup = spark.createDataFrame([(1, 1, 5), (1, 1, 6)], "a int, b int, v long")
+    with pytest.raises(ValueError, match="duplicate key"):
+        table.merge(spark, dup, key=["a", "b"])
+    # same a, different b: NOT a duplicate composite key
+    ok = spark.createDataFrame([(1, 1, 5), (1, 2, 6)], "a int, b int, v long")
+    table.merge(spark, ok, key=["a", "b"])
+    got = _rows(spark, table)
+    assert got[(1, 1)] == 5 and got[(1, 2)] == 6
+
+
+def test_composite_merge_null_key_rows_are_pure_inserts(spark, table):
+    _base(spark, table)
+    src = spark.createDataFrame(
+        [(None, 0, 111), (None, 0, 222)], "a int, b int, v long"
+    )
+    table.merge(spark, src, key=["a", "b"])
+    df = table.read(spark)
+    assert df.count() == 102  # both NULL-key rows inserted
+    assert df.filter(F.col("a").isNull()).count() == 2
+    assert _rows(spark, table)[(0, 0)] == 0  # existing rows untouched
+
+
+def test_composite_probe_prunes_files(spark, table):
+    _base(spark, table)
+    m = table._manifest(table.latest_version())
+    keys_df = spark.createDataFrame([(0, 0)], ["a", "b"])
+    touched, untouched = table._key_touched_files(
+        spark, keys_df, ["a", "b"], m
+    )
+    assert touched and untouched  # the probe pruned a real subset
+    # every untouched file is provably range-disjoint on a or b
+    for f in untouched:
+        sa = m["stats"][f].get("a")
+        sb = m["stats"][f].get("b")
+        assert (sa and not sa[0] <= 0 <= sa[1]) or (
+            sb and not sb[0] <= 0 <= sb[1]
+        )
+
+
+# -- merge_into ---------------------------------------------------------------
+
+
+def test_composite_merge_into_full_clauses(spark, table):
+    _base(spark, table)
+    src = spark.createDataFrame(
+        [(3, 0, 1), (4, 0, 2), (77, 77, 3)], "a int, b int, x int"
+    )
+    table.merge_into(
+        spark,
+        src,
+        ["a", "b"],
+        matched=[
+            ("delete", "s.x = 1"),
+            ("update", "s.x = 2", {"v": "t.v + 1000"}),
+        ],
+        not_matched=[("insert", None)],
+    )
+    got = _rows(spark, table)
+    assert (3, 0) not in got  # deleted
+    assert got[(4, 0)] == 8 + 1000  # conditionally updated
+    assert (77, 77) in got  # inserted (x column evolves the schema)
+    assert len(got) == 100
+
+
+def test_composite_merge_into_not_matched_by_source(spark, table):
+    _base(spark, table)
+    # mirror-sync to just two rows
+    src = table.read(spark).filter(
+        (F.col("a") == 0) & (F.col("b").isin(0, 1))
+    )
+    table.merge_into(
+        spark,
+        src,
+        ["a", "b"],
+        matched=[("update", None, None)],
+        not_matched_by_source=[("delete", None)],
+    )
+    got = _rows(spark, table)
+    assert set(got) == {(0, 0), (0, 1)}
+
+
+# -- SCD2 ---------------------------------------------------------------------
+
+
+def test_composite_scd2(spark, tmp_path):
+    from jde_to_datalake_spark.sources.scd import apply_scd2
+
+    dim = VersionedTable(str(tmp_path / "dim"))
+    b1 = spark.createDataFrame(
+        [(1, "x", "red", 100), (1, "y", "blue", 100), (2, "x", "green", 100)],
+        ["site", "item", "color", "ts"],
+    )
+    apply_scd2(spark, dim, b1, ["site", "item"], ["color"], "ts")
+    b2 = spark.createDataFrame(
+        [(1, "x", "RED", 200)], ["site", "item", "color", "ts"]
+    )
+    v2 = apply_scd2(spark, dim, b2, ["site", "item"], ["color"], "ts")
+    # idempotent re-apply
+    assert apply_scd2(spark, dim, b2, ["site", "item"], ["color"], "ts") == v2
+    rows = dim.read(spark).collect()
+    cur = {
+        (r["site"], r["item"]): r["color"]
+        for r in rows
+        if r["is_current"]
+    }
+    assert cur == {(1, "x"): "RED", (1, "y"): "blue", (2, "x"): "green"}
+    closed = [r for r in rows if not r["is_current"]]
+    assert len(closed) == 1
+    assert (closed[0]["site"], closed[0]["item"]) == (1, "x")
+    assert closed[0]["valid_to"] == 200
+
+
+# -- LakeSQL ------------------------------------------------------------------
+
+
+def test_lake_sql_composite_merge(spark, table):
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+
+    _base(spark, table)
+    lk = LakeSQL(spark)
+    lk.register("t", table)
+    lk.sql(
+        """
+        MERGE INTO t USING (
+            SELECT CAST(3 AS INT) AS a, CAST(0 AS INT) AS b,
+                   CAST(999 AS BIGINT) AS v
+            UNION ALL
+            SELECT CAST(55 AS INT), CAST(66 AS INT), CAST(1 AS BIGINT)
+        ) s
+        ON t.a = s.a AND t.b = s.b
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = _rows(spark, table)
+    assert got[(3, 0)] == 999 and got[(55, 66)] == 1 and len(got) == 101

@@ -144,7 +144,7 @@ def test_error_shapes(lk, spark, tmp_path):
         lk.sql("UPDATE nope SET a = 1")
     with pytest.raises(ValueError, match="unsupported statement"):
         lk.sql("TRUNCATE TABLE items")
-    with pytest.raises(ValueError, match="key equality"):
+    with pytest.raises(ValueError, match="key equalit"):
         lk.sql(
             "MERGE INTO items t USING (SELECT 1 AS k) s ON t.k < s.k "
             "WHEN MATCHED THEN DELETE"

@@ -1,0 +1,254 @@
+"""Hive-partitioned versioned tables: CONVERT TO VERSIONED
+PARTITIONED BY adopts an existing ``year=/month=/day=`` layout
+metadata-only (the reference's own lake layout, s3_helper.py:45), and
+the adopted table keeps full lake semantics — partition columns on
+every read, stats-based pruning that subsumes partition pruning, and
+partitioned layouts for every later write."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.sources.versioned import (
+    VersionedTable,
+    _parse_partition_value,
+    _path_partitions,
+)
+
+
+def _hive_dataset(spark, path, months=(1, 2, 3)):
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        (F.lit(2024)).alias("year"),
+        (F.col("id") % len(months) + 1).cast("int").alias("month"),
+        (F.col("id") * 2).alias("v"),
+    )
+    df.write.partitionBy("year", "month").parquet(path)
+    return df
+
+
+@pytest.fixture()
+def adopted(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    _hive_dataset(spark, root)
+    return VersionedTable.convert_from_parquet(
+        root, partitioned_by=["year", "month"]
+    )
+
+
+def test_path_partition_parsing():
+    assert _path_partitions("year=2024/month=06/part-0.parquet") == {
+        "year": 2024,
+        "month": 6,
+    }
+    assert _path_partitions("part-0.parquet") == {}
+    assert _parse_partition_value("__HIVE_DEFAULT_PARTITION__") is None
+    assert _parse_partition_value("a%20b") == "a b"
+    assert _parse_partition_value("1.5") == 1.5
+
+
+def test_adopt_hive_layout_metadata_only(spark, adopted, tmp_path):
+    t = adopted
+    assert t.partitioned_by() == ["year", "month"]
+    # metadata-only: the adopted files are the ORIGINAL hive files
+    files = t._manifest(0)["files"]
+    assert all("=" in os.path.dirname(f) for f in files)
+    # partition columns surface on read, correctly typed and valued
+    df = t.read(spark)
+    assert {"k", "v", "year", "month"} <= set(df.columns)
+    assert df.count() == 90
+    assert df.filter("month = 2").count() == 30
+    assert df.select(F.min("year"), F.max("year")).first() == (2024, 2024)
+
+
+def test_partition_stats_prune_files(spark, adopted):
+    t = adopted
+    all_files = t._manifest(0)["files"]
+    picked = t.files_for_ranges({"month": (2, 2)})
+    assert picked and len(picked) < len(all_files)
+    assert all("month=2" in f for f in picked)
+    # a year probe outside the data prunes everything
+    assert t.files_for_ranges({"year": (2025, 2026)}) == []
+    # read_where plans over the pruned subset and returns exact rows
+    got = t.read_where_all(spark, {"month": (2, 2)})
+    assert got.count() == 30 and got.select("month").distinct().first()[0] == 2
+
+
+def test_reject_flat_convert_of_hive_layout(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    _hive_dataset(spark, root)
+    with pytest.raises(ValueError, match="partitioned_by"):
+        VersionedTable.convert_from_parquet(root)
+
+
+def test_reject_ambiguous_layouts(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    _hive_dataset(spark, root)
+    with pytest.raises(ValueError, match="ambiguous"):
+        VersionedTable.convert_from_parquet(
+            root, partitioned_by=["year", "month", "day"]
+        )
+    with pytest.raises(ValueError, match="ambiguous"):
+        VersionedTable.convert_from_parquet(root, partitioned_by=["year"])
+
+
+def test_writes_after_adoption_keep_hive_layout(spark, adopted):
+    t = adopted
+    batch = spark.createDataFrame(
+        [(1000, 2025, 1, 7)], ["k", "year", "month", "v"]
+    )
+    v1 = t.commit(batch, mode="append")
+    new = set(t._manifest(v1)["files"]) - set(t._manifest(0)["files"])
+    assert new and all("year=2025" in f and "month=1" in f for f in new)
+    # unified read: old hive files + new write, partition cols everywhere
+    df = t.read(spark)
+    assert df.count() == 91
+    assert df.filter("year = 2025").select("k").first()[0] == 1000
+    # the new file's partition stats prune too
+    assert set(t.files_for_ranges({"year": (2025, 2025)})) == new
+    # a frame missing a partition column is rejected
+    with pytest.raises(ValueError, match="partition column"):
+        t.commit(spark.createDataFrame([(1, 5)], ["k", "v"]), mode="append")
+
+
+def test_merge_on_partitioned_table(spark, adopted):
+    t = adopted
+    pre = {
+        r["k"]: (r["year"], r["month"], r["v"])
+        for r in t.read(spark).collect()
+    }
+    src = spark.createDataFrame(
+        [(5, 2024, pre[5][1], 999), (2000, 2024, 9, 1)],
+        ["k", "year", "month", "v"],
+    )
+    t.merge(spark, src, key="k")
+    got = {
+        r["k"]: (r["year"], r["month"], r["v"])
+        for r in t.read(spark).collect()
+    }
+    assert got[5] == (2024, pre[5][1], 999)
+    assert got[2000] == (2024, 9, 1)
+    assert len(got) == 91
+    # every rewritten/inserted file still lives in a k=v directory with
+    # the right values recorded as stats
+    latest = t._manifest(t.latest_version())
+    for f in latest["files"]:
+        pv = _path_partitions(f)
+        assert set(pv) == {"year", "month"}
+        assert latest["stats"][f]["month"] == [pv["month"], pv["month"]]
+
+
+def test_delete_where_on_partition_column(spark, adopted):
+    t = adopted
+    t.delete_where(spark, "month = 3", prune_ranges={"month": (3, 3)})
+    df = t.read(spark)
+    assert df.count() == 60
+    assert df.filter("month = 3").count() == 0
+
+
+def test_update_where_on_partitioned_table(spark, adopted):
+    t = adopted
+    t.update_where(
+        spark,
+        {"v": "v + 1"},
+        "month = 1",
+        prune_ranges={"month": (1, 1)},
+    )
+    df = t.read(spark)
+    assert df.count() == 90
+    assert (
+        df.filter("month = 1").agg(F.sum("v")).first()[0]
+        == df.filter("month = 1").count()
+        + 2 * sum(range(0, 90, 3))
+    )
+
+
+def test_compact_preserves_partition_values(spark, adopted):
+    t = adopted
+    before = sorted(
+        tuple(r) for r in t.read(spark).select("k", "year", "month", "v").collect()
+    )
+    t.compact(spark, target_partitions=1)
+    after = sorted(
+        tuple(r) for r in t.read(spark).select("k", "year", "month", "v").collect()
+    )
+    assert after == before
+    # compaction output is still hive-laid (one file per partition)
+    for f in t._manifest(t.latest_version())["files"]:
+        assert set(_path_partitions(f)) == {"year", "month"}
+
+
+def test_partitioned_ddl_guards(spark, adopted):
+    t = adopted
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("month", "mo")
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("year")
+    with pytest.raises(ValueError, match="not supported"):
+        t.clone_to(t.root + "_clone")
+    # non-partition columns still rename fine
+    t.rename_column("v", "val")
+    assert t.read(spark).filter("k = 0").select("val").first()[0] == 0
+
+
+def test_time_travel_and_restore_keep_partitions(spark, adopted):
+    t = adopted
+    t.delete_where(spark, "month = 2")
+    assert t.read(spark, 0).count() == 90
+    t.restore(0)
+    df = t.read(spark)
+    assert df.count() == 90 and t.partitioned_by() == ["year", "month"]
+    assert df.filter("month = 2").count() == 30
+
+
+def test_lake_sql_convert_partitioned(spark, tmp_path):
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+
+    root = str(tmp_path / "lake")
+    _hive_dataset(spark, root)
+    lk = LakeSQL(spark)
+    lk.sql(
+        f"CONVERT TO VERSIONED '{root}' AS lake "
+        "PARTITIONED BY (year, month)"
+    )
+    assert lk.tables["lake"].partitioned_by() == ["year", "month"]
+    got = lk.sql(
+        "SELECT month, count(*) AS n FROM lake GROUP BY month ORDER BY month"
+    ).collect()
+    assert [(r["month"], r["n"]) for r in got] == [(1, 30), (2, 30), (3, 30)]
+    lk.sql("DELETE FROM lake WHERE month = 3")
+    assert lk.sql("SELECT count(*) AS c FROM lake").first()["c"] == 60
+
+
+def test_vacuum_reclaims_partitioned_rewrites(spark, adopted):
+    t = adopted
+    t.compact(spark, target_partitions=1)
+    removed = t.vacuum(keep_last=1, retention_seconds=0)
+    assert removed  # old per-partition files (and originals) reclaimed
+    assert t.read(spark).count() == 90  # data intact through hard links
+
+
+def test_stream_carries_partition_columns(spark, adopted, tmp_path):
+    """Table-as-stream over a hive-adopted table: partition values are
+    injected into the Arrow read from the k=v paths (the pyarrow twin
+    of basePath discovery)."""
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        versioned_stream,
+    )
+
+    out = []
+    q = (
+        versioned_stream(spark, adopted)
+        .writeStream.foreachBatch(lambda b, i: out.append(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for batch in out for r in batch]
+    assert len(rows) == 90
+    assert {r["month"] for r in rows} == {1, 2, 3}
+    assert all(r["year"] == 2024 for r in rows)

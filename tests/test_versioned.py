@@ -500,37 +500,43 @@ def test_stale_snapshot_publish_rejected(spark, table):
 
 
 def test_merge_detects_interleaved_commit(spark, table, monkeypatch):
-    """merge() pins its publish to the version it read: an interleaved
-    writer makes the merge FAIL (retryable) instead of dropping the
-    writer's commit."""
+    """merge() pins its publish to the version it read. Since round 8
+    a KEY-DISJOINT interleaved append commutes (commit reconciliation
+    re-bases the merge with no re-execution); an OVERLAPPING one —
+    whose appended rows the merge should have read — still fails
+    (retryable) instead of dropping either writer's commit."""
     table.commit(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
 
     # interleave: after merge() reads the snapshot, another writer
     # commits — intercept stage() (called by merge's commit) to inject
     # the race at the realistic point
     real_stage = table.stage
-    state = {"raced": False}
+    state = {"raced": False, "rows": [(3, "interloper")]}
 
     def racing_stage(df):
         if not state["raced"]:
             state["raced"] = True
             VersionedTable(table.root).commit(
-                _df(spark, [(3, "interloper")]), mode="append"
+                _df(spark, state["rows"]), mode="append"
             )
         return real_stage(df)
 
     monkeypatch.setattr(table, "stage", racing_stage)
-    with pytest.raises(ConcurrentCommitError):
-        table.merge(spark, _df(spark, [(2, "B2")]), key="k")
-    # nothing lost: the interloper's row is present, the failed merge
-    # changed nothing
-    got = {r.k: r.v for r in table.read(spark).collect()}
-    assert got == {1: "a", 2: "b", 3: "interloper"}
-    # retrying against the fresh snapshot succeeds
-    monkeypatch.setattr(table, "stage", real_stage)
+    # disjoint keys (merge touches k=2, interloper appends k=3): both
+    # land, nothing lost, no re-execution needed
     table.merge(spark, _df(spark, [(2, "B2")]), key="k")
     got = {r.k: r.v for r in table.read(spark).collect()}
     assert got == {1: "a", 2: "B2", 3: "interloper"}
+    # overlapping keys (interloper appends the SAME key the merge is
+    # resolving): the merge must fail rather than silently leave two
+    # k=2 rows behind its anti-join
+    state["raced"], state["rows"] = False, [(2, "interloper2")]
+    with pytest.raises(ConcurrentCommitError):
+        table.merge(spark, _df(spark, [(2, "B3")]), key="k")
+    # nothing lost: the interloper's row is present, the failed merge
+    # changed nothing
+    vals = sorted(r.v for r in table.read(spark).collect())
+    assert vals == ["B2", "a", "interloper", "interloper2"]
 
 
 def test_commit_drift_checked_gates_and_publishes(spark, table):
@@ -1331,20 +1337,21 @@ class _RacyTable(VT):
 
 
 def test_merge_retries_reresolve_against_the_fresh_snapshot(spark, tmp_path):
-    t = _RacyTable(str(tmp_path / "t"), (spark, [(9, "competitor")]))
+    # the competitor appends the SAME key the merge resolves — a real
+    # overlap reconciliation cannot commute, so without retries the
+    # stale-snapshot publish fails loudly (a disjoint competitor would
+    # simply re-base; see test_merge_detects_interleaved_commit)
+    t = _RacyTable(str(tmp_path / "t"), (spark, [(2, "competitor")]))
     t.commit(_df(spark, [(1, "a"), (2, "b")]))
-    # without retries the stale-snapshot publish fails loudly
     with pytest.raises(ConcurrentCommitError):
         t.merge(spark, _df(spark, [(2, "B2")]), key="k")
     assert t._races_left == 0
     # with retries the merge re-reads (now seeing the competitor's
-    # row) and wins on the second attempt
-    t2 = _RacyTable(str(tmp_path / "t"), (spark, [(8, "competitor2")]))
+    # row, which its anti-join replaces) and wins on the second attempt
+    t2 = _RacyTable(str(tmp_path / "t"), (spark, [(2, "competitor2")]))
     t2.merge(spark, _df(spark, [(2, "B3"), (5, "e")]), key="k", retries=2)
     got = {r.k: r.v for r in t2.read(spark).collect()}
-    assert got == {
-        1: "a", 2: "B3", 5: "e", 9: "competitor", 8: "competitor2",
-    }
+    assert got == {1: "a", 2: "B3", 5: "e"}
 
 
 def test_delete_where_retries_rematch_on_the_fresh_snapshot(spark, tmp_path):
