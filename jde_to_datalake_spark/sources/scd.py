@@ -152,6 +152,10 @@ def _apply_scd2_once(
         )
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # consumed by the key probe, the close-classification join,
+        # the open-rows joins, and _as_dim: compute the batch dedup
+        # once and share blocks
+        .localCheckpoint(eager=False)
     )
     ts_type = updates.schema[ts_col].dataType.simpleString()
 

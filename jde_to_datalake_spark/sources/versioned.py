@@ -3138,6 +3138,12 @@ class VersionedTable:
         updates = self._apply_generated(updates)
         self._enforce_constraints(updates)
         updates = self._to_physical_df(updates)
+        # three consumers read the batch (dup-guard/envelope agg, the
+        # key probe, the final anti-join + stage): a lazy local
+        # checkpoint computes it once and shares blocks instead of
+        # re-running the source plan per job (round-7 advisor: one
+        # full source pass saved per call)
+        updates = updates.localCheckpoint(eager=False)
         keys = [key] if isinstance(key, str) else list(key)
         keys = [self._to_physical_name(k) for k in keys]
         # a row is MATCHABLE when every key component is non-null —
@@ -3354,6 +3360,11 @@ class VersionedTable:
     ) -> int:
         prev = self.latest_version()
         keys = [key] if isinstance(key, str) else list(key)
+        # the source feeds the guard/envelope agg, the key probe, the
+        # full-outer join, and the insert projection: lazily
+        # checkpoint it once (round-7 advisor: one fewer full source
+        # pass per call)
+        source = source.localCheckpoint(eager=False)
         # duplicate-source-key guard + key floor, one job. A source
         # row with ANY null key component matches nothing (composite
         # equi-join semantics) — pure insert candidate, exempt from
