@@ -566,6 +566,7 @@ class LakeSQL:
     def _create(self, st: str) -> DataFrame:
         m = re.match(
             rf"CREATE\s+TABLE\s+({_IDENT})\s+LOCATION\s+'([^']+)'"
+            rf"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
             rf"(?:\s+AS\s+(SELECT\b.*|WITH\b.*))?$",
             st,
             re.IGNORECASE | re.DOTALL,
@@ -573,13 +574,23 @@ class LakeSQL:
         if not m:
             raise ValueError(
                 "expected: CREATE TABLE <name> LOCATION '<path>' "
-                "[AS SELECT ...] (column-list DDL is not supported — "
-                "the schema comes from the data)"
+                "[PARTITIONED BY (a, b)] [AS SELECT ...] (column-list "
+                "DDL is not supported — the schema comes from the data)"
             )
-        name, path, query = m.groups()
+        name, path, pby_txt, query = m.groups()
+        pby = (
+            [c.strip().strip("`") for c in pby_txt.split(",")]
+            if pby_txt
+            else None
+        )
         if name in self.tables:
             raise ValueError(f"table {name!r} already registered")
         t = VersionedTable(path)
+        if pby and not query:
+            raise ValueError(
+                "CREATE TABLE ... PARTITIONED BY requires AS SELECT "
+                "(the layout is established by the first write)"
+            )
         if query:
             if t.latest_version() is not None:
                 raise ValueError(
@@ -588,7 +599,9 @@ class LakeSQL:
                     "or pick a new location"
                 )
             self._refresh_views()
-            t.commit(self.spark.sql(query), mode="overwrite")
+            t.commit(
+                self.spark.sql(query), mode="overwrite", partitioned_by=pby
+            )
         self.register(name, t)
         return self._version_df(t.latest_version())
 

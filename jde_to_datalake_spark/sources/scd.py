@@ -194,6 +194,24 @@ def _apply_scd2_once(
     touched, untouched = table._key_touched_files(
         spark, latest.select(*keys).toDF(*keys_phys), keys_phys, manifest
     )
+    # commit-reconciliation read declaration: only rows with a batch
+    # key could have changed this application's outcome (the batch is
+    # already checkpointed, so this envelope agg is cheap)
+    env = latest.agg(
+        *[
+            f
+            for k, kp in zip(keys, keys_phys)
+            for f in (
+                F.min(k).alias(f"mn_{kp}"),
+                F.max(k).alias(f"mx_{kp}"),
+            )
+        ]
+    ).collect()[0]
+    read_ranges = {
+        kp: (env[f"mn_{kp}"], env[f"mx_{kp}"])
+        for kp in keys_phys
+        if env[f"mn_{kp}"] is not None
+    } or {}
     if not touched:
         # no file can hold a batch key: every batch row is a new key
         # (delete events for unknown keys are ignored)
@@ -212,6 +230,8 @@ def _apply_scd2_once(
             mode="overwrite",
             expected_base=prev,
             carry=manifest["files"],
+            read_files=[],
+            read_ranges=read_ranges,
             txn=txn,
             annotations={"operation": "SCD2"},
         )
@@ -329,6 +349,8 @@ def _apply_scd2_once(
         mode="overwrite",
         expected_base=prev,
         carry=untouched,
+        read_files=touched,
+        read_ranges=read_ranges,
         txn=txn,
         annotations={"operation": "SCD2"},
     )

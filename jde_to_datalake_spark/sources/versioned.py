@@ -1270,7 +1270,9 @@ class VersionedTable:
             annotations={"operation": "DROP COLUMN", "dropped_column": name},
         )
 
-    def stage(self, df: DataFrame) -> list[str]:
+    def stage(
+        self, df: DataFrame, partitioned_by: "list[str] | None" = None
+    ) -> list[str]:
         """Write data files WITHOUT publishing them (the W of
         write-audit-publish). Staged files are invisible to readers —
         no manifest references them — and are reclaimed by ``vacuum``
@@ -1295,7 +1297,11 @@ class VersionedTable:
         _TS_CONF = "spark.sql.parquet.outputTimestampType"
         prev_ts = spark.conf.get(_TS_CONF, None)
         spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
-        pby = self.partitioned_by()
+        pby = (
+            list(partitioned_by)
+            if partitioned_by is not None
+            else self.partitioned_by()
+        )
         try:
             writer = df.write.mode("overwrite")
             if pby:
@@ -1393,6 +1399,7 @@ class VersionedTable:
         txn: "tuple[str, int] | list[tuple[str, int]] | None" = None,
         _physical: bool = False,
         annotations: dict | None = None,
+        partitioned_by: "list[str] | None" = None,
     ) -> int:
         """Write data files, then publish the next manifest atomically.
 
@@ -1404,17 +1411,34 @@ class VersionedTable:
         mapping it is translated to physical storage names before the
         write (``_physical=True`` skips that — internal callers whose
         frames are already physical, e.g. ``merge``).
-        """
+
+        ``partitioned_by`` on the FIRST commit creates the table as a
+        hive-partitioned one (Delta's CREATE TABLE ... PARTITIONED
+        BY): this and every later write lay files into ``k=v``
+        directories and record partition stats. On an existing table
+        it must match the declared layout (the property is
+        immutable)."""
+        if partitioned_by is not None:
+            existing = self.partitioned_by()
+            if self.latest_version() is not None and list(
+                partitioned_by
+            ) != existing:
+                raise ValueError(
+                    f"commit: partitioned_by={list(partitioned_by)} does "
+                    f"not match the table's layout {existing} — the "
+                    "partition layout is immutable once created"
+                )
         if not _physical:
             df = self._apply_generated(df)
             self._enforce_constraints(df)
             df = self._to_physical_df(df)
         return self.publish(
-            self.stage(df),
+            self.stage(df, partitioned_by=partitioned_by),
             mode=mode,
             expected_base=expected_base,
             txn=txn,
             annotations=annotations,
+            partitioned_by=partitioned_by,
         )
 
     def publish(
@@ -2515,7 +2539,7 @@ class VersionedTable:
         spark: SparkSession,
         v_from: int | None = None,
         v_to: int | None = None,
-        key: str | None = None,
+        key: "str | list[str] | None" = None,
         since_timestamp=None,
         until_timestamp=None,
     ) -> DataFrame:
@@ -2686,15 +2710,19 @@ class VersionedTable:
                 allowMissingColumns=True,
             )
 
+        keys = [key] if isinstance(key, str) else list(key)
         cols = list(
             dict.fromkeys(old_rows.columns + new_rows.columns)
         )  # union, first-seen order
-        val_cols = [c for c in cols if c != key]
+        val_cols = [c for c in cols if c not in keys]
 
         def _packed(df, side):
             present = set(df.columns)
             return df.select(
-                F.col(key).alias("__k"),
+                # composite keys pack into one struct: join equality on
+                # it is field-wise, so a NULL component matches nothing
+                # — the same semantics as the multi-column equi-join
+                F.struct(*[F.col(k) for k in keys]).alias("__k"),
                 F.struct(
                     *[
                         (
@@ -2750,7 +2778,7 @@ class VersionedTable:
             "__k", F.explode("__changes").alias("__c")
         )
         return exploded.select(
-            F.col("__k").alias(key),
+            *[F.col(f"__k.`{k}`").alias(k) for k in keys],
             *[F.col(f"__c.v.`{c}`").alias(c) for c in val_cols],
             F.col("__c.t").alias("_change_type"),
         )

@@ -783,12 +783,15 @@ class VersionedTableStreamWriter(DataSourceStreamWriter):
             or t.generated_columns(prev)
             or t.column_renames(prev)
             or t.dropped_columns(prev)
+            or t.partitioned_by(prev)
         )
         if needs_pipeline:
-            # tables with write contracts or an active column mapping
-            # take the same validate/fill/translate path as commit():
-            # re-read the staged bytes, run the pipeline, publish the
-            # RESULT, and drop the raw task files
+            # tables with write contracts, an active column mapping,
+            # or a hive partition layout (task files are flat — the
+            # re-commit lays them into k=v directories) take the same
+            # validate/fill/translate path as commit(): re-read the
+            # staged bytes, run the pipeline, publish the RESULT, and
+            # drop the raw task files
             from pyspark.sql import SparkSession
 
             spark = (

@@ -191,3 +191,20 @@ def test_lake_sql_composite_merge(spark, table):
     )
     got = _rows(spark, table)
     assert got[(3, 0)] == 999 and got[(55, 66)] == 1 and len(got) == 101
+
+
+def test_composite_read_changes(spark, table):
+    _base(spark, table)
+    src = spark.createDataFrame(
+        [(3, 0, 999), (99, 99, 1)], "a int, b int, v long"
+    )
+    table.merge(spark, src, key=["a", "b"])
+    ch = table.read_changes(spark, 0, table.latest_version(), key=["a", "b"])
+    got = {
+        (r["a"], r["b"], r["_change_type"]): r["v"] for r in ch.collect()
+    }
+    assert got == {
+        (3, 0, "update_preimage"): 6,
+        (3, 0, "update_postimage"): 999,
+        (99, 99, "insert"): 1,
+    }

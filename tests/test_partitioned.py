@@ -252,3 +252,79 @@ def test_stream_carries_partition_columns(spark, adopted, tmp_path):
     assert len(rows) == 90
     assert {r["month"] for r in rows} == {1, 2, 3}
     assert all(r["year"] == 2024 for r in rows)
+
+
+def test_create_partitioned_table_via_commit(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "fresh"))
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p")
+    )
+    t.commit(df, mode="overwrite", partitioned_by=["p"])
+    assert t.partitioned_by() == ["p"]
+    for f in t._manifest(0)["files"]:
+        assert "p=" in f
+    assert t.read(spark).count() == 20
+    # the layout is immutable
+    with pytest.raises(ValueError, match="immutable"):
+        t.commit(df, mode="append", partitioned_by=["k"])
+    # later writes without the arg keep the layout
+    t.commit(
+        spark.createDataFrame([(100, 1)], "k bigint, p int"), mode="append"
+    )
+    assert t.read(spark).count() == 21
+
+
+def test_lake_sql_ctas_partitioned(spark, tmp_path):
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+
+    lk = LakeSQL(spark)
+    lk.sql(
+        f"CREATE TABLE pt LOCATION '{tmp_path / 'pt'}' "
+        "PARTITIONED BY (p) AS "
+        "SELECT id AS k, CAST(id % 3 AS INT) AS p FROM range(30)"
+    )
+    t = lk.tables["pt"]
+    assert t.partitioned_by() == ["p"]
+    got = lk.sql(
+        "SELECT p, count(*) AS n FROM pt GROUP BY p ORDER BY p"
+    ).collect()
+    assert [(r["p"], r["n"]) for r in got] == [(0, 10), (1, 10), (2, 10)]
+    assert len(t.files_for_ranges({"p": (1, 1)})) < len(
+        t._manifest(t.latest_version())["files"]
+    )
+
+
+def test_native_sink_routes_partitioned_layout(spark, adopted, tmp_path):
+    """writeStream.format('versioned_table') into a hive-partitioned
+    table: task files are flat, so the sink's commit must re-lay them
+    into k=v directories through the commit() pipeline."""
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(5000, 2026, 4, 1)], "k bigint, year int, month int, v bigint"
+    ).repartition(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "k bigint, year int, month int, v bigint"
+    ).parquet(src_dir)
+    q = (
+        stream.writeStream.format("versioned_table")
+        .option("path", adopted.root)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = adopted
+    new = set(t._manifest(t.latest_version())["files"]) - set(
+        t._manifest(0)["files"]
+    )
+    assert new and all(
+        "year=2026" in f and "month=4" in f for f in new
+    )
+    df = t.read(spark)
+    assert df.count() == 91
+    assert df.filter("year = 2026").first()["k"] == 5000
