@@ -20,6 +20,9 @@ Spark's ``expr`` and may use any Spark SQL function):
   a lake-table reference time-travels that reference.
 - ``UPDATE <t> SET col = expr [, ...] [WHERE pred]``
 - ``DELETE FROM <t> [WHERE pred]``
+  — both infer footer-stat prune ranges from the predicate's simple
+  top-level conjuncts (``col op literal`` / BETWEEN), so targeted DML
+  on a clustered or partitioned table scans a file subset
 - ``MERGE INTO <t> [AS] a USING <view|(subquery)> [AS] b
   ON a.k = b.k
   [WHEN MATCHED [AND c] THEN UPDATE SET {* | col = expr, ...}]
@@ -38,8 +41,9 @@ Spark's ``expr`` and may use any Spark SQL function):
 - ``ALTER TABLE <t> RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
   ``ADD CONSTRAINT name CHECK (pred)`` / ``DROP CONSTRAINT name`` /
   ``ADD COLUMN c GENERATED ALWAYS AS (expr)``
-- ``CREATE TABLE <name> LOCATION '<path>' [AS <select>]`` — register
-  (or CTAS-create) a versioned table at a filesystem location
+- ``CREATE TABLE <name> LOCATION '<path>' [PARTITIONED BY (a, b)]
+  [AS <select>]`` — register (or CTAS-create) a versioned table at a
+  filesystem location; PARTITIONED BY establishes a hive layout
 - ``CONVERT TO VERSIONED '<path>' AS <name> [PARTITIONED BY (a, b)]``
   — adopt an existing plain-parquet directory metadata-only (Delta's
   CONVERT TO DELTA [PARTITIONED BY]; hive ``k=v`` layouts adopt with
@@ -141,6 +145,90 @@ def _alias_rewrite(expr: str, mapping: "dict[str, str]") -> str:
         lambda m: f"{live[m.group(1)]}.",
         expr,
     )
+
+
+def _literal_value(tok: str):
+    """Parse a SQL literal token to the python value footer stats
+    store: numbers, quoted strings, DATE/TIMESTAMP 'iso' (stats keep
+    temporals as ISO strings). None = not a recognizable literal."""
+    tok = tok.strip()
+    m = re.fullmatch(
+        r"(?:DATE|TIMESTAMP)?\s*'([^']*)'", tok, re.IGNORECASE
+    )
+    if m:
+        return m.group(1)
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return None
+
+
+def _infer_prune_ranges(pred: str) -> "dict | None":
+    """Footer-stat ranges IMPLIED by a WHERE predicate — the
+    conjunct-wise sound subset: each top-level AND term of the form
+    ``col op literal`` (op in = >= <= > <, either side) or ``col
+    BETWEEN a AND b`` contributes a bound; unparseable conjuncts are
+    ignored (they only restrict rows further, so the parsed ranges
+    stay implied). Strict bounds widen to inclusive (conservative).
+    Returns None when nothing usable parses — the caller then scans
+    all candidates, exactly as before."""
+    # BETWEEN participates in AND-splitting — rewrite it first
+    _blit = r"(?:(?:DATE|TIMESTAMP)\s*)?'[^']*'|-?[0-9.]+"
+    pred = re.sub(
+        rf"(`?{_IDENT}`?)\s+BETWEEN\s+({_blit})\s+AND\s+({_blit})",
+        r"\1 >= \2 AND \1 <= \3",
+        pred,
+        flags=re.IGNORECASE,
+    )
+    # split top-level ANDs (depth-0, quote-aware)
+    terms, rest = [], pred
+    while True:
+        i = _find_kw_top(rest, "AND")
+        if i < 0:
+            terms.append(rest)
+            break
+        terms.append(rest[:i])
+        rest = rest[i + 3:]
+    ranges: dict = {}
+
+    def _fold(col: str, lo, hi):
+        cur_lo, cur_hi = ranges.get(col, (None, None))
+        if lo is not None:
+            cur_lo = lo if cur_lo is None else max(cur_lo, lo)
+        if hi is not None:
+            cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+        ranges[col] = (cur_lo, cur_hi)
+
+    lit = r"(?:DATE\s*'[^']*'|TIMESTAMP\s*'[^']*'|'[^']*'|-?[0-9.]+)"
+    for t in terms:
+        t = t.strip()
+        m = re.fullmatch(
+            rf"`?({_IDENT})`?\s*(=|>=|<=|>|<)\s*({lit})", t
+        ) or re.fullmatch(
+            rf"({lit})\s*(=|>=|<=|>|<)\s*`?({_IDENT})`?", t
+        )
+        if not m:
+            continue
+        g = m.groups()
+        if re.fullmatch(_IDENT, g[0] or ""):
+            col, op, tok = g
+        else:
+            tok, op, col = g
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+        v = _literal_value(tok)
+        if v is None:
+            continue
+        if op == "=":
+            _fold(col, v, v)
+        elif op in (">=", ">"):
+            _fold(col, v, None)
+        else:
+            _fold(col, None, v)
+    return ranges or None
 
 
 class LakeSQL:
@@ -264,7 +352,16 @@ class LakeSQL:
             col = item[:eq].strip().strip("`")
             assignments[col] = item[eq + 1:].strip()
         return self._version_df(
-            t.update_where(self.spark, assignments, pred.strip())
+            t.update_where(
+                self.spark,
+                assignments,
+                pred.strip(),
+                # stats pruning implied by the predicate's simple
+                # conjuncts — on a clustered/partitioned table the
+                # matching scan reads a file subset, Delta's own
+                # UPDATE-with-predicate economics
+                prune_ranges=_infer_prune_ranges(pred),
+            )
         )
 
     def _delete(self, st: str) -> DataFrame:
@@ -277,7 +374,15 @@ class LakeSQL:
             raise ValueError("expected: DELETE FROM <table> [WHERE ...]")
         t = self._table(m.group(1))
         pred = (m.group(2) or "true").strip()
-        return self._version_df(t.delete_where(self.spark, pred))
+        return self._version_df(
+            t.delete_where(
+                self.spark,
+                pred,
+                prune_ranges=(
+                    _infer_prune_ranges(pred) if m.group(2) else None
+                ),
+            )
+        )
 
     def _insert(self, st: str) -> DataFrame:
         m = re.match(

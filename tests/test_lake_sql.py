@@ -337,3 +337,43 @@ def test_optimize_zorder_sizes_output_from_table_bytes(lk):
     lk.sql("OPTIMIZE items ZORDER BY (k) TARGET SIZE 1024 MB")
     assert t.detail()["n_files"] == 1
     assert _rows(lk) == before
+
+
+def test_sql_update_delete_prune_candidate_scan(spark, tmp_path):
+    """UPDATE/DELETE WHERE with simple conjuncts must stats-prune the
+    candidate scan: on a partitioned table only the matching
+    partition's files rewrite (visible in the commit's remove set)."""
+    from pyspark.sql import functions as F
+
+    from jde_to_datalake_spark.plans.lake_sql import (
+        LakeSQL,
+        _infer_prune_ranges,
+    )
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    # sound, conjunct-wise inference
+    assert _infer_prune_ranges("month = 3") == {"month": (3, 3)}
+    assert _infer_prune_ranges("k >= 10 AND k < 20 AND upper(s) = 'X'") == {
+        "k": (10, 20)
+    }
+    assert _infer_prune_ranges("a = 1 OR b = 2") is None
+
+    root = str(tmp_path / "pt")
+    spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3 + 1).cast("int").alias("month"),
+        (F.col("id") * 2).alias("v"),
+    ).write.partitionBy("month").parquet(root)
+    t = VersionedTable.convert_from_parquet(root, partitioned_by=["month"])
+    lk = LakeSQL(spark)
+    lk.register("pt", t)
+    n_files = len(t._manifest(0)["files"])
+
+    lk.sql("UPDATE pt SET v = v + 1 WHERE month = 2")
+    d = t.commit_delta(t.latest_version())
+    assert d["remove"] and len(d["remove"]) < n_files
+    assert all("month=2" in f for f in d["remove"])
+
+    lk.sql("DELETE FROM pt WHERE month = 3")
+    got = lk.sql("SELECT count(*) AS c FROM pt").first()["c"]
+    assert got == 60
