@@ -36,7 +36,9 @@ Spark's ``expr`` and may use any Spark SQL function):
 - ``INSERT INTO <t> <select-statement>``
 - ``DESCRIBE HISTORY <t>`` / ``DESCRIBE DETAIL <t>``
 - ``RESTORE TABLE <t> TO VERSION AS OF n`` (or TIMESTAMP AS OF)
-- ``OPTIMIZE <t> [ZORDER BY (a[, b ...])]``
+- ``OPTIMIZE <t> [WHERE pred] [ZORDER BY (a[, b ...])]
+  [TARGET SIZE n MB]`` — WHERE bounds the rewrite to the files whose
+  footer stats overlap the predicate (partition-scoped maintenance)
 - ``VACUUM <t> [RETAIN n HOURS] [DRY RUN]``
 - ``ALTER TABLE <t> RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
   ``ADD CONSTRAINT name CHECK (pred)`` / ``DROP CONSTRAINT name`` /
@@ -782,36 +784,67 @@ class LakeSQL:
     def _optimize(self, st: str) -> DataFrame:
         m = re.match(
             rf"OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+(.*?))?"
             rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?"
             rf"(?:\s+TARGET\s+SIZE\s+([0-9]+)\s*MB)?$",
             st,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(
-                "expected: OPTIMIZE <t> [ZORDER BY (a, b)] "
+                "expected: OPTIMIZE <t> [WHERE pred] [ZORDER BY (a, b)] "
                 "[TARGET SIZE n MB]"
             )
         t = self._table(m.group(1))
+        where, zorder = m.group(2), m.group(3)
         file_bytes = (
-            (int(m.group(3)) << 20)
-            if m.group(3)
+            (int(m.group(4)) << 20)
+            if m.group(4)
             else self.OPTIMIZE_TARGET_FILE_BYTES
         )
-        if m.group(2):
-            # ZORDER BY: full clustered rewrite on the named columns.
-            # Output file count is sized from the table's CURRENT
-            # bytes (detail() is metadata-only) so a large table keeps
-            # its file granularity — a constant would collapse it to a
-            # handful of giant files and defeat the partial-rewrite
-            # paths that depend on per-file stats pruning.
-            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
-            size = t.detail()["size_bytes"]
-            nparts = max(1, -(-size // file_bytes))
-            v = t.compact(
+        scope = None
+        if where:
+            # Delta's OPTIMIZE WHERE: bound the rewrite to the files
+            # whose footer stats overlap the predicate's implied
+            # ranges — partition/cluster-scoped maintenance, O(scope)
+            # not O(table)
+            ranges = _infer_prune_ranges(where.strip())
+            if not ranges:
+                raise ValueError(
+                    "OPTIMIZE WHERE needs simple conjuncts the footer "
+                    f"stats can bound (col op literal); got {where!r}"
+                )
+            scope = t.files_for_ranges(ranges)
+            if len(scope) <= 1:
+                return self._version_df(t.latest_version())
+        if zorder:
+            cols = [c.strip().strip("`") for c in zorder.split(",")]
+            cluster = cols if len(cols) > 1 else cols[0]
+            if scope is not None:
+                v = t.compact_files(
+                    self.spark,
+                    files=scope,
+                    target_partitions=max(1, len(scope) // 2),
+                    cluster_by=cluster,
+                )
+            else:
+                # full clustered rewrite: output file count sized from
+                # the table's CURRENT bytes (detail() is metadata-only)
+                # so a large table keeps its file granularity — a
+                # constant would collapse it to a handful of giant
+                # files and defeat the stats-pruned partial rewrites
+                size = t.detail()["size_bytes"]
+                nparts = max(1, -(-size // file_bytes))
+                v = t.compact(
+                    self.spark,
+                    target_partitions=int(nparts),
+                    cluster_by=cluster,
+                )
+        elif scope is not None:
+            v = t.compact_files(
                 self.spark,
-                target_partitions=int(nparts),
-                cluster_by=cols if len(cols) > 1 else cols[0],
+                files=scope,
+                target_partitions=max(1, len(scope) // 2),
             )
         else:
             # plain OPTIMIZE: bin-pack small files, carry the rest

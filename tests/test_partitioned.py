@@ -328,3 +328,77 @@ def test_native_sink_routes_partitioned_layout(spark, adopted, tmp_path):
     df = t.read(spark)
     assert df.count() == 91
     assert df.filter("year = 2026").first()["k"] == 5000
+
+
+def test_optimize_where_scopes_the_rewrite(spark, adopted):
+    """OPTIMIZE <t> WHERE month = 1 (Delta's partition-scoped
+    OPTIMIZE): only the matching partition's files rewrite; the rest
+    carry by reference."""
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+
+    t = adopted
+    # create small-file debris inside month=1
+    for i in range(2):
+        t.commit(
+            spark.createDataFrame(
+                [(2000 + i, 2024, 1, 5)], "k bigint, year int, month int, v bigint"
+            ),
+            mode="append",
+        )
+    lk = LakeSQL(spark)
+    lk.register("lake", t)
+    before = t.read(spark).count()
+    lk.sql("OPTIMIZE lake WHERE month = 1")
+    d = t.commit_delta(t.latest_version())
+    assert d["remove"] and all("month=1" in f for f in d["remove"])
+    assert t.read(spark).count() == before
+    # scoped ZORDER: clusters only the targeted slice
+    lk.sql("OPTIMIZE lake WHERE month = 2 ZORDER BY (k)")
+    d2 = t.commit_delta(t.latest_version())
+    assert d2["remove"] and all("month=2" in f for f in d2["remove"])
+    assert t.read(spark).count() == before
+    with pytest.raises(ValueError, match="simple conjuncts"):
+        lk.sql("OPTIMIZE lake WHERE upper(x) = 'A'")
+
+
+def test_partitioned_read_plans_file_subset(spark, adopted):
+    """The pruned read's PHYSICAL scan lists only the stats-surviving
+    files — partition pruning is real at the plan level, not a
+    post-filter."""
+    t = adopted
+    picked = set(t.files_for_ranges({"month": (2, 2)}))
+    scanned = {
+        f.split("/lake/", 1)[1]
+        for f in t.read_where_all(spark, {"month": (2, 2)}).inputFiles()
+    }
+    assert scanned == picked
+
+
+def test_derive_table_into_partitioned_silver(spark, adopted, tmp_path):
+    """Bronze stream -> derived PARTITIONED silver table: the derived
+    writer's commits keep the hive layout via stage()."""
+    from jde_to_datalake_spark.streaming.derived import derive_table
+
+    silver = VersionedTable(str(tmp_path / "silver"))
+    # seed the layout with a first commit (a partitionBy write of an
+    # empty frame produces no files, so the seed carries one row)
+    silver.commit(
+        spark.createDataFrame(
+            [(-1, 2024, 1, 0)], "k bigint, year int, month int, v bigint"
+        ),
+        mode="overwrite",
+        partitioned_by=["year", "month"],
+    )
+    q = derive_table(
+        spark,
+        adopted,
+        silver,
+        lambda df: df.filter(F.col("v") % 4 == 0),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert silver.partitioned_by() == ["year", "month"]
+    exp = adopted.read(spark).filter("v % 4 = 0").count()
+    assert silver.read(spark).count() == exp + 1  # + the seed row
+    for f in silver._manifest(silver.latest_version())["files"]:
+        assert set(_path_partitions(f)) == {"year", "month"}
