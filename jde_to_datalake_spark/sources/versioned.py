@@ -1656,7 +1656,17 @@ class VersionedTable:
         — O(changed files) per commit, never table-sized."""
         start = 0 if lo is None else lo + 1
         for v in range(start, hi + 1):
-            s = self._commit_summary(v)
+            try:
+                s = self._commit_summary(v)
+            except FileNotFoundError:
+                # a concurrent vacuum trimmed an intervening record
+                # mid-reconciliation: surface a retryable conflict,
+                # not a crash — the re-run reads a fresh snapshot
+                raise ConcurrentCommitError(
+                    f"version {v}'s commit record was vacuumed while "
+                    "reconciling a lost race — re-run against the new "
+                    "snapshot"
+                ) from None
             if s["metadata_changed"]:
                 raise ConcurrentCommitError(
                     f"concurrent metadata change at version {v} "
