@@ -178,6 +178,19 @@ def _infer_prune_ranges(pred: str) -> "dict | None":
     stay implied). Strict bounds widen to inclusive (conservative).
     Returns None when nothing usable parses — the caller then scans
     all candidates, exactly as before."""
+    # a depth-0 OR makes the top level a DISJUNCTION: SQL's AND binds
+    # tighter, so naive AND-splitting would extract "conjuncts" that
+    # the predicate does NOT imply (a = 1 OR b = 2 AND c = 3 implies
+    # nothing about c). Parenthesized ORs are fine — the whole paren
+    # term is simply unparseable and ignored.
+    if _find_kw_top(pred, "OR") >= 0:
+        return None
+    # the BETWEEN rewrite below is regex-based and not quote-aware;
+    # a string literal containing the word is a poisoned input — bail
+    # (conservative: caller scans all candidates)
+    for lit_m in re.finditer(r"'([^']*)'", pred):
+        if re.search(r"\bBETWEEN\b", lit_m.group(1), re.IGNORECASE):
+            return None
     # BETWEEN participates in AND-splitting — rewrite it first
     _blit = r"(?:(?:DATE|TIMESTAMP)\s*)?'[^']*'|-?[0-9.]+"
     pred = re.sub(
@@ -399,7 +412,11 @@ class LakeSQL:
             )
         t = self._table(m.group(1))
         self._refresh_views()
-        batch = self.spark.sql(m.group(2))
+        # one computation for the castability probe AND the write: a
+        # nondeterministic SELECT must not pass validation on one
+        # sample and insert another, and a deterministic one should
+        # not run twice
+        batch = self.spark.sql(m.group(2)).localCheckpoint(eager=False)
         if t.latest_version() is not None:
             # Delta's INSERT semantics: align by NAME and implicitly
             # cast to the table's column types (a bare `SELECT 4`
@@ -534,6 +551,8 @@ class LakeSQL:
                     f"{salias!r}); got {term.strip()!r}"
                 )
             key_cols.append(c1)
+        # a repeated equality term is redundant, not a second key
+        key_cols = list(dict.fromkeys(key_cols))
         key = key_cols[0] if len(key_cols) == 1 else key_cols
         amap = {talias: "t", salias: "s"}
 
@@ -803,6 +822,7 @@ class LakeSQL:
             else self.OPTIMIZE_TARGET_FILE_BYTES
         )
         scope = None
+        scoped_parts = None
         if where:
             # Delta's OPTIMIZE WHERE: bound the rewrite to the files
             # whose footer stats overlap the predicate's implied
@@ -817,6 +837,18 @@ class LakeSQL:
             scope = t.files_for_ranges(ranges)
             if len(scope) <= 1:
                 return self._version_df(t.latest_version())
+            import os as _os
+
+            scope_bytes = sum(
+                _os.path.getsize(_os.path.join(t.root, f)) for f in scope
+            )
+            # explicit TARGET SIZE sizes the scoped output by bytes;
+            # otherwise halve the file count (bin-pack the debris)
+            scoped_parts = (
+                max(1, -(-scope_bytes // file_bytes))
+                if m.group(4)
+                else max(1, len(scope) // 2)
+            )
         if zorder:
             cols = [c.strip().strip("`") for c in zorder.split(",")]
             cluster = cols if len(cols) > 1 else cols[0]
@@ -824,7 +856,7 @@ class LakeSQL:
                 v = t.compact_files(
                     self.spark,
                     files=scope,
-                    target_partitions=max(1, len(scope) // 2),
+                    target_partitions=int(scoped_parts),
                     cluster_by=cluster,
                 )
             else:
@@ -844,7 +876,7 @@ class LakeSQL:
             v = t.compact_files(
                 self.spark,
                 files=scope,
-                target_partitions=max(1, len(scope) // 2),
+                target_partitions=int(scoped_parts),
             )
         else:
             # plain OPTIMIZE: bin-pack small files, carry the rest

@@ -167,6 +167,24 @@ def _iso_naive_utc(v) -> str:
     return v.isoformat()
 
 
+def _validate_partition_cols(cols) -> list:
+    """Partition column names become directory-name prefixes; Spark's
+    file listing (and this table's own staging walk) treats ``_``/
+    ``.``-prefixed paths as hidden artifacts, so such names would make
+    every written file silently invisible. Reject them up front."""
+    import re as _re
+
+    out = list(cols)
+    for c in out:
+        if not _re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", str(c)):
+            raise ValueError(
+                f"partition column {c!r}: names must start with a "
+                "letter (hidden-path conventions make '_'/'.'-prefixed "
+                "directories invisible to parquet readers)"
+            )
+    return out
+
+
 def _parse_partition_value(s: str):
     """Decode one hive ``k=v`` directory value the way Spark's
     partition discovery does: URL-unescape, ``__HIVE_DEFAULT_PARTITION__``
@@ -757,7 +775,7 @@ class VersionedTable:
                 "(partition values live in paths, not file bytes)"
             )
         if partitioned_by is not None:
-            want = list(partitioned_by)
+            want = _validate_partition_cols(partitioned_by)
             if not want:
                 raise ValueError("partitioned_by must name >=1 column")
             for f in files:
@@ -1335,20 +1353,32 @@ class VersionedTable:
                     dst_rel = os.path.join(
                         rel_dir, f"part-{uuid.uuid4().hex}.parquet"
                     )
-                    os.makedirs(
-                        os.path.dirname(
-                            os.path.join(self.root, dst_rel)
-                        ) or self.root,
-                        exist_ok=True,
-                    )
-                    os.rename(
-                        os.path.join(dirpath, f),
-                        os.path.join(self.root, dst_rel),
-                    )
+                    dest = os.path.join(self.root, dst_rel)
+                    # a concurrent vacuum can rmdir an (momentarily
+                    # empty) partition directory between makedirs and
+                    # rename — re-create and retry once
+                    for attempt in (0, 1):
+                        os.makedirs(
+                            os.path.dirname(dest) or self.root,
+                            exist_ok=True,
+                        )
+                        try:
+                            os.rename(os.path.join(dirpath, f), dest)
+                            break
+                        except FileNotFoundError:
+                            if attempt:
+                                raise
                     new_files.append(dst_rel)
             import shutil
 
             shutil.rmtree(staging)
+            if not new_files:
+                # Spark writes NO part files for an empty partitionBy
+                # write; keep the overwrite-to-empty contract (one
+                # readable schema-carrying part) by staging a flat
+                # empty part — partition columns ride as data columns
+                # there, which readers resolve identically at 0 rows
+                return self.stage(df.limit(0), partitioned_by=[])
             return self._drop_empty_parts(sorted(new_files))
         for f in os.listdir(staging):
             if f.endswith(".parquet"):
@@ -1419,6 +1449,7 @@ class VersionedTable:
         it must match the declared layout (the property is
         immutable)."""
         if partitioned_by is not None:
+            partitioned_by = _validate_partition_cols(partitioned_by)
             existing = self.partitioned_by()
             if self.latest_version() is not None and list(
                 partitioned_by
@@ -2729,10 +2760,9 @@ class VersionedTable:
         def _packed(df, side):
             present = set(df.columns)
             return df.select(
-                # composite keys pack into one struct: join equality on
-                # it is field-wise, so a NULL component matches nothing
-                # — the same semantics as the multi-column equi-join
-                F.struct(*[F.col(k) for k in keys]).alias("__k"),
+                F.struct(*[F.col(k) for k in keys]).alias(
+                    f"__k_{side.strip('_')}"
+                ),
                 F.struct(
                     *[
                         (
@@ -2743,8 +2773,23 @@ class VersionedTable:
                 ).alias(side),
             )
 
-        j = _packed(old_rows, "__old").join(
-            _packed(new_rows, "__new"), "__k", "full_outer"
+        # join on per-field PLAIN equality, not struct equality: Spark
+        # compares struct fields null-safely, which would pair a
+        # deleted NULL-key row with an unrelated inserted NULL-key row
+        # (and blow up M x N on many). A NULL key component must match
+        # nothing — the same semantics as merge's multi-column
+        # equi-join: NULL-keyed rows classify as plain delete/insert.
+        po = _packed(old_rows, "__old")
+        pn = _packed(new_rows, "__new")
+        jcond = F.lit(True)
+        for k in keys:
+            jcond = jcond & (
+                F.col(f"__k_old.`{k}`") == F.col(f"__k_new.`{k}`")
+            )
+        j = po.join(pn, jcond, "full_outer").select(
+            F.coalesce(F.col("__k_old"), F.col("__k_new")).alias("__k"),
+            "__old",
+            "__new",
         )
         # rows rewritten byte-identical (compaction churn) cancel out
         # HERE — before the explode, so unchanged data costs one
@@ -4102,10 +4147,16 @@ class VersionedTable:
                 os.remove(p)
                 removed.append(f)
                 d = os.path.dirname(p)
-                # drop now-empty partition directories (hive layouts)
-                while d != self.root and not os.listdir(d):
-                    os.rmdir(d)
-                    d = os.path.dirname(d)
+                # drop now-empty partition directories (hive layouts);
+                # a concurrent writer can repopulate one between the
+                # listdir check and the rmdir — losing the cleanup race
+                # is fine, crashing the sweep is not
+                try:
+                    while d != self.root and not os.listdir(d):
+                        os.rmdir(d)
+                        d = os.path.dirname(d)
+                except OSError:
+                    pass
         for f in os.listdir(_log_dir(self.root)):
             if f.startswith("_tmp-"):
                 p = os.path.join(_log_dir(self.root), f)

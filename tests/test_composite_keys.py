@@ -208,3 +208,26 @@ def test_composite_read_changes(spark, table):
         (3, 0, "update_postimage"): 999,
         (99, 99, "insert"): 1,
     }
+
+
+def test_read_changes_null_key_rows_are_delete_insert(spark, table):
+    """NULL key components must match NOTHING in the change-feed
+    classification (same as the merge equi-join): a deleted NULL-key
+    row and an inserted NULL-key row are independent delete+insert
+    events, never an update pair."""
+    t0 = spark.createDataFrame(
+        [(None, 1, 10), (1, 1, 11)], "a int, b int, v long"
+    )
+    table.commit(t0, mode="overwrite")
+    t1 = spark.createDataFrame(
+        [(None, 1, 20), (1, 1, 11)], "a int, b int, v long"
+    )
+    table.commit(t1, mode="overwrite")
+    ch = table.read_changes(spark, 0, 1, key=["a", "b"]).collect()
+    got = sorted((r["a"], r["v"], r["_change_type"]) for r in ch)
+    # the identical (1,1,11) row cancels; the NULL-key rows do NOT
+    # pair up as update_pre/postimage
+    assert got == [
+        (None, 10, "delete"),
+        (None, 20, "insert"),
+    ]

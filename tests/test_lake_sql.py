@@ -377,3 +377,64 @@ def test_sql_update_delete_prune_candidate_scan(spark, tmp_path):
     lk.sql("DELETE FROM pt WHERE month = 3")
     got = lk.sql("SELECT count(*) AS c FROM pt").first()["c"]
     assert got == 60
+
+
+def test_prune_inference_refuses_top_level_or(spark, tmp_path):
+    """AND binds tighter than OR: extracting 'conjuncts' from a
+    disjunction would prune files holding matching rows (silent
+    corruption). A depth-0 OR disables inference entirely."""
+    from pyspark.sql import functions as F
+
+    from jde_to_datalake_spark.plans.lake_sql import (
+        LakeSQL,
+        _infer_prune_ranges,
+    )
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    assert _infer_prune_ranges("a = 1 OR b = 2 AND c = 3") is None
+    assert _infer_prune_ranges("a = 1 AND b = 2 OR c = 3") is None
+    # parenthesized ORs are fine: the paren term is ignored, a = 1 holds
+    assert _infer_prune_ranges("a = 1 AND (b = 2 OR c = 3)") == {
+        "a": (1, 1)
+    }
+    # a literal containing the word BETWEEN must not be rewritten
+    assert _infer_prune_ranges("name = 'X BETWEEN 1 AND 2'") is None
+
+    # end-to-end: the disjunctive DELETE must remove EVERY matching
+    # row, including ones in files a naive inference would prune
+    root = str(tmp_path / "pt")
+    spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3 + 1).cast("int").alias("month"),
+    ).write.partitionBy("month").parquet(root)
+    t = VersionedTable.convert_from_parquet(root, partitioned_by=["month"])
+    lk = LakeSQL(spark)
+    lk.register("pt", t)
+    lk.sql("DELETE FROM pt WHERE k < 3 OR k >= 6 AND month = 2")
+    left = {(r["k"], r["month"]) for r in t.read(spark).collect()}
+    # k in {0,1,2} gone everywhere; k>=6 gone only in month 2
+    assert not {k for k, _m in left} & {0, 1, 2}
+    assert all(m != 2 or k < 6 for k, m in left)
+    assert (7, 2) not in left and (9, 1) in left
+
+
+def test_optimize_where_honors_target_size(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "pt")
+    spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("g")
+    ).repartition(4).write.partitionBy("g").parquet(root)
+    t = VersionedTable.convert_from_parquet(root, partitioned_by=["g"])
+    lk = LakeSQL(spark)
+    lk.register("pt", t)
+    n0 = len([f for f in t._manifest(0)["files"] if "g=0" in f])
+    assert n0 > 1
+    # a huge TARGET SIZE collapses the in-scope slice to ONE file
+    lk.sql("OPTIMIZE pt WHERE g = 0 TARGET SIZE 1024 MB")
+    latest = t._manifest(t.latest_version())["files"]
+    assert len([f for f in latest if "g=0" in f]) == 1
+    assert t.read(spark).count() == 40

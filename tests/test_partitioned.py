@@ -402,3 +402,18 @@ def test_derive_table_into_partitioned_silver(spark, adopted, tmp_path):
     assert silver.read(spark).count() == exp + 1  # + the seed row
     for f in silver._manifest(silver.latest_version())["files"]:
         assert set(_path_partitions(f)) == {"year", "month"}
+
+
+def test_partition_column_names_validated(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 2)], "k int, _p int")
+    with pytest.raises(ValueError, match="start with a letter"):
+        t.commit(df, mode="overwrite", partitioned_by=["_p"])
+
+
+def test_overwrite_to_empty_stays_readable(spark, adopted):
+    t = adopted
+    t.commit(t.read(spark).filter("k < 0"), mode="overwrite")
+    df = t.read(spark)
+    assert df.count() == 0
+    assert {"k", "v", "year", "month"} <= set(df.columns)
