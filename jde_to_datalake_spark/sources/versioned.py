@@ -1489,9 +1489,17 @@ class VersionedTable:
         read_files: list[str] | None = None,
         read_ranges: dict | None = None,
         partitioned_by: list[str] | None = None,
+        dv_files_add: list[str] | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
+
+        ``dv_files_add`` APPENDS deletion-vector sidecars to the
+        inherited DV set instead of replacing it wholesale
+        (``dv_files``) — the reconcilable form ``delete_where`` uses:
+        on a re-base the new base's DV state is inherited and the new
+        sidecars ride on top, so a DV-only delete commutes with
+        key-disjoint concurrent writers.
 
         ``expected_base`` is the snapshot-isolation guard for
         read-modify-write callers (``merge``/``compact``): pass the
@@ -1580,6 +1588,8 @@ class VersionedTable:
             raise ValueError("carry requires mode='overwrite'")
         if read_files is not None and carry is None:
             raise ValueError("read_files requires carry (a partial rewrite)")
+        if dv_files is not None and dv_files_add is not None:
+            raise ValueError("pass dv_files OR dv_files_add, not both")
         pinned = expected_base is not _UNSET
         if pinned:
             prev = expected_base
@@ -1660,6 +1670,7 @@ class VersionedTable:
                     constraints,
                     generated_columns,
                     partitioned_by,
+                    dv_files_add,
                 )
             except ConcurrentCommitError:
                 if not can_reconcile:
@@ -1857,6 +1868,7 @@ class VersionedTable:
         constraints: "dict | None",
         generated_columns: "dict | None",
         partitioned_by: "list[str] | None" = None,
+        dv_files_add: "list[str] | None" = None,
     ) -> int:
         """One publish attempt against base version ``prev`` — builds
         the manifest + delta record and atomically links it as
@@ -1969,6 +1981,11 @@ class VersionedTable:
                 dv_files = prev_manifest.get("dv_files", [])
             else:
                 dv_files = []
+            if dv_files_add:
+                have = set(dv_files)
+                dv_files = list(dv_files) + [
+                    d for d in dv_files_add if d not in have
+                ]
         # prune DV sidecars whose EVERY referenced data file has left
         # the manifest (a merge/compact rewrote them — the rewrite
         # materialized those deletes): their tombstones can no longer
@@ -2414,8 +2431,21 @@ class VersionedTable:
             mode="overwrite",
             expected_base=prev,
             carry=manifest["files"],
-            dv_files=manifest.get("dv_files", []) + live,
+            dv_files_add=live,
             annotations={"operation": "DELETE"},
+            # reconciliation read declaration: the matching scan read
+            # every candidate file; with prune_ranges the predicate is
+            # bounded (physical names — the stats key space), so a
+            # key-disjoint concurrent writer commutes with this delete
+            read_files=files,
+            read_ranges=(
+                {
+                    self._to_physical_name(c, prev): b
+                    for c, b in prune_ranges.items()
+                }
+                if prune_ranges
+                else None
+            ),
         )
 
     # -- row-level UPDATE ---------------------------------------------------

@@ -365,3 +365,47 @@ def test_scd2_commutes_with_disjoint_append(spark, tmp_path, monkeypatch):
     cur = {r["k"]: r["color"] for r in rows if r["is_current"]}
     assert cur == {1: "RED", 2: "blue", 99: "green"}
     assert sum(1 for r in rows if not r["is_current"]) == 1
+
+
+def test_delete_commutes_with_disjoint_append_and_merge(
+    spark, table, monkeypatch
+):
+    """A DV-only DELETE bounded by prune_ranges re-bases over a
+    key-disjoint concurrent writer: GDPR deletes don't block ingest."""
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.merge(spark, _kv(spark, [(95, -95)]), "k"),
+    )
+    v = table.delete_where(
+        spark, "k = 3", prune_ranges={"k": (3, 3)}
+    )
+    assert v == 2
+    got = dict(_rows(spark, table))
+    assert 3 not in got and got[95] == -95 and len(got) == 99
+
+
+def test_delete_without_ranges_conflicts_with_concurrent_add(
+    spark, table, monkeypatch
+):
+    """An unbounded DELETE predicate cannot prove concurrent inserts
+    are irrelevant — the race must surface, not silently skip the
+    newly added matching rows."""
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.commit(_kv(spark, [(777, 0)]), mode="append"),
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table.delete_where(spark, "v = 0")
+    # retries re-run against the fresh snapshot and delete BOTH rows
+    # with v=0 (the original k=0 and the interloper's k=777)
+    table.delete_where(spark, "v = 0", retries=1)
+    got = dict(_rows(spark, table))
+    assert 0 not in got and 777 not in got
