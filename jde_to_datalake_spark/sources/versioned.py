@@ -1623,6 +1623,7 @@ class VersionedTable:
             protected = my_removes | set(read_files or [])
             protected |= {os.path.basename(f) for f in protected}
         my_txn_apps = {str(a) for a, _v in _txn_pairs(txn)}
+        base0 = prev
         checked_to = prev
         for _attempt in range(1 + self.MAX_RECONCILE):
             latest = self.latest_version()
@@ -1655,6 +1656,15 @@ class VersionedTable:
                         for f in self._manifest(latest)["files"]
                         if f not in my_removes
                     ]
+                # audit trail: DESCRIBE HISTORY shows the commit was
+                # re-based over commuting concurrent writers
+                n_reconciled = latest - (
+                    base0 if base0 is not None else -1
+                )
+                annotations = {
+                    **(annotations or {}),
+                    "reconciled_over": int(n_reconciled),
+                }
             try:
                 return self._publish_once(
                     prev,

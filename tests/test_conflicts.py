@@ -409,3 +409,16 @@ def test_delete_without_ranges_conflicts_with_concurrent_add(
     table.delete_where(spark, "v = 0", retries=1)
     got = dict(_rows(spark, table))
     assert 0 not in got and 777 not in got
+
+
+def test_reconciled_commit_is_audited(spark, table, monkeypatch):
+    _clustered(spark, table)
+    other = VersionedTable(table.root)
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.merge(spark, _kv(spark, [(1, -1)]), "k"),
+    )
+    v = table.merge(spark, _kv(spark, [(95, 9500)]), "k")
+    rec = table._manifest(v)
+    assert rec.get("reconciled_over") == 1  # re-based over one commit

@@ -1620,11 +1620,16 @@ def test_ltz_timestamp_columns_get_stats_and_prune(spark, tmp_path):
     import datetime
 
     t = VersionedTable(str(tmp_path / "t"))
+    # four rows: the range partitioner's SAMPLING can put two rows in
+    # one partition (the empty part is then rightly dropped by
+    # stage()), so give each half two rows for a deterministic split
     t.commit(
         spark.createDataFrame(
             [
                 (datetime.datetime(2024, 1, 5, 10), 1),
+                (datetime.datetime(2024, 1, 6, 10), 1),
                 (datetime.datetime(2024, 6, 5, 10), 2),
+                (datetime.datetime(2024, 6, 6, 10), 2),
             ],
             "ts timestamp, k int",
         )
