@@ -679,6 +679,7 @@ class LakeSQL:
             json.dumps(d["dropped_columns"]),
             json.dumps(d["constraints"], sort_keys=True),
             json.dumps(d["generated_columns"], sort_keys=True),
+            json.dumps(d["partitioned_by"]),
         )
         return self.spark.createDataFrame(
             [row],
@@ -686,7 +687,8 @@ class LakeSQL:
             "committed_at double, n_files bigint, size_bytes bigint, "
             "n_rows bigint, n_dv_files bigint, n_tombstones bigint, "
             "column_renames string, dropped_columns string, "
-            "constraints string, generated_columns string",
+            "constraints string, generated_columns string, "
+            "partitioned_by string",
         )
 
     def _create(self, st: str) -> DataFrame:

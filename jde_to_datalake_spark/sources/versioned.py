@@ -713,6 +713,7 @@ class VersionedTable:
             "dropped_columns": list(m.get("dropped_columns", [])),
             "constraints": dict(m.get("constraints", {})),
             "generated_columns": dict(m.get("generated_columns", {})),
+            "partitioned_by": list(m.get("partitioned_by", [])),
         }
 
     @classmethod

@@ -417,3 +417,27 @@ def test_overwrite_to_empty_stays_readable(spark, adopted):
     df = t.read(spark)
     assert df.count() == 0
     assert {"k", "v", "year", "month"} <= set(df.columns)
+
+
+def test_catalyst_partition_filters_on_adopted_table(spark, adopted):
+    """Filters on the partition column surface as Catalyst
+    PartitionFilters (genuine partition pruning on the Spark plan),
+    while data-column filters still push down to the parquet scan."""
+    df = adopted.read(spark).filter(
+        (F.col("k") > 10) & (F.col("month") == 2)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "month" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert "PushedFilters" in plan and "GreaterThan(k,10" in plan
+
+
+def test_describe_detail_reports_partitioning(spark, adopted):
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+
+    assert adopted.detail()["partitioned_by"] == ["year", "month"]
+    lk = LakeSQL(spark)
+    lk.register("lake", adopted)
+    row = lk.sql("DESCRIBE DETAIL lake").collect()[0]
+    assert row["partitioned_by"] == '["year", "month"]'
