@@ -50,7 +50,8 @@ Spark's ``expr`` and may use any Spark SQL function):
   — adopt an existing plain-parquet directory metadata-only (Delta's
   CONVERT TO DELTA [PARTITIONED BY]; hive ``k=v`` layouts adopt with
   partition values recorded as file-skipping stats)
-- ``SHOW TABLES``
+- ``SHOW TABLES`` / ``SHOW PARTITIONS <t>`` (metadata-only — the
+  partition values come from the manifest's constant file stats)
 
 Every statement returns a DataFrame: SELECT/DESCRIBE return their
 relation; DML/maintenance return a one-row ``(version)`` frame (the
@@ -760,8 +761,34 @@ class LakeSQL:
         return self._version_df(t.latest_version())
 
     def _show(self, st: str) -> DataFrame:
+        pm = re.fullmatch(
+            rf"SHOW\s+PARTITIONS\s+({_IDENT})", st, re.IGNORECASE
+        )
+        if pm:
+            t = self._table(pm.group(1))
+            pby = t.partitioned_by()
+            if not pby:
+                raise ValueError(
+                    f"{pm.group(1)!r} is not a partitioned table"
+                )
+            # metadata-only: partition values are per-file constant
+            # min=max stats in the manifest — no file is opened
+            m = t._manifest(t.latest_version())
+            stats = m.get("stats", {})
+            seen = sorted(
+                {
+                    tuple(
+                        str(stats.get(f, {}).get(c, [None])[0])
+                        for c in pby
+                    )
+                    for f in m["files"]
+                }
+            )
+            return self.spark.createDataFrame(
+                seen, ", ".join(f"{c} string" for c in pby)
+            )
         if not re.fullmatch(r"SHOW\s+TABLES", st, re.IGNORECASE):
-            raise ValueError("expected: SHOW TABLES")
+            raise ValueError("expected: SHOW TABLES or SHOW PARTITIONS <t>")
         rows = [
             (
                 n,

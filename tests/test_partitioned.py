@@ -441,3 +441,51 @@ def test_describe_detail_reports_partitioning(spark, adopted):
     lk.register("lake", adopted)
     row = lk.sql("DESCRIBE DETAIL lake").collect()[0]
     assert row["partitioned_by"] == '["year", "month"]'
+
+
+def test_show_partitions(spark, adopted):
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+
+    lk = LakeSQL(spark)
+    lk.register("lake", adopted)
+    got = {
+        (r["year"], r["month"])
+        for r in lk.sql("SHOW PARTITIONS lake").collect()
+    }
+    assert got == {("2024", "1"), ("2024", "2"), ("2024", "3")}
+    t2 = VersionedTable(adopted.root + "_flat")
+    t2.commit(spark.createDataFrame([(1,)], "k int"), mode="overwrite")
+    lk.register("flat", t2)
+    with pytest.raises(ValueError, match="not a partitioned"):
+        lk.sql("SHOW PARTITIONS flat")
+
+
+def test_generated_partition_column_contract(spark, tmp_path):
+    """Partition columns and generated columns compose only in the
+    create-time order Delta also requires: the partition column must
+    ride every write from the first commit, and declaring it
+    GENERATED afterwards is rejected (existing files were never
+    validated against the expression)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.commit(
+        df.withColumn("bucket", F.expr("CAST(k % 4 AS INT)")),
+        mode="overwrite",
+        partitioned_by=["bucket"],
+    )
+    with pytest.raises(ValueError, match="already names a column"):
+        t.add_generated_column(spark, "bucket", "CAST(k % 4 AS INT)")
+    # writes carrying the derivative keep the layout and its stats
+    t.commit(
+        spark.createDataFrame(
+            [(100, 1, 0)], "k bigint, v bigint, bucket int"
+        ),
+        mode="append",
+    )
+    latest = t._manifest(t.latest_version())
+    new_f = set(latest["files"]) - set(t._manifest(0)["files"])
+    assert new_f and all("bucket=0" in f for f in new_f)
+    assert t.read(spark).count() == 41
+    assert len(t.files_for_ranges({"bucket": (2, 2)})) < len(latest["files"])
