@@ -422,3 +422,32 @@ def test_reconciled_commit_is_audited(spark, table, monkeypatch):
     v = table.merge(spark, _kv(spark, [(95, 9500)]), "k")
     rec = table._manifest(v)
     assert rec.get("reconciled_over") == 1  # re-based over one commit
+
+
+def test_disjoint_merges_commute_under_active_rename(
+    spark, table, monkeypatch
+):
+    """Reconciliation's read declarations are PHYSICAL-name ranges, so
+    disjoint merges still commute when the key column has been
+    renamed (footer stats keep the physical name underneath)."""
+    _clustered(spark, table)
+    table.rename_column("k", "key_id")
+    other = VersionedTable(table.root)
+
+    _race(
+        table,
+        monkeypatch,
+        lambda: other.merge(
+            spark,
+            spark.createDataFrame([(2, -2)], ["key_id", "v"]),
+            "key_id",
+        ),
+    )
+    v = table.merge(
+        spark,
+        spark.createDataFrame([(97, 9700)], ["key_id", "v"]),
+        "key_id",
+    )
+    assert v == 3  # v0 data, v1 rename, v2 interloper, v3 re-based
+    got = {r["key_id"]: r["v"] for r in table.read(spark).collect()}
+    assert got[2] == -2 and got[97] == 9700 and len(got) == 100
