@@ -451,3 +451,24 @@ def test_disjoint_merges_commute_under_active_rename(
     assert v == 3  # v0 data, v1 rename, v2 interloper, v3 re-based
     got = {r["key_id"]: r["v"] for r in table.read(spark).collect()}
     assert got[2] == -2 and got[97] == 9700 and len(got) == 100
+
+
+def test_reconcile_budget_exhaustion_raises(spark, table, monkeypatch):
+    """A writer losing EVERY re-based race (pathological contention)
+    fails with the budget message instead of looping forever."""
+    table.commit(_kv(spark, [(1, "a")]), mode="overwrite")
+    other = VersionedTable(table.root)
+    real_once = table._publish_once
+    n = {"i": 0}
+
+    def always_raced(*a, **kw):
+        n["i"] += 1
+        other.commit(_kv(spark, [(100 + n["i"], "x")]), mode="append")
+        return real_once(*a, **kw)
+
+    monkeypatch.setattr(table, "_publish_once", always_raced)
+    with pytest.raises(ConcurrentCommitError, match="reconciliation"):
+        table.commit(_kv(spark, [(2, "b")]), mode="append")
+    # the interlopers' commits all survived; ours never landed
+    vals = sorted(r.v for r in table.read(spark).collect())
+    assert "b" not in vals and vals.count("x") == n["i"]
