@@ -1620,6 +1620,9 @@ def test_ltz_timestamp_columns_get_stats_and_prune(spark, tmp_path):
     import datetime
 
     t = VersionedTable(str(tmp_path / "t"))
+    ts_conf_before = spark.conf.get(
+        "spark.sql.parquet.outputTimestampType", None
+    )
     # four rows: the range partitioner's SAMPLING can put two rows in
     # one partition (the empty part is then rightly dropped by
     # stage()), so give each half two rows for a deterministic split
@@ -1650,7 +1653,11 @@ def test_ltz_timestamp_columns_get_stats_and_prune(spark, tmp_path):
         ).collect()
     }
     assert got == {1}
-    # staging restored the session's timestamp encoding conf
+    # staging restored the session's timestamp encoding conf to
+    # whatever THIS test observed before its commit (comparing against
+    # a literal INT96 races any background streaming writer that is
+    # mid-stage on the shared session)
     assert (
-        spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96"
+        spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        == ts_conf_before
     )
