@@ -153,13 +153,44 @@ def _alias_rewrite(expr: str, mapping: "dict[str, str]") -> str:
 def _literal_value(tok: str):
     """Parse a SQL literal token to the python value footer stats
     store: numbers, quoted strings, DATE/TIMESTAMP 'iso' (stats keep
-    temporals as ISO strings). None = not a recognizable literal."""
+    temporals as CANONICAL ``isoformat()`` strings — 'T' separator,
+    aware values normalized to naive UTC). None = not a recognizable
+    literal.
+
+    DATE/TIMESTAMP bodies are therefore re-rendered through
+    ``datetime.fromisoformat`` rather than kept raw: the SQL-standard
+    space separator ("2024-06-30 23:59:59") sorts BEFORE the stats'
+    'T' separator, so a raw body would wrongly prune files whose min
+    timestamp shares the bound's date. An untagged quoted string that
+    itself looks like a space-separated datetime is AMBIGUOUS (string
+    column stats store it verbatim; timestamp stats store the 'T'
+    form) — return None so the caller scans rather than mis-prunes.
+    """
+    import datetime as _dt
+
     tok = tok.strip()
-    m = re.fullmatch(
-        r"(?:DATE|TIMESTAMP)?\s*'([^']*)'", tok, re.IGNORECASE
-    )
+    m = re.fullmatch(r"(DATE|TIMESTAMP)\s*'([^']*)'", tok, re.IGNORECASE)
     if m:
-        return m.group(1)
+        tag, body = m.group(1).upper(), m.group(2).strip()
+        try:
+            if tag == "DATE":
+                return _dt.date.fromisoformat(body).isoformat()
+            v = _dt.datetime.fromisoformat(body)
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+        except ValueError:
+            return None  # unparseable temporal: no usable bound
+    m = re.fullmatch(r"'([^']*)'", tok)
+    if m:
+        body = m.group(1)
+        if " " in body:
+            try:
+                _dt.datetime.fromisoformat(body)
+                return None  # datetime-looking untagged string: ambiguous
+            except ValueError:
+                pass
+        return body
     try:
         return int(tok)
     except ValueError:
@@ -210,13 +241,22 @@ def _infer_prune_ranges(pred: str) -> "dict | None":
         terms.append(rest[:i])
         rest = rest[i + 3:]
     ranges: dict = {}
+    poisoned = [False]
 
     def _fold(col: str, lo, hi):
         cur_lo, cur_hi = ranges.get(col, (None, None))
-        if lo is not None:
-            cur_lo = lo if cur_lo is None else max(cur_lo, lo)
-        if hi is not None:
-            cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+        try:
+            if lo is not None:
+                cur_lo = lo if cur_lo is None else max(cur_lo, lo)
+            if hi is not None:
+                cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+        except TypeError:
+            # two conjuncts bound the same column with incomparable
+            # literal types (k > 5 AND k > '9'): no sound fold exists —
+            # return no ranges so the caller scans all candidates
+            # instead of crashing the statement
+            poisoned[0] = True
+            return
         ranges[col] = (cur_lo, cur_hi)
 
     lit = r"(?:DATE\s*'[^']*'|TIMESTAMP\s*'[^']*'|'[^']*'|-?[0-9.]+)"
@@ -244,6 +284,8 @@ def _infer_prune_ranges(pred: str) -> "dict | None":
             _fold(col, v, None)
         else:
             _fold(col, None, v)
+    if poisoned[0]:
+        return None
     return ranges or None
 
 
@@ -306,8 +348,23 @@ class LakeSQL:
             [(None if version is None else int(version),)], "version bigint"
         )
 
-    def _refresh_views(self) -> None:
+    def _refresh_views(self, statement: "str | None" = None) -> None:
+        """(Re-)register the temp views a statement needs.
+
+        With a statement given, only tables whose name appears as a
+        word token in it are refreshed — rebuilding EVERY registered
+        table's view per SELECT is O(registered tables) per query
+        (a manifest reconstruction + temp-view swap each), wasteful at
+        hundreds of tables. The token scan over-approximates (a name
+        inside a string literal counts), which only costs a spare
+        refresh, never a stale read."""
+        if statement is None:
+            refs = None
+        else:
+            refs = set(re.findall(rf"\b{_IDENT}\b", statement))
         for name, t in self.tables.items():
+            if refs is not None and name not in refs:
+                continue
             if t.latest_version() is not None:
                 t.read(self.spark, merge_schema=True).createOrReplaceTempView(
                     name
@@ -347,7 +404,10 @@ class LakeSQL:
             return f"{kw} {view}"
 
         rewritten = pat.sub(_sub, st)
-        self._refresh_views()
+        # scan the ORIGINAL statement: a time-traveled reference was
+        # just materialized above, but the same table may also appear
+        # at latest elsewhere in the query
+        self._refresh_views(st)
         return self.spark.sql(rewritten)
 
     def _update(self, st: str) -> DataFrame:
@@ -412,7 +472,7 @@ class LakeSQL:
                 "(VALUES lists are not supported)"
             )
         t = self._table(m.group(1))
-        self._refresh_views()
+        self._refresh_views(m.group(2))
         # one computation for the castability probe AND the write: a
         # nondeterministic SELECT must not pass validation on one
         # sample and insert another, and a deterministic one should
@@ -503,7 +563,7 @@ class LakeSQL:
                 if depth == 0:
                     break
             src_sql, rest = rest[1:i], rest[i + 1:].strip()
-            self._refresh_views()
+            self._refresh_views(src_sql)
             source = self.spark.sql(src_sql)
         else:
             sm = re.match(rf"({_IDENT})", rest)
@@ -727,7 +787,7 @@ class LakeSQL:
                     "clobber it; register it with CREATE TABLE (no AS) "
                     "or pick a new location"
                 )
-            self._refresh_views()
+            self._refresh_views(query)
             t.commit(
                 self.spark.sql(query), mode="overwrite", partitioned_by=pby
             )
@@ -775,14 +835,18 @@ class LakeSQL:
             # min=max stats in the manifest — no file is opened
             m = t._manifest(t.latest_version())
             stats = m.get("stats", {})
+            # a file with no recorded stat for a partition column is a
+            # NULL partition (or the flat schema-carrying part kept by
+            # overwrite-to-empty): render it the way Delta/Hive do,
+            # not as the Python literal 'None'
+            def _pv(f, c):
+                v = stats.get(f, {}).get(c, [None])[0]
+                return (
+                    "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+                )
+
             seen = sorted(
-                {
-                    tuple(
-                        str(stats.get(f, {}).get(c, [None])[0])
-                        for c in pby
-                    )
-                    for f in m["files"]
-                }
+                {tuple(_pv(f, c) for c in pby) for f in m["files"]}
             )
             return self.spark.createDataFrame(
                 seen, ", ".join(f"{c} string" for c in pby)

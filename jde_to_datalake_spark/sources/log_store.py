@@ -1,0 +1,220 @@
+"""Commit-log storage seam — the five primitives the transaction
+protocol needs, behind one interface.
+
+Everything the versioned lake guarantees (optimistic concurrency,
+conflict reconciliation, time travel, vacuum) reduces to FIVE
+operations on immutable commit records keyed by version:
+
+- ``put_if_absent(version, record)`` — the ONE atomic primitive the
+  whole protocol rests on: publish a record if and only if no record
+  exists at that version, failing with :class:`LogConflict` otherwise
+  (the optimistic-concurrency loser detection).
+- ``read(version)`` — one record's JSON (``FileNotFoundError`` when
+  vacuumed/absent; callers surface that as a retryable conflict).
+- ``list_versions()`` — the retained version numbers.
+- ``replace(version, record)`` — atomic in-place overwrite; used ONLY
+  by vacuum's checkpoint augmentation (adds derived state to the
+  oldest retained record — never changes a record's meaning).
+- ``delete(version)`` — vacuum trimming history.
+
+``VersionedTable`` routes ALL log I/O through an injected store
+(default :class:`PosixLogStore`), so the commit protocol's guarantees
+are exactly the store's guarantees — nothing above this seam touches
+``os``.
+
+Object-store mapping (how the same contract deploys off POSIX — see
+SCALE.md "Object-store commits"):
+
+- **S3 (2024+ conditional writes)**: ``put_if_absent`` = ``PutObject``
+  with ``If-None-Match: *`` (fails 412 when the key exists);
+  ``replace`` = plain ``PutObject`` (S3 PUTs are atomic — readers see
+  old or new, never torn); ``read``/``list_versions``/``delete`` =
+  ``GetObject``/``ListObjectsV2`` (prefix ``_log/``)/``DeleteObject``.
+- **GCS**: ``put_if_absent`` = ``x-goog-if-generation-match: 0``;
+  rest as above.
+- **ABFS**: real rename — Delta's own HDFS/ABFS LogStore recipe
+  (write temp, atomic rename-without-overwrite) works verbatim.
+- **S3 without conditional writes** (legacy): an external
+  coordinator issues the uniqueness guarantee — DynamoDB
+  ``PutItem`` with ``attribute_not_exists(version)`` as the
+  ``put_if_absent``, the object body written after winning (Delta's
+  S3DynamoDBLogStore). The interface is unchanged; only the impl is.
+
+The reference keeps its lake on S3 (s3_helper.py:29-75) with no
+transaction log at all; this seam is what makes the engine's commit
+protocol deployable there.
+
+:class:`InMemoryLogStore` exists to PROVE the seam: the full
+concurrency test matrix (tests/test_conflicts.py) runs against it,
+demonstrating the conflict tier has no hidden dependence on POSIX
+semantics (hard links, rename atomicity, directory listing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+
+
+class LogConflict(Exception):
+    """A record already exists at the target version — the caller
+    lost the optimistic-concurrency race."""
+
+
+class LogStore:
+    """Interface. Implementations must make ``put_if_absent`` atomic
+    and ``replace`` reader-atomic (a concurrent ``read`` sees the old
+    record or the new one, never a torn byte sequence)."""
+
+    def list_versions(self) -> "list[int]":
+        raise NotImplementedError
+
+    def read(self, version: int) -> dict:
+        raise NotImplementedError
+
+    def put_if_absent(self, version: int, record: dict) -> None:
+        raise NotImplementedError
+
+    def replace(self, version: int, record: dict) -> None:
+        raise NotImplementedError
+
+    def delete(self, version: int) -> None:
+        raise NotImplementedError
+
+    def clean_stale(self, cutoff_epoch: float) -> None:
+        """Reclaim implementation-private debris left by crashed
+        publishes (e.g. POSIX temp files) older than ``cutoff_epoch``.
+        No-op where the implementation leaves none."""
+
+
+def _record_name(version: int) -> str:
+    return f"{version:011d}.json"
+
+
+class PosixLogStore(LogStore):
+    """Local-filesystem store: records are ``_log/<v>.json`` under the
+    table root. ``put_if_absent`` = write a fully-formed temp file,
+    then ``os.link`` it into place — link is atomic AND fails with
+    ``FileExistsError`` when the target exists, which is exactly the
+    loser detection; a reader can never observe a half-written record,
+    and a writer crash leaves only a temp file (reclaimed by
+    ``clean_stale`` via vacuum). ``replace`` = temp + ``os.replace``
+    (atomic on POSIX)."""
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "_log")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.dir, _record_name(version))
+
+    def list_versions(self) -> "list[int]":
+        out = []
+        for f in os.listdir(self.dir):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read(self, version: int) -> dict:
+        with open(self._path(version)) as fh:
+            return json.load(fh)
+
+    def _write_tmp(self, record: dict) -> str:
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        return tmp
+
+    def put_if_absent(self, version: int, record: dict) -> None:
+        tmp = self._write_tmp(record)
+        try:
+            os.link(tmp, self._path(version))
+        except FileExistsError:
+            raise LogConflict(str(version)) from None
+        finally:
+            os.remove(tmp)
+
+    def replace(self, version: int, record: dict) -> None:
+        tmp = self._write_tmp(record)
+        os.replace(tmp, self._path(version))
+
+    def delete(self, version: int) -> None:
+        os.remove(self._path(version))
+
+    def clean_stale(self, cutoff_epoch: float) -> None:
+        for f in os.listdir(self.dir):
+            if f.startswith("_tmp-"):
+                p = os.path.join(self.dir, f)
+                if os.path.getmtime(p) <= cutoff_epoch:
+                    os.remove(p)
+
+
+class InMemoryLogStore(LogStore):
+    """Process-local store used to PROVE the seam (and handy for
+    tests): records live in a class-level registry keyed by the
+    table's absolute root, so every ``VersionedTable`` instance —
+    and every thread — pointed at the same root shares one log, the
+    same visibility model an object store gives separate writers.
+
+    Records are stored as SERIALIZED JSON: ``put`` round-trips through
+    ``json.dumps`` so a record that would not survive the wire fails
+    here exactly as it would on POSIX/S3, and ``read`` hands back a
+    fresh deserialization (no aliasing mutable state into callers).
+    All operations take one lock — the uniqueness guarantee of
+    ``put_if_absent`` is the lock, standing in for S3's
+    ``If-None-Match`` / DynamoDB's conditional put."""
+
+    _registry: "dict[str, dict[int, str]]" = {}
+    _lock = threading.Lock()
+
+    def __init__(self, root: str):
+        self.key = os.path.abspath(root)
+        with self._lock:
+            self._registry.setdefault(self.key, {})
+
+    def _log(self) -> "dict[int, str]":
+        return self._registry[self.key]
+
+    def list_versions(self) -> "list[int]":
+        with self._lock:
+            return sorted(self._log())
+
+    def read(self, version: int) -> dict:
+        with self._lock:
+            try:
+                raw = self._log()[version]
+            except KeyError:
+                raise FileNotFoundError(
+                    f"in-memory log {self.key}: no record {version}"
+                ) from None
+        return json.loads(raw)
+
+    def put_if_absent(self, version: int, record: dict) -> None:
+        raw = json.dumps(record)
+        with self._lock:
+            if version in self._log():
+                raise LogConflict(str(version))
+            self._log()[version] = raw
+
+    def replace(self, version: int, record: dict) -> None:
+        raw = json.dumps(record)
+        with self._lock:
+            self._log()[version] = raw
+
+    def delete(self, version: int) -> None:
+        with self._lock:
+            self._log().pop(version, None)
+
+    @classmethod
+    def reset(cls, root: "str | None" = None) -> None:
+        """Drop one root's log (or all) — test isolation."""
+        with cls._lock:
+            if root is None:
+                cls._registry.clear()
+            else:
+                cls._registry.pop(os.path.abspath(root), None)

@@ -72,6 +72,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jde_to_datalake_spark.sources.log_store import (
+    LogConflict,
+    LogStore,
+    PosixLogStore,
+)
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first (optimistic loser)."""
@@ -348,7 +354,12 @@ class VersionedTable:
     #: work under pathological contention, not normal operation
     MAX_RECONCILE: int = 5
 
-    def __init__(self, root: str, txn_retention_seconds: float | None = None):
+    def __init__(
+        self,
+        root: str,
+        txn_retention_seconds: float | None = None,
+        log_store: "LogStore | None" = None,
+    ):
         self.root = root
         self.txn_retention_seconds = (
             self.TXN_RETENTION_SECONDS
@@ -356,18 +367,18 @@ class VersionedTable:
             else txn_retention_seconds
         )
         self._manifest_cache: "dict[int, dict]" = {}
-        os.makedirs(_log_dir(root), exist_ok=True)
+        # ALL commit-log I/O goes through this seam (log_store.py):
+        # the transaction protocol's guarantees are exactly the
+        # store's put-if-absent/replace atomicity, so swapping the
+        # POSIX default for an object-store impl changes no logic
+        # above this line
+        self.log: LogStore = (
+            PosixLogStore(root) if log_store is None else log_store
+        )
 
     # -- log ------------------------------------------------------------
     def versions(self) -> list[int]:
-        out = []
-        for f in os.listdir(_log_dir(self.root)):
-            if f.endswith(".json"):
-                try:
-                    out.append(int(f[:-5]))
-                except ValueError:
-                    continue
-        return sorted(out)
+        return self.log.list_versions()
 
     def _walk_parquet(self) -> list[str]:
         """Every ``.parquet`` relpath under the table root, including
@@ -440,8 +451,7 @@ class VersionedTable:
     def _read_record(self, version: int) -> dict:
         """One commit record's raw JSON (a delta, optionally carrying a
         checkpoint; legacy pre-delta manifests read as full states)."""
-        with open(_manifest_path(self.root, version)) as fh:
-            return json.load(fh)
+        return self.log.read(version)
 
     def _cache_state(self, version: int, state: dict) -> None:
         if len(self._manifest_cache) >= self.MANIFEST_CACHE_SIZE:
@@ -722,6 +732,7 @@ class VersionedTable:
         root: str,
         txn_retention_seconds: "float | None" = None,
         partitioned_by: "list[str] | None" = None,
+        log_store: "LogStore | None" = None,
     ) -> "VersionedTable":
         """Delta's CONVERT TO DELTA: adopt an existing directory of
         plain parquet files as version 0 of a versioned table WITHOUT
@@ -750,7 +761,11 @@ class VersionedTable:
         rows by file basename). A directory that is already a
         versioned table is rejected rather than double-initialized.
         """
-        t = cls(root, txn_retention_seconds=txn_retention_seconds)
+        t = cls(
+            root,
+            txn_retention_seconds=txn_retention_seconds,
+            log_store=log_store,
+        )
         if t.latest_version() is not None:
             raise ValueError(
                 f"{root}: already a versioned table "
@@ -2162,23 +2177,17 @@ class VersionedTable:
             or not dv_order_ok
         ):
             record["checkpoint"] = manifest
-        # Reader-atomic publish: the record is fully written to a temp
-        # name first, then os.link'd into place — link is atomic AND
-        # fails with FileExistsError when the target exists, which
-        # keeps the optimistic-concurrency loser detection. A reader
-        # can never observe a half-written record, and a writer crash
-        # leaves only a temp file (cleaned by vacuum).
-        tmp = os.path.join(_log_dir(self.root), f"_tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(record, fh)
+        # Reader-atomic publish through the LogStore seam: whatever
+        # the store's put-if-absent primitive is (POSIX hard link, S3
+        # If-None-Match, DynamoDB conditional put), failure means
+        # another writer owns this version — the optimistic-
+        # concurrency loser detection the reconcile loop rests on.
         try:
-            os.link(tmp, _manifest_path(self.root, version))
-        except FileExistsError:
+            self.log.put_if_absent(version, record)
+        except LogConflict:
             raise ConcurrentCommitError(
                 f"version {version} was committed by another writer"
             ) from None
-        finally:
-            os.remove(tmp)
         self._cache_state(version, manifest)
         return version
 
@@ -4168,12 +4177,7 @@ class VersionedTable:
             rec = self._read_record(oldest)
             if "files" not in rec and "checkpoint" not in rec:
                 rec["checkpoint"] = self._manifest(oldest)
-                tmp = os.path.join(
-                    _log_dir(self.root), f"_tmp-{uuid.uuid4().hex}"
-                )
-                with open(tmp, "w") as fh:
-                    json.dump(rec, fh)
-                os.replace(tmp, _manifest_path(self.root, oldest))
+                self.log.replace(oldest, rec)
         # vacuum is the ONE operation that deletes manifests — drop the
         # state cache so vacuumed versions fail loudly at the record
         # read, not at a ghost file scan
@@ -4181,7 +4185,7 @@ class VersionedTable:
         cutoff = time.time() - retention_seconds
         removed = []
         for v in vs[:-keep_last]:
-            os.remove(_manifest_path(self.root, v))
+            self.log.delete(v)
         for f in self._walk_parquet():
             p = os.path.join(self.root, f)
             if f not in referenced and os.path.getmtime(p) <= cutoff:
@@ -4198,11 +4202,7 @@ class VersionedTable:
                         d = os.path.dirname(d)
                 except OSError:
                     pass
-        for f in os.listdir(_log_dir(self.root)):
-            if f.startswith("_tmp-"):
-                p = os.path.join(_log_dir(self.root), f)
-                if os.path.getmtime(p) <= cutoff:
-                    os.remove(p)
+        self.log.clean_stale(cutoff)
         return removed
 
 

@@ -18,15 +18,36 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from jde_to_datalake_spark.sources.log_store import InMemoryLogStore
 from jde_to_datalake_spark.sources.versioned import (
     ConcurrentCommitError,
     VersionedTable,
 )
 
 
+@pytest.fixture(params=["posix", "memory"])
+def make_table(request, tmp_path):
+    """Factory building writers on a shared root, parametrized over
+    the LogStore: the SAME conflict matrix runs against the POSIX
+    store and the injected in-memory one, proving the reconciliation
+    tier depends only on the seam's put-if-absent/read contract —
+    no hidden reliance on hard links, rename atomicity, or directory
+    listing (the object-store portability claim, log_store.py)."""
+
+    def make(root=None):
+        r = str(root if root is not None else tmp_path / "tbl")
+        if request.param == "memory":
+            return VersionedTable(r, log_store=InMemoryLogStore(r))
+        return VersionedTable(r)
+
+    yield make
+    if request.param == "memory":
+        InMemoryLogStore.reset()
+
+
 @pytest.fixture()
-def table(tmp_path):
-    return VersionedTable(str(tmp_path / "tbl"))
+def table(make_table):
+    return make_table()
 
 
 def _kv(spark, pairs):
@@ -71,9 +92,9 @@ def _race(table, monkeypatch, interloper):
 # -- blind appends ----------------------------------------------------------
 
 
-def test_concurrent_blind_appends_both_commit(spark, table, monkeypatch):
+def test_concurrent_blind_appends_both_commit(spark, table, monkeypatch, make_table):
     table.commit(_kv(spark, [(1, "a")]), mode="overwrite")
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(table, monkeypatch,
           lambda: other.commit(_kv(spark, [(2, "b")]), mode="append"))
@@ -83,9 +104,9 @@ def test_concurrent_blind_appends_both_commit(spark, table, monkeypatch):
     assert _rows(spark, table) == [(1, "a"), (2, "b"), (3, "c")]
 
 
-def test_blind_append_commutes_with_merge(spark, table, monkeypatch):
+def test_blind_append_commutes_with_merge(spark, table, monkeypatch, make_table):
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(
         table,
@@ -99,12 +120,12 @@ def test_blind_append_commutes_with_merge(spark, table, monkeypatch):
 
 
 def test_blind_append_conflicts_with_concurrent_constraint(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     # the staged rows were validated under the OLD rules: a concurrent
     # ADD CONSTRAINT must fail the append, not silently bypass it
     table.commit(_kv(spark, [(1, "a")]), mode="overwrite")
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(
         table,
@@ -119,10 +140,10 @@ def test_blind_append_conflicts_with_concurrent_constraint(
 
 
 def test_disjoint_merges_commute_with_one_execution_each(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     # count executions of the loser's merge via its stage() calls
     # (every merge execution stages exactly once before publishing)
@@ -156,10 +177,10 @@ def test_disjoint_merges_commute_with_one_execution_each(
 
 
 def test_overlapping_merges_conflict_and_retry_reruns(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     fired = _race(
         table,
@@ -182,10 +203,10 @@ def test_overlapping_merges_conflict_and_retry_reruns(
 
 
 def test_merge_conflicts_with_concurrent_delete_of_read_files(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     # interloper tombstones rows in the same key region the merge read
     _race(
@@ -198,10 +219,10 @@ def test_merge_conflicts_with_concurrent_delete_of_read_files(
 
 
 def test_merge_commutes_with_optimize_of_untouched_files(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
     m = table._manifest(table.latest_version())
     # compact only the files NOT holding keys 90-94
     low_files = table.files_for_ranges({"k": (0, 49)}, table.latest_version())
@@ -222,10 +243,10 @@ def test_merge_commutes_with_optimize_of_untouched_files(
 
 
 def test_compaction_commutes_with_concurrent_append(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(
         table,
@@ -241,10 +262,10 @@ def test_compaction_commutes_with_concurrent_append(
 
 
 def test_same_txn_app_stamped_concurrently_conflicts(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     table.commit(_kv(spark, [(1, "a")]), mode="overwrite")
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(
         table,
@@ -258,12 +279,12 @@ def test_same_txn_app_stamped_concurrently_conflicts(
 
 
 def test_reconciled_merge_inherits_interloper_dv_state(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     """An interloper's deletion vectors aimed at files the loser never
     read must survive the loser's re-based publish."""
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(
         table,
@@ -277,7 +298,7 @@ def test_reconciled_merge_inherits_interloper_dv_state(
     assert len(got) == 99
 
 
-def test_threaded_disjoint_writers_never_lose_an_update(spark, table):
+def test_threaded_disjoint_writers_never_lose_an_update(spark, table, make_table):
     """Two REAL concurrent writer threads hammer disjoint key ranges
     of one clustered table (plus a third appending). With retries as
     the overlap fallback, every update must land exactly once — the
@@ -289,7 +310,7 @@ def test_threaded_disjoint_writers_never_lose_an_update(spark, table):
 
     def writer(lo: int, hi: int, mark: int):
         try:
-            t = VersionedTable(table.root)
+            t = make_table(table.root)
             for i in range(4):
                 batch = _kv(
                     spark,
@@ -301,7 +322,7 @@ def test_threaded_disjoint_writers_never_lose_an_update(spark, table):
 
     def appender():
         try:
-            t = VersionedTable(table.root)
+            t = make_table(table.root)
             for i in range(3):
                 t.commit(
                     _kv(spark, [(10_000 + i, -1)]), mode="append"
@@ -334,17 +355,17 @@ def test_threaded_disjoint_writers_never_lose_an_update(spark, table):
     assert vs == list(range(vs[-1] + 1))
 
 
-def test_scd2_commutes_with_disjoint_append(spark, tmp_path, monkeypatch):
+def test_scd2_commutes_with_disjoint_append(spark, tmp_path, monkeypatch, make_table):
     """SCD2 declares its batch-key envelope, so a concurrent append of
     unrelated keys re-bases instead of failing the dimension update."""
     from jde_to_datalake_spark.sources.scd import apply_scd2
 
-    dim = VersionedTable(str(tmp_path / "dim"))
+    dim = make_table(str(tmp_path / "dim"))
     b1 = spark.createDataFrame(
         [(1, "red", 100), (2, "blue", 100)], ["k", "color", "ts"]
     )
     apply_scd2(spark, dim, b1, "k", ["color"], "ts")
-    other = VersionedTable(dim.root)
+    other = make_table(dim.root)
 
     _race(
         dim,
@@ -368,12 +389,12 @@ def test_scd2_commutes_with_disjoint_append(spark, tmp_path, monkeypatch):
 
 
 def test_delete_commutes_with_disjoint_append_and_merge(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     """A DV-only DELETE bounded by prune_ranges re-bases over a
     key-disjoint concurrent writer: GDPR deletes don't block ingest."""
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(
         table,
@@ -389,13 +410,13 @@ def test_delete_commutes_with_disjoint_append_and_merge(
 
 
 def test_delete_without_ranges_conflicts_with_concurrent_add(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     """An unbounded DELETE predicate cannot prove concurrent inserts
     are irrelevant — the race must surface, not silently skip the
     newly added matching rows."""
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(
         table,
@@ -411,9 +432,9 @@ def test_delete_without_ranges_conflicts_with_concurrent_add(
     assert 0 not in got and 777 not in got
 
 
-def test_reconciled_commit_is_audited(spark, table, monkeypatch):
+def test_reconciled_commit_is_audited(spark, table, monkeypatch, make_table):
     _clustered(spark, table)
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
     _race(
         table,
         monkeypatch,
@@ -425,14 +446,14 @@ def test_reconciled_commit_is_audited(spark, table, monkeypatch):
 
 
 def test_disjoint_merges_commute_under_active_rename(
-    spark, table, monkeypatch
+    spark, table, monkeypatch, make_table
 ):
     """Reconciliation's read declarations are PHYSICAL-name ranges, so
     disjoint merges still commute when the key column has been
     renamed (footer stats keep the physical name underneath)."""
     _clustered(spark, table)
     table.rename_column("k", "key_id")
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
 
     _race(
         table,
@@ -453,11 +474,11 @@ def test_disjoint_merges_commute_under_active_rename(
     assert got[2] == -2 and got[97] == 9700 and len(got) == 100
 
 
-def test_reconcile_budget_exhaustion_raises(spark, table, monkeypatch):
+def test_reconcile_budget_exhaustion_raises(spark, table, monkeypatch, make_table):
     """A writer losing EVERY re-based race (pathological contention)
     fails with the budget message instead of looping forever."""
     table.commit(_kv(spark, [(1, "a")]), mode="overwrite")
-    other = VersionedTable(table.root)
+    other = make_table(table.root)
     real_once = table._publish_once
     n = {"i": 0}
 
