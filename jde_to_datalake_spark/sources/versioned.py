@@ -228,6 +228,38 @@ def _path_partitions(relpath: str) -> dict:
     return out
 
 
+def _widest_partition_ddl(values) -> str:
+    """Widest Spark DDL type covering every parsed hive partition
+    value in ``values`` — the PINNED type recorded in the manifest so
+    batch reads, the Arrow stream reader, and CDF all surface the
+    SAME schema (Spark's per-read inference and a path-value sniff
+    can otherwise disagree: int vs bigint, date vs string). Mirrors
+    Spark's partition-column inference lattice: int (fits 32-bit) →
+    bigint → double → date (all ISO dates) → string; all-NULL columns
+    pin string (Spark's own fallback for undecidable columns)."""
+    non_null = [v for v in values if v is not None]
+    if not non_null:
+        return "string"
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in non_null):
+        if all(-(2**31) <= v < 2**31 for v in non_null):
+            return "int"
+        return "bigint"
+    if all(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for v in non_null
+    ):
+        return "double"
+    if all(isinstance(v, str) for v in non_null):
+        try:
+            for v in non_null:
+                _dt.date.fromisoformat(v)
+            return "date"
+        except ValueError:
+            pass
+        return "string"
+    return "string"
+
+
 def _stat_probe_value(v):
     """Normalize a skipping probe bound/value to the form footer
     stats are stored in: DATE/TIMESTAMP become canonical ISO-8601
@@ -536,8 +568,15 @@ class VersionedTable:
             if "set_partitioned_by" in rec
             else prev.get("partitioned_by")
         )
+        pt = (
+            rec["set_partition_types"]
+            if "set_partition_types" in rec
+            else prev.get("partition_types")
+        )
         if pb:
             state["partitioned_by"] = list(pb)
+            if pt:
+                state["partition_types"] = dict(pt)
         if cr:
             state["column_renames"] = dict(cr)
         if dc:
@@ -868,6 +907,78 @@ class VersionedTable:
         if self.partitioned_by(version):
             reader = reader.option("basePath", self.root)
         return reader
+
+    def partition_types(self, version: int | None = None) -> dict:
+        """Pinned ``{partition column: Spark DDL type}`` — recorded in
+        the manifest at the commit that establishes the layout (from
+        the written frame's schema, or from a path-value scan at
+        CONVERT adoption) and inherited by every later commit, so
+        EVERY read surface (batch basePath scan, Arrow stream reader,
+        CDF, SHOW PARTITIONS consumers) speaks one schema instead of
+        each re-inferring its own (int vs bigint drift). Legacy
+        manifests written before pinning derive the types on demand
+        from the manifest's own file paths — deterministic for a
+        given version, and re-recorded by the next publish."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return {}
+        m = self._manifest(version)
+        pby = m.get("partitioned_by", [])
+        if not pby:
+            return {}
+        pt = m.get("partition_types")
+        if pt:
+            return dict(pt)
+        return self._derive_partition_types(m["files"], pby)
+
+    @staticmethod
+    def _derive_partition_types(files, pby) -> dict:
+        vals: dict = {c: [] for c in pby}
+        for f in files:
+            p = _path_partitions(f)
+            for c in pby:
+                vals[c].append(p.get(c))
+        return {c: _widest_partition_ddl(vs) for c, vs in vals.items()}
+
+    def _cast_partition_types(
+        self, df: DataFrame, version: int | None = None
+    ) -> DataFrame:
+        """Align a basePath scan's inferred partition columns to the
+        manifest's pinned types (a cheap Project, only when a column's
+        inferred type differs). ANSI cast on purpose: a partition
+        value the pinned type cannot represent is corruption and must
+        surface, not silently null out."""
+        pt = self.partition_types(version)
+        if not pt:
+            return df
+        cur = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if all(cur.get(c) in (None, t) for c, t in pt.items()):
+            return df
+        return df.select(
+            *[
+                F.col(c).cast(pt[c]).alias(c)
+                if c in pt and cur[c] != pt[c]
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def _scan_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        merge_schema: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """The one PHYSICAL file-scan shape every read path uses:
+        manifest-listed parquet paths through ``_data_reader``
+        (mergeSchema / basePath), partition columns cast to their
+        pinned types."""
+        df = self._data_reader(spark, merge_schema, version).parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+        return self._cast_partition_types(df, version)
 
     # -- write ----------------------------------------------------------
     # -- column mapping (rename/drop without rewriting data) ---------------
@@ -1425,10 +1536,41 @@ class VersionedTable:
         return nonempty
 
     def read_staged(self, spark: SparkSession, staged: list[str]) -> DataFrame:
-        """The audit surface: exactly the rows a publish would add."""
-        return self._data_reader(spark).parquet(
-            *[os.path.join(self.root, f) for f in staged]
-        )
+        """The audit surface: exactly the rows a publish would add.
+
+        Partition discovery cannot rely on the manifest here: files
+        staged with ``stage(df, partitioned_by=[...])`` BEFORE the
+        table's first commit have no manifest to consult, yet their
+        hive ``k=v`` segments carry real columns — auditing them flat
+        would silently hide the partition columns from every
+        write-audit-publish check (round-8 advisor). Detect the hive
+        layout from the staged relpaths themselves and set basePath
+        accordingly; pinned types apply when the table already has a
+        committed layout, else the staged paths' own values type the
+        columns."""
+        reader = spark.read
+        parted = [f for f in staged if "=" in os.path.dirname(f)]
+        if parted or self.partitioned_by():
+            reader = reader.option("basePath", self.root)
+        df = reader.parquet(*[os.path.join(self.root, f) for f in staged])
+        if self.latest_version() is not None:
+            return self._cast_partition_types(df)
+        if parted:
+            pby = sorted(_path_partitions(parted[0]))
+            pt = self._derive_partition_types(staged, pby)
+            cur = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
+            if any(cur.get(c) not in (None, t) for c, t in pt.items()):
+                df = df.select(
+                    *[
+                        F.col(c).cast(pt[c]).alias(c)
+                        if c in pt and cur[c] != pt[c]
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+        return df
 
     def discard(self, staged: list[str]) -> None:
         """Drop never-published staged files immediately."""
@@ -1479,6 +1621,23 @@ class VersionedTable:
             df = self._apply_generated(df)
             self._enforce_constraints(df)
             df = self._to_physical_df(df)
+        # the written frame's own schema is the EXACT partition-type
+        # declaration (int stays int, date stays date) — publish pins
+        # it at layout establishment; inherited afterwards
+        pby_eff = (
+            partitioned_by
+            if partitioned_by is not None
+            else self.partitioned_by()
+        )
+        ptypes = (
+            {
+                f.name: f.dataType.simpleString()
+                for f in df.schema.fields
+                if f.name in pby_eff
+            }
+            if pby_eff
+            else None
+        )
         return self.publish(
             self.stage(df, partitioned_by=partitioned_by),
             mode=mode,
@@ -1486,6 +1645,7 @@ class VersionedTable:
             txn=txn,
             annotations=annotations,
             partitioned_by=partitioned_by,
+            partition_types=ptypes,
         )
 
     def publish(
@@ -1506,6 +1666,7 @@ class VersionedTable:
         read_ranges: dict | None = None,
         partitioned_by: list[str] | None = None,
         dv_files_add: list[str] | None = None,
+        partition_types: dict | None = None,
     ) -> int:
         """Publish previously staged files as the next version (the P
         of write-audit-publish).
@@ -1697,6 +1858,7 @@ class VersionedTable:
                     generated_columns,
                     partitioned_by,
                     dv_files_add,
+                    partition_types,
                 )
             except ConcurrentCommitError:
                 if not can_reconcile:
@@ -1895,6 +2057,7 @@ class VersionedTable:
         generated_columns: "dict | None",
         partitioned_by: "list[str] | None" = None,
         dv_files_add: "list[str] | None" = None,
+        partition_types: "dict | None" = None,
     ) -> int:
         """One publish attempt against base version ``prev`` — builds
         the manifest + delta record and atomically links it as
@@ -1976,6 +2139,30 @@ class VersionedTable:
                     v = pvals.get(c)
                     if v is not None:
                         cs[c] = [v, v]
+        # pin the partition columns' TYPES once (immutable, like the
+        # layout itself): prefer the established manifest value, else
+        # the caller's declaration (commit() passes the written
+        # frame's own schema — exact), else a path-value scan (the
+        # CONVERT adoption path, Spark's inference lattice). Every
+        # read surface casts to these, so batch/stream/CDF schemas
+        # cannot drift apart.
+        ptypes = None
+        ptypes_established = False
+        if partitioned_by:
+            if prev is not None:
+                ptypes = prev_manifest.get("partition_types")
+            if ptypes is None:
+                ptypes = {
+                    c: str(t)
+                    for c, t in (partition_types or {}).items()
+                    if c in partitioned_by
+                }
+                derived = self._derive_partition_types(
+                    [f for f in files], partitioned_by
+                )
+                for c in partitioned_by:
+                    ptypes.setdefault(c, derived[c])
+                ptypes_established = True
         # the per-app idempotent-txn map is ACCUMULATED across commits
         # (every manifest carries the full map), so lookups read one
         # manifest and the record survives vacuum/compaction — the
@@ -2077,6 +2264,8 @@ class VersionedTable:
             generated_columns = prev_manifest.get("generated_columns")
         if partitioned_by:
             manifest["partitioned_by"] = list(partitioned_by)
+            if ptypes:
+                manifest["partition_types"] = dict(ptypes)
         if column_renames:
             manifest["column_renames"] = dict(column_renames)
         if dropped_columns:
@@ -2089,7 +2278,7 @@ class VersionedTable:
             clash = annotations.keys() & manifest.keys() | {
                 "dv_files", "dv_refs", "txns",
                 "column_renames", "dropped_columns", "constraints",
-                "generated_columns", "partitioned_by",
+                "generated_columns", "partitioned_by", "partition_types",
             } & annotations.keys()
             if clash:
                 raise ValueError(
@@ -2156,6 +2345,8 @@ class VersionedTable:
             record["txn"] = txn_rec
         if partitioned_explicit:
             record["set_partitioned_by"] = list(partitioned_by or [])
+        if ptypes_established and ptypes:
+            record["set_partition_types"] = dict(ptypes)
         if schema_explicit:
             record["set_column_renames"] = dict(column_renames or {})
             record["set_dropped_columns"] = list(dropped_columns or [])
@@ -2256,8 +2447,7 @@ class VersionedTable:
         files = self._manifest(version)["files"]
         if not files:
             raise FileNotFoundError(f"{self.root}@{version}: empty commit")
-        reader = self._data_reader(spark, merge_schema, version)
-        df = reader.parquet(*[os.path.join(self.root, f) for f in files])
+        df = self._scan_files(spark, files, merge_schema, version)
         return self._to_logical_df(self._apply_dvs(df, spark, version), version)
 
     # -- deletion vectors -------------------------------------------------
@@ -2294,9 +2484,7 @@ class VersionedTable:
         parquet scan with deletion vectors applied and column mapping
         translated — the one read shape every partial-rewrite write
         path (update_where / merge_into / SCD2) starts from."""
-        scan = self._data_reader(spark, True, version).parquet(
-            *[os.path.join(self.root, f) for f in files]
-        )
+        scan = self._scan_files(spark, files, True, version)
         return self._to_logical_df(
             self._apply_dvs(scan, spark, version), version
         )
@@ -2405,10 +2593,7 @@ class VersionedTable:
         )
         if not files:
             return prev
-        scan = (
-            self._data_reader(spark, True, prev)
-            .parquet(*[os.path.join(self.root, f) for f in files])
-        )
+        scan = self._scan_files(spark, files, True, prev)
         hits = (
             # predicates speak LOGICAL names; the rename projection is
             # transparent to the _metadata columns selected below
@@ -2715,20 +2900,17 @@ class VersionedTable:
                     F.lit(False)
                 )
             return self._to_logical_df(
-                self._data_reader(spark, True, v_to)
-                .parquet(*[os.path.join(self.root, f) for f in files])
-                .filter(F.lit(False)),
+                self._scan_files(spark, files, True, v_to).filter(
+                    F.lit(False)
+                ),
                 v_to,
             )
 
-        reader = self._data_reader(spark, True, v_to)
         # candidate deletes: live-at-v_from rows of removed files ...
         if removed:
             old_rows = self._to_logical_df(
                 self._apply_dvs(
-                    reader.parquet(
-                        *[os.path.join(self.root, f) for f in removed]
-                    ),
+                    self._scan_files(spark, removed, True, v_to),
                     spark,
                     v_from,
                 ),
@@ -2752,9 +2934,7 @@ class VersionedTable:
             ]
             if tomb_files:
                 tomb = (
-                    reader.parquet(
-                        *[os.path.join(self.root, f) for f in tomb_files]
-                    )
+                    self._scan_files(spark, tomb_files, True, v_to)
                     .withColumns(
                         {
                             "__dv_file": F.col("_metadata.file_name"),
@@ -2782,9 +2962,7 @@ class VersionedTable:
         if added:
             new_rows = self._to_logical_df(
                 self._apply_dvs(
-                    reader.parquet(
-                        *[os.path.join(self.root, f) for f in added]
-                    ),
+                    self._scan_files(spark, added, True, v_to),
                     spark,
                     v_to,
                 ),
@@ -3011,10 +3189,7 @@ class VersionedTable:
             return self.read(spark, version, merge_schema).filter(
                 F.lit(False)
             )
-        reader = self._data_reader(spark, merge_schema, version)
-        df = reader.parquet(
-            *[os.path.join(self.root, f) for f in files]
-        )
+        df = self._scan_files(spark, files, merge_schema, version)
         return self._to_logical_df(
             self._apply_dvs(df, spark, version).filter(
                 F.col(self._to_physical_name(column, version)).isin(vals)
@@ -3049,10 +3224,7 @@ class VersionedTable:
         # merge_schema matches read() semantics on schema-evolved
         # tables: without it the pruned scan resolves to one file's
         # schema and silently drops evolved columns (round-4 advisor)
-        reader = self._data_reader(spark, merge_schema, version)
-        df = reader.parquet(
-            *[os.path.join(self.root, f) for f in files]
-        )
+        df = self._scan_files(spark, files, merge_schema, version)
         return self._to_logical_df(
             self._apply_dvs(df, spark, version).filter(cond), version
         )
@@ -3096,9 +3268,9 @@ class VersionedTable:
             return df
         target = {
             f.name: f.dataType
-            for f in self._data_reader(spark, True, version)
-            .parquet(*[os.path.join(self.root, f) for f in files])
-            .schema.fields
+            for f in self._scan_files(
+                spark, files, True, version
+            ).schema.fields
         }
         casts = {
             c: F.col(c).cast(target[c])
@@ -3350,9 +3522,8 @@ class VersionedTable:
                 read_files=[],
                 read_ranges=read_ranges,
             )
-        reader = self._data_reader(spark, True, prev)
         current = self._apply_dvs(
-            reader.parquet(*[os.path.join(self.root, f) for f in touched]),
+            self._scan_files(spark, touched, True, prev),
             spark,
             prev,
         )
@@ -4091,8 +4262,8 @@ class VersionedTable:
         if len(sel) <= 1:
             return base  # nothing to pack
         carry = [f for f in all_files if f not in sel]
-        scan = self._data_reader(spark, True, base).parquet(
-            *[os.path.join(self.root, f) for f in all_files if f in sel]
+        scan = self._scan_files(
+            spark, [f for f in all_files if f in sel], True, base
         )
         live = self._apply_dvs(scan, spark, base)
         # physical frame: translate cluster columns through the column

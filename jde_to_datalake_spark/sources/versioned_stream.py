@@ -133,20 +133,14 @@ def sniff_schema_ddl(root: str) -> str:
         if f.name not in dropped
     ]
     # hive partition columns live in directory names, not footers —
-    # type them from the sniffed file's own path values
-    from jde_to_datalake_spark.sources.versioned import _path_partitions
-
-    pvals = _path_partitions(files[-1])
+    # their types are PINNED in the manifest (partition_types; set at
+    # layout establishment, derived from all files' path values for
+    # legacy manifests), so the stream schema matches the batch
+    # basePath scan byte-for-byte instead of each surface inferring
+    # its own width (the round-8 int-vs-bigint drift)
+    ptypes = t.partition_types(v)
     for c in t.partitioned_by(v):
-        v_ = pvals.get(c)
-        ddl = (
-            "bigint"
-            if isinstance(v_, int)
-            else "double"
-            if isinstance(v_, float)
-            else "string"
-        )
-        parts.append(f"{c} {ddl}")
+        parts.append(f"{c} {ptypes.get(c, 'string')}")
     return ", ".join(parts)
 
 

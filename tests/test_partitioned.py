@@ -489,3 +489,119 @@ def test_generated_partition_column_contract(spark, tmp_path):
     assert new_f and all("bucket=0" in f for f in new_f)
     assert t.read(spark).count() == 41
     assert len(t.files_for_ranges({"bucket": (2, 2)})) < len(latest["files"])
+
+
+def test_partition_types_identical_across_batch_stream_cdf(
+    spark, adopted, tmp_path
+):
+    """The round-8 drift: the batch basePath scan inferred int for
+    small partition values while the stream sniff said bigint — a
+    silver table derived via stream got a different schema than one
+    derived via batch read of the SAME bronze table. Types are now
+    PINNED in the manifest; every surface must agree byte-for-byte."""
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+        sniff_schema_ddl,
+    )
+
+    t = adopted
+    pt = t.partition_types()
+    assert set(pt) == {"year", "month"}
+
+    batch = t.read(spark)
+    batch_schema = {f.name: f.dataType.simpleString()
+                    for f in batch.schema.fields}
+    # the pinned types ARE the batch types
+    for c, ddl in pt.items():
+        assert batch_schema[c] == ddl, (c, ddl, batch_schema[c])
+
+    # stream surface: the sniffed DDL produces the same schema
+    spark.dataSource.register(VersionedTableDataSource)
+    sdf = (
+        spark.readStream.format("versioned_table")
+        .option("path", t.root)
+        .schema(sniff_schema_ddl(t.root))
+        .load()
+    )
+    stream_schema = {f.name: f.dataType.simpleString()
+                     for f in sdf.schema.fields}
+    assert stream_schema == batch_schema
+
+    # stream rows carry correctly-typed partition constants end-to-end
+    out = str(tmp_path / "out")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    got_schema = {f.name: f.dataType.simpleString()
+                  for f in got.schema.fields}
+    assert got_schema == batch_schema
+    assert got.count() == batch.count()
+    assert (
+        got.agg(F.sum("month")).first()[0]
+        == batch.agg(F.sum("month")).first()[0]
+    )
+
+    # CDF surface: data columns match batch types too
+    t.commit(
+        spark.createDataFrame(
+            [(999, 2025, 7, 0)], "k bigint, year int, month int, v bigint"
+        ),
+        mode="append",
+    )
+    cdf = t.read_changes(spark, 0, t.latest_version())
+    cdf_schema = {f.name: f.dataType.simpleString()
+                  for f in cdf.schema.fields
+                  if not f.name.startswith("_")}
+    assert cdf_schema == batch_schema
+
+
+def test_partition_types_pinned_from_commit_frame(spark, tmp_path):
+    """A table CREATED partitioned pins the written frame's own
+    column types — exact, not path-inferred — and later reads cast
+    Spark's per-read inference back to them."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 5000000000, "a")], "k int, big bigint, s string"
+        ),
+        mode="overwrite",
+        partitioned_by=["big"],
+    )
+    assert t.partition_types() == {"big": "bigint"}
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in t.read(spark).schema
+    )["big"] == "bigint"
+    # later commits inherit the pin even if their frame narrows
+    t.commit(
+        spark.createDataFrame([(2, 7, "b")], "k int, big int, s string"),
+        mode="append",
+    )
+    assert t.partition_types() == {"big": "bigint"}
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in t.read(spark).schema
+    )["big"] == "bigint"
+
+
+def test_read_staged_surfaces_partitions_before_first_commit(
+    spark, tmp_path
+):
+    """stage(df, partitioned_by=[...]) before the table's FIRST commit
+    has no manifest to consult — the audit surface must still see the
+    partition columns (round-8 advisor: they were silently absent
+    from write-audit-publish)."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k int, g int, s string"
+    )
+    staged = t.stage(df, partitioned_by=["g"])
+    assert all("g=" in f for f in staged)
+    audit = t.read_staged(spark, staged)
+    assert "g" in audit.columns
+    got = sorted((r["k"], r["g"]) for r in audit.collect())
+    assert got == [(1, 10), (2, 20)]
