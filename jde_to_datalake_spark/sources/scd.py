@@ -191,26 +191,22 @@ def _apply_scd2_once(
 
     manifest = table._manifest(prev)
     keys_phys = [table._to_physical_name(k) for k in keys]
-    touched, untouched = table._key_touched_files(
-        spark, latest.select(*keys).toDF(*keys_phys), keys_phys, manifest
+    # key envelope (the commit-reconciliation read declaration) and
+    # footer-stat file probe in ONE job (_guarded_probe — the batch is
+    # already key-unique after the window dedup, so the guard half is
+    # vacuously satisfied; the envelope agg was previously its own
+    # collect on top of the probe's, round-9 job-fuse)
+    matchable = F.lit(True)
+    for k in keys:
+        matchable = matchable & F.col(k).isNotNull()
+    grouped = latest.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    env, touched, untouched = table._guarded_probe(
+        spark, grouped, keys, keys_phys, matchable, manifest
     )
-    # commit-reconciliation read declaration: only rows with a batch
-    # key could have changed this application's outcome (the batch is
-    # already checkpointed, so this envelope agg is cheap)
-    env = latest.agg(
-        *[
-            f
-            for k, kp in zip(keys, keys_phys)
-            for f in (
-                F.min(k).alias(f"mn_{kp}"),
-                F.max(k).alias(f"mx_{kp}"),
-            )
-        ]
-    ).collect()[0]
     read_ranges = {
-        kp: (env[f"mn_{kp}"], env[f"mx_{kp}"])
-        for kp in keys_phys
-        if env[f"mn_{kp}"] is not None
+        kp: (env[f"kmin_{k}"], env[f"kmax_{k}"])
+        for k, kp in zip(keys, keys_phys)
+        if env[f"kmin_{k}"] is not None
     } or {}
     if not touched:
         # no file can hold a batch key: every batch row is a new key

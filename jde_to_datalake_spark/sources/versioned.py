@@ -4119,7 +4119,10 @@ class VersionedTable:
         )
 
     def clone_to(
-        self, dest_root: str, version: int | None = None
+        self,
+        dest_root: str,
+        version: int | None = None,
+        log_store: "LogStore | None" = None,
     ) -> "VersionedTable":
         """Delta SHALLOW CLONE: create a new table at ``dest_root``
         whose first version references this table's data files (and
@@ -4155,7 +4158,9 @@ class VersionedTable:
             )
         m = self._manifest(version)
         clone = VersionedTable(
-            dest_root, txn_retention_seconds=self.txn_retention_seconds
+            dest_root,
+            txn_retention_seconds=self.txn_retention_seconds,
+            log_store=log_store,
         )
         if clone.latest_version() is not None:
             raise ValueError(
