@@ -2322,6 +2322,15 @@ class VersionedTable:
             "version": version,
             "mode": mode,
             "committed_at": now,
+            # writer token for ambiguous-put recovery: on an object
+            # store, a put can time out client-side AFTER succeeding
+            # server-side; the store adapter's internal retry then
+            # sees "already exists" from its OWN success. On
+            # LogConflict we read the record back — a matching
+            # commit_id means WE won and the publish is complete
+            # (never a competitor: the token is generated fresh per
+            # attempt and never leaves this call).
+            "commit_id": uuid.uuid4().hex,
             "add": added,
             "remove": removed_files,
         }
@@ -2376,6 +2385,21 @@ class VersionedTable:
         try:
             self.log.put_if_absent(version, record)
         except LogConflict:
+            # Ambiguous-put recovery (Delta's S3 commit semantics):
+            # distinguish "another writer owns this version" from "my
+            # own put landed but the acknowledgement was lost and the
+            # store retried into its own success". The writer token
+            # settles it — read the record back and compare.
+            try:
+                existing = self.log.read(version)
+            except (FileNotFoundError, OSError, ValueError):
+                existing = None
+            if (
+                existing is not None
+                and existing.get("commit_id") == record["commit_id"]
+            ):
+                self._cache_state(version, manifest)
+                return version
             raise ConcurrentCommitError(
                 f"version {version} was committed by another writer"
             ) from None

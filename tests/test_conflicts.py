@@ -18,7 +18,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from jde_to_datalake_spark.sources.log_store import InMemoryLogStore
+from jde_to_datalake_spark.sources.log_store import (
+    InMemoryLogStore,
+    PosixLogStore,
+)
 from jde_to_datalake_spark.sources.versioned import (
     ConcurrentCommitError,
     VersionedTable,
@@ -493,3 +496,71 @@ def test_reconcile_budget_exhaustion_raises(spark, table, monkeypatch, make_tabl
     # the interlopers' commits all survived; ours never landed
     vals = sorted(r.v for r in table.read(spark).collect())
     assert "b" not in vals and vals.count("x") == n["i"]
+
+
+class _AmbiguousPutStore:
+    """Delegating store whose put_if_absent SUCCEEDS server-side but
+    reports LogConflict to the caller — the object-store failure mode
+    where a PUT times out after landing and the adapter's internal
+    retry answers 412 from its own success. Fires once, on the
+    ``fire_on``-th put."""
+
+    def __init__(self, inner, fire_on=1):
+        self.inner = inner
+        self.fire_on = fire_on
+        self.puts = 0
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def put_if_absent(self, version, record):
+        from jde_to_datalake_spark.sources.log_store import LogConflict
+
+        self.puts += 1
+        self.inner.put_if_absent(version, record)
+        if self.puts == self.fire_on:
+            raise LogConflict(str(version))
+
+
+def test_ambiguous_put_recovers_as_success(spark, tmp_path):
+    """A lost-acknowledgement put must complete the publish (writer
+    token match), not raise — and MUST NOT double-apply on the
+    reconcile loop's retry (the would-be failure mode: a blind append
+    re-based over its own landed commit writes the rows twice)."""
+    root = str(tmp_path / "tbl")
+    store = _AmbiguousPutStore(PosixLogStore(root), fire_on=2)
+    t = VersionedTable(root, log_store=store)
+    t.commit(_kv(spark, [(1, "a")]), mode="overwrite")  # put #1: clean
+    v = t.commit(_kv(spark, [(2, "b")]), mode="append")  # put #2: ambiguous
+    assert v == 1
+    assert store.puts == 2  # recovered by token match, no third put
+    vals = sorted(r.v for r in t.read(spark).collect())
+    assert vals == ["a", "b"]  # exactly once
+    assert t.latest_version() == 1
+
+
+def test_ambiguous_put_recovery_never_claims_a_competitor(
+    spark, tmp_path, monkeypatch
+):
+    """The token must settle ownership correctly in the REAL race too:
+    when another writer owns the version, recovery must not trigger —
+    the commit re-bases (blind append) onto the competitor instead of
+    absorbing it."""
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(root)
+    t.commit(_kv(spark, [(1, "a")]), mode="overwrite")
+    other = VersionedTable(root)
+    real_once = t._publish_once
+    fired = {"done": False}
+
+    def raced(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            other.commit(_kv(spark, [(9, "z")]), mode="append")
+        return real_once(*a, **kw)
+
+    monkeypatch.setattr(t, "_publish_once", raced)
+    t.commit(_kv(spark, [(2, "b")]), mode="append")
+    vals = sorted(r.v for r in t.read(spark).collect())
+    assert vals == ["a", "b", "z"]  # both commits present, neither lost
+    assert t.latest_version() == 2
