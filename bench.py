@@ -72,6 +72,22 @@ def _parse_sf(sf_dir: str) -> float | None:
         return None
 
 
+def _spark_round(spark, qs, sf_dir: str, timings: dict) -> None:
+    """One round-robin pass over the headline set, folding per-query
+    minima into ``timings``."""
+    for name in (n for n in HEADLINE if n in qs):
+        # settle the JVM between queries: collect the previous
+        # query's garbage OUTSIDE the timed window so one query's
+        # allocation pressure doesn't tax the next
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        prev = timings.get(name)
+        timings[name] = dt if prev is None else min(prev, dt)
+
+
 def _time_queries(spark, qs, sf_dir: str, runs: int = 3) -> dict[str, float]:
     # ROUND-ROBIN, not back-to-back: this microVM's host occasionally
     # steals multi-second stalls. Consecutive runs of one query all land
@@ -81,20 +97,36 @@ def _time_queries(spark, qs, sf_dir: str, runs: int = 3) -> dict[str, float]:
     # taken per query across rounds (run 1 additionally pays one-time
     # whole-stage-codegen JIT, amortized to ~zero on a live cluster).
     timings: dict[str, float] = {}
-    names = [n for n in HEADLINE if n in qs]
     for _round in range(runs):
-        for name in names:
-            # settle the JVM between queries: collect the previous
-            # query's garbage OUTSIDE the timed window so one query's
-            # allocation pressure doesn't tax the next
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            prev = timings.get(name)
-            timings[name] = dt if prev is None else min(prev, dt)
+        _spark_round(spark, qs, sf_dir, timings)
     return {n: round(v, 3) for n, v in timings.items()}
+
+
+def _await_quiet_host(spark, threshold_py4j_us: float = 1500.0,
+                      max_wait_s: float = 100.0) -> list[dict]:
+    """Bounded wait for a quiet measurement window. The manual
+    discipline since round 6 has been 'rerun the bench on a sick
+    pre-probe'; this automates it inside one invocation: when the
+    pre-probe shows sick wakeup latency (py4j round-trips well above
+    this box's healthy ~900-1250 us), sleep and re-probe a few times
+    before starting the timed section. Every attempt is RECORDED in
+    the output (host_probe_pre_attempts), so a published number still
+    carries the full weather history — this picks a healthier window,
+    it never hides an unhealthy one (max_wait bounds the stall; if the
+    box never quiets down, the bench runs anyway and the probes say
+    so)."""
+    attempts = []
+    waited = 0.0
+    while True:
+        try:
+            p = _host_probe(spark)
+        except Exception as exc:
+            p = {"error": str(exc)[:200]}
+        attempts.append(p)
+        if p.get("py4j_us", 0.0) <= threshold_py4j_us or waited >= max_wait_s:
+            return attempts
+        time.sleep(20.0)
+        waited += 20.0
 
 
 def main() -> None:
@@ -110,17 +142,34 @@ def main() -> None:
     # probe BEFORE the timed window too: a post-only probe misses
     # transient contention that ends before the timings do (measured:
     # a bench contaminated by a concurrent pytest read 2.06x while the
-    # after-probe looked healthy)
-    try:
-        probe_pre = _host_probe(spark)
-    except Exception as exc:
-        probe_pre = {"error": str(exc)[:200]}
+    # after-probe looked healthy). On a sick pre-probe, wait (bounded)
+    # for a quieter window — the automated form of the round-6+ manual
+    # rerun discipline; every attempt is published.
+    pre_attempts = _await_quiet_host(spark)
+    probe_pre = pre_attempts[-1]
 
-    # min-of-5 round-robin: this container is a microVM whose host
-    # occasionally steals multi-second stalls; interleaved rounds plus
-    # an extra run materially improve the odds that every query sees
-    # at least one quiet window
-    timings = _time_queries(spark, qs, sf_dir, runs=5)
+    # min-of-5 round-robin Spark, min-of-3 DuckDB — INTERLEAVED per
+    # round so each Spark/DuckDB pair shares one host-weather window:
+    # with the two engines in separate multi-minute blocks, drift
+    # between the blocks moves the ratio for reasons that are not plan
+    # quality (measured this session: three back-to-back runs of
+    # byte-identical queries spanned 1.58-2.01x purely on which block
+    # the host stall landed in)
+    timings: dict[str, float] = {}
+    duck: dict = {}
+    duck_err = None
+    try:
+        duck_ctx = _duckdb_setup(sf_dir)
+    except Exception as exc:  # reference timing must never fail the bench
+        duck_ctx, duck_err = None, str(exc)[:200]
+    for r in range(5):
+        _spark_round(spark, qs, sf_dir, timings)
+        if duck_ctx is not None and r < 3:
+            try:
+                _duckdb_round(duck_ctx, duck)
+            except Exception as exc:
+                duck_ctx, duck_err = None, str(exc)[:200]
+    timings = {n: round(v, 3) for n, v in timings.items()}
     total = round(sum(timings.values()), 3)
 
     result = {
@@ -140,24 +189,25 @@ def main() -> None:
             "queries": sec_timings,
         }
 
-    # same-minute DuckDB reference over the same queries' oracle SQL:
-    # absolutes on this microVM are only meaningful as same-window
-    # Spark/DuckDB pairs (host steal inflates both proportionally), so
-    # the ratio is recorded next to the Spark numbers it belongs with
-    try:
-        result["duckdb"] = _duckdb_reference(sf_dir)
-        if result["duckdb"] and result["duckdb"].get("value"):
+    if duck:
+        result["duckdb"] = {
+            "value": round(sum(duck.values()), 3),
+            "queries": {n: round(v, 3) for n, v in duck.items()},
+        }
+        if result["duckdb"]["value"]:
             result["spark_vs_duckdb"] = round(
                 total / result["duckdb"]["value"], 3
             )
-    except Exception as exc:  # reference timing must never fail the bench
-        result["duckdb_error"] = str(exc)[:200]
+    if duck_err:
+        result["duckdb_error"] = duck_err
 
     try:
         result["host_probe"] = _host_probe(spark)
     except Exception as exc:  # diagnostics must never fail the bench
         result["host_probe_error"] = str(exc)[:200]
     result["host_probe_pre"] = probe_pre
+    if len(pre_attempts) > 1:
+        result["host_probe_pre_attempts"] = pre_attempts
 
     print(json.dumps(result))
     spark.stop()
@@ -211,13 +261,12 @@ def _host_probe(spark) -> dict:
     }
 
 
-def _duckdb_reference(sf_dir: str, runs: int = 3) -> dict:
-    """Min-of-N per-query DuckDB timings of the SAME headline queries'
-    oracle SQL on the same parquet, taken in the same process window
-    as the Spark pass. Materialization is `.arrow()` — full engine
-    execution into C-level Arrow buffers, the closest analogue of
-    Spark's noop sink (fetchall would charge Python tuple construction
-    only to DuckDB and flatter Spark on row-heavy outputs)."""
+def _duckdb_setup(sf_dir: str):
+    """Connection + oracle set for the same-window DuckDB reference.
+    Timings use `.arrow()` materialization — full engine execution
+    into C-level Arrow buffers, the closest analogue of Spark's noop
+    sink (fetchall would charge Python tuple construction only to
+    DuckDB and flatter Spark on row-heavy outputs)."""
     import duckdb
 
     oracles = E.oracle_sql()
@@ -232,20 +281,20 @@ def _duckdb_reference(sf_dir: str, runs: int = 3) -> dict:
                 f"CREATE OR REPLACE VIEW {t} AS "
                 f"SELECT * FROM read_parquet('{path}')"
             )
-    timings: dict[str, float] = {}
-    names = [n for n in HEADLINE if n in oracles]
-    for _ in range(runs):
-        for name in names:
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).arrow()
-            dt = time.perf_counter() - t0
-            prev = timings.get(name)
-            timings[name] = dt if prev is None else min(prev, dt)
-    con.close()
-    return {
-        "value": round(sum(timings.values()), 3),
-        "queries": {n: round(v, 3) for n, v in timings.items()},
-    }
+    return con, oracles, [n for n in HEADLINE if n in oracles]
+
+
+def _duckdb_round(ctx, timings: dict) -> None:
+    """One per-query DuckDB pass, folding minima into ``timings`` —
+    called interleaved with the Spark rounds so each engine pair sees
+    the same host weather."""
+    con, oracles, names = ctx
+    for name in names:
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).arrow()
+        dt = time.perf_counter() - t0
+        prev = timings.get(name)
+        timings[name] = dt if prev is None else min(prev, dt)
 
 
 if __name__ == "__main__":

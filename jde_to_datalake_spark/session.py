@@ -31,7 +31,21 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+        # LOCAL sizing: cores/2, floor 8. In a single JVM the scheduler
+        # wakeup path is the dominant small-task cost (this microVM's
+        # host delivers thread wakeups at 100-200us when sick), so
+        # fewer/bigger shuffle tasks measurably win: A/B on the heavy
+        # headline queries at sf0.1 showed cores/2 -16% vs cores
+        # (cores/4 starves wide explode stages — action_flatten +20%).
+        # AQE's coalescing cannot make this choice for us: with
+        # parallelismFirst=true (the default, kept) it refuses to
+        # coalesce below parallelism, and with false it serializes
+        # explode-heavy stages (round-2 finding). At CLUSTER scale this
+        # branch is irrelevant — deployments size shuffle.partitions
+        # ~2x total executor cores (or let AQE coalesce from a high
+        # initialPartitionNum); the plans themselves are unchanged.
+        n = int(cpus) if cpus.isdigit() else 32
+        shuffle_partitions = max(n // 2, 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -56,6 +70,14 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS); read as long, convert below
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # throughput collector for a batch engine: G1's low-pause
+        # machinery (concurrent marking, remembered sets) taxes a
+        # workload that only cares about total time; ParallelGC was
+        # -7% on the heavy headline queries at sf0.1 (A/B, round 9)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC",
+        )
     )
     if master.startswith("local"):
         # single-JVM shuffles are memory/page-cache backed: lz4 on the
