@@ -977,7 +977,10 @@ def _snapshot_lake_booleans(
     import shutil as _shutil
     import tempfile as _tempfile
 
-    from jde_to_datalake_spark.sources.versioned import VersionedTable
+    from jde_to_datalake_spark.sources.versioned import (
+        ConcurrentCommitError,
+        VersionedTable,
+    )
 
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     hit = _SNAPSHOT_LAKE_CACHE.get(key)
@@ -1002,6 +1005,7 @@ def _snapshot_lake_booleans(
         "lake_sql_exact": False,
         "hive_convert_exact": False,
         "reconcile_exact": False,
+        "commit_token_exact": False,
     }
     tmp = _tempfile.mkdtemp(prefix="jdespark-lake-")
     try:
@@ -1563,6 +1567,61 @@ def _snapshot_lake_booleans(
             and rt._manifest(v_b).get("reconciled_over") == 1
             and tuple(fin) == tuple(expr)
         )
+
+        # -- ambiguous-commit recovery contract (round 9) -----------------
+        # The object-store lost-ACK failure mode: a put that SUCCEEDS
+        # server-side but reports LogConflict to the caller (an S3
+        # adapter's internal retry answering 412 from its own landed
+        # write). The writer-token recovery must complete the publish
+        # exactly-once — no double-applied rows, no phantom version —
+        # while a GENUINE competitor's record must still conflict.
+        from jde_to_datalake_spark.sources.log_store import (
+            LogConflict as _LC,
+            PosixLogStore as _PLS,
+        )
+
+        class _LostAckStore(_PLS):
+            fire = False
+
+            def put_if_absent(self, version, record):
+                super().put_if_absent(version, record)
+                if _LostAckStore.fire:
+                    _LostAckStore.fire = False
+                    raise _LC(str(version))
+
+        aroot = _os.path.join(tmp, "ambig")
+        at = VersionedTable(aroot, log_store=_LostAckStore(aroot))
+        at.commit(
+            rbase.filter(F.col("c_custkey") <= mid), mode="overwrite"
+        )
+        _LostAckStore.fire = True
+        v_amb = at.commit(
+            rbase.filter(F.col("c_custkey") > mid), mode="append"
+        )
+        amb = at.read(spark).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("sk"),
+        ).collect()[0]
+        amb_exp = rbase.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("sk"),
+        ).collect()[0]
+        # and the token must never claim a competitor's commit
+        try:
+            at.publish(
+                at.stage(rbase.limit(1)),
+                mode="overwrite",  # strict path: no reconciliation
+                expected_base=0,  # stale on purpose: v_amb exists
+            )
+            claimed_competitor = True
+        except ConcurrentCommitError:
+            claimed_competitor = False
+        out["commit_token_exact"] = bool(
+            v_amb == 1
+            and at.latest_version() == 1
+            and tuple(amb) == tuple(amb_exp)
+            and not claimed_competitor
+        )
     except _EmptyCustomer:
         pass  # fail-closed False defaults stand (vacuous at 0 rows)
     finally:
@@ -1639,9 +1698,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a key-disjoint merge — interleaved for real (B reads, A
     commits, B publishes), no monkeypatch — must land with ONE
     execution each, re-based exactly one version past the interloper,
-    ``reconciled_over`` audited, final state exact. The whole lake
-    workout is cached per (session, sf_dir) — repeated query
-    constructions reuse the scalars (round-6 judge item #5)."""
+    ``reconciled_over`` audited, final state exact. A twelfth
+    (``commit_token_exact``, round 9) gates ambiguous-put recovery:
+    a put that lands server-side but reports LogConflict (the
+    object-store lost-ACK mode) must complete exactly-once via the
+    writer token, while a genuinely stale publish still conflicts.
+    The whole lake workout is cached per (session, sf_dir) — repeated
+    query constructions reuse the scalars (round-6 judge item #5)."""
     from jde_to_datalake_spark.operators.reconcile import snapshot_diff
 
     cust = _t(spark, sf_dir, "customer")
@@ -1685,6 +1748,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lake_sql_exact",
                 "hive_convert_exact",
                 "reconcile_exact",
+                "commit_token_exact",
             )
         ],
     )
@@ -1732,7 +1796,8 @@ SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
        TRUE AS scd2_exact,
        TRUE AS lake_sql_exact,
        TRUE AS hive_convert_exact,
-       TRUE AS reconcile_exact
+       TRUE AS reconcile_exact,
+       TRUE AS commit_token_exact
 FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
 """
 

@@ -431,7 +431,7 @@ def test_snapshot_lake_gate_fails_closed_on_empty_fixture(spark, tmp_path):
     fake_sf = str(tmp_path / "empty_sf")
     out = _snapshot_lake_booleans(spark, fake_sf, empty, empty)
     assert out and not any(out.values()), out
-    assert len(out) == 11
+    assert len(out) == 12
     _SNAPSHOT_LAKE_CACHE.pop(
         (spark.sparkContext.applicationId, __import__("os").path.abspath(fake_sf)),
         None,
