@@ -158,8 +158,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     duck: dict = {}
     duck_err = None
+    duck_ctx_names = None
     try:
         duck_ctx = _duckdb_setup(sf_dir)
+        duck_ctx_names = duck_ctx[2]
     except Exception as exc:  # reference timing must never fail the bench
         duck_ctx, duck_err = None, str(exc)[:200]
     for r in range(5):
@@ -189,7 +191,10 @@ def main() -> None:
             "queries": sec_timings,
         }
 
-    if duck:
+    # publish the reference ONLY at full coverage: a round that died
+    # midway leaves a partial dict whose too-small total would inflate
+    # the ratio against queries DuckDB never ran
+    if duck and duck_ctx_names is not None and set(duck) == set(duck_ctx_names):
         result["duckdb"] = {
             "value": round(sum(duck.values()), 3),
             "queries": {n: round(v, 3) for n, v in duck.items()},
