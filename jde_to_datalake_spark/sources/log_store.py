@@ -66,7 +66,15 @@ class LogConflict(Exception):
 class LogStore:
     """Interface. Implementations must make ``put_if_absent`` atomic
     and ``replace`` reader-atomic (a concurrent ``read`` sees the old
-    record or the new one, never a torn byte sequence)."""
+    record or the new one, never a torn byte sequence).
+
+    Retry policy lives in the IMPLEMENTATION (an object-store adapter
+    keeps its SDK's transient-error retries): retrying a timed-out
+    ``put_if_absent`` is safe even when the first attempt actually
+    landed, because every commit record carries a writer token
+    (``commit_id``) and the publisher recognizes its own record on
+    ``LogConflict`` (versioned.py ambiguous-put recovery) — report the
+    conflict honestly, never swallow it."""
 
     def list_versions(self) -> "list[int]":
         raise NotImplementedError
