@@ -605,3 +605,158 @@ def test_read_staged_surfaces_partitions_before_first_commit(
     assert "g" in audit.columns
     got = sorted((r["k"], r["g"]) for r in audit.collect())
     assert got == [(1, 10), (2, 20)]
+
+
+# -- model-based property over a PARTITIONED table ---------------------------
+# The flat-table op-sequence property lives in test_versioned.py; this
+# variant drives the same DML surface over a hive-partitioned table
+# (p = k % 2, functionally dependent on the key) and additionally pins
+# the partition-plane invariants after EVERY op: each live data file
+# carries a constant min=max stat for p, the pinned partition type
+# never drifts, and a batch read and the stream sniff agree on the
+# schema — the newest lake layer (round 8-9) exercised by arbitrary
+# op interleavings instead of one-scenario tests.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_POPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("merge"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("update"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("sync"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("compact"), st.just([])),
+        st.tuples(st.just("restore"), st.lists(st.integers(0, 99), min_size=1, max_size=1)),
+        st.tuples(st.just("vacuum"), st.just([])),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_POPS)
+def test_partitioned_op_sequences_match_dict_model(
+    spark, tmp_path_factory, ops
+):
+    table = VersionedTable(str(tmp_path_factory.mktemp("pvt") / "t"))
+    model: set[tuple[int, int, str]] = set()  # (k, p, v)
+    snaps: dict[int, frozenset] = {}
+    stamp = 0
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["k", "p", "v"])
+
+    def commit(rows, mode):
+        table.commit(mk(rows), mode=mode, partitioned_by=["p"])
+
+    for op, keys in ops:
+        stamp += 1
+        rows = [(k, k % 2, f"s{stamp}") for k in sorted(set(keys))]
+        empty = table.latest_version() is None
+        if op == "append":
+            commit(rows, "append")
+            model |= set(rows)
+        elif op == "overwrite":
+            commit(rows, "overwrite")
+            model = set(rows)
+        elif op == "merge":
+            if empty:
+                commit(rows, "append")
+                model |= set(rows)
+            else:
+                table.merge(spark, mk(rows), key="k")
+                ks = {k for k, _p, _v in rows}
+                model = {t for t in model if t[0] not in ks} | set(rows)
+        elif op == "delete":
+            if empty:
+                continue
+            ks = [k for k, _p, _v in rows]
+            table.delete_where(spark, F.col("k").isin(ks))
+            model = {t for t in model if t[0] not in set(ks)}
+        elif op == "update":
+            if empty:
+                continue
+            upd = {k for k, _p, _v in rows}
+            table.update_where(
+                spark, {"v": F.lit(f"s{stamp}")}, F.col("k").isin(list(upd))
+            )
+            model = {
+                (k, p, f"s{stamp}" if k in upd else v)
+                for k, p, v in model
+            }
+        elif op == "sync":
+            if empty:
+                continue
+            table.merge_into(
+                spark,
+                mk(rows),
+                "k",
+                matched=[("update", None, None)],
+                not_matched=[("insert", None)],
+                not_matched_by_source=[("delete", None)],
+            )
+            model = set(rows)
+        elif op == "compact":
+            if empty:
+                continue
+            table.compact(spark)
+        elif op == "restore":
+            if not snaps:
+                continue
+            target = sorted(snaps)[keys[0] % len(snaps)]
+            table.restore(target)
+            model = set(snaps[target])
+        else:  # vacuum
+            table.vacuum(keep_last=1, retention_seconds=0)
+            snaps = {
+                v: s for v, s in snaps.items()
+                if v == table.latest_version()
+            }
+        v = table.latest_version()
+        if v is not None:
+            snaps[v] = frozenset(model)
+            # partition-plane invariants hold after EVERY op
+            m = table._manifest(v)
+            assert m.get("partitioned_by") == ["p"]
+            assert table.partition_types(v).get("p") == "bigint"
+            stats = m.get("stats", {})
+            for f in m["files"]:
+                pv = _path_partitions(f).get("p")
+                if pv is None:
+                    continue  # the flat schema-carrying empty part
+                s = stats.get(f, {}).get("p")
+                assert s == [pv, pv], (f, s)
+
+    if table.latest_version() is None:
+        assert model == set()
+        return
+    got = sorted(
+        (r["k"], r["p"], r["v"]) for r in table.read(spark).collect()
+    )
+    assert got == sorted(model)
+    # pruning on the partition column reads the p=1 subset only
+    if model:
+        odd = sorted(
+            (r["k"], r["p"], r["v"])
+            for r in table.read_where_in(spark, "p", [1]).collect()
+        )
+        assert odd == sorted(t for t in model if t[1] == 1)
+    # batch read and stream sniff agree on the schema (type pinning)
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        sniff_schema_ddl,
+    )
+
+    if model:
+        batch = table.read(spark).schema.simpleString()
+        sniffed = spark.createDataFrame(
+            [], sniff_schema_ddl(table.root)
+        ).schema.simpleString()
+        assert batch == sniffed, (batch, sniffed)
