@@ -225,6 +225,17 @@ def _worker_table(root: str) -> VersionedTable:
     return t
 
 
+def _idx(positions: list):
+    """Typed take-indices: a plain empty Python list infers a
+    NULL-typed Arrow array and ``Table.take`` has no (T, null) kernel
+    — a file whose every row is tombstoned (delete-all then overwrite)
+    must yield an empty emission, not ArrowNotImplementedError
+    (caught by the partitioned op-sequence property test, round 9)."""
+    import pyarrow as pa
+
+    return pa.array(positions, type=pa.int64())
+
+
 def _dv_positions(root: str, manifest: dict, basename: str) -> set:
     """Tombstoned row positions for one data file under a manifest's
     deletion vectors. Sidecars whose cached ``dv_refs`` entry excludes
@@ -544,9 +555,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             t = self._read_file(p.root, p.name)
             skip = _dv_positions(p.root, m_cur, os.path.basename(p.name))
             if skip:
-                t = t.take(
-                    [i for i in range(t.num_rows) if i not in skip]
-                )
+                t = t.take(_idx([i for i in range(t.num_rows) if i not in skip]))
             return emit(t, "insert")
         if p.kind == "delete_file":
             # rows that were LIVE at version-1 stop existing here;
@@ -554,9 +563,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             t = self._read_file(p.root, p.name)
             skip = _dv_positions(p.root, m_prev, os.path.basename(p.name))
             if skip:
-                t = t.take(
-                    [i for i in range(t.num_rows) if i not in skip]
-                )
+                t = t.take(_idx([i for i in range(t.num_rows) if i not in skip]))
             return emit(t, "delete")
 
         # a deletion-vector sidecar entering (dv_new -> row deletes) or
@@ -590,7 +597,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             take = sorted(set(plist) - guarded)
             if not take:
                 continue
-            t = self._read_file(p.root, cur_map[b]).take(take)
+            t = self._read_file(p.root, cur_map[b]).take(_idx(take))
             outs.append(emit(t, change))
         return itertools.chain.from_iterable(outs)
 

@@ -240,3 +240,29 @@ def test_cdf_vacuumed_offset_fails_with_guidance(spark, tmp_path):
     t.vacuum(keep_last=1)
     with pytest.raises(RuntimeError, match="vacuumed away"):
         _cdf_partitions(t, 0, t.latest_version())
+
+
+def test_cdf_survives_fully_tombstoned_file(spark, tmp_path):
+    """A file whose EVERY row is tombstoned (delete-all) and then
+    departs in an overwrite emits an empty take, not
+    ArrowNotImplementedError: a plain empty Python list infers a
+    NULL-typed Arrow index array and Table.take has no (T, null)
+    kernel (found by the partitioned op-sequence property, round 9).
+    The fold across append -> delete-all -> overwrite must equal the
+    final snapshot."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(0, "s1")], ["k", "v"]), mode="append"
+    )
+    t.delete_where(spark, F.col("k") == 0)
+    t.commit(
+        spark.createDataFrame([(0, "s3")], ["k", "v"]), mode="overwrite"
+    )
+    got = _rows(spark, t, tmp_path, "full_tomb")
+    net = collections.Counter()
+    for r in got:
+        net[(r["k"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    assert {kv for kv, c in net.items() if c == 1} == {(0, "s3")}
+    assert all(c in (0, 1) for c in net.values())

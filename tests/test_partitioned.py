@@ -631,6 +631,7 @@ _POPS = st.lists(
         st.tuples(st.just("compact"), st.just([])),
         st.tuples(st.just("restore"), st.lists(st.integers(0, 99), min_size=1, max_size=1)),
         st.tuples(st.just("vacuum"), st.just([])),
+        st.tuples(st.just("rename"), st.just([])),
     ),
     min_size=1,
     max_size=6,
@@ -648,11 +649,12 @@ def test_partitioned_op_sequences_match_dict_model(
 ):
     table = VersionedTable(str(tmp_path_factory.mktemp("pvt") / "t"))
     model: set[tuple[int, int, str]] = set()  # (k, p, v)
-    snaps: dict[int, frozenset] = {}
+    name = "v"  # current LOGICAL name of the value column
+    snaps: dict[int, tuple] = {}  # version -> (model, logical name)
     stamp = 0
 
     def mk(rows):
-        return spark.createDataFrame(rows, ["k", "p", "v"])
+        return spark.createDataFrame(rows, ["k", "p", name])
 
     def commit(rows, mode):
         table.commit(mk(rows), mode=mode, partitioned_by=["p"])
@@ -686,7 +688,7 @@ def test_partitioned_op_sequences_match_dict_model(
                 continue
             upd = {k for k, _p, _v in rows}
             table.update_where(
-                spark, {"v": F.lit(f"s{stamp}")}, F.col("k").isin(list(upd))
+                spark, {name: F.lit(f"s{stamp}")}, F.col("k").isin(list(upd))
             )
             model = {
                 (k, p, f"s{stamp}" if k in upd else v)
@@ -713,7 +715,18 @@ def test_partitioned_op_sequences_match_dict_model(
                 continue
             target = sorted(snaps)[keys[0] % len(snaps)]
             table.restore(target)
-            model = set(snaps[target])
+            model, name = set(snaps[target][0]), snaps[target][1]
+        elif op == "rename":
+            # VALUE-column rename is metadata-only even on a
+            # partitioned table (partition-column renames are
+            # rejected — test_partitioned_ddl_guards); stats keep
+            # the physical name, so skipping and the partition
+            # plane must be unaffected
+            if empty:
+                continue
+            new = f"v{stamp}"
+            table.rename_column(name, new)
+            name = new
         else:  # vacuum
             table.vacuum(keep_last=1, retention_seconds=0)
             snaps = {
@@ -722,7 +735,7 @@ def test_partitioned_op_sequences_match_dict_model(
             }
         v = table.latest_version()
         if v is not None:
-            snaps[v] = frozenset(model)
+            snaps[v] = (frozenset(model), name)
             # partition-plane invariants hold after EVERY op
             m = table._manifest(v)
             assert m.get("partitioned_by") == ["p"]
@@ -739,17 +752,18 @@ def test_partitioned_op_sequences_match_dict_model(
         assert model == set()
         return
     got = sorted(
-        (r["k"], r["p"], r["v"]) for r in table.read(spark).collect()
+        (r["k"], r["p"], r[name]) for r in table.read(spark).collect()
     )
     assert got == sorted(model)
     # pruning on the partition column reads the p=1 subset only
     if model:
         odd = sorted(
-            (r["k"], r["p"], r["v"])
+            (r["k"], r["p"], r[name])
             for r in table.read_where_in(spark, "p", [1]).collect()
         )
         assert odd == sorted(t for t in model if t[1] == 1)
-    # batch read and stream sniff agree on the schema (type pinning)
+    # batch read and stream sniff agree on the schema (type pinning,
+    # logical names after any renames)
     from jde_to_datalake_spark.sources.versioned_stream import (
         sniff_schema_ddl,
     )
@@ -760,3 +774,55 @@ def test_partitioned_op_sequences_match_dict_model(
             [], sniff_schema_ddl(table.root)
         ).schema.simpleString()
         assert batch == sniffed, (batch, sniffed)
+
+    # CDF invariant with PARTITION COLUMNS in the feed: sign-folding
+    # the change stream from the beginning reproduces the final
+    # snapshot (k, p, v) exactly — unless vacuum trimmed history, in
+    # which case the stream must fail with the retention guidance
+    from collections import Counter
+
+    import pyarrow as pa
+    from pyspark.sql.types import _parse_datatype_string
+
+    from jde_to_datalake_spark.sources.versioned_stream import (
+        CDF_META_DDL,
+        VersionedTableStreamReader,
+        _cdf_partitions,
+    )
+
+    latest = table.latest_version()
+
+    def _have(u: int) -> bool:
+        try:
+            table._manifest(u)
+            return True
+        except FileNotFoundError:
+            return False
+
+    if not all(_have(u) for u in range(latest + 1)):
+        with pytest.raises(RuntimeError, match="vacuumed"):
+            _cdf_partitions(table, -1, latest)
+        return
+    reader = VersionedTableStreamReader(
+        _parse_datatype_string(
+            f"k bigint, p bigint, {name} string, {CDF_META_DDL}"
+        ),
+        {"path": table.root, "read_change_feed": "true"},
+    )
+    net: Counter = Counter()
+    for part in _cdf_partitions(table, -1, latest):
+        for out in reader._read_cdf(part):
+            if isinstance(out, pa.RecordBatch):
+                tb = pa.Table.from_batches([out])
+                it = zip(
+                    tb.column("k").to_pylist(),
+                    tb.column("p").to_pylist(),
+                    tb.column(name).to_pylist(),
+                    tb.column("_change_type").to_pylist(),
+                )
+            else:
+                it = [(out[0], out[1], out[2], out[3])]
+            for k, p, v_, ct in it:
+                net[(k, p, v_)] += 1 if ct == "insert" else -1
+    assert all(c in (0, 1) for c in net.values())
+    assert sorted(t for t, c in net.items() if c == 1) == sorted(model)
