@@ -1,0 +1,131 @@
+"""Property test: CDF-maintained aggregate views equal recompute.
+
+The delta-fold arithmetic in ``IncrementalAggregateView`` — additive
+count/sum folds, min/max insert-folding with recompute only for
+groups whose extreme a delete may have removed, reborn groups
+ignoring dead-state extremes — produced three subtle bugs in round 6
+(all canceling-delta edge cases). This drives random merge / delete /
+append sequences with a refresh() after EVERY op and requires the
+maintained view to equal a from-scratch GROUP BY of the base table at
+each point: any fold that drifts once stays drifted, so per-op
+comparison localizes the offending op shape. NULL measure values are
+generated too (count vs count(col) vs sum skip-null semantics)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from jde_to_datalake_spark.plans.incremental_view import (
+    IncrementalAggregateView,
+)
+from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+HS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_SCHEMA = "k bigint, g bigint, x bigint"
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 7),  # key
+                    st.integers(0, 2),  # group
+                    st.one_of(st.none(), st.integers(-5, 5)),  # x
+                ),
+                min_size=1,
+                max_size=3,
+                unique_by=lambda r: r[0],
+            ),
+        ),
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(
+                    st.integers(8, 15),  # fresh key space: append-only
+                    st.integers(0, 2),
+                    st.one_of(st.none(), st.integers(-5, 5)),
+                ),
+                min_size=1,
+                max_size=2,
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.integers(0, 15), min_size=1, max_size=3),
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _recompute(spark, base):
+    return {
+        (r["g"]): (r["n"], r["nx"], r["sx"], r["mn"], r["mx"])
+        for r in base.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("nx"),
+            F.sum("x").alias("sx"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+
+
+@HS
+@given(ops=_OPS)
+def test_view_refresh_equals_recompute_after_every_op(
+    spark, tmp_path_factory, ops
+):
+    base = VersionedTable(str(tmp_path_factory.mktemp("ivb") / "base"))
+    view = VersionedTable(str(tmp_path_factory.mktemp("ivv") / "view"))
+    base.commit(
+        spark.createDataFrame(
+            [(0, 0, 1), (1, 1, None), (2, 2, -3)], _SCHEMA
+        ),
+        mode="overwrite",
+    )
+    v = IncrementalAggregateView(
+        view,
+        base,
+        group_by=["g"],
+        measures={
+            "n": ("count", "*"),
+            "nx": ("count", "x"),
+            "sx": ("sum", "x"),
+            "mn": ("min", "x"),
+            "mx": ("max", "x"),
+        },
+    )
+    v.refresh(spark)
+    for i, (op, payload) in enumerate(ops):
+        if op == "merge":
+            base.merge(
+                spark,
+                spark.createDataFrame(payload, _SCHEMA),
+                key="k",
+            )
+        elif op == "append":
+            base.commit(
+                spark.createDataFrame(payload, _SCHEMA), mode="append"
+            )
+        else:
+            base.delete_where(spark, F.col("k").isin(payload))
+        v.refresh(spark)
+        got = {
+            (r["g"]): (r["n"], r["nx"], r["sx"], r["mn"], r["mx"])
+            for r in v.current(spark).collect()
+        }
+        want = _recompute(spark, base)
+        assert got == want, f"after op {i} ({op}): {got} != {want}"
