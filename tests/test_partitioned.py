@@ -647,10 +647,12 @@ _POPS = st.lists(
 def test_partitioned_op_sequences_match_dict_model(
     spark, tmp_path_factory, ops
 ):
+    from collections import Counter as _C
+
     table = VersionedTable(str(tmp_path_factory.mktemp("pvt") / "t"))
-    model: set[tuple[int, int, str]] = set()  # (k, p, v)
+    model: "_C" = _C()  # MULTISET of (k, p, v): appends duplicate
     name = "v"  # current LOGICAL name of the value column
-    snaps: dict[int, tuple] = {}  # version -> (model, logical name)
+    snaps: dict[int, tuple] = {}  # version -> (model items, logical name)
     stamp = 0
 
     def mk(rows):
@@ -659,30 +661,41 @@ def test_partitioned_op_sequences_match_dict_model(
     def commit(rows, mode):
         table.commit(mk(rows), mode=mode, partitioned_by=["p"])
 
+    def _drop_keys(m, ks):
+        return _C({t: c for t, c in m.items() if t[0] not in ks})
+
+    def _key_counts(m):
+        tot: dict = {}
+        for (k, _p, _v), c in m.items():
+            tot[k] = tot.get(k, 0) + c
+        return tot
+
     for op, keys in ops:
         stamp += 1
         rows = [(k, k % 2, f"s{stamp}") for k in sorted(set(keys))]
         empty = table.latest_version() is None
         if op == "append":
             commit(rows, "append")
-            model |= set(rows)
+            model.update(rows)
         elif op == "overwrite":
             commit(rows, "overwrite")
-            model = set(rows)
+            model = _C(rows)
         elif op == "merge":
             if empty:
                 commit(rows, "append")
-                model |= set(rows)
+                model.update(rows)
             else:
+                # keyed merge collapses a key's duplicates to the one
+                # batch row
                 table.merge(spark, mk(rows), key="k")
-                ks = {k for k, _p, _v in rows}
-                model = {t for t in model if t[0] not in ks} | set(rows)
+                model = _drop_keys(model, {k for k, _p, _v in rows})
+                model.update(rows)
         elif op == "delete":
             if empty:
                 continue
             ks = [k for k, _p, _v in rows]
             table.delete_where(spark, F.col("k").isin(ks))
-            model = {t for t in model if t[0] not in set(ks)}
+            model = _drop_keys(model, set(ks))
         elif op == "update":
             if empty:
                 continue
@@ -690,10 +703,11 @@ def test_partitioned_op_sequences_match_dict_model(
             table.update_where(
                 spark, {name: F.lit(f"s{stamp}")}, F.col("k").isin(list(upd))
             )
-            model = {
-                (k, p, f"s{stamp}" if k in upd else v)
-                for k, p, v in model
-            }
+            # EVERY copy of a matched key restamps (duplicates stay)
+            nm: "_C" = _C()
+            for (k, p, v), c in model.items():
+                nm[(k, p, f"s{stamp}" if k in upd else v)] += c
+            model = nm
         elif op == "sync":
             if empty:
                 continue
@@ -705,7 +719,12 @@ def test_partitioned_op_sequences_match_dict_model(
                 not_matched=[("insert", None)],
                 not_matched_by_source=[("delete", None)],
             )
-            model = set(rows)
+            # matched-update restamps EACH duplicate copy (Delta
+            # parity); unmatched source keys insert one row
+            tot = _key_counts(model)
+            model = _C(
+                {(k, p, v): max(tot.get(k, 0), 1) for k, p, v in rows}
+            )
         elif op == "compact":
             if empty:
                 continue
@@ -715,7 +734,7 @@ def test_partitioned_op_sequences_match_dict_model(
                 continue
             target = sorted(snaps)[keys[0] % len(snaps)]
             table.restore(target)
-            model, name = set(snaps[target][0]), snaps[target][1]
+            model, name = _C(dict(snaps[target][0])), snaps[target][1]
         elif op == "rename":
             # VALUE-column rename is metadata-only even on a
             # partitioned table (partition-column renames are
@@ -735,7 +754,7 @@ def test_partitioned_op_sequences_match_dict_model(
             }
         v = table.latest_version()
         if v is not None:
-            snaps[v] = (frozenset(model), name)
+            snaps[v] = (tuple(sorted(model.items())), name)
             # partition-plane invariants hold after EVERY op
             m = table._manifest(v)
             assert m.get("partitioned_by") == ["p"]
@@ -749,19 +768,19 @@ def test_partitioned_op_sequences_match_dict_model(
                 assert s == [pv, pv], (f, s)
 
     if table.latest_version() is None:
-        assert model == set()
+        assert not model
         return
     got = sorted(
         (r["k"], r["p"], r[name]) for r in table.read(spark).collect()
     )
-    assert got == sorted(model)
+    assert got == sorted(model.elements())
     # pruning on the partition column reads the p=1 subset only
     if model:
         odd = sorted(
             (r["k"], r["p"], r[name])
             for r in table.read_where_in(spark, "p", [1]).collect()
         )
-        assert odd == sorted(t for t in model if t[1] == 1)
+        assert odd == sorted(t for t in model.elements() if t[1] == 1)
     # batch read and stream sniff agree on the schema (type pinning,
     # logical names after any renames)
     from jde_to_datalake_spark.sources.versioned_stream import (
@@ -824,5 +843,6 @@ def test_partitioned_op_sequences_match_dict_model(
                 it = [(out[0], out[1], out[2], out[3])]
             for k, p, v_, ct in it:
                 net[(k, p, v_)] += 1 if ct == "insert" else -1
-    assert all(c in (0, 1) for c in net.values())
-    assert sorted(t for t, c in net.items() if c == 1) == sorted(model)
+    # multiset: duplicate rows fold to their exact multiplicity
+    assert all(c >= 0 for c in net.values())
+    assert Counter({t: c for t, c in net.items() if c > 0}) == model

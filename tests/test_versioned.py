@@ -195,15 +195,25 @@ _OPS = st.lists(
 def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
     """Any commit/merge/update_where/merge_into/delete/compact
     (+partial)/restore/clone/vacuum/rename
-    sequence leaves read() equal to a plain set model of the same
+    sequence leaves read() equal to a MULTISET model of the same
     operations (merge payload = unique per op, so updates are
-    observable). A clone taken mid-sequence must read the model state
-    — and the logical column name — of that moment; restore targets
-    any still-retained version and must reproduce the model state AND
-    the column mapping recorded at it; writes and reads always speak
-    the current logical name while files keep the physical one."""
+    observable). A multiset, not a set: appends legally create
+    duplicate-key rows, and the ops diverge on them — keyed ``merge``
+    COLLAPSES a key's copies to the one batch row (anti-join +
+    insert), while ``update_where`` and MERGE INTO's matched-update
+    restamp EVERY copy (Delta parity: each matched target row updates
+    independently), so two copies stay two — a set model silently
+    collapses exactly that case (caught by this test's partitioned
+    sibling, round 9). A clone taken mid-sequence must read the model
+    state — and the logical column name — of that moment; restore
+    targets any still-retained version and must reproduce the model
+    state AND the column mapping recorded at it; writes and reads
+    always speak the current logical name while files keep the
+    physical one."""
+    import collections as _c
+
     table = VT(str(tmp_path_factory.mktemp("vt") / "t"))
-    model: set[tuple[int, str]] = set()
+    model: "_c.Counter" = _c.Counter()  # multiset of (k, v)
     name = "v"  # current LOGICAL name of the value column
     # (model state, logical name) at each still-restorable version
     snaps: dict[int, tuple] = {}
@@ -212,27 +222,38 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
     def mk(rows):
         return spark.createDataFrame(rows, ["k", name])
 
+    def _drop_keys(m, ks):
+        return _c.Counter({kv: c for kv, c in m.items() if kv[0] not in ks})
+
+    def _key_counts(m):
+        tot: dict = {}
+        for (k, _v), c in m.items():
+            tot[k] = tot.get(k, 0) + c
+        return tot
+
     for op, keys in ops:
         stamp += 1
-        # per-op unique payloads, so every update is observable and the
-        # set model matches the table's multiset exactly
+        # per-op unique payloads, so every update is observable
         rows = [(k, f"s{stamp}") for k in sorted(set(keys))]
         empty = table.latest_version() is None
         if op == "append":
             table.commit(mk(rows), mode="append")
-            model |= set(rows)
+            model.update(rows)
         elif op == "overwrite":
             table.commit(mk(rows), mode="overwrite")
-            model = set(rows)
+            model = _c.Counter(rows)
         elif op == "merge":
             table.merge(spark, mk(rows), key="k")
+            # keyed merge collapses a key's duplicate copies to the
+            # ONE batch row (anti-join out matching keys + insert)
             merged_keys = {k for k, _ in rows}
-            model = {kv for kv in model if kv[0] not in merged_keys} | set(rows)
+            model = _drop_keys(model, merged_keys)
+            model.update(rows)
         elif op == "delete":
             if empty:
                 continue
             table.delete_where(spark, F.col("k").isin([k for k, _ in rows]))
-            model = {kv for kv in model if kv[0] not in {k for k, _ in rows}}
+            model = _drop_keys(model, {k for k, _ in rows})
         elif op == "update":
             # row-level UPDATE: existing rows with these keys take the
             # new payload; absent keys are NOT inserted
@@ -244,13 +265,17 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 {name: F.lit(f"s{stamp}")},
                 F.col("k").isin(list(upd)),
             )
-            model = {
-                (k, f"s{stamp}" if k in upd else v2) for k, v2 in model
-            }
+            # every copy of a matched key restamps (a key's duplicate
+            # rows stay duplicates, all with the new payload)
+            upd_model: "_c.Counter" = _c.Counter()
+            for (k, v2), c in model.items():
+                upd_model[(k, f"s{stamp}" if k in upd else v2)] += c
+            model = upd_model
         elif op == "sync":
-            # full-clause MERGE as a mirror sync: matched rows update,
-            # unmatched source rows insert, target rows absent from the
-            # source are deleted — the table must equal the source
+            # full-clause MERGE as a mirror sync: matched rows update
+            # (EACH duplicate copy independently, Delta parity),
+            # unmatched source rows insert, target rows absent from
+            # the source are deleted
             table.merge_into(
                 spark,
                 mk(rows),
@@ -258,7 +283,10 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 matched=[("update", None, None)],
                 not_matched_by_source=[("delete", None)],
             )
-            model = set(rows)
+            tot = _key_counts(model)
+            model = _c.Counter(
+                {(k, v2): max(tot.get(k, 0), 1) for k, v2 in rows}
+            )
         elif op == "interleaved":
             # two WRITERS race: a second handle merges a disjoint key
             # (100+stamp) between this handle's merge reading its base
@@ -287,9 +315,9 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             finally:
                 table.__dict__.pop("_publish_once", None)
             merged_keys = {k for k, _ in rows} | {ik}
-            model = {kv for kv in model if kv[0] not in merged_keys} | set(
-                rows
-            ) | {(ik, f"i{stamp}")}
+            model = _drop_keys(model, merged_keys)
+            model.update(rows)
+            model.update([(ik, f"i{stamp}")])
         elif op == "compact":
             if empty:
                 continue
@@ -305,13 +333,15 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 continue
             target = sorted(snaps)[keys[0] % len(snaps)]
             table.restore(target)
-            model, name = set(snaps[target][0]), snaps[target][1]
+            model, name = _c.Counter(dict(snaps[target][0])), snaps[target][1]
         elif op == "clone":
             if empty:
                 continue
             c = table.clone_to(str(tmp_path_factory.mktemp("cl") / "c"))
-            got = sorted((r["k"], r[name]) for r in c.read(spark).collect())
-            assert got == sorted(model)
+            got = _c.Counter(
+                (r["k"], r[name]) for r in c.read(spark).collect()
+            )
+            assert got == model
         elif op == "rename":
             if empty:
                 continue
@@ -326,14 +356,14 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             }
         v = table.latest_version()
         if v is not None:
-            snaps[v] = (frozenset(model), name)
+            snaps[v] = (tuple(sorted(model.items())), name)
     if table.latest_version() is None:  # vacuum-only sequence
-        assert model == set()
+        assert not model
         with pytest.raises(FileNotFoundError):
             table.read(spark)
         return
     got = sorted((r["k"], r[name]) for r in table.read(spark).collect())
-    assert got == sorted(model)
+    assert got == sorted(model.elements())
 
     # CDF invariant: streaming the change feed from the beginning and
     # sign-folding it reproduces the final snapshot exactly — never a
@@ -386,8 +416,11 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 rows = [(out[0], out[1], out[2])]
             for k, v_, ct in rows:
                 net[(k, v_)] += 1 if ct == "insert" else -1
-    assert all(c in (0, 1) for c in net.values())
-    assert sorted(kv for kv, c in net.items() if c == 1) == sorted(model)
+    # duplicate rows are legal (multiset): the fold may net to any
+    # non-negative multiplicity, and the positive part must equal the
+    # model EXACTLY (count-for-count, not just membership)
+    assert all(c >= 0 for c in net.values())
+    assert _c.Counter({kv: c for kv, c in net.items() if c > 0}) == model
 
 
 # -- write-audit-publish -----------------------------------------------------
