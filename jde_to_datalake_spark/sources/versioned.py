@@ -3471,7 +3471,12 @@ class VersionedTable:
         retries: int = 0,
     ) -> int:
         """Keyed MERGE: matched rows replaced, new rows inserted —
-        rewriting ONLY the files the batch can touch.
+        rewriting ONLY the files the batch can touch. If appends left
+        a key with DUPLICATE target rows, all its copies collapse to
+        the one batch row (the rewrite anti-joins matching keys out
+        and inserts the batch row once) — the upsert re-establishes
+        the key invariant, unlike ``merge_into``'s matched-update,
+        which updates each copy independently (Delta parity).
 
         ``key`` may be a COMPOSITE list (the reference's ledger key
         ``(action_id, ingredient_id, lot_id)``, jde_helper.py:1367):
@@ -3666,8 +3671,13 @@ class VersionedTable:
 
         Target and source rows are matched on equality of ``key`` —
         a single column or a COMPOSITE list (equality of the whole
-        tuple; any NULL component matches nothing); each row then
-        takes the FIRST clause (in list order) whose condition holds,
+        tuple; any NULL component matches nothing). A key holding
+        DUPLICATE target rows (legal after blind appends) has EACH
+        copy matched and updated/deleted independently — Delta's
+        semantics, where only duplicate SOURCE matches error; contrast
+        ``merge``, whose upsert collapses a key's copies to one row.
+        Each row then takes the FIRST clause (in list order) whose
+        condition holds,
         within its match class:
 
         - ``matched``: clauses over (target row, its matching source
