@@ -41,22 +41,22 @@ _N = 40
 
 
 def _seed_df(spark):
-    return spark.range(_N).select(
-        F.col("id").alias("k"),
-        F.concat(F.lit(""), F.element_at(
-            F.array(*[F.lit(c) for c in "abcd"]),
-            (F.col("id") % 4 + 1).cast("int"),
-        )).alias("s"),
-        F.to_timestamp(
-            F.concat(
-                F.lit("2024-06-"),
-                F.lpad((F.col("id") % 3 + 28).cast("string"), 2, "0"),
-                F.lit(" "),
-                F.lpad((F.col("id") % 24).cast("string"), 2, "0"),
-                F.lit(":30:00"),
-            )
-        ).alias("ts"),
-    )
+    # plain literal rows on purpose: an expression-built seed
+    # (element_at over id % 4) let Catalyst propagate an impossible
+    # filter constraint (k = -1) INTO the projection and ANSI-throw on
+    # the folded element_at(arr, 0) — the hazard class the verify
+    # notes call out; literals have nothing to fold
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            "abcd"[i % 4],
+            dt.datetime(2024, 6, 28 + i % 3, i % 24, 30, 0),
+        )
+        for i in range(_N)
+    ]
+    return spark.createDataFrame(rows, "k bigint, s string, ts timestamp")
 
 
 @st.composite
