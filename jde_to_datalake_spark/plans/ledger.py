@@ -5,8 +5,8 @@ with ``unique_transaction_id UNIQUE`` and writes via
 ``INSERT ... ON CONFLICT DO UPDATE`` (jde_helper.py:1006-1012,
 dag_bakery_system_to_jde.py:383-423). The Spark-native equivalent is
 Delta ``MERGE INTO``; this environment has no Delta, so the same
-MERGE semantics are implemented over plain parquet with an atomic
-directory swap (correct for a single writer, which matches the
+MERGE semantics are implemented over plain parquet behind an atomic
+LogStore pointer flip (correct for a single writer, which matches the
 reference's one-dispatcher-at-a-time model). For multi-version MERGE
 with time travel, history, and optimistic multi-writer detection, see
 ``sources/versioned.py`` (a transaction-log table in the Delta
@@ -31,21 +31,40 @@ from pyspark.sql import functions as F
 
 
 class IdempotencyLedger:
-    """Parquet-backed keyed upsert ledger with MERGE semantics."""
+    """Parquet-backed keyed upsert ledger with MERGE semantics.
 
-    def __init__(self, path: str, key: str = "unique_transaction_id"):
-        self.path = path
-        self.key = key
+    The rewrite publish is a POINTER FLIP through the LogStore seam
+    (``store`` injects an object-store impl; default POSIX under
+    ``<path>/_log``): each merge writes the new ledger parquet under a
+    fresh unique dir — no rename on the data plane — then atomically
+    re-points one record at it, so readers see the old ledger or the
+    new one, never a mix (single dispatching writer, matching the
+    reference's one-dispatcher-at-a-time model)."""
 
-    def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
+    def __init__(
+        self, path: str, key: str = "unique_transaction_id", store=None
+    ):
+        from jde_to_datalake_spark.sources.log_store import (
+            PointerSlot,
+            PosixLogStore,
         )
 
+        self.path = path
+        self.key = key
+        self._slot = PointerSlot(store or PosixLogStore(path))
+
+    def _data_dir(self) -> str | None:
+        rec = self._slot.get()
+        return rec["data_dir"] if rec else None
+
+    def exists(self) -> bool:
+        return self._data_dir() is not None
+
     def load(self, spark: SparkSession) -> DataFrame | None:
-        if not self.exists():
+        d = self._data_dir()
+        if d is None:
             return None
-        return spark.read.parquet(self.path)
+        return spark.read.parquet(os.path.join(self.path, d))
 
     def pending_only(self, spark: SparkSession, batch: DataFrame) -> DataFrame:
         """J6: drop rows already marked done (MUST precede side effects)."""
@@ -99,11 +118,13 @@ class IdempotencyLedger:
         self.merge(spark, updates)
 
     def _atomic_write(self, df: DataFrame) -> None:
-        tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}__old_{uuid.uuid4().hex}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        old = self._data_dir()
+        data_name = f"data-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.path, data_name)
+        )
+        self._slot.set({"data_dir": data_name})
+        if old is not None:
+            shutil.rmtree(
+                os.path.join(self.path, old), ignore_errors=True
+            )

@@ -85,6 +85,10 @@ class ResultCache:
         with open(os.path.join(tmp, "_cache_meta.json"), "w") as f:
             json.dump({"created_at": time.time(), "rows": n}, f)
         shutil.rmtree(entry, ignore_errors=True)
+        # node-local scratch swap, NOT a cross-writer publish point: a
+        # torn/lost cache entry is a miss and recomputes, so this needs
+        # no LogStore seam (deploy the cache dir on local disk; see
+        # SCALE.md "Object-store data plane")
         os.replace(tmp, entry)
         return spark.read.parquet(os.path.join(entry, "data"))
 

@@ -1576,25 +1576,22 @@ def _snapshot_lake_booleans(
         # exactly-once — no double-applied rows, no phantom version —
         # while a GENUINE competitor's record must still conflict.
         from jde_to_datalake_spark.sources.log_store import (
-            LogConflict as _LC,
+            LostAckStore as _LAS,
             PosixLogStore as _PLS,
         )
 
-        class _LostAckStore(_PLS):
-            fire = False
-
-            def put_if_absent(self, version, record):
-                super().put_if_absent(version, record)
-                if _LostAckStore.fire:
-                    _LostAckStore.fire = False
-                    raise _LC(str(version))
-
         aroot = _os.path.join(tmp, "ambig")
-        at = VersionedTable(aroot, log_store=_LostAckStore(aroot))
+        # fire_every=2: the first put (base commit) ACKs normally, the
+        # second (the appended commit under test) lands then reports a
+        # conflict — the reusable lost-ACK injection (log_store.py;
+        # the whole conflict matrix also runs under it,
+        # tests/test_conflicts.py "lost-ack" leg)
+        at = VersionedTable(
+            aroot, log_store=_LAS(_PLS(aroot), fire_every=2)
+        )
         at.commit(
             rbase.filter(F.col("c_custkey") <= mid), mode="overwrite"
         )
-        _LostAckStore.fire = True
         v_amb = at.commit(
             rbase.filter(F.col("c_custkey") > mid), mode="append"
         )

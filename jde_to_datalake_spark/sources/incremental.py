@@ -43,23 +43,41 @@ from pyspark.sql import functions as F
 
 
 class Watermark:
-    """One named high-watermark persisted as a single-row parquet dir.
+    """One named high-watermark persisted as a single-row parquet dir
+    behind a LogStore pointer.
 
-    Parquet (not a text file) so the value round-trips with its exact
+    Parquet (not a JSON field) so the value round-trips with its exact
     type — timestamps, dates and integers all survive without a parse
-    step. The swap is rename-based like plans/ledger.py (same
-    object-store caveat there: swap the rename for a manifest flip /
-    Delta commit where rename isn't atomic).
+    step. The publish is a POINTER FLIP through the LogStore seam
+    (``store`` injects an object-store impl; default POSIX under
+    ``<path>/_log``): each advance writes the new single-row parquet
+    under a fresh unique dir — write-direct-to-final-name, no rename
+    anywhere — then atomically re-points one record at it. Readers
+    resolve the pointer first, so they see the old watermark or the
+    new one, never a torn state; the superseded dir is removed
+    best-effort after the flip (single advancing writer, matching the
+    one-poller-per-watermark model).
     """
 
-    def __init__(self, path: str, name: str = "hwm"):
+    def __init__(self, path: str, name: str = "hwm", store=None):
+        from jde_to_datalake_spark.sources.log_store import (
+            PointerSlot,
+            PosixLogStore,
+        )
+
         self.path = path
         self.name = name
+        self._slot = PointerSlot(store or PosixLogStore(path))
+
+    def _data_dir(self) -> str | None:
+        rec = self._slot.get()
+        return rec["data_dir"] if rec else None
 
     def get(self, spark: SparkSession) -> Any | None:
-        if not os.path.isdir(self.path):
+        d = self._data_dir()
+        if d is None:
             return None
-        rows = spark.read.parquet(self.path).collect()
+        rows = spark.read.parquet(os.path.join(self.path, d)).collect()
         return rows[0]["value"] if rows else None
 
     def advance(self, spark: SparkSession, df: DataFrame, ts_col: str) -> Any | None:
@@ -68,19 +86,22 @@ class Watermark:
         must not rewind the clock); empty batches are a no-op. Returns
         the watermark now in effect."""
         new = df.agg(F.max(ts_col).alias("value")).collect()[0]["value"]
+        old_dir = self._data_dir()
         current = self.get(spark)
         if new is None or (current is not None and new <= current):
             return current
         out = spark.createDataFrame(
             [(self.name, new)], schema=df.select(F.lit(self.name).alias("name"), F.col(ts_col).alias("value")).schema
         )
-        tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}__old_{uuid.uuid4().hex}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        data_name = f"data-{uuid.uuid4().hex}"
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, data_name)
+        )
+        self._slot.set({"data_dir": data_name})
+        if old_dir is not None:
+            shutil.rmtree(
+                os.path.join(self.path, old_dir), ignore_errors=True
+            )
         return new
 
 

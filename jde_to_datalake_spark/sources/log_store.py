@@ -48,6 +48,24 @@ protocol deployable there.
 concurrency test matrix (tests/test_conflicts.py) runs against it,
 demonstrating the conflict tier has no hidden dependence on POSIX
 semantics (hard links, rename atomicity, directory listing).
+
+:class:`PointerSlot` is the thin sibling primitive for the engine's
+OTHER atomic-publish points — artifacts that are a single named
+record rather than a version-keyed log (the ingest app nonce, the
+training-shard manifest, the watermark / idempotency-ledger /
+schema-registry pointers). Each of those used to hand-roll its own
+POSIX ``os.link`` / ``os.rename``; routing them through the slot
+means the whole engine's exactly-once publishes — not just the
+table log — are exactly one ``LogStore`` implementation away from
+any object store.
+
+:class:`LostAckStore` wraps any store with the object-store
+lost-ACK fault: a ``put_if_absent`` that LANDS server-side but
+reports :class:`LogConflict` to the caller (an SDK's internal retry
+answering 412/conditional-failure from its own earlier write). The
+conflict matrix runs once under this injection to prove the
+writer-token recovery composes with reconciliation, not just with a
+clean append.
 """
 
 from __future__ import annotations
@@ -226,3 +244,81 @@ class InMemoryLogStore(LogStore):
                 cls._registry.clear()
             else:
                 cls._registry.pop(os.path.abspath(root), None)
+
+
+class PointerSlot:
+    """A single named atomic record on a :class:`LogStore` — the
+    publish primitive shared by every non-table artifact:
+
+    - ``create(record)`` — publish once, exclusively
+      (:class:`LogConflict` when a record already exists: the caller
+      lost a write-once race, e.g. two training-shard exports).
+    - ``get()`` — the current record, or ``None`` before the first
+      ``create``/``set``.
+    - ``set(record)`` — reader-atomic overwrite (pointer flips: the
+      watermark / ledger data-dir indirection — data files land under
+      unique final names, then ONE record flip makes them current,
+      which is the object-store replacement for directory rename).
+
+    The slot is version ``0`` of an ordinary log, so every store
+    implementation (POSIX link, S3 If-None-Match, DynamoDB
+    conditional put, the in-memory prover) serves it unchanged.
+    """
+
+    SLOT = 0
+
+    def __init__(self, store: LogStore):
+        self.store = store
+
+    def create(self, record: dict) -> None:
+        self.store.put_if_absent(self.SLOT, record)
+
+    def get(self) -> "dict | None":
+        try:
+            return self.store.read(self.SLOT)
+        except FileNotFoundError:
+            return None
+
+    def set(self, record: dict) -> None:
+        self.store.replace(self.SLOT, record)
+
+
+class LostAckStore(LogStore):
+    """Fault-injection wrapper: every ``put_if_absent`` LANDS in the
+    wrapped store, then reports :class:`LogConflict` anyway — the
+    object-store lost-ACK failure mode (an adapter's internal retry
+    answering "already exists" from its own earlier successful
+    write). ``fire_every`` narrows the fault to every Nth put
+    (default 1 = every put); all other primitives pass through.
+
+    With writer-token recovery (versioned.py ambiguous-put handling)
+    every publish must still complete exactly-once under this store —
+    tests/test_conflicts.py runs its matrix once with it wrapped
+    around each real store.
+    """
+
+    def __init__(self, inner: LogStore, fire_every: int = 1):
+        self.inner = inner
+        self.fire_every = fire_every
+        self._puts = 0
+
+    def list_versions(self) -> "list[int]":
+        return self.inner.list_versions()
+
+    def read(self, version: int) -> dict:
+        return self.inner.read(version)
+
+    def put_if_absent(self, version: int, record: dict) -> None:
+        self.inner.put_if_absent(version, record)
+        self._puts += 1
+        if self._puts % self.fire_every == 0:
+            raise LogConflict(f"{version} (injected lost ACK)")
+
+    def replace(self, version: int, record: dict) -> None:
+        self.inner.replace(version, record)
+
+    def delete(self, version: int) -> None:
+        self.inner.delete(version)
+
+    def clean_stale(self, cutoff_epoch: float) -> None:
+        self.inner.clean_stale(cutoff_epoch)

@@ -7,8 +7,9 @@ S3 (s3_helper.py:156-230). Here:
 
 - inference is a single distributed agg pass over the WHOLE dataset
   (max string length per column — not a first-record guess);
-- versions live in a parquet-backed table with the same
-  ``COALESCE(MAX(version),0)+1`` semantics (A7);
+- versions live in a LogStore-backed record log with the same
+  ``COALESCE(MAX(version),0)+1`` semantics (A7), published through
+  the seam's put-if-absent (object-store-portable, lost-update-free);
 - "latest" is ``ORDER BY version DESC LIMIT 1`` (A6), replacing the
   reference's max-LastModified S3 listing.
 
@@ -20,8 +21,6 @@ the reference's GET /s3/schemas API.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import uuid
 from datetime import datetime, timezone
 
@@ -100,61 +99,96 @@ def create_ddl_from_schema(table: str, schema: dict) -> str:
 
 
 class SchemaRegistry:
-    """Versioned schema store (A6/A7/S9) over a parquet table."""
+    """Versioned schema store (A6/A7/S9) — a LOG of schema records.
 
-    def __init__(self, path: str):
+    Each ``save`` appends one record through the LogStore seam's
+    ``put_if_absent`` (POSIX link locally, ``If-None-Match`` on S3 —
+    inject ``store`` to deploy off POSIX). The registry is
+    metadata-scale by construction (one record per schema version),
+    so reads are plain record scans; ``_load`` materializes them as a
+    DataFrame for SQL-side consumers.
+
+    Concurrency: two simultaneous ``save`` calls for the same table
+    cannot both claim version N — they contend on the same log index,
+    the loser re-reads and re-computes (``COALESCE(MAX(version),0)+1``
+    over what actually committed). The previous parquet-swap design
+    had a lost-update window here; the log closes it.
+    """
+
+    _SCHEMA = (
+        "table_name string, version int, "
+        "schema_definition string, created_at string"
+    )
+
+    def __init__(self, path: str, store=None):
+        from jde_to_datalake_spark.sources.log_store import PosixLogStore
+
         self.path = path
+        self.store = store or PosixLogStore(path)
+
+    def _records(self) -> list[dict]:
+        return [self.store.read(v) for v in self.store.list_versions()]
 
     def _load(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.isdir(self.path):
+        recs = self._records()
+        if not recs:
             return None
-        return spark.read.parquet(self.path)
-
-    def next_version(self, spark: SparkSession, table: str) -> int:
-        cur = self._load(spark)
-        if cur is None:
-            return 1
-        row = (
-            cur.filter(F.col("table_name") == table)
-            .agg(F.coalesce(F.max("version"), F.lit(0)).alias("v"))
-            .collect()[0]
-        )
-        return int(row["v"]) + 1
-
-    def save(self, spark: SparkSession, table: str, schema: dict) -> int:
-        version = self.next_version(spark, table)
-        row = spark.createDataFrame(
+        return spark.createDataFrame(
             [
                 (
-                    table,
-                    version,
-                    json.dumps(schema, sort_keys=True),
-                    datetime.now(timezone.utc).isoformat(),
+                    r["table_name"],
+                    r["version"],
+                    r["schema_definition"],
+                    r["created_at"],
                 )
+                for r in recs
             ],
-            "table_name string, version int, schema_definition string, created_at string",
+            self._SCHEMA,
         )
-        cur = self._load(spark)
-        merged = row if cur is None else cur.unionByName(row)
-        tmp = f"{self.path}__tmp_{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}__old_{uuid.uuid4().hex}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
-        return version
+
+    @staticmethod
+    def _max_version(recs: list[dict], table: str) -> int:
+        return max(
+            (r["version"] for r in recs if r["table_name"] == table),
+            default=0,
+        )
+
+    def next_version(self, spark: SparkSession, table: str) -> int:
+        return self._max_version(self._records(), table) + 1
+
+    def save(self, spark: SparkSession, table: str, schema: dict) -> int:
+        from jde_to_datalake_spark.sources.log_store import LogConflict
+
+        while True:
+            versions = self.store.list_versions()
+            idx = versions[-1] + 1 if versions else 0
+            version = self._max_version(self._records(), table) + 1
+            record = {
+                "table_name": table,
+                "version": version,
+                "schema_definition": json.dumps(schema, sort_keys=True),
+                "created_at": datetime.now(timezone.utc).isoformat(),
+                # writer token: recognizes our own landed put when a
+                # lost-ACK store reports a conflict anyway
+                "writer": uuid.uuid4().hex,
+            }
+            try:
+                self.store.put_if_absent(idx, record)
+                return version
+            except LogConflict:
+                try:
+                    existing = self.store.read(idx)
+                except FileNotFoundError:
+                    continue
+                if existing.get("writer") == record["writer"]:
+                    return version  # our own put landed; ACK was lost
+                continue  # real competitor — re-base and retry
 
     def latest(self, spark: SparkSession, table: str) -> dict | None:
-        cur = self._load(spark)
-        if cur is None:
+        recs = [
+            r for r in self._records() if r["table_name"] == table
+        ]
+        if not recs:
             return None
-        rows = (
-            cur.filter(F.col("table_name") == table)
-            .orderBy(F.col("version").desc())
-            .limit(1)
-            .collect()
-        )
-        if not rows:
-            return None
-        return json.loads(rows[0]["schema_definition"])
+        recs.sort(key=lambda r: r["version"])
+        return json.loads(recs[-1]["schema_definition"])

@@ -9,8 +9,8 @@ applied to a one-shot artifact: publish once, verify forever.)
 
 Layout::
 
-    <root>/shards/shard=<n>/*.parquet   the pack rows of shard n
-    <root>/manifest.json                written LAST, atomically
+    <root>/shards-<uuid>/shard=<n>/*.parquet   the pack rows of shard n
+    <root>/_log/00000000000.json               the manifest, LAST
 
 Design rules (the versioned-table commit protocol applied to a
 write-once artifact):
@@ -24,10 +24,15 @@ write-once artifact):
 - one repartition on the shard key co-locates each shard in a single
   task, so every ``shard=<n>`` directory holds exactly one file —
   the trainer-side read unit IS the shard;
-- data files land first, the manifest last via ``open(..., "x")``
-  (O_EXCL) — a reader that resolves the manifest only ever sees a
-  complete export, and a concurrent second writer loses the manifest
-  race and FAILS instead of silently corrupting the artifact;
+- data files land FIRST, directly under their final unique-named
+  directory (``shards-<uuid>`` — no rename anywhere on the data
+  plane, so the layout deploys unchanged on an object store); the
+  manifest lands LAST through the LogStore seam's ``PointerSlot``
+  (put-if-absent — POSIX link locally, ``If-None-Match`` on S3) and
+  records which data dir is current — a reader that resolves the
+  manifest only ever sees a complete export, and a concurrent second
+  writer loses the manifest race and FAILS (cleaning up its own
+  orphan data dir) instead of silently corrupting the artifact;
 - per-shard ``row_hash`` is an ORDER-INDEPENDENT aggregate (the sum
   of per-row ``xxhash64``, accumulated as DECIMAL(38,0) because an
   int64 sum of hashes overflows and Spark 4's ANSI mode correctly
@@ -39,11 +44,22 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MANIFEST = "manifest.json"
+from jde_to_datalake_spark.sources.log_store import (
+    LogConflict,
+    LogStore,
+    PointerSlot,
+    PosixLogStore,
+)
+
+
+def _slot(root: str, store: "LogStore | None") -> PointerSlot:
+    return PointerSlot(store or PosixLogStore(root))
 
 
 def _row_hash(id_col: str, tokens_col: str) -> F.Column:
@@ -70,11 +86,14 @@ def write_training_shards(
     rows_per_shard: int = 1024,
     id_col: str = "pack_id",
     tokens_col: str = "tokens",
+    store: "LogStore | None" = None,
 ) -> dict:
     """Export pack rows as size-bounded shards + manifest; returns the
     manifest dict. Raises ``FileExistsError`` if ``root`` already holds
     a manifest — the artifact is write-once (export to a fresh root,
     or version roots the way the versioned table versions manifests).
+    ``store`` injects the manifest's publish primitive (default POSIX
+    under ``<root>/_log``).
 
     Cost: ONE shuffle (the repartition on the derived shard key); the
     stats aggregation reads back the written files (so the manifest
@@ -83,12 +102,13 @@ def write_training_shards(
     """
     if rows_per_shard <= 0:
         raise ValueError("rows_per_shard must be positive")
-    manifest_path = os.path.join(root, MANIFEST)
-    if os.path.exists(manifest_path):
-        raise FileExistsError(
-            f"{manifest_path} exists — training shards are write-once"
-        )
     os.makedirs(root, exist_ok=True)
+    slot = _slot(root, store)
+    if slot.get() is not None:
+        raise FileExistsError(
+            f"{root} already holds a manifest — training shards are "
+            "write-once"
+        )
 
     # DIV = exact integer division (a double `/` would round above
     # 2^53); pack ids are dense from 0, so shards are balanced by
@@ -96,30 +116,18 @@ def write_training_shards(
     sharded = packs.withColumn(
         "shard", F.expr(f"CAST({id_col} DIV {rows_per_shard} AS BIGINT)")
     )
-    data_dir = os.path.join(root, "shards")
-    # stage under a unique name, then atomically rename into place: a
-    # second writer racing this export fails at the rename (target
-    # exists) BEFORE touching the winner's data files — an in-place
-    # overwrite write would clobber them first and only then lose the
-    # manifest race
-    import uuid
-
-    staging = os.path.join(root, f"_shards-{uuid.uuid4().hex}")
+    # data files land directly under their FINAL unique-named dir —
+    # no rename on the data plane (an object store has none); the
+    # manifest's exclusive publish below decides which dir is current,
+    # so a racing second export never touches the winner's files
+    data_name = f"shards-{uuid.uuid4().hex}"
+    data_dir = os.path.join(root, data_name)
     (
         sharded.repartition("shard")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(staging)
+        .parquet(data_dir)
     )
-    try:
-        os.rename(staging, data_dir)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
-        raise FileExistsError(
-            f"{data_dir} exists — another export won the race"
-        ) from None
 
     spark = packs.sparkSession
     # read back with the EXPLICIT schema: a zero-pack export writes no
@@ -144,6 +152,7 @@ def write_training_shards(
         "id_col": id_col,
         "tokens_col": tokens_col,
         "schema": schema_json,
+        "data_dir": data_name,
         "n_shards": len(stats),
         "n_rows": sum(r["n_rows"] for r in stats),
         "n_tokens": sum(r["n_tokens"] for r in stats),
@@ -157,21 +166,29 @@ def write_training_shards(
             for r in stats
         ],
     }
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    # publish = create the final name exclusively, then link the bytes
-    # in: os.link fails (EEXIST) if a concurrent writer won the race
+    # publish LAST, exclusively: losing the put means a concurrent
+    # export won the whole artifact — remove our orphan data dir and
+    # fail, the winner's files untouched. The unique data_dir doubles
+    # as a writer token: a lost-ACK store (our own put landed, then
+    # reported conflict) is recognized by reading the record back.
     try:
-        os.link(tmp, manifest_path)
-    finally:
-        os.unlink(tmp)
+        slot.create(manifest)
+    except LogConflict:
+        existing = slot.get()
+        if existing is not None and existing.get("data_dir") == data_name:
+            return manifest  # our own put landed; ACK was lost
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise FileExistsError(
+            f"{root}: another export won the manifest race"
+        ) from None
     return manifest
 
 
-def read_manifest(root: str) -> dict:
-    with open(os.path.join(root, MANIFEST)) as fh:
-        return json.load(fh)
+def read_manifest(root: str, store: "LogStore | None" = None) -> dict:
+    manifest = _slot(root, store).get()
+    if manifest is None:
+        raise FileNotFoundError(f"{root}: no training-shard manifest")
+    return manifest
 
 
 def read_training_shards(
@@ -190,7 +207,9 @@ def read_training_shards(
 
     manifest = read_manifest(root)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    df = spark.read.schema(schema).parquet(os.path.join(root, "shards"))
+    df = spark.read.schema(schema).parquet(
+        os.path.join(root, manifest["data_dir"])
+    )
     if shards is not None:
         unknown = set(shards) - {s["shard"] for s in manifest["shards"]}
         if unknown:
@@ -223,18 +242,25 @@ def read_training_shards(
     return df
 
 
-def clean_stale_stagings(root: str) -> list[str]:
-    """Remove `_shards-*` staging directories left by crashed or losing
-    exports (the published `shards` directory and manifest are never
-    touched). Returns the removed paths — the shard-artifact analog of
-    the versioned table's ``vacuum``."""
-    import shutil
-
+def clean_stale_stagings(
+    root: str, store: "LogStore | None" = None
+) -> list[str]:
+    """Remove ``shards-*`` data directories that no manifest
+    references — the debris of a crashed export (died between the
+    data write and the manifest publish) or a losing racer. The
+    manifest-referenced directory is never touched. Returns the
+    removed paths — the shard-artifact analog of the versioned
+    table's ``vacuum``."""
     removed = []
     if not os.path.isdir(root):
         return removed
+    manifest = _slot(root, store).get()
+    current = manifest["data_dir"] if manifest else None
     for name in os.listdir(root):
-        if name.startswith("_shards-"):
+        if (
+            name.startswith(("shards-", "_shards-"))
+            and name != current
+        ):
             path = os.path.join(root, name)
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)

@@ -4430,7 +4430,11 @@ class VersionedTable:
         succeed while pointing at missing files. Unreferenced files
         younger than the retention window are therefore kept; pass 0
         only when no writer can be active. Stale manifest temp files
-        (crashed publishes) age out the same way.
+        (crashed publishes) age out the same way, and so do
+        ``_staging-*`` directories abandoned by writers that died
+        before moving their files into place (judged on the NEWEST
+        mtime inside the dir, so an in-flight write is never
+        reclaimed; dir names ride in the returned list).
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -4487,6 +4491,39 @@ class VersionedTable:
                 except OSError:
                     pass
         self.log.clean_stale(cutoff)
+        # reclaim crashed staging dirs: a writer that died between
+        # Spark's staging write and the move-into-place loop leaves a
+        # `_staging-*` dir that `_walk_parquet` (correctly) never
+        # surfaces — without this sweep it would leak forever. The
+        # retention window is judged on the NEWEST mtime inside the
+        # dir, so an in-flight write that is still producing files is
+        # never reclaimed even if it started long ago.
+        import shutil as _shutil
+
+        for name in os.listdir(self.root):
+            if not name.startswith("_staging-"):
+                continue
+            p = os.path.join(self.root, name)
+            if not os.path.isdir(p):
+                continue
+            try:
+                newest = os.path.getmtime(p)
+                for dirpath, _dirs, files in os.walk(p):
+                    newest = max(
+                        newest,
+                        os.path.getmtime(dirpath),
+                        *(
+                            os.path.getmtime(os.path.join(dirpath, f))
+                            for f in files
+                        ),
+                    )
+            except OSError:
+                # entries moved mid-walk: the owning writer is alive
+                # and draining the dir — not ours to reclaim this pass
+                continue
+            if newest <= cutoff:
+                _shutil.rmtree(p, ignore_errors=True)
+                removed.append(name)
         return removed
 
 

@@ -619,10 +619,7 @@ def ingest_batch_writer(
     return write
 
 
-_APP_NONCE_FILE = "_ingest_app_nonce"
-
-
-def checkpoint_app_id(checkpoint_dir: str) -> str:
+def checkpoint_app_id(checkpoint_dir: str, store=None) -> str:
     """Idempotent-txn app id bound to the CHECKPOINT LINEAGE, not just
     its path. Structured Streaming restarts batch_id at 0 when a
     checkpoint is deleted and recreated at the same path; a path-only
@@ -630,32 +627,32 @@ def checkpoint_app_id(checkpoint_dir: str) -> str:
     ``last_txn_version`` watermark and silently skip the new run's
     early corpus writes (while the index append still commits those
     fingerprints — documents marked known but never stored). A uuid
-    nonce file written inside the checkpoint dir on first use rotates
+    nonce published inside the checkpoint dir on first use rotates
     the app_id together with the batch_id lineage: recreate the
     checkpoint and the nonce (hence the app identity, hence the
-    watermark) starts fresh too."""
+    watermark) starts fresh too.
+
+    create-if-absent must be ATOMIC — two first-use writers must
+    observe ONE nonce — so the publish goes through the LogStore
+    seam's :class:`~jde_to_datalake_spark.sources.log_store.PointerSlot`
+    (the same put-if-absent primitive ``VersionedTable.publish``
+    arbitrates with; ``store`` injects an object-store impl, default
+    POSIX under ``<checkpoint_dir>/_log``). A loser reads the
+    winner's record — correct even under a lost-ACK store, where the
+    "conflict" is its own landed write."""
+    from jde_to_datalake_spark.sources.log_store import (
+        LogConflict,
+        PointerSlot,
+        PosixLogStore,
+    )
+
     os.makedirs(checkpoint_dir, exist_ok=True)
-    nonce_path = os.path.join(checkpoint_dir, _APP_NONCE_FILE)
-    if not os.path.exists(nonce_path):
-        # create-if-absent must be ATOMIC: with os.replace, writer A
-        # could publish, read back, and return its app id before writer
-        # B's replace lands — two app identities for one checkpoint
-        # lineage (round-6 advisor, low). os.link both publishes the
-        # fully-written content atomically AND fails when the target
-        # exists, so every caller observes the single surviving nonce
-        # (the same primitive VersionedTable.publish arbitrates with).
-        tmp = nonce_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(uuid.uuid4().hex)
-        try:
-            os.link(tmp, nonce_path)
-        except FileExistsError:
-            pass  # another writer won the race; read its nonce below
-        finally:
-            os.remove(tmp)
-    with open(nonce_path) as f:
-        nonce = f.read().strip()
-    return f"{os.path.abspath(checkpoint_dir)}#{nonce}"
+    slot = PointerSlot(store or PosixLogStore(checkpoint_dir))
+    try:
+        slot.create({"nonce": uuid.uuid4().hex})
+    except LogConflict:
+        pass  # another writer won the race; read its nonce below
+    return f"{os.path.abspath(checkpoint_dir)}#{slot.get()['nonce']}"
 
 
 def ingest_corpus_stream(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.sources.log_store import (
     InMemoryLogStore,
+    LostAckStore,
     PosixLogStore,
 )
 from jde_to_datalake_spark.sources.versioned import (
@@ -28,23 +29,35 @@ from jde_to_datalake_spark.sources.versioned import (
 )
 
 
-@pytest.fixture(params=["posix", "memory"])
+@pytest.fixture(params=["posix", "memory", "lost-ack"])
 def make_table(request, tmp_path):
     """Factory building writers on a shared root, parametrized over
     the LogStore: the SAME conflict matrix runs against the POSIX
     store and the injected in-memory one, proving the reconciliation
     tier depends only on the seam's put-if-absent/read contract —
     no hidden reliance on hard links, rename atomicity, or directory
-    listing (the object-store portability claim, log_store.py)."""
+    listing (the object-store portability claim, log_store.py).
+
+    The "lost-ack" leg re-runs the whole matrix with EVERY successful
+    put also reporting a conflict (an at-least-once object-store
+    adapter's worst behavior): the writer-token recovery must turn
+    each such false conflict back into exactly-once success, while
+    every GENUINE conflict in the matrix still conflicts — i.e. the
+    recovery composes with reconciliation, not just with a clean
+    append."""
 
     def make(root=None):
         r = str(root if root is not None else tmp_path / "tbl")
         if request.param == "memory":
             return VersionedTable(r, log_store=InMemoryLogStore(r))
+        if request.param == "lost-ack":
+            return VersionedTable(
+                r, log_store=LostAckStore(InMemoryLogStore(r))
+            )
         return VersionedTable(r)
 
     yield make
-    if request.param == "memory":
+    if request.param in ("memory", "lost-ack"):
         InMemoryLogStore.reset()
 
 

@@ -135,3 +135,47 @@ def test_memory_store_shared_across_instances(tmp_path):
     with pytest.raises(LogConflict):
         b.put_if_absent(0, {"w": "b"})
     InMemoryLogStore.reset(root)
+
+
+def test_pointer_slot_create_get_set(store):
+    from jde_to_datalake_spark.sources.log_store import PointerSlot
+
+    slot = PointerSlot(store)
+    assert slot.get() is None
+    slot.create({"data_dir": "a"})
+    assert slot.get() == {"data_dir": "a"}
+    with pytest.raises(LogConflict):
+        slot.create({"data_dir": "b"})  # write-once loser
+    slot.set({"data_dir": "c"})  # pointer flip
+    assert slot.get() == {"data_dir": "c"}
+
+
+def test_lost_ack_store_lands_then_conflicts(store):
+    from jde_to_datalake_spark.sources.log_store import LostAckStore
+
+    s = LostAckStore(store)
+    with pytest.raises(LogConflict):
+        s.put_if_absent(0, {"k": 1})
+    # the put LANDED despite the reported conflict
+    assert s.read(0) == {"k": 1}
+    assert s.list_versions() == [0]
+    # a genuine conflict (occupied version) propagates from the inner
+    # store BEFORE any injection — and does not advance the fire count
+    with pytest.raises(LogConflict):
+        s.put_if_absent(0, {"k": 2})
+    assert s.read(0) == {"k": 1}
+    # pass-throughs
+    s.replace(0, {"k": 3})
+    assert s.read(0) == {"k": 3}
+    s.delete(0)
+    assert s.list_versions() == []
+
+
+def test_lost_ack_fire_every_n(store):
+    from jde_to_datalake_spark.sources.log_store import LostAckStore
+
+    s = LostAckStore(store, fire_every=2)
+    s.put_if_absent(0, {})  # 1st put: clean ACK
+    with pytest.raises(LogConflict):
+        s.put_if_absent(1, {})  # 2nd: lands, ACK lost
+    assert s.list_versions() == [0, 1]

@@ -4,6 +4,7 @@ and stream/backfill parity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.functions.text import fingerprint
@@ -723,31 +724,56 @@ def test_legacy_bloom_layout_falls_back_and_rebuilds(spark, tmp_path):
     assert stats2["bloom_prefiltered"] is True
 
 
-def test_checkpoint_app_id_single_surviving_nonce(tmp_path, monkeypatch):
-    """Round-6 advisor (low): two first-use writers must observe ONE
-    nonce. Force the losing path: the nonce already exists, but the
-    writer believes it doesn't (the exists() check raced) — the atomic
-    create must fail closed and the loser must read the winner's."""
+@pytest.mark.parametrize("store_cls", ["posix", "memory"])
+def test_checkpoint_app_id_single_surviving_nonce(tmp_path, store_cls):
+    """Two first-use writers must observe ONE nonce. The publish goes
+    through the LogStore seam, so the race loser is whoever's
+    put_if_absent conflicts — proven store-independently (POSIX and
+    the in-memory object-store stand-in), and no pre-check can lie."""
     import os
 
+    from jde_to_datalake_spark.sources.log_store import (
+        InMemoryLogStore,
+        PosixLogStore,
+    )
     from jde_to_datalake_spark.streaming import ingest as ing
 
     ckpt = str(tmp_path / "ckpt")
-    winner = ing.checkpoint_app_id(ckpt)
-    real_exists = os.path.exists
-
-    def lie_about_nonce(p):
-        if p.endswith(ing._APP_NONCE_FILE):
-            return False  # simulate the pre-create race window
-        return real_exists(p)
-
-    monkeypatch.setattr(ing.os.path, "exists", lie_about_nonce)
-    loser = ing.checkpoint_app_id(ckpt)
+    os.makedirs(ckpt, exist_ok=True)
+    mk = PosixLogStore if store_cls == "posix" else InMemoryLogStore
+    winner = ing.checkpoint_app_id(ckpt, store=mk(ckpt))
+    # a second writer with its OWN store handle (separate process
+    # model) must read the winner's nonce, not mint a second identity
+    loser = ing.checkpoint_app_id(ckpt, store=mk(ckpt))
     assert loser == winner  # single surviving nonce
-    # no tmp litter left behind
-    assert not [
-        f for f in os.listdir(ckpt) if ".tmp." in f
-    ]
+    if store_cls == "posix":
+        # default store resolves the same identity, no tmp litter
+        assert ing.checkpoint_app_id(ckpt) == winner
+        assert not [
+            f
+            for f in os.listdir(os.path.join(ckpt, "_log"))
+            if f.startswith("_tmp-")
+        ]
+    else:
+        InMemoryLogStore.reset(ckpt)
+
+
+def test_checkpoint_app_id_survives_lost_ack(tmp_path):
+    """Lost-ACK store (put lands, reports conflict): the nonce publish
+    must still yield ONE stable identity — the 'loser' path reads its
+    own landed record."""
+    from jde_to_datalake_spark.sources.log_store import (
+        InMemoryLogStore,
+        LostAckStore,
+    )
+    from jde_to_datalake_spark.streaming import ingest as ing
+
+    ckpt = str(tmp_path / "ckpt")
+    store = LostAckStore(InMemoryLogStore(ckpt))
+    first = ing.checkpoint_app_id(ckpt, store=store)
+    again = ing.checkpoint_app_id(ckpt, store=store)
+    assert first == again
+    InMemoryLogStore.reset(ckpt)
 
 
 def test_maintenance_small_file_sweep_carries_settled_packs(

@@ -52,7 +52,10 @@ def test_round_trip_and_manifest_accounting(spark, tmp_path):
 def test_one_file_per_shard_directory(spark, tmp_path):
     root = str(tmp_path / "shards")
     write_training_shards(_packs(spark), root, rows_per_shard=10)
-    for d in glob.glob(os.path.join(root, "shards", "shard=*")):
+    data_dir = os.path.join(root, read_manifest(root)["data_dir"])
+    shard_dirs = glob.glob(os.path.join(data_dir, "shard=*"))
+    assert len(shard_dirs) == 3
+    for d in shard_dirs:
         files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
         assert len(files) == 1, d
 
@@ -78,7 +81,8 @@ def test_verify_detects_tampering(spark, tmp_path):
     read_training_shards(spark, root, verify=True).count()
     read_training_shards(spark, root, shards=[0, 2], verify=True).count()
     # tamper: drop shard 1's data file
-    victim = glob.glob(os.path.join(root, "shards", "shard=1", "*.parquet"))[0]
+    data_dir = os.path.join(root, read_manifest(root)["data_dir"])
+    victim = glob.glob(os.path.join(data_dir, "shard=1", "*.parquet"))[0]
     os.unlink(victim)
     with pytest.raises(ValueError, match="integrity"):
         read_training_shards(spark, root, verify=True).count()
@@ -137,13 +141,17 @@ def test_clean_stale_stagings_spares_the_artifact(spark, tmp_path):
 
     root = str(tmp_path / "shards")
     write_training_shards(_packs(spark), root, rows_per_shard=10)
-    # simulate a crashed export's leftover staging
-    stale = os.path.join(root, "_shards-deadbeef")
+    # simulate a crashed export's orphan data dir (died between the
+    # data write and the manifest publish) + a legacy staging dir
+    stale = os.path.join(root, "shards-deadbeef")
     os.makedirs(stale)
     open(os.path.join(stale, "part-x.parquet"), "w").close()
+    legacy = os.path.join(root, "_shards-deadbeef")
+    os.makedirs(legacy)
     removed = clean_stale_stagings(root)
-    assert removed == [stale] and not os.path.exists(stale)
-    # the published artifact still reads and verifies
+    assert sorted(removed) == sorted([stale, legacy])
+    assert not os.path.exists(stale) and not os.path.exists(legacy)
+    # the manifest-referenced dir survives; artifact reads + verifies
     assert read_training_shards(spark, root, verify=True).count() == 25
     assert clean_stale_stagings(str(tmp_path / "nope")) == []
 

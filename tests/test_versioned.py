@@ -4,6 +4,7 @@ optimistic concurrency."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -497,6 +498,40 @@ def test_vacuum_retention_spares_fresh_staged_files(spark, table):
     assert removed == []
     table.publish(staged, mode="append")
     assert {r.k for r in table.read(spark).collect()} == {1, 2}
+
+
+def test_vacuum_reclaims_crashed_staging_dirs(spark, table):
+    """A writer that dies between Spark's `_staging-*` write and the
+    move-into-place loop leaks the dir (it's invisible to
+    `_walk_parquet` by design). Vacuum reclaims stale ones by mtime —
+    and a FRESH staging dir (in-flight writer) survives."""
+    table.commit(_df(spark, [(1, "a")]), mode="overwrite")
+    stale = os.path.join(table.root, "_staging-deadbeef")
+    os.makedirs(os.path.join(stale, "x=1"))
+    with open(os.path.join(stale, "x=1", "part-0.parquet"), "w") as fh:
+        fh.write("junk")
+    old = time.time() - 7200
+    for p in (
+        stale,
+        os.path.join(stale, "x=1"),
+        os.path.join(stale, "x=1", "part-0.parquet"),
+    ):
+        os.utime(p, (old, old))
+    fresh = os.path.join(table.root, "_staging-cafebabe")
+    os.makedirs(fresh)
+    removed = table.vacuum(keep_last=1)  # default retention: 1 h
+    assert "_staging-deadbeef" in removed
+    assert not os.path.exists(stale)
+    assert os.path.isdir(fresh)  # in-flight writer spared
+    # a stale dir with ONE fresh file inside is an ACTIVE writer: the
+    # newest-mtime rule keeps it
+    with open(os.path.join(fresh, "part-1.parquet"), "w") as fh:
+        fh.write("junk")
+    os.utime(fresh, (old, old))  # dir timestamp lies; file is fresh
+    assert "_staging-cafebabe" not in table.vacuum(keep_last=1)
+    assert os.path.isdir(fresh)
+    # table contents untouched throughout
+    assert {r.k for r in table.read(spark).collect()} == {1}
 
 
 def test_half_written_manifest_never_visible(spark, table):
