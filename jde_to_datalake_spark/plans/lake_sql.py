@@ -355,13 +355,19 @@ class LakeSQL:
         word token in it are refreshed — rebuilding EVERY registered
         table's view per SELECT is O(registered tables) per query
         (a manifest reconstruction + temp-view swap each), wasteful at
-        hundreds of tables. The token scan over-approximates (a name
-        inside a string literal counts), which only costs a spare
-        refresh, never a stale read."""
+        hundreds of tables. Single-quoted string literals (with ''
+        escapes) and ``--`` line comments are stripped BEFORE the
+        token scan, so a table name mentioned inside a literal or a
+        comment no longer forces a spare refresh; any remaining
+        over-approximation (e.g. a name used as a column alias) still
+        only costs a refresh, never a stale read."""
         if statement is None:
             refs = None
         else:
-            refs = set(re.findall(rf"\b{_IDENT}\b", statement))
+            scrubbed = re.sub(
+                r"'(?:[^']|'')*'|--[^\n]*", " ", statement
+            )
+            refs = set(re.findall(rf"\b{_IDENT}\b", scrubbed))
         for name, t in self.tables.items():
             if refs is not None and name not in refs:
                 continue

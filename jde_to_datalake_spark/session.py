@@ -73,10 +73,26 @@ def get_spark(
         # throughput collector for a batch engine: G1's low-pause
         # machinery (concurrent marking, remembered sets) taxes a
         # workload that only cares about total time; ParallelGC was
-        # -7% on the heavy headline queries at sf0.1 (A/B, round 9)
+        # -7% on the heavy headline queries at sf0.1 (A/B, round 9).
+        # NOTE this conf only takes effect when THIS call launches the
+        # driver JVM (plain `python script.py`); under pyspark-shell,
+        # spark-submit client mode, or an already-running gateway it
+        # is silently ignored — set the flag in spark-submit's
+        # --driver-java-options there. Merged (not overwritten) with
+        # any externally supplied options so a deployment's own flags
+        # survive; SPARK_GRAFT_DRIVER_JAVA_OPTS overrides/extends.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+UseParallelGC",
+            " ".join(
+                p
+                for p in (
+                    "-XX:+UseParallelGC",
+                    # env LAST: for repeated JVM flags the final one
+                    # wins, so operator-supplied options can override
+                    os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+                )
+                if p
+            ),
         )
     )
     if master.startswith("local"):

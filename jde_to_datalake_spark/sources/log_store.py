@@ -246,6 +246,110 @@ class InMemoryLogStore(LogStore):
                 cls._registry.pop(os.path.abspath(root), None)
 
 
+class S3ObjectLogStore(LogStore):
+    """The object-store adapter the seam was built for: commit records
+    as ``s3://<bucket>/<prefix>/_log/<v>.json`` objects, uniqueness
+    from S3 conditional writes (``If-None-Match: *`` — GA since
+    Nov 2024; GCS: ``x-goog-if-generation-match: 0`` behaves
+    identically through the same client shape).
+
+    ``client`` is injected and duck-typed to the boto3 S3 client
+    surface this class actually uses (``put_object``, ``get_object``,
+    ``delete_object``, ``list_objects_v2`` + paginator) — the
+    container has no boto3 and no bucket, so the contract is proven
+    against an in-repo fake with real 412 semantics
+    (tests/test_log_store.py::FakeS3Client) running the same seam
+    contract suite as the POSIX/in-memory stores. With a real boto3
+    client the behavior notes are:
+
+    - ``put_if_absent``: ``PutObject`` with ``IfNoneMatch="*"`` —
+      the 412 ``PreconditionFailed`` is the loser detection. The
+      SDK's internal retry can answer 412 from its OWN landed first
+      attempt (lost ACK); that is exactly what the engine's
+      writer-token recovery absorbs (versioned.py ambiguous-put
+      handling), so the adapter reports the conflict honestly and
+      never needs to disambiguate itself.
+    - ``replace``: plain ``PutObject`` — S3 PUTs are reader-atomic
+      (old or new body, never torn).
+    - ``list_versions``: ``ListObjectsV2`` on the ``_log/`` prefix
+      (strongly consistent since 2020), paginated.
+    - ``clean_stale``: no-op — this adapter writes no temp objects.
+    """
+
+    def __init__(self, bucket: str, prefix: str, client):
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+
+    def _key(self, version: int) -> str:
+        return f"{self.prefix}/_log/{_record_name(version)}"
+
+    def list_versions(self) -> "list[int]":
+        out = []
+        token: "str | None" = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": f"{self.prefix}/_log/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                name = obj["Key"].rsplit("/", 1)[-1]
+                if name.endswith(".json"):
+                    try:
+                        out.append(int(name[:-5]))
+                    except ValueError:
+                        continue
+            if not resp.get("IsTruncated"):
+                return sorted(out)
+            token = resp.get("NextContinuationToken")
+
+    def read(self, version: int) -> dict:
+        try:
+            resp = self.client.get_object(
+                Bucket=self.bucket, Key=self._key(version)
+            )
+        except Exception as e:
+            if _s3_error_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(self._key(version)) from None
+            raise
+        return json.loads(resp["Body"].read())
+
+    def put_if_absent(self, version: int, record: dict) -> None:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(version),
+                Body=json.dumps(record).encode(),
+                IfNoneMatch="*",
+            )
+        except Exception as e:
+            if _s3_error_code(e) in ("PreconditionFailed", "412"):
+                raise LogConflict(str(version)) from None
+            raise
+
+    def replace(self, version: int, record: dict) -> None:
+        self.client.put_object(
+            Bucket=self.bucket,
+            Key=self._key(version),
+            Body=json.dumps(record).encode(),
+        )
+
+    def delete(self, version: int) -> None:
+        self.client.delete_object(
+            Bucket=self.bucket, Key=self._key(version)
+        )
+
+
+def _s3_error_code(e: Exception) -> str:
+    """The error code of a botocore ClientError (duck-typed: any
+    exception carrying the same ``response`` shape matches)."""
+    resp = getattr(e, "response", None)
+    if isinstance(resp, dict):
+        err = resp.get("Error", {})
+        return str(err.get("Code", ""))
+    return ""
+
+
 class PointerSlot:
     """A single named atomic record on a :class:`LogStore` — the
     publish primitive shared by every non-table artifact:

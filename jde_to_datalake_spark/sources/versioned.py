@@ -83,6 +83,18 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first (optimistic loser)."""
 
 
+class CommitOwnershipUnknown(RuntimeError):
+    """``put_if_absent`` reported a conflict but the record at that
+    version could not be read back (store read errors persisting
+    through bounded retries — e.g. a vacuum race or a transient
+    object-store fault). Deliberately NOT a ``ConcurrentCommitError``:
+    the publish may have LANDED, so reconciling (re-basing and
+    republishing the same staged files) could double-apply rows.
+    Callers must re-check table state — e.g. compare
+    ``latest_version``/row counts or retry the whole operation through
+    an idempotent path (txn app-id) — before re-driving the write."""
+
+
 # publish(expected_base=...) sentinel: None is a meaningful expectation
 # ("I read an empty table"), so absence needs its own marker
 _UNSET = object()
@@ -2389,15 +2401,29 @@ class VersionedTable:
             # distinguish "another writer owns this version" from "my
             # own put landed but the acknowledgement was lost and the
             # store retried into its own success". The writer token
-            # settles it — read the record back and compare.
-            try:
-                existing = self.log.read(version)
-            except (FileNotFoundError, OSError, ValueError):
-                existing = None
-            if (
-                existing is not None
-                and existing.get("commit_id") == record["commit_id"]
-            ):
+            # settles it — read the record back and compare. The
+            # read-back is retried through a short bounded backoff: a
+            # transient read fault here must NOT masquerade as a
+            # competitor, because a blind append would then re-base
+            # and republish the same staged files on top of its own
+            # possibly-landed commit (double-applied rows). If the
+            # record stays unreadable, ownership is undecidable —
+            # raise the distinct non-reconcilable error instead.
+            existing = None
+            for backoff in (0.05, 0.2, 0.8, None):
+                try:
+                    existing = self.log.read(version)
+                    break
+                except (FileNotFoundError, OSError, ValueError) as e:
+                    if backoff is None:
+                        raise CommitOwnershipUnknown(
+                            f"{self.root}: version {version} conflicted "
+                            f"but could not be read back ({e!r}); the "
+                            "publish may or may not have landed — "
+                            "re-check table state before retrying"
+                        ) from e
+                    time.sleep(backoff)
+            if existing.get("commit_id") == record["commit_id"]:
                 self._cache_state(version, manifest)
                 return version
             raise ConcurrentCommitError(

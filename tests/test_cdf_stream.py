@@ -242,6 +242,25 @@ def test_cdf_vacuumed_offset_fails_with_guidance(spark, tmp_path):
         _cdf_partitions(t, 0, t.latest_version())
 
 
+def test_cross_handle_vacuum_cache_semantics(spark, tmp_path):
+    """A handle's manifest cache legally OUTLIVES a vacuum run through
+    another handle (separate-process model: caches are per-handle, the
+    log is shared). Pin the contract surfaced by the racing-vacuum
+    op-sequence property (round 10): the stale handle still reads the
+    LATEST version correctly, `versions()` is authoritative (reads the
+    log, not the cache), and the CDF stream — which plans from the log
+    — fails with the vacuum guidance rather than silently part-folding."""
+    a = VersionedTable(str(tmp_path / "t"))
+    a.commit(spark.createDataFrame([(1, "x")], ["k", "v"]), mode="append")
+    a.commit(spark.createDataFrame([(2, "y")], ["k", "v"]), mode="append")
+    b = VersionedTable(a.root)
+    b.vacuum(keep_last=1)  # trims version 0 through the OTHER handle
+    assert a.versions() == [1]  # log-read: authoritative on handle a
+    assert {r["k"] for r in a.read(spark).collect()} == {1, 2}
+    with pytest.raises(RuntimeError, match="vacuumed away"):
+        _cdf_partitions(a, -1, a.latest_version())
+
+
 def test_cdf_survives_fully_tombstoned_file(spark, tmp_path):
     """A file whose EVERY row is tombstoned (delete-all) and then
     departs in an overwrite emits an empty take, not

@@ -29,7 +29,7 @@ from jde_to_datalake_spark.sources.versioned import (
 )
 
 
-@pytest.fixture(params=["posix", "memory", "lost-ack"])
+@pytest.fixture(params=["posix", "memory", "lost-ack", "s3"])
 def make_table(request, tmp_path):
     """Factory building writers on a shared root, parametrized over
     the LogStore: the SAME conflict matrix runs against the POSIX
@@ -44,7 +44,13 @@ def make_table(request, tmp_path):
     each such false conflict back into exactly-once success, while
     every GENUINE conflict in the matrix still conflicts — i.e. the
     recovery composes with reconciliation, not just with a clean
-    append."""
+    append.
+
+    The "s3" leg runs the matrix through the S3ObjectLogStore adapter
+    against the in-repo fake client (real If-None-Match 412
+    semantics, paginated listing): writers on one root share one
+    "bucket", exactly the multi-client S3 deployment shape."""
+    s3_buckets: dict = {}
 
     def make(root=None):
         r = str(root if root is not None else tmp_path / "tbl")
@@ -53,6 +59,16 @@ def make_table(request, tmp_path):
         if request.param == "lost-ack":
             return VersionedTable(
                 r, log_store=LostAckStore(InMemoryLogStore(r))
+            )
+        if request.param == "s3":
+            from jde_to_datalake_spark.sources.log_store import (
+                S3ObjectLogStore,
+            )
+            from tests.test_log_store import FakeS3Client
+
+            client = s3_buckets.setdefault(r, FakeS3Client())
+            return VersionedTable(
+                r, log_store=S3ObjectLogStore("bkt", r, client)
             )
         return VersionedTable(r)
 
@@ -577,3 +593,70 @@ def test_ambiguous_put_recovery_never_claims_a_competitor(
     vals = sorted(r.v for r in t.read(spark).collect())
     assert vals == ["a", "b", "z"]  # both commits present, neither lost
     assert t.latest_version() == 2
+
+
+class _FlakyReadStore:
+    """Reads of one specific version fail `fail_times` times with
+    OSError before succeeding — the transient object-store read fault
+    in the ambiguous-put read-back window."""
+
+    def __init__(self, inner, version, fail_times):
+        self.inner = inner
+        self.version = version
+        self.fail_times = fail_times
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def read(self, version):
+        if version == self.version and self.fail_times > 0:
+            self.fail_times -= 1
+            raise OSError("injected transient read fault")
+        return self.inner.read(version)
+
+
+def test_ambiguous_put_readback_retries_transient_faults(spark, tmp_path):
+    """Lost ACK + transient read-back failure: the bounded retry must
+    recover the writer token and complete exactly-once (treating the
+    failed read as a competitor would re-base a blind append over its
+    own landed commit and double-apply the rows)."""
+    root = str(tmp_path / "tbl")
+    store = _FlakyReadStore(
+        _AmbiguousPutStore(PosixLogStore(root), fire_on=2),
+        version=1,
+        fail_times=2,
+    )
+    t = VersionedTable(root, log_store=store)
+    t.commit(_kv(spark, [(1, "a")]), mode="overwrite")
+    v = t.commit(_kv(spark, [(2, "b")]), mode="append")
+    assert v == 1 and store.fail_times == 0
+    assert sorted(r.v for r in t.read(spark).collect()) == ["a", "b"]
+
+
+def test_ambiguous_put_undecidable_raises_distinct_error(spark, tmp_path):
+    """When the read-back keeps failing, ownership is undecidable: the
+    publish must raise CommitOwnershipUnknown — NOT
+    ConcurrentCommitError, which the reconcile loop would catch and
+    re-base, republishing possibly-landed files. The caller re-checks
+    state and finds the commit DID land, exactly once."""
+    from jde_to_datalake_spark.sources.versioned import (
+        CommitOwnershipUnknown,
+    )
+
+    root = str(tmp_path / "tbl")
+    store = _FlakyReadStore(
+        _AmbiguousPutStore(PosixLogStore(root), fire_on=2),
+        version=1,
+        fail_times=10**9,  # never recovers within the bounded retry
+    )
+    t = VersionedTable(root, log_store=store)
+    t.commit(_kv(spark, [(1, "a")]), mode="overwrite")
+    with pytest.raises(CommitOwnershipUnknown):
+        t.commit(_kv(spark, [(2, "b")]), mode="append")
+    assert not isinstance(
+        CommitOwnershipUnknown("x"), ConcurrentCommitError
+    )
+    # caller's re-check: the put actually landed, exactly once
+    t2 = VersionedTable(root)
+    assert t2.latest_version() == 1
+    assert sorted(r.v for r in t2.read(spark).collect()) == ["a", "b"]

@@ -14,10 +14,77 @@ from jde_to_datalake_spark.sources.log_store import (
     InMemoryLogStore,
     LogConflict,
     PosixLogStore,
+    S3ObjectLogStore,
 )
 
 
-@pytest.fixture(params=["posix", "memory"])
+class _FakeClientError(Exception):
+    """botocore.ClientError shape: carries response["Error"]["Code"]."""
+
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class FakeS3Client:
+    """In-repo stand-in for the boto3 S3 client surface
+    S3ObjectLogStore uses, with REAL conditional-write semantics:
+    put_object(IfNoneMatch="*") is atomic under the lock and answers
+    412 PreconditionFailed when the key exists — the exact behavior
+    of S3 conditional writes (GA Nov 2024). Listing paginates at 2
+    keys per page so the adapter's ContinuationToken loop is
+    exercised, and is strongly consistent like real S3 (2020+)."""
+
+    PAGE = 2
+
+    def __init__(self):
+        import threading
+
+        self._objects: dict = {}  # (bucket, key) -> bytes
+        self._lock = threading.Lock()
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        with self._lock:
+            if IfNoneMatch == "*" and (Bucket, Key) in self._objects:
+                raise _FakeClientError("PreconditionFailed")
+            self._objects[(Bucket, Key)] = bytes(Body)
+        return {}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        with self._lock:
+            try:
+                data = self._objects[(Bucket, Key)]
+            except KeyError:
+                raise _FakeClientError("NoSuchKey") from None
+        return {"Body": io.BytesIO(data)}
+
+    def delete_object(self, Bucket, Key):
+        with self._lock:
+            self._objects.pop((Bucket, Key), None)  # S3: 204 either way
+        return {}
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        with self._lock:
+            keys = sorted(
+                k
+                for b, k in self._objects
+                if b == Bucket and k.startswith(Prefix)
+            )
+        start = int(ContinuationToken) if ContinuationToken else 0
+        page = keys[start : start + self.PAGE]
+        truncated = start + self.PAGE < len(keys)
+        resp = {
+            "Contents": [{"Key": k} for k in page],
+            "IsTruncated": truncated,
+        }
+        if truncated:
+            resp["NextContinuationToken"] = str(start + self.PAGE)
+        return resp
+
+
+@pytest.fixture(params=["posix", "memory", "s3"])
 def store(request, tmp_path):
     root = str(tmp_path / "tbl")
     os.makedirs(root, exist_ok=True)
@@ -25,6 +92,8 @@ def store(request, tmp_path):
         s = InMemoryLogStore(root)
         yield s
         InMemoryLogStore.reset(root)
+    elif request.param == "s3":
+        yield S3ObjectLogStore("bkt", "tables/t1", FakeS3Client())
     else:
         yield PosixLogStore(root)
 

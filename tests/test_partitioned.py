@@ -631,6 +631,7 @@ _POPS = st.lists(
         st.tuples(st.just("compact"), st.just([])),
         st.tuples(st.just("restore"), st.lists(st.integers(0, 99), min_size=1, max_size=1)),
         st.tuples(st.just("vacuum"), st.just([])),
+        st.tuples(st.just("interleaved_vacuum"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("rename"), st.just([])),
     ),
     min_size=1,
@@ -729,6 +730,41 @@ def test_partitioned_op_sequences_match_dict_model(
             if empty:
                 continue
             table.compact(spark)
+        elif op == "interleaved_vacuum":
+            # vacuum (another handle, plus a disjoint-key merge to
+            # force reconciliation) races this handle's merge publish
+            # on a PARTITIONED table: the partition-dir rmdir sweep,
+            # the trimmed base manifest mid-check, and the pinned
+            # partition types must all survive; with retries the merge
+            # lands exactly once
+            if empty:
+                continue
+            other = VersionedTable(table.root)
+            ik = 100 + stamp
+            fired = {"done": False}
+            real_once = table._publish_once
+
+            def raced_vac(*a, **kw):
+                if not fired["done"]:
+                    fired["done"] = True
+                    other.merge(
+                        spark,
+                        spark.createDataFrame(
+                            [(ik, ik % 2, f"i{stamp}")], ["k", "p", name]
+                        ),
+                        key="k",
+                    )
+                    other.vacuum(keep_last=1)  # default retention
+                return real_once(*a, **kw)
+
+            table._publish_once = raced_vac
+            try:
+                table.merge(spark, mk(rows), key="k", retries=3)
+            finally:
+                table.__dict__.pop("_publish_once", None)
+            model = _drop_keys(model, {k for k, _p, _v in rows} | {ik})
+            model.update(rows)
+            model.update([(ik, ik % 2, f"i{stamp}")])
         elif op == "restore":
             if not snaps:
                 continue
@@ -766,6 +802,10 @@ def test_partitioned_op_sequences_match_dict_model(
                     continue  # the flat schema-carrying empty part
                 s = stats.get(f, {}).get("p")
                 assert s == [pv, pv], (f, s)
+        # restore targets must still be retained (the racing-vacuum
+        # op trims history through a second handle)
+        retained = set(table.versions())
+        snaps = {vv: s for vv, s in snaps.items() if vv in retained}
 
     if table.latest_version() is None:
         assert not model
@@ -811,14 +851,10 @@ def test_partitioned_op_sequences_match_dict_model(
 
     latest = table.latest_version()
 
-    def _have(u: int) -> bool:
-        try:
-            table._manifest(u)
-            return True
-        except FileNotFoundError:
-            return False
-
-    if not all(_have(u) for u in range(latest + 1)):
+    # authoritative check against the LOG, not _manifest: a handle's
+    # manifest cache legally outlives a vacuum run through ANOTHER
+    # handle (the racing-vacuum op), while the stream reads the log
+    if set(range(latest + 1)) - set(table.versions()):
         with pytest.raises(RuntimeError, match="vacuumed"):
             _cdf_partitions(table, -1, latest)
         return
