@@ -183,16 +183,28 @@ class IncrementalAggregateView:
         the first refresh)."""
         return self.view.last_txn_version(self.app_id)
 
-    def refresh(self, spark: SparkSession) -> dict:
+    def refresh(
+        self, spark: SparkSession, rebuild_on_gap: bool = False
+    ) -> dict:
         """Advance the view to the base's latest version. Returns
-        ``{"mode": "noop"|"full"|"delta", "base_version": int}``."""
+        ``{"mode": "noop"|"full"|"delta", "base_version": int}``.
+
+        When vacuum has trimmed base history past the covered version
+        (the view lagged more commits than ``keep_last`` retained),
+        the delta path is impossible. Default: raise with guidance —
+        a silent partial fold would corrupt the view forever. With
+        ``rebuild_on_gap=True``: fall back to a full recompute of the
+        latest snapshot (O(table), correct by construction; the
+        covered stamp advances through the same txn lineage, so a
+        concurrent maintainer still applies exactly-once)."""
         latest = self.base.latest_version()
         if latest is None:
             return {"mode": "noop", "base_version": None}
         covered = self.covered_version()
         if covered is not None and covered >= latest:
             return {"mode": "noop", "base_version": covered}
-        if covered is None:
+
+        def _full() -> dict:
             state = (
                 self.base.read(spark, latest)
                 .groupBy(*self.group_by)
@@ -203,6 +215,24 @@ class IncrementalAggregateView:
                 state, mode="overwrite", txn=(self.app_id, latest)
             )
             return {"mode": "full", "base_version": latest}
+
+        if covered is None:
+            return _full()
+
+        # the delta span must still be fully retained: judge against
+        # the LOG (authoritative), not this handle's manifest cache,
+        # which legally outlives a vacuum run through another handle
+        if set(range(covered, latest + 1)) - set(self.base.versions()):
+            if rebuild_on_gap:
+                return _full()
+            raise RuntimeError(
+                f"incremental view over {self.base.root}: base versions "
+                f"in ({covered} -> {latest}] have been vacuumed away — "
+                "the view's covered version predates the base's "
+                "retention window. Re-run refresh(rebuild_on_gap=True) "
+                "for a full O(table) recompute, or raise vacuum "
+                "keep_last on the base above the view's maximum lag."
+            )
 
         # rows rewritten byte-identical between the snapshots surface
         # as delete+insert pairs and cancel exactly in count/sum deltas
