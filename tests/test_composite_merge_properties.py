@@ -37,8 +37,17 @@ def merge_ops(draw):
     ops = []
     n = draw(st.integers(1, 5))
     for _ in range(n):
-        kind = draw(st.sampled_from(["merge", "merge", "merge", "delete"]))
-        if kind == "merge":
+        kind = draw(
+            st.sampled_from(
+                ["merge", "merge", "merge", "delete", "maintenance"]
+            )
+        )
+        if kind == "maintenance":
+            # row-invariant housekeeping interleaved with the DML:
+            # compact rewrites the clustered files, vacuum trims the
+            # log — the composite-key NULL semantics must be unmoved
+            ops.append(("maintenance", draw(st.sampled_from(["vacuum", "compact"]))))
+        elif kind == "merge":
             n_rows = draw(st.integers(1, 4))
             tuples = draw(
                 st.lists(
@@ -74,7 +83,12 @@ def test_composite_merges_match_dict_model(spark, tmp_path_factory, ops):
     stamp = 0
     for op, payload in ops:
         stamp += 1
-        if op == "merge":
+        if op == "maintenance":
+            if payload == "vacuum":
+                t.vacuum(keep_last=1, retention_seconds=0)
+            else:
+                t.compact(spark)
+        elif op == "merge":
             rows = [(k1, k2, f"s{stamp}") for k1, k2 in payload]
             t.merge(spark, spark.createDataFrame(rows, _SCHEMA), key=["k1", "k2"])
             for k1, k2, v in rows:

@@ -28,15 +28,21 @@ HS = settings(
 )
 
 _BATCHES = st.lists(
-    st.dictionaries(
-        st.integers(0, 4),  # key
-        st.tuples(
-            st.integers(1, 9),  # ts
-            st.sampled_from("ab"),  # tracked attribute
-            st.booleans(),  # CDC delete flag
+    st.tuples(
+        st.dictionaries(
+            st.integers(0, 4),  # key
+            st.tuples(
+                st.integers(1, 9),  # ts
+                st.sampled_from("ab"),  # tracked attribute
+                st.booleans(),  # CDC delete flag
+            ),
+            min_size=1,
+            max_size=3,
         ),
-        min_size=1,
-        max_size=3,
+        # maintenance between batches: compact rewrites the dimension
+        # (row-invariant), vacuum trims its history to the bone — the
+        # next batch's close/reopen/skip logic must be unaffected
+        st.sampled_from([None, "vacuum", "compact"]),
     ),
     min_size=1,
     max_size=4,
@@ -71,7 +77,7 @@ def test_scd2_sequences_match_dict_model(spark, tmp_path_factory, batches):
     t = VersionedTable(str(tmp_path_factory.mktemp("scdp") / "dim"))
     rows: list = []  # the model dimension
     started = False
-    for batch in batches:
+    for batch, maint in batches:
         df = spark.createDataFrame(
             [(k, ts, a, d) for k, (ts, a, d) in sorted(batch.items())],
             "k bigint, ts bigint, attr string, deleted boolean",
@@ -80,6 +86,11 @@ def test_scd2_sequences_match_dict_model(spark, tmp_path_factory, batches):
             spark, t, df, key="k", tracked=["attr"], ts_col="ts",
             delete_col="deleted",
         )
+        if maint is not None and t.latest_version() is not None:
+            if maint == "vacuum":
+                t.vacuum(keep_last=1, retention_seconds=0)
+            else:
+                t.compact(spark)
         if not started:
             # first NON-EMPTY commit seeds the dimension from the
             # batch's non-delete rows only; an all-delete first batch
