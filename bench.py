@@ -163,8 +163,10 @@ def main() -> None:
     duck_err = None
     duck_ctx_names = None
     duck_rounds_done = 0
+    duck_con = None
     try:
         duck_ctx = _duckdb_setup(sf_dir)
+        duck_con = duck_ctx[0]
         duck_ctx_names = duck_ctx[2]
     except Exception as exc:  # reference timing must never fail the bench
         duck_ctx, duck_err = None, str(exc)[:200]
@@ -178,8 +180,10 @@ def main() -> None:
                 except Exception as exc:
                     duck_ctx, duck_err = None, str(exc)[:200]
     finally:
-        if duck_ctx is not None:
-            duck_ctx[0].close()
+        # close via the separately-captured handle: a failed round
+        # nulls duck_ctx, and the connection must still be released
+        if duck_con is not None:
+            duck_con.close()
     timings = {n: round(v, 3) for n, v in timings.items()}
     total = round(sum(timings.values()), 3)
 

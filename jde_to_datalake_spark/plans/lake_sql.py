@@ -355,17 +355,29 @@ class LakeSQL:
         word token in it are refreshed — rebuilding EVERY registered
         table's view per SELECT is O(registered tables) per query
         (a manifest reconstruction + temp-view swap each), wasteful at
-        hundreds of tables. Single-quoted string literals (with ''
-        escapes) and ``--`` line comments are stripped BEFORE the
-        token scan, so a table name mentioned inside a literal or a
-        comment no longer forces a spare refresh; any remaining
-        over-approximation (e.g. a name used as a column alias) still
-        only costs a refresh, never a stale read."""
+        hundreds of tables. String literals and ``--`` line comments
+        are stripped BEFORE the token scan, so a table name mentioned
+        inside one no longer forces a spare refresh. The strip must
+        lex BOTH quote styles in one left-to-right pass — Spark SQL
+        treats double quotes as string literals too (default
+        ``doubleQuotedIdentifiers`` off), and handling only one style
+        would let an apostrophe inside a ``"..."`` literal open a
+        phantom span that swallows a REAL table reference (an
+        under-approximation = a stale read, strictly worse than the
+        spare refresh this optimization saves). Backslash escapes and
+        ``''``/``""`` doubling are consumed inside a literal so an
+        escaped closing quote cannot end the span early. Any residual
+        over-approximation (a table name used as a column alias)
+        still only costs a refresh, never a stale read."""
         if statement is None:
             refs = None
         else:
             scrubbed = re.sub(
-                r"'(?:[^']|'')*'|--[^\n]*", " ", statement
+                r"'(?:[^'\\]|\\.|'')*'"
+                r'|"(?:[^"\\]|\\.|"")*"'
+                r"|--[^\n]*",
+                " ",
+                statement,
             )
             refs = set(re.findall(rf"\b{_IDENT}\b", scrubbed))
         for name, t in self.tables.items():

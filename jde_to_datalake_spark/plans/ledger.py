@@ -22,9 +22,6 @@ the updates side is one micro-batch — broadcast against the ledger.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,26 +42,24 @@ class IdempotencyLedger:
         self, path: str, key: str = "unique_transaction_id", store=None
     ):
         from jde_to_datalake_spark.sources.log_store import (
-            PointerSlot,
+            DataDirPointer,
             PosixLogStore,
         )
 
         self.path = path
         self.key = key
-        self._slot = PointerSlot(store or PosixLogStore(path))
-
-    def _data_dir(self) -> str | None:
-        rec = self._slot.get()
-        return rec["data_dir"] if rec else None
+        self._ptr = DataDirPointer(path, store or PosixLogStore(path))
 
     def exists(self) -> bool:
-        return self._data_dir() is not None
+        self._ptr.require_migrated("idempotency ledger")
+        return self._ptr.current() is not None
 
     def load(self, spark: SparkSession) -> DataFrame | None:
-        d = self._data_dir()
-        if d is None:
+        self._ptr.require_migrated("idempotency ledger")
+        p = self._ptr.current_path()
+        if p is None:
             return None
-        return spark.read.parquet(os.path.join(self.path, d))
+        return spark.read.parquet(p)
 
     def pending_only(self, spark: SparkSession, batch: DataFrame) -> DataFrame:
         """J6: drop rows already marked done (MUST precede side effects)."""
@@ -118,13 +113,4 @@ class IdempotencyLedger:
         self.merge(spark, updates)
 
     def _atomic_write(self, df: DataFrame) -> None:
-        old = self._data_dir()
-        data_name = f"data-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.path, data_name)
-        )
-        self._slot.set({"data_dir": data_name})
-        if old is not None:
-            shutil.rmtree(
-                os.path.join(self.path, old), ignore_errors=True
-            )
+        self._ptr.flip(lambda p: df.write.mode("overwrite").parquet(p))

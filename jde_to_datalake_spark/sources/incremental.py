@@ -33,9 +33,6 @@ aggregation over the batch (map-side partial, one-row result).
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,47 +58,40 @@ class Watermark:
 
     def __init__(self, path: str, name: str = "hwm", store=None):
         from jde_to_datalake_spark.sources.log_store import (
-            PointerSlot,
+            DataDirPointer,
             PosixLogStore,
         )
 
         self.path = path
         self.name = name
-        self._slot = PointerSlot(store or PosixLogStore(path))
+        self._ptr = DataDirPointer(path, store or PosixLogStore(path))
 
-    def _data_dir(self) -> str | None:
-        rec = self._slot.get()
-        return rec["data_dir"] if rec else None
+    def _read_at(self, spark: SparkSession, path: "str | None") -> Any | None:
+        if path is None:
+            return None
+        rows = spark.read.parquet(path).collect()
+        return rows[0]["value"] if rows else None
 
     def get(self, spark: SparkSession) -> Any | None:
-        d = self._data_dir()
-        if d is None:
-            return None
-        rows = spark.read.parquet(os.path.join(self.path, d)).collect()
-        return rows[0]["value"] if rows else None
+        self._ptr.require_migrated("watermark")
+        return self._read_at(spark, self._ptr.current_path())
 
     def advance(self, spark: SparkSession, df: DataFrame, ts_col: str) -> Any | None:
         """Commit max(ts_col) of a successfully-sunk batch as the new
         watermark. Never moves backwards (a replay of an old batch
         must not rewind the clock); empty batches are a no-op. Returns
         the watermark now in effect."""
+        self._ptr.require_migrated("watermark")
         new = df.agg(F.max(ts_col).alias("value")).collect()[0]["value"]
-        old_dir = self._data_dir()
-        current = self.get(spark)
+        current = self._read_at(spark, self._ptr.current_path())
         if new is None or (current is not None and new <= current):
             return current
         out = spark.createDataFrame(
             [(self.name, new)], schema=df.select(F.lit(self.name).alias("name"), F.col(ts_col).alias("value")).schema
         )
-        data_name = f"data-{uuid.uuid4().hex}"
-        out.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(self.path, data_name)
+        self._ptr.flip(
+            lambda p: out.coalesce(1).write.mode("overwrite").parquet(p)
         )
-        self._slot.set({"data_dir": data_name})
-        if old_dir is not None:
-            shutil.rmtree(
-                os.path.join(self.path, old_dir), ignore_errors=True
-            )
         return new
 
 

@@ -387,6 +387,68 @@ class PointerSlot:
         self.store.replace(self.SLOT, record)
 
 
+class DataDirPointer:
+    """Pointer-flip publish for directory-shaped payloads (the
+    watermark's single-row parquet, the idempotency ledger's table):
+    ``flip(write_fn)`` writes the new payload under a fresh unique
+    ``data-<uuid>`` dir (write-direct-to-final-name — no rename on
+    the data plane), atomically re-points the slot at it, then reaps
+    the superseded dir best-effort. Readers resolve ``current_path``
+    first, so they see the old payload or the new one, never a mix.
+
+    ``require_migrated`` raises on a PRE-seam layout (payload files
+    directly under the root with no pointer record): silently
+    treating legacy data as "empty" would, e.g., re-dispatch every
+    transaction an old ledger had marked done."""
+
+    def __init__(self, root: str, store: LogStore):
+        self.root = root
+        self.slot = PointerSlot(store)
+
+    def current(self) -> "str | None":
+        rec = self.slot.get()
+        return rec["data_dir"] if rec else None
+
+    def current_path(self) -> "str | None":
+        d = self.current()
+        return None if d is None else os.path.join(self.root, d)
+
+    def require_migrated(self, what: str) -> None:
+        if self.slot.get() is not None:
+            return
+        try:
+            legacy = any(
+                f.endswith(".parquet") for f in os.listdir(self.root)
+            )
+        except OSError:
+            return
+        if legacy:
+            raise RuntimeError(
+                f"{self.root}: found a pre-pointer {what} layout "
+                "(parquet files at the root, no _log pointer). "
+                "Refusing to treat existing data as empty — migrate "
+                "by moving the parquet files into a data-<uuid> "
+                "subdirectory and publishing a pointer record "
+                '{"data_dir": "<that name>"} at log version 0.'
+            )
+
+    def flip(self, write_fn) -> str:
+        """``write_fn(abs_path)`` materializes the new payload at the
+        given (not-yet-existing) directory path; then one record flip
+        publishes it."""
+        old = self.current()
+        name = f"data-{uuid.uuid4().hex}"
+        write_fn(os.path.join(self.root, name))
+        self.slot.set({"data_dir": name})
+        if old is not None:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.root, old), ignore_errors=True
+            )
+        return name
+
+
 class LostAckStore(LogStore):
     """Fault-injection wrapper: every ``put_if_absent`` LANDS in the
     wrapped store, then reports :class:`LogConflict` anyway — the

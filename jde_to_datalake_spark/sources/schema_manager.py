@@ -127,7 +127,27 @@ class SchemaRegistry:
         self.store = store or PosixLogStore(path)
 
     def _records(self) -> list[dict]:
-        return [self.store.read(v) for v in self.store.list_versions()]
+        versions = self.store.list_versions()
+        if not versions:
+            # refuse to silently treat a PRE-log parquet registry as
+            # empty (next save would re-claim version 1)
+            import os
+
+            try:
+                legacy = any(
+                    f.endswith(".parquet") for f in os.listdir(self.path)
+                )
+            except OSError:
+                legacy = False
+            if legacy:
+                raise RuntimeError(
+                    f"{self.path}: found a pre-log schema-registry "
+                    "layout (parquet files, no _log records). Migrate "
+                    "by re-saving each (table_name, version, "
+                    "schema_definition, created_at) row as a log "
+                    "record in version order."
+                )
+        return [self.store.read(v) for v in versions]
 
     def _load(self, spark: SparkSession) -> DataFrame | None:
         recs = self._records()

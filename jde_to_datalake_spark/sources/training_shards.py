@@ -196,6 +196,7 @@ def read_training_shards(
     root: str,
     shards: list[int] | None = None,
     verify: bool = False,
+    store: "LogStore | None" = None,
 ) -> DataFrame:
     """Read exported packs through the manifest. ``shards`` selects a
     subset (the filter on the partition column prunes to those
@@ -205,7 +206,7 @@ def read_training_shards(
     """
     from pyspark.sql.types import StructType
 
-    manifest = read_manifest(root)
+    manifest = read_manifest(root, store=store)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     df = spark.read.schema(schema).parquet(
         os.path.join(root, manifest["data_dir"])
@@ -243,31 +244,63 @@ def read_training_shards(
 
 
 def clean_stale_stagings(
-    root: str, store: "LogStore | None" = None
+    root: str,
+    store: "LogStore | None" = None,
+    retention_seconds: float = 3600.0,
 ) -> list[str]:
     """Remove ``shards-*`` data directories that no manifest
     references — the debris of a crashed export (died between the
     data write and the manifest publish) or a losing racer. The
     manifest-referenced directory is never touched. Returns the
     removed paths — the shard-artifact analog of the versioned
-    table's ``vacuum``."""
+    table's ``vacuum``, INCLUDING its in-flight-writer guard: an
+    unreferenced dir is reclaimed only when the newest mtime inside
+    it predates ``retention_seconds`` (an export that has landed its
+    data but not yet its manifest is mid-publish, not debris — pass 0
+    only when no exporter can be active), and the manifest is
+    re-read immediately before each delete so a publish that lands
+    mid-sweep keeps its data."""
+    import time
+
     removed = []
     if not os.path.isdir(root):
         return removed
-    manifest = _slot(root, store).get()
-    current = manifest["data_dir"] if manifest else None
-    for name in os.listdir(root):
-        if (
-            name.startswith(("shards-", "_shards-"))
-            and name != current
-        ):
-            path = os.path.join(root, name)
-            shutil.rmtree(path, ignore_errors=True)
-            removed.append(path)
+    slot = _slot(root, store)
+    cutoff = time.time() - retention_seconds
+    for name in sorted(os.listdir(root)):
+        if not name.startswith(("shards-", "_shards-")):
+            continue
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            newest = os.path.getmtime(path)
+            for dirpath, _dirs, files in os.walk(path):
+                newest = max(
+                    newest,
+                    os.path.getmtime(dirpath),
+                    *(
+                        os.path.getmtime(os.path.join(dirpath, f))
+                        for f in files
+                    ),
+                )
+        except OSError:
+            continue  # entries moved mid-walk: an active writer
+        if newest > cutoff:
+            continue
+        # authoritative re-check right before the destructive step:
+        # the winning manifest may have landed since the sweep began
+        manifest = slot.get()
+        if manifest is not None and manifest.get("data_dir") == name:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
     return removed
 
 
-def epoch_shard_order(root: str, seed: int) -> list[int]:
+def epoch_shard_order(
+    root: str, seed: int, store: "LogStore | None" = None
+) -> list[int]:
     """Deterministic per-epoch shard visit order: shards sorted by
     sha256(seed, shard) — a pure function of the manifest, computed
     driver-side (|shards| items). Different seeds give different
@@ -277,7 +310,7 @@ def epoch_shard_order(root: str, seed: int) -> list[int]:
     import hashlib
 
     return sorted(
-        (s["shard"] for s in read_manifest(root)["shards"]),
+        (s["shard"] for s in read_manifest(root, store=store)["shards"]),
         key=lambda sh: (
             hashlib.sha256(f"{seed}\x1f{sh}".encode()).hexdigest(), sh
         ),
@@ -285,7 +318,11 @@ def epoch_shard_order(root: str, seed: int) -> list[int]:
 
 
 def read_shard_shuffled(
-    spark: SparkSession, root: str, shard: int, seed: int
+    spark: SparkSession,
+    root: str,
+    shard: int,
+    seed: int,
+    store: "LogStore | None" = None,
 ) -> DataFrame:
     """One shard's rows in a seeded deterministic order: sorted by
     xxhash64(seed, pack_id). The sort is a GLOBAL orderBy — a shard
@@ -298,8 +335,8 @@ def read_shard_shuffled(
     two-level training shuffle (shard order x intra-shard order),
     both replayable from (manifest, seed) alone.
     """
-    manifest = read_manifest(root)
-    df = read_training_shards(spark, root, shards=[shard])
+    manifest = read_manifest(root, store=store)
+    df = read_training_shards(spark, root, shards=[shard], store=store)
     return df.orderBy(
         F.xxhash64(F.lit(int(seed)), F.col(manifest["id_col"])),
         F.col(manifest["id_col"]),

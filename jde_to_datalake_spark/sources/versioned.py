@@ -4485,7 +4485,7 @@ class VersionedTable:
                 for f in self._walk_parquet()
                 if f not in referenced
                 and os.path.getmtime(os.path.join(self.root, f)) <= cutoff
-            ]
+            ] + self._stale_staging_dirs(cutoff)
         if retained and vs[:-keep_last]:
             oldest = retained[0]
             rec = self._read_record(oldest)
@@ -4520,13 +4520,24 @@ class VersionedTable:
         # reclaim crashed staging dirs: a writer that died between
         # Spark's staging write and the move-into-place loop leaves a
         # `_staging-*` dir that `_walk_parquet` (correctly) never
-        # surfaces — without this sweep it would leak forever. The
-        # retention window is judged on the NEWEST mtime inside the
-        # dir, so an in-flight write that is still producing files is
-        # never reclaimed even if it started long ago.
+        # surfaces — without this sweep it would leak forever.
         import shutil as _shutil
 
-        for name in os.listdir(self.root):
+        for name in self._stale_staging_dirs(cutoff):
+            _shutil.rmtree(
+                os.path.join(self.root, name), ignore_errors=True
+            )
+            removed.append(name)
+        return removed
+
+    def _stale_staging_dirs(self, cutoff: float) -> list[str]:
+        """``_staging-*`` dirs whose NEWEST internal mtime predates
+        ``cutoff`` — abandoned by crashed writers. Judging on the
+        newest mtime (not the dir's) means an in-flight write still
+        producing files is never reclaimed even if it started long
+        ago; entries moving mid-walk mark the owner as alive."""
+        stale = []
+        for name in sorted(os.listdir(self.root)):
             if not name.startswith("_staging-"):
                 continue
             p = os.path.join(self.root, name)
@@ -4544,13 +4555,10 @@ class VersionedTable:
                         ),
                     )
             except OSError:
-                # entries moved mid-walk: the owning writer is alive
-                # and draining the dir — not ours to reclaim this pass
                 continue
             if newest <= cutoff:
-                _shutil.rmtree(p, ignore_errors=True)
-                removed.append(name)
-        return removed
+                stale.append(name)
+        return stale
 
 
 def commit_drift_checked(

@@ -648,10 +648,20 @@ def checkpoint_app_id(checkpoint_dir: str, store=None) -> str:
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     slot = PointerSlot(store or PosixLogStore(checkpoint_dir))
+    # legacy migration: a checkpoint written before the seam holds its
+    # nonce in a flat `_ingest_app_nonce` file — seed the slot FROM it
+    # so the app identity survives the upgrade (minting a fresh nonce
+    # here would reset the txn watermark while the batch_id lineage
+    # continues: the last epoch's at-least-once replay would re-apply)
+    legacy = os.path.join(checkpoint_dir, "_ingest_app_nonce")
+    nonce = None
+    if os.path.exists(legacy):
+        with open(legacy) as fh:
+            nonce = fh.read().strip() or None
     try:
-        slot.create({"nonce": uuid.uuid4().hex})
+        slot.create({"nonce": nonce or uuid.uuid4().hex})
     except LogConflict:
-        pass  # another writer won the race; read its nonce below
+        pass  # another writer won the race; read its record below
     return f"{os.path.abspath(checkpoint_dir)}#{slot.get()['nonce']}"
 
 

@@ -580,6 +580,17 @@ def test_select_refreshes_only_referenced_views(spark, tmp_path):
         == "b"
     )
     assert reads["b"] == 0
+    # and the strip must lex BOTH quote styles: an apostrophe inside
+    # a double-quoted literal must not open a phantom span that
+    # swallows the real `FROM a` reference (under-approximation =
+    # stale read, the failure mode this scan must never have)
+    before_a = reads["a"]
+    row = lk.sql(
+        """SELECT "it's" AS q, s FROM a WHERE s = "don't" OR k = 1"""
+    ).first()
+    assert (row["q"], row["s"]) == ("it's", "a")
+    assert reads["a"] == before_a + 1  # a WAS refreshed
+    assert reads["b"] == 0
     # and the untouched table still reads correctly when asked
     assert lk.sql("SELECT s FROM b").first()["s"] == "b"
     assert reads["b"] >= 1

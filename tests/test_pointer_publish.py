@@ -175,11 +175,14 @@ def test_training_shards_on_every_store(spark, tmp_path, make_store):
         write_training_shards(packs, root, rows_per_shard=5, store=store)
     dirs = [d for d in os.listdir(root) if d.startswith("shards-")]
     assert dirs == [manifest["data_dir"]]
-    # reads resolve the manifest's data dir (POSIX-store default path
-    # covers the no-injection read; injected stores pass explicitly)
+    # reads resolve the manifest's data dir through the SAME seam
+    assert read_training_shards(
+        spark, root, verify=True, store=make_store(root)
+    ).count() == 10
+    assert clean_stale_stagings(root, store=make_store(root)) == []
     if isinstance(store, PosixLogStore):
+        # the no-injection default read path (POSIX deployments)
         assert read_training_shards(spark, root, verify=True).count() == 10
-        assert clean_stale_stagings(root) == []
 
 
 def test_ingest_nonce_on_every_store(tmp_path, make_store):
@@ -190,3 +193,54 @@ def test_ingest_nonce_on_every_store(tmp_path, make_store):
     a = checkpoint_app_id(ckpt, store=make_store(ckpt))
     b = checkpoint_app_id(ckpt, store=make_store(ckpt))
     assert a == b  # one identity per checkpoint lineage, any store
+
+
+def test_legacy_layouts_fail_loudly(spark, tmp_path):
+    """A PRE-seam artifact (parquet directly under the path, no _log
+    pointer) must raise, never read as empty: a silently-empty ledger
+    would re-dispatch every done transaction, a silently-None
+    watermark would re-backfill, a silently-empty registry would
+    re-claim version 1."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+    from jde_to_datalake_spark.sources.incremental import Watermark
+    from jde_to_datalake_spark.sources.schema_manager import SchemaRegistry
+
+    for name in ("led", "wm", "reg"):
+        d = tmp_path / name
+        d.mkdir()
+        spark.createDataFrame([(1, "done")], ["k", "status"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d / "__tmp"))
+        # flatten: move part files up to the root (the legacy layout)
+        import glob
+        import shutil as _sh
+
+        for f in glob.glob(str(d / "__tmp" / "*.parquet")):
+            _sh.move(f, str(d / os.path.basename(f)))
+        _sh.rmtree(str(d / "__tmp"))
+
+    with pytest.raises(RuntimeError, match="pre-pointer"):
+        IdempotencyLedger(str(tmp_path / "led"), key="k").exists()
+    with pytest.raises(RuntimeError, match="pre-pointer"):
+        Watermark(str(tmp_path / "wm")).get(spark)
+    with pytest.raises(RuntimeError, match="pre-log"):
+        SchemaRegistry(str(tmp_path / "reg")).next_version(spark, "t")
+
+
+def test_nonce_legacy_file_migrates_identity(tmp_path):
+    """A checkpoint written before the seam holds its nonce in a flat
+    _ingest_app_nonce file: the app identity must SURVIVE the upgrade
+    (a fresh nonce would reset the txn watermark while the batch_id
+    lineage continues — the last epoch's replay would double-apply)."""
+    from jde_to_datalake_spark.streaming.ingest import checkpoint_app_id
+
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "_ingest_app_nonce"), "w") as fh:
+        fh.write("legacynonce123")
+    app = checkpoint_app_id(ckpt)
+    assert app == f"{os.path.abspath(ckpt)}#legacynonce123"
+    # stable on re-read, with and without the legacy file present
+    assert checkpoint_app_id(ckpt) == app
+    os.remove(os.path.join(ckpt, "_ingest_app_nonce"))
+    assert checkpoint_app_id(ckpt) == app  # slot now owns the identity

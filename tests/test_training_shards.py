@@ -139,19 +139,44 @@ def test_clean_stale_stagings_spares_the_artifact(spark, tmp_path):
         clean_stale_stagings,
     )
 
+    import time
+
     root = str(tmp_path / "shards")
     write_training_shards(_packs(spark), root, rows_per_shard=10)
     # simulate a crashed export's orphan data dir (died between the
     # data write and the manifest publish) + a legacy staging dir
+    old = time.time() - 7200
     stale = os.path.join(root, "shards-deadbeef")
     os.makedirs(stale)
     open(os.path.join(stale, "part-x.parquet"), "w").close()
     legacy = os.path.join(root, "_shards-deadbeef")
     os.makedirs(legacy)
-    removed = clean_stale_stagings(root)
+    for p in (stale, os.path.join(stale, "part-x.parquet"), legacy):
+        os.utime(p, (old, old))
+    # an IN-FLIGHT export (fresh unreferenced dir: data landed, the
+    # manifest not yet published) must be SPARED by the retention
+    # window — reclaiming it would let the manifest publish succeed
+    # over deleted bytes, silently corrupting a write-once artifact
+    inflight = os.path.join(root, "shards-cafebabe")
+    os.makedirs(inflight)
+    removed = clean_stale_stagings(root)  # default retention: 1 h
     assert sorted(removed) == sorted([stale, legacy])
     assert not os.path.exists(stale) and not os.path.exists(legacy)
-    # the manifest-referenced dir survives; artifact reads + verifies
+    assert os.path.isdir(inflight)
+    # stale dir timestamp but a FRESH file inside = active writer
+    os.utime(inflight, (old, old))
+    open(os.path.join(inflight, "part-y.parquet"), "w").close()
+    assert clean_stale_stagings(root) == []
+    assert os.path.isdir(inflight)
+    # the manifest-referenced dir survives even past retention
+    data_dir = os.path.join(root, read_manifest(root)["data_dir"])
+    for dirpath, dirs, files in os.walk(data_dir):
+        for n in dirs + files:
+            os.utime(os.path.join(dirpath, n), (old, old))
+    os.utime(data_dir, (old, old))
+    assert clean_stale_stagings(root, retention_seconds=0) == [
+        os.path.join(root, "shards-cafebabe")
+    ]
     assert read_training_shards(spark, root, verify=True).count() == 25
     assert clean_stale_stagings(str(tmp_path / "nope")) == []
 

@@ -560,6 +560,12 @@ def test_vacuum_reclaims_crashed_staging_dirs(spark, table):
         os.utime(p, (old, old))
     fresh = os.path.join(table.root, "_staging-cafebabe")
     os.makedirs(fresh)
+    # dry run previews EXACTLY what the real run would delete —
+    # including the stale staging dir, excluding the fresh one
+    preview = table.vacuum(keep_last=1, dry_run=True)
+    assert "_staging-deadbeef" in preview
+    assert "_staging-cafebabe" not in preview
+    assert os.path.exists(stale)  # preview deleted nothing
     removed = table.vacuum(keep_last=1)  # default retention: 1 h
     assert "_staging-deadbeef" in removed
     assert not os.path.exists(stale)
