@@ -112,5 +112,11 @@ class IdempotencyLedger:
         )
         self.merge(spark, updates)
 
+    def clean_stale(self, retention_seconds: float = 3600.0) -> list:
+        """Reclaim data-dir orphans of crashed merges (died between
+        the parquet write and the pointer flip) older than the
+        retention window; the current ledger is never touched."""
+        return self._ptr.clean_stale(retention_seconds)
+
     def _atomic_write(self, df: DataFrame) -> None:
         self._ptr.flip(lambda p: df.write.mode("overwrite").parquet(p))

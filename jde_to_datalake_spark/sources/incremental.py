@@ -76,6 +76,12 @@ class Watermark:
         self._ptr.require_migrated("watermark")
         return self._read_at(spark, self._ptr.current_path())
 
+    def clean_stale(self, retention_seconds: float = 3600.0) -> list:
+        """Reclaim data-dir orphans of crashed advances (died between
+        the parquet write and the pointer flip) older than the
+        retention window; the current payload is never touched."""
+        return self._ptr.clean_stale(retention_seconds)
+
     def advance(self, spark: SparkSession, df: DataFrame, ts_col: str) -> Any | None:
         """Commit max(ts_col) of a successfully-sunk batch as the new
         watermark. Never moves backwards (a replay of an old batch

@@ -448,6 +448,48 @@ class DataDirPointer:
             )
         return name
 
+    def clean_stale(self, retention_seconds: float = 3600.0) -> list:
+        """Reclaim ``data-*`` orphans left by writers that died between
+        the payload write and the pointer flip — the same discipline
+        as the versioned table's staging sweep: unreferenced dirs are
+        deleted only past the retention window (judged on the NEWEST
+        mtime inside, so an in-flight flip is never reclaimed), and
+        the pointer is re-read right before each delete so a flip
+        landing mid-sweep keeps its payload. Returns removed paths."""
+        import shutil
+        import time
+
+        removed = []
+        if not os.path.isdir(self.root):
+            return removed
+        cutoff = time.time() - retention_seconds
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("data-"):
+                continue
+            p = os.path.join(self.root, name)
+            if not os.path.isdir(p):
+                continue
+            try:
+                newest = os.path.getmtime(p)
+                for dirpath, _dirs, files in os.walk(p):
+                    newest = max(
+                        newest,
+                        os.path.getmtime(dirpath),
+                        *(
+                            os.path.getmtime(os.path.join(dirpath, f))
+                            for f in files
+                        ),
+                    )
+            except OSError:
+                continue  # entries moved mid-walk: an active writer
+            if newest > cutoff:
+                continue
+            if self.current() == name:  # re-read: authoritative
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+        return removed
+
 
 class LostAckStore(LogStore):
     """Fault-injection wrapper: every ``put_if_absent`` LANDS in the

@@ -244,3 +244,44 @@ def test_nonce_legacy_file_migrates_identity(tmp_path):
     assert checkpoint_app_id(ckpt) == app
     os.remove(os.path.join(ckpt, "_ingest_app_nonce"))
     assert checkpoint_app_id(ckpt) == app  # slot now owns the identity
+
+
+def test_data_dir_orphan_reclaim(spark, tmp_path, make_store):
+    """A writer that dies between the payload write and the pointer
+    flip leaks a data-* orphan; clean_stale reclaims it past the
+    retention window while sparing the current payload and any fresh
+    (in-flight) dir — the staging-sweep discipline applied to every
+    pointer-flip artifact."""
+    import time
+
+    from jde_to_datalake_spark.sources.incremental import Watermark
+
+    root = str(tmp_path / "wm")
+    wm = Watermark(root, store=make_store(root))
+    wm.advance(spark, spark.createDataFrame([(1, 10)], ["k", "ts"]), "ts")
+    old = time.time() - 7200
+    stale = os.path.join(root, "data-deadbeef")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-x.parquet"), "w").close()
+    for p in (stale, os.path.join(stale, "part-x.parquet")):
+        os.utime(p, (old, old))
+    fresh = os.path.join(root, "data-cafebabe")
+    os.makedirs(fresh)
+    removed = wm.clean_stale()  # default retention: 1 h
+    assert removed == [stale]
+    assert not os.path.exists(stale) and os.path.isdir(fresh)
+    assert wm.get(spark) == 10  # current payload untouched
+    # the CURRENT dir survives even past retention
+    cur = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("data-") and d != "data-cafebabe"
+    ]
+    assert len(cur) == 1
+    curp = os.path.join(root, cur[0])
+    for dirpath, dirs, files in os.walk(curp):
+        for n in dirs + files:
+            os.utime(os.path.join(dirpath, n), (old, old))
+    os.utime(curp, (old, old))
+    assert wm.clean_stale(retention_seconds=0) == [fresh]
+    assert wm.get(spark) == 10
