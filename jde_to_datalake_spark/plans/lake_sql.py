@@ -358,25 +358,52 @@ class LakeSQL:
         hundreds of tables. String literals and ``--`` line comments
         are stripped BEFORE the token scan, so a table name mentioned
         inside one no longer forces a spare refresh. The strip must
-        lex BOTH quote styles in one left-to-right pass — Spark SQL
-        treats double quotes as string literals too (default
+        lex ALL THREE quote styles in one left-to-right pass — Spark
+        SQL treats double quotes as string literals too (default
         ``doubleQuotedIdentifiers`` off), and handling only one style
         would let an apostrophe inside a ``"..."`` literal open a
         phantom span that swallows a REAL table reference (an
         under-approximation = a stale read, strictly worse than the
-        spare refresh this optimization saves). Backslash escapes and
-        ``''``/``""`` doubling are consumed inside a literal so an
-        escaped closing quote cannot end the span early. Any residual
+        spare refresh this optimization saves). Backtick-quoted
+        IDENTIFIERS are lexed as spans too — so a ``--`` or stray
+        quote inside one (``SELECT x AS `a--b` FROM orders``) can
+        never open a phantom comment/literal that swallows the rest
+        of the line — but their INNER TEXT is kept in the scrubbed
+        output, because a backticked span may BE a lake-table
+        reference (``FROM `orders```) and dropping it would
+        under-approximate; residual fragments only ever
+        over-approximate (a spare refresh). With
+        ``spark.sql.ansi.doubleQuotedIdentifiers`` enabled on the
+        session, ``"..."`` spans are identifiers, not literals, and
+        their inner text is kept the same way. Backslash escapes and
+        ``''``/``""``/`` `` `` doubling are consumed inside a span so
+        an escaped closing quote cannot end it early. Any residual
         over-approximation (a table name used as a column alias)
         still only costs a refresh, never a stale read."""
         if statement is None:
             refs = None
         else:
+            dq_idents = (
+                self.spark.conf.get(
+                    "spark.sql.ansi.doubleQuotedIdentifiers", "false"
+                ).lower()
+                == "true"
+            )
+
+            def _strip(m: "re.Match") -> str:
+                s = m.group(0)
+                if s.startswith("`"):
+                    return f" {s[1:-1]} "  # identifier: keep its text
+                if s.startswith('"') and dq_idents:
+                    return f" {s[1:-1]} "
+                return " "  # literal or comment: drop
+
             scrubbed = re.sub(
-                r"'(?:[^'\\]|\\.|'')*'"
+                r"`(?:[^`]|``)*`"
+                r"|'(?:[^'\\]|\\.|'')*'"
                 r'|"(?:[^"\\]|\\.|"")*"'
                 r"|--[^\n]*",
-                " ",
+                _strip,
                 statement,
             )
             refs = set(re.findall(rf"\b{_IDENT}\b", scrubbed))

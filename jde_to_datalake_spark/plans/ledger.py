@@ -5,12 +5,14 @@ with ``unique_transaction_id UNIQUE`` and writes via
 ``INSERT ... ON CONFLICT DO UPDATE`` (jde_helper.py:1006-1012,
 dag_bakery_system_to_jde.py:383-423). The Spark-native equivalent is
 Delta ``MERGE INTO``; this environment has no Delta, so the same
-MERGE semantics are implemented over plain parquet behind an atomic
-LogStore pointer flip (correct for a single writer, which matches the
-reference's one-dispatcher-at-a-time model). For multi-version MERGE
-with time travel, history, and optimistic multi-writer detection, see
-``sources/versioned.py`` (a transaction-log table in the Delta
-design). Swap to Delta in prod:
+MERGE semantics are implemented over plain parquet behind a
+COMPARE-AND-SWAPPED LogStore pointer flip — a second concurrent
+dispatcher loses LOUDLY (``PointerConflict``) instead of silently
+clobbering the first one's rows, the engine-side equivalent of the
+reference's ``UNIQUE`` constraint. Above ``versioned_threshold_rows``
+the ledger hands off to ``sources/versioned.py``'s transaction-log
+table (file-level partial-rewrite MERGE, time travel, optimistic
+multi-writer detection). Swap to Delta in prod:
 
     DeltaTable.forPath(spark, path).alias("l").merge(
         updates.alias("u"), "l.key = u.key"
@@ -22,6 +24,7 @@ the updates side is one micro-batch — broadcast against the ledger.
 
 from __future__ import annotations
 
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,12 +37,52 @@ class IdempotencyLedger:
     (``store`` injects an object-store impl; default POSIX under
     ``<path>/_log``): each merge writes the new ledger parquet under a
     fresh unique dir — no rename on the data plane — then atomically
-    re-points one record at it, so readers see the old ledger or the
-    new one, never a mix (single dispatching writer, matching the
-    reference's one-dispatcher-at-a-time model)."""
+    publishes a pointer record at it, so readers see the old ledger or
+    the new one, never a mix.
+
+    Concurrency: the flip is COMPARE-AND-SWAPPED on the pointer
+    version this merge READ the ledger at, so a second concurrent
+    dispatcher cannot silently clobber the first one's rows — the
+    failure mode the reference's Postgres ``UNIQUE`` constraint +
+    ``ON CONFLICT`` made impossible (dag_bakery_system_to_jde.py:38-59,
+    jde_helper.py:1006-1012). The loser raises
+    :class:`~jde_to_datalake_spark.sources.log_store.PointerConflict`
+    LOUDLY by default (``conflict_retries=0``): its updates are NOT in
+    the ledger and it must re-drive the batch (its payload dir is an
+    unreferenced orphan ``clean_stale`` reclaims). Passing
+    ``conflict_retries=N`` opts into automatic re-derivation — the
+    merge re-reads the NEW current ledger and re-applies its updates
+    on top, which is exactly the serialized ON-CONFLICT-DO-UPDATE
+    outcome (keyed upsert re-resolved against the fresher base), so a
+    retry loses neither writer's rows.
+
+    Scale: the pointer backend rewrites the WHOLE ledger parquet per
+    merge — O(ledger) a batch, fine at the reference's cadence
+    (hundreds of transactions a day) but wrong once the ledger's
+    cardinality outgrows a micro-batch by orders of magnitude. Above
+    ``versioned_threshold_rows`` the ledger hands itself off to the
+    engine's own :class:`~jde_to_datalake_spark.sources.versioned.
+    VersionedTable` (the keyed PARTIAL-rewrite MERGE: only files whose
+    footer key-range intersects the batch are rewritten — O(batch)
+    per merge on a key-clustered table), published as one CAS'd
+    handoff record so the switch itself can never lose a concurrent
+    writer's rows. Post-handoff, conflicts surface through the
+    versioned table's optimistic-concurrency machinery and are
+    re-raised as ``PointerConflict`` for one uniform caller contract;
+    ``conflict_retries`` maps onto its snapshot-re-derivation retry.
+    """
+
+    #: where the versioned backend lives under the ledger root —
+    #: underscore-prefixed so no data-dir sweep ever touches it
+    VERSIONED_DIR = "_versioned"
 
     def __init__(
-        self, path: str, key: str = "unique_transaction_id", store=None
+        self,
+        path: str,
+        key: str = "unique_transaction_id",
+        store=None,
+        versioned_threshold_rows: "int | None" = None,
+        versioned_store=None,
     ):
         from jde_to_datalake_spark.sources.log_store import (
             DataDirPointer,
@@ -48,18 +91,44 @@ class IdempotencyLedger:
 
         self.path = path
         self.key = key
+        self.versioned_threshold_rows = versioned_threshold_rows
+        self._versioned_store = versioned_store
         self._ptr = DataDirPointer(path, store or PosixLogStore(path))
+
+    # -- backend routing ---------------------------------------------------
+    def _vt(self):
+        from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+        return VersionedTable(
+            os.path.join(self.path, self.VERSIONED_DIR),
+            log_store=self._versioned_store,
+        )
+
+    @staticmethod
+    def _is_handoff(rec: "dict | None") -> bool:
+        return rec is not None and rec.get("backend") == "versioned"
+
+    def backend(self) -> str:
+        """'pointer' (parquet-swap) or 'versioned' (post-handoff)."""
+        _, rec = self._ptr.latest()
+        return "versioned" if self._is_handoff(rec) else "pointer"
 
     def exists(self) -> bool:
         self._ptr.require_migrated("idempotency ledger")
-        return self._ptr.current() is not None
+        _, rec = self._ptr.latest()
+        return rec is not None
 
     def load(self, spark: SparkSession) -> DataFrame | None:
         self._ptr.require_migrated("idempotency ledger")
-        p = self._ptr.current_path()
-        if p is None:
+        _, rec = self._ptr.latest()
+        if rec is None:
             return None
-        return spark.read.parquet(p)
+        if self._is_handoff(rec):
+            # merge_schema: ledger merges evolve the schema (e.g.
+            # mark_done introducing status_text) and untouched files
+            # keep their written schema until rewritten
+            return self._vt().read(spark, merge_schema=True)
+        return spark.read.parquet(os.path.join(self.path, rec["data_dir"]))
 
     def pending_only(self, spark: SparkSession, batch: DataFrame) -> DataFrame:
         """J6: drop rows already marked done (MUST precede side effects)."""
@@ -69,7 +138,12 @@ class IdempotencyLedger:
         done = ledger.filter(F.col("status") == "done").select(self.key)
         return batch.join(done, self.key, "left_anti")
 
-    def merge(self, spark: SparkSession, updates: DataFrame) -> None:
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        conflict_retries: int = 0,
+    ) -> None:
         """MERGE: matched -> take update row; not matched -> insert.
 
         ``updates`` must contain the key plus the ledger payload
@@ -78,8 +152,20 @@ class IdempotencyLedger:
         (ties and the no-timestamp case fall through to min row hash —
         deterministic under any partitioning, unlike dropDuplicates'
         keep-whichever-arrives-first).
+
+        The publish is CAS-anchored on the ledger version this merge
+        read (class docstring): a concurrent merge makes the loser
+        raise ``PointerConflict`` (default) or, with
+        ``conflict_retries=N``, re-read and re-apply on the fresher
+        base up to N times — correct because a keyed upsert re-derived
+        against the new current ledger is the serialized outcome. On
+        the versioned backend the same contract rides the table's own
+        optimistic concurrency (snapshot-pinned publish + merge
+        retries), surfaced as ``PointerConflict``.
         """
         from pyspark.sql import Window
+
+        from jde_to_datalake_spark.sources.log_store import PointerConflict
 
         order = [F.xxhash64(*updates.columns).asc()]
         if "updated_at" in updates.columns:
@@ -90,18 +176,137 @@ class IdempotencyLedger:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        self._ptr.require_migrated("idempotency ledger")
+        for attempt in range(conflict_retries + 1):
+            base, rec = self._ptr.latest()
+            if self._is_handoff(rec):
+                self._vt_merge(spark, updates, conflict_retries)
+                return
+            current = (
+                None
+                if rec is None
+                else spark.read.parquet(
+                    os.path.join(self.path, rec["data_dir"])
+                )
+            )
+            if current is None:
+                merged = updates
+            else:
+                merged = updates.unionByName(
+                    current.join(
+                        updates.select(self.key), self.key, "left_anti"
+                    ),
+                    allowMissingColumns=True,
+                )
+            try:
+                if (
+                    self.versioned_threshold_rows is not None
+                    and merged.count() >= self.versioned_threshold_rows
+                ):
+                    self._handoff(spark, merged, base)
+                else:
+                    self._ptr.flip(
+                        lambda p: merged.write.mode("overwrite").parquet(p),
+                        expected=base,
+                    )
+                return
+            except PointerConflict:
+                if attempt == conflict_retries:
+                    raise
+
+    def _vt_merge(self, spark, updates: DataFrame, conflict_retries: int):
+        """Post-handoff merge: the versioned table's file-level keyed
+        MERGE (O(batch) rewrite), with its optimistic-conflict loss
+        surfaced under the ledger's uniform ``PointerConflict``."""
+        from jde_to_datalake_spark.sources.log_store import PointerConflict
+        from jde_to_datalake_spark.sources.versioned import (
+            ConcurrentCommitError,
+        )
+
+        try:
+            self._vt().merge(
+                spark, updates, key=self.key, retries=conflict_retries
+            )
+        except ConcurrentCommitError as e:
+            raise PointerConflict(
+                f"{self.path}: versioned-ledger merge lost its "
+                "optimistic race and exhausted conflict_retries — "
+                "the updates are NOT in the ledger; re-drive the batch"
+            ) from e
+
+    def _handoff(self, spark, merged: DataFrame, base: "int | None") -> None:
+        """One-time pointer→versioned migration, safe under concurrent
+        writers: the full merged state is UPSERTED into the versioned
+        table first (a second concurrent migrator's upsert serializes
+        after ours in the table's own log, so both writers' rows
+        land), then ONE CAS'd handoff record makes the table current.
+        A lost handoff CAS against another VERSIONED record is a
+        success (our upsert already landed in the shared table); a
+        lost CAS against an intervening POINTER flip re-derives
+        through the caller's retry loop (our table rows are a stale
+        superset-safe snapshot the next migration upsert refreshes —
+        ledger keys are never deleted, so re-upserting the fresher
+        merged state leaves the table exactly equal to it)."""
+        from jde_to_datalake_spark.sources.log_store import (
+            LogConflict,
+            PointerConflict,
+        )
+        from jde_to_datalake_spark.sources.versioned import (
+            ConcurrentCommitError,
+        )
+
+        vt = self._vt()
+        try:
+            vt.merge(spark, merged, key=self.key, retries=5)
+        except ConcurrentCommitError as e:
+            raise PointerConflict(
+                f"{self.path}: ledger handoff upsert exhausted its "
+                "retries under contention"
+            ) from e
+        new_version = 0 if base is None else base + 1
+        handoff = {"backend": "versioned", "table_dir": self.VERSIONED_DIR}
+        try:
+            self._ptr.store.put_if_absent(new_version, handoff)
+        except LogConflict:
+            try:
+                landed = self._ptr.store.read(new_version)
+            except FileNotFoundError:
+                landed = None
+            if not self._is_handoff(landed):
+                raise PointerConflict(
+                    f"{self.path}: a pointer flip intervened during "
+                    "the versioned handoff — re-deriving"
+                ) from None
+            # another migrator (or our own lost-ACK put) published the
+            # handoff; our upsert is already in the shared table
+        for v in self._ptr.store.list_versions():
+            if v < new_version:
+                try:
+                    self._ptr.store.delete(v)
+                except (FileNotFoundError, OSError):
+                    pass
+
+    def migrate_to_versioned(self, spark: SparkSession) -> None:
+        """Operator-initiated handoff (the threshold path, minus the
+        threshold): upsert the current ledger into the versioned
+        backend and CAS-publish the handoff record. No-op when
+        already versioned; raises ``PointerConflict`` on a lost race
+        (re-invoke)."""
+        self._ptr.require_migrated("idempotency ledger")
+        base, rec = self._ptr.latest()
+        if self._is_handoff(rec):
+            return
         current = self.load(spark)
         if current is None:
-            merged = updates
-        else:
-            merged = updates.unionByName(
-                current.join(updates.select(self.key), self.key, "left_anti"),
-                allowMissingColumns=True,
-            )
-        self._atomic_write(merged)
+            raise ValueError(f"{self.path}: nothing to migrate (empty)")
+        self._handoff(spark, current, base)
 
     def mark_done(
-        self, spark: SparkSession, keys: DataFrame, status_text: str = ""
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        status_text: str = "",
+        conflict_retries: int = 0,
     ) -> None:
         """A13: grouped status UPDATE (dag_bakery_ops_to_jde.py:289-295)."""
         updates = keys.select(self.key).withColumns(
@@ -110,13 +315,11 @@ class IdempotencyLedger:
                 "status_text": F.lit(status_text[:699]),  # F16 cap
             }
         )
-        self.merge(spark, updates)
+        self.merge(spark, updates, conflict_retries=conflict_retries)
 
     def clean_stale(self, retention_seconds: float = 3600.0) -> list:
-        """Reclaim data-dir orphans of crashed merges (died between
-        the parquet write and the pointer flip) older than the
-        retention window; the current ledger is never touched."""
+        """Reclaim unreferenced data dirs — ledgers superseded by later
+        merges (left for lazy readers) and orphans of crashed or
+        CAS-losing merges — older than the retention window; the
+        current ledger is never touched."""
         return self._ptr.clean_stale(retention_seconds)
-
-    def _atomic_write(self, df: DataFrame) -> None:
-        self._ptr.flip(lambda p: df.write.mode("overwrite").parquet(p))

@@ -33,6 +33,7 @@ aggregation over the batch (map-side partial, one-row result).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,11 +50,23 @@ class Watermark:
     (``store`` injects an object-store impl; default POSIX under
     ``<path>/_log``): each advance writes the new single-row parquet
     under a fresh unique dir — write-direct-to-final-name, no rename
-    anywhere — then atomically re-points one record at it. Readers
-    resolve the pointer first, so they see the old watermark or the
-    new one, never a torn state; the superseded dir is removed
-    best-effort after the flip (single advancing writer, matching the
-    one-poller-per-watermark model).
+    anywhere — then atomically publishes a pointer record at it,
+    COMPARE-AND-SWAPPED on the pointer version this advance READ its
+    comparison value from. Readers resolve the pointer first, so they
+    see the old watermark or the new one, never a torn state.
+
+    Concurrency: a lost CAS means another advance landed between this
+    writer's read and its flip. Because the watermark is a MONOTONIC
+    MAX — advancing is commutative, re-deriving against the fresher
+    value loses nothing — the loser re-reads and retries (bounded by
+    ``conflict_retries``); with CAS + retry, racing advances converge
+    on the global max, where the old last-writer-wins flip could
+    REWIND the clock (writer A's stale smaller value overwriting B's
+    larger one → a silent re-backfill). Exhausting the retries raises
+    :class:`~jde_to_datalake_spark.sources.log_store.PointerConflict`
+    — loud, never silent. Superseded payload dirs age out through
+    ``clean_stale`` (a concurrent reader's lazy plan may still be
+    bound to one).
     """
 
     def __init__(self, path: str, name: str = "hwm", store=None):
@@ -82,23 +95,52 @@ class Watermark:
         retention window; the current payload is never touched."""
         return self._ptr.clean_stale(retention_seconds)
 
-    def advance(self, spark: SparkSession, df: DataFrame, ts_col: str) -> Any | None:
+    def advance(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        ts_col: str,
+        conflict_retries: int = 5,
+    ) -> Any | None:
         """Commit max(ts_col) of a successfully-sunk batch as the new
         watermark. Never moves backwards (a replay of an old batch
         must not rewind the clock); empty batches are a no-op. Returns
-        the watermark now in effect."""
+        the watermark now in effect.
+
+        The flip is CAS-anchored on the pointer version the comparison
+        value was read at; a lost race re-reads and retries (monotonic
+        max is commutative — see the class docstring), raising
+        ``PointerConflict`` after ``conflict_retries`` losses."""
+        from jde_to_datalake_spark.sources.log_store import PointerConflict
+
         self._ptr.require_migrated("watermark")
         new = df.agg(F.max(ts_col).alias("value")).collect()[0]["value"]
-        current = self._read_at(spark, self._ptr.current_path())
-        if new is None or (current is not None and new <= current):
-            return current
-        out = spark.createDataFrame(
-            [(self.name, new)], schema=df.select(F.lit(self.name).alias("name"), F.col(ts_col).alias("value")).schema
-        )
-        self._ptr.flip(
-            lambda p: out.coalesce(1).write.mode("overwrite").parquet(p)
-        )
-        return new
+        out_schema = df.select(
+            F.lit(self.name).alias("name"), F.col(ts_col).alias("value")
+        ).schema
+        for attempt in range(conflict_retries + 1):
+            base, rec = self._ptr.latest()
+            current = self._read_at(
+                spark,
+                None
+                if rec is None
+                else os.path.join(self.path, rec["data_dir"]),
+            )
+            if new is None or (current is not None and new <= current):
+                return current
+            out = spark.createDataFrame([(self.name, new)], schema=out_schema)
+            try:
+                self._ptr.flip(
+                    lambda p: out.coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(p),
+                    expected=base,
+                )
+                return new
+            except PointerConflict:
+                if attempt == conflict_retries:
+                    raise
+        return new  # unreachable; loop always returns or raises
 
 
 def incremental_scan(

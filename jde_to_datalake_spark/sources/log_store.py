@@ -49,15 +49,19 @@ concurrency test matrix (tests/test_conflicts.py) runs against it,
 demonstrating the conflict tier has no hidden dependence on POSIX
 semantics (hard links, rename atomicity, directory listing).
 
-:class:`PointerSlot` is the thin sibling primitive for the engine's
-OTHER atomic-publish points — artifacts that are a single named
-record rather than a version-keyed log (the ingest app nonce, the
-training-shard manifest, the watermark / idempotency-ledger /
-schema-registry pointers). Each of those used to hand-roll its own
-POSIX ``os.link`` / ``os.rename``; routing them through the slot
-means the whole engine's exactly-once publishes — not just the
-table log — are exactly one ``LogStore`` implementation away from
-any object store.
+:class:`PointerSlot` (write-once single record: the ingest app
+nonce, the training-shard manifest) and :class:`DataDirPointer`
+(compare-and-swapped mutable pointer: the watermark and
+idempotency-ledger data dirs; the schema registry appends to a
+record log directly) are the sibling primitives for the engine's
+OTHER atomic-publish points. Each of those used to hand-roll its
+own POSIX ``os.link`` / ``os.rename``; routing them through the
+seam means the whole engine's exactly-once publishes — not just
+the table log — are exactly one ``LogStore`` implementation away
+from any object store, and NONE of them retains a blind
+last-writer-wins overwrite: every mutable publish is either
+``put_if_absent`` at the next log version (registry) or a CAS'd
+pointer flip that raises :class:`PointerConflict` on a lost race.
 
 :class:`LostAckStore` wraps any store with the object-store
 lost-ACK fault: a ``put_if_absent`` that LANDS server-side but
@@ -79,6 +83,20 @@ import uuid
 class LogConflict(Exception):
     """A record already exists at the target version — the caller
     lost the optimistic-concurrency race."""
+
+
+class PointerConflict(Exception):
+    """A pointer-flip publish lost a compare-and-swap race: another
+    writer flipped the pointer after this writer read it. The loser's
+    payload dir is an unreferenced orphan (``clean_stale`` reclaims
+    it); NOTHING of the winner's publish was overwritten. Raised
+    instead of silently last-writer-wins so a second concurrent
+    dispatcher (the multi-writer mistake the reference's Postgres
+    ``UNIQUE`` constraint made loud, dag_bakery_system_to_jde.py:38-59)
+    cannot lose the first one's rows. Callers for whom the flip is
+    COMMUTATIVE (the watermark's monotonic max) may re-read and retry;
+    callers merging divergent payloads (the idempotency ledger) must
+    re-derive from the new current state."""
 
 
 class LogStore:
@@ -268,18 +286,67 @@ class S3ObjectLogStore(LogStore):
       attempt (lost ACK); that is exactly what the engine's
       writer-token recovery absorbs (versioned.py ambiguous-put
       handling), so the adapter reports the conflict honestly and
-      never needs to disambiguate itself.
+      never needs to disambiguate itself. Two further real-S3 codes
+      are handled here because nothing above the seam should see
+      them: **409 ConditionalRequestConflict** — concurrent
+      conditional PUTs to the SAME key can race inside S3 and 409
+      instead of 412 (AWS documents "retry the request"); the
+      adapter re-attempts the conditional PUT a bounded number of
+      times, so the retry lands 200 (we won) or 412 (the racer's
+      object exists → ``LogConflict``) — a 409 never escapes as a
+      raw ClientError past the LogConflict/writer-token machinery.
+      **503 SlowDown** (throttling) — retried with exponential
+      backoff on every operation; a throttle retry whose first
+      attempt actually landed resolves to 412 = the lost-ACK shape
+      the writer token already disambiguates.
     - ``replace``: plain ``PutObject`` — S3 PUTs are reader-atomic
       (old or new body, never torn).
     - ``list_versions``: ``ListObjectsV2`` on the ``_log/`` prefix
-      (strongly consistent since 2020), paginated.
+      (strongly consistent since 2020), paginated. Pages are
+      snapshots per call, not per listing — a key published between
+      pages can appear or not; callers already treat listings as
+      advisory (the CAS put is the authority).
     - ``clean_stale``: no-op — this adapter writes no temp objects.
     """
+
+    #: bounded in-adapter retries for 409 ConditionalRequestConflict
+    #: and 503 SlowDown (boto3's own retry layer sits below this —
+    #: the belt here keeps the seam's contract airtight even with SDK
+    #: retries disabled)
+    MAX_RETRIES: int = 5
+    #: base backoff seconds between throttle retries (exponential;
+    #: tests set 0)
+    RETRY_SLEEP: float = 0.05
+
+    #: codes AWS documents as retry-the-request transients
+    _THROTTLE_CODES = (
+        "SlowDown",
+        "503",
+        "RequestTimeout",
+        "InternalError",
+        "500",
+    )
 
     def __init__(self, bucket: str, prefix: str, client):
         self.bucket = bucket
         self.prefix = prefix.strip("/")
         self.client = client
+
+    def _call(self, op: str, **kw):
+        """Invoke one client op, absorbing bounded throttle faults."""
+        import time
+
+        for attempt in range(self.MAX_RETRIES + 1):
+            try:
+                return getattr(self.client, op)(**kw)
+            except Exception as e:
+                if (
+                    _s3_error_code(e) not in self._THROTTLE_CODES
+                    or attempt == self.MAX_RETRIES
+                ):
+                    raise
+                if self.RETRY_SLEEP:
+                    time.sleep(self.RETRY_SLEEP * (2**attempt))
 
     def _key(self, version: int) -> str:
         return f"{self.prefix}/_log/{_record_name(version)}"
@@ -291,7 +358,7 @@ class S3ObjectLogStore(LogStore):
             kw = {"Bucket": self.bucket, "Prefix": f"{self.prefix}/_log/"}
             if token:
                 kw["ContinuationToken"] = token
-            resp = self.client.list_objects_v2(**kw)
+            resp = self._call("list_objects_v2", **kw)
             for obj in resp.get("Contents", []):
                 name = obj["Key"].rsplit("/", 1)[-1]
                 if name.endswith(".json"):
@@ -305,8 +372,8 @@ class S3ObjectLogStore(LogStore):
 
     def read(self, version: int) -> dict:
         try:
-            resp = self.client.get_object(
-                Bucket=self.bucket, Key=self._key(version)
+            resp = self._call(
+                "get_object", Bucket=self.bucket, Key=self._key(version)
             )
         except Exception as e:
             if _s3_error_code(e) in ("NoSuchKey", "404"):
@@ -315,28 +382,47 @@ class S3ObjectLogStore(LogStore):
         return json.loads(resp["Body"].read())
 
     def put_if_absent(self, version: int, record: dict) -> None:
-        try:
-            self.client.put_object(
-                Bucket=self.bucket,
-                Key=self._key(version),
-                Body=json.dumps(record).encode(),
-                IfNoneMatch="*",
-            )
-        except Exception as e:
-            if _s3_error_code(e) in ("PreconditionFailed", "412"):
-                raise LogConflict(str(version)) from None
-            raise
+        body = json.dumps(record).encode()
+        for attempt in range(self.MAX_RETRIES + 1):
+            try:
+                self._call(
+                    "put_object",
+                    Bucket=self.bucket,
+                    Key=self._key(version),
+                    Body=body,
+                    IfNoneMatch="*",
+                )
+                return
+            except Exception as e:
+                code = _s3_error_code(e)
+                if code in ("PreconditionFailed", "412"):
+                    raise LogConflict(str(version)) from None
+                # 409: concurrent conditional PUTs to one key raced
+                # inside S3 — neither has won yet. AWS guidance: retry;
+                # the re-attempt resolves to 200 (we won) or 412 (the
+                # racer landed → honest LogConflict, and if the landed
+                # object is OURS the caller's writer-token read-back
+                # disambiguates exactly as for a lost ACK).
+                if (
+                    code != "ConditionalRequestConflict" and code != "409"
+                ) or attempt == self.MAX_RETRIES:
+                    raise
+                if self.RETRY_SLEEP:
+                    import time
+
+                    time.sleep(self.RETRY_SLEEP * (2**attempt))
 
     def replace(self, version: int, record: dict) -> None:
-        self.client.put_object(
+        self._call(
+            "put_object",
             Bucket=self.bucket,
             Key=self._key(version),
             Body=json.dumps(record).encode(),
         )
 
     def delete(self, version: int) -> None:
-        self.client.delete_object(
-            Bucket=self.bucket, Key=self._key(version)
+        self._call(
+            "delete_object", Bucket=self.bucket, Key=self._key(version)
         )
 
 
@@ -351,22 +437,25 @@ def _s3_error_code(e: Exception) -> str:
 
 
 class PointerSlot:
-    """A single named atomic record on a :class:`LogStore` — the
-    publish primitive shared by every non-table artifact:
+    """A single named atomic WRITE-ONCE record on a :class:`LogStore`
+    — the publish primitive for the engine's one-shot artifacts (the
+    ingest app nonce, the training-shard manifest):
 
     - ``create(record)`` — publish once, exclusively
       (:class:`LogConflict` when a record already exists: the caller
       lost a write-once race, e.g. two training-shard exports).
-    - ``get()`` — the current record, or ``None`` before the first
-      ``create``/``set``.
-    - ``set(record)`` — reader-atomic overwrite (pointer flips: the
-      watermark / ledger data-dir indirection — data files land under
-      unique final names, then ONE record flip makes them current,
-      which is the object-store replacement for directory rename).
+    - ``get()`` — the record, or ``None`` before ``create``.
 
     The slot is version ``0`` of an ordinary log, so every store
     implementation (POSIX link, S3 If-None-Match, DynamoDB
     conditional put, the in-memory prover) serves it unchanged.
+
+    There is deliberately NO ``set``: a blind overwrite primitive is
+    a silent-lost-update in waiting (two dispatchers last-writer-wins
+    each other). Mutable pointers go through :class:`DataDirPointer`,
+    whose flips are compare-and-swapped on the version the writer
+    read, so a concurrent writer FAILS LOUDLY
+    (:class:`PointerConflict`) instead of losing rows.
     """
 
     SLOT = 0
@@ -383,38 +472,89 @@ class PointerSlot:
         except FileNotFoundError:
             return None
 
-    def set(self, record: dict) -> None:
-        self.store.replace(self.SLOT, record)
-
 
 class DataDirPointer:
     """Pointer-flip publish for directory-shaped payloads (the
     watermark's single-row parquet, the idempotency ledger's table):
     ``flip(write_fn)`` writes the new payload under a fresh unique
     ``data-<uuid>`` dir (write-direct-to-final-name — no rename on
-    the data plane), atomically re-points the slot at it, then reaps
-    the superseded dir best-effort. Readers resolve ``current_path``
-    first, so they see the old payload or the new one, never a mix.
+    the data plane), then atomically publishes a pointer record at
+    it. Readers resolve ``current_path`` first, so they see the old
+    payload or the new one, never a mix.
+
+    The pointer is a growing LOG of records (``{"data_dir": <name>}``
+    at versions 0, 1, 2, …), and every flip is a COMPARE-AND-SWAP:
+    ``put_if_absent`` at ``observed latest + 1``. A writer that read
+    version N and tries to publish N+1 after another writer already
+    did LOSES LOUDLY (:class:`PointerConflict`) — never last-writer-
+    wins, so two concurrent dispatchers can never silently drop one
+    side's rows (the failure the reference's Postgres ``UNIQUE``
+    constraint guarded, dag_bakery_system_to_jde.py:38-59). The
+    unique data-dir name doubles as the writer token: a lost-ACK
+    conflict (the put landed, the store reported failure) is
+    recognized by reading the record back, exactly the versioned
+    table's ambiguous-put recovery.
+
+    Superseded payload dirs are NOT reaped at flip time — a reader
+    holding a lazy DataFrame bound to the old dir must be able to
+    materialize it after the flip. They age out through
+    ``clean_stale``'s retention window, the same discipline as the
+    versioned table's staging sweep; the winner trims superseded
+    POINTER RECORDS (metadata, nothing reads them once a newer
+    version exists) so the log stays O(1) records without a sweep.
 
     ``require_migrated`` raises on a PRE-seam layout (payload files
     directly under the root with no pointer record): silently
     treating legacy data as "empty" would, e.g., re-dispatch every
-    transaction an old ledger had marked done."""
+    transaction an old ledger had marked done. A round-10 layout
+    (one record at version 0 published by replace) reads and flips
+    unchanged — the CAS just starts appending at version 1."""
+
+    #: bounded re-list attempts when the latest record is trimmed
+    #: between ``list_versions`` and ``read`` (a concurrent winner's
+    #: record trim) — each retry re-resolves latest, so one retry
+    #: per intervening flip suffices
+    READ_RETRIES: int = 5
 
     def __init__(self, root: str, store: LogStore):
         self.root = root
-        self.slot = PointerSlot(store)
+        self.store = store
+
+    def latest(self) -> "tuple[int, dict] | tuple[None, None]":
+        """(version, record) of the current pointer — the CAS anchor
+        a writer must pass back to ``flip`` as ``expected`` so the
+        swap is against the state it READ, not the state at publish
+        time."""
+        for _ in range(self.READ_RETRIES + 1):
+            versions = self.store.list_versions()
+            if not versions:
+                return None, None
+            v = versions[-1]
+            try:
+                return v, self.store.read(v)
+            except FileNotFoundError:
+                continue  # trimmed between list and read: re-resolve
+        raise RuntimeError(
+            f"{self.root}: pointer log churned through "
+            f"{self.READ_RETRIES + 1} re-reads — pathological flip "
+            "contention or a store listing newer than its reads"
+        )
 
     def current(self) -> "str | None":
-        rec = self.slot.get()
-        return rec["data_dir"] if rec else None
+        """The current data dir name, or ``None`` before the first
+        flip — and also ``None`` when the latest record is not
+        dir-shaped (a consumer-level marker like the ledger's
+        versioned-backend handoff record): such a record supersedes
+        every data dir, so they all become ``clean_stale``-reclaimable."""
+        _, rec = self.latest()
+        return rec.get("data_dir") if rec else None
 
     def current_path(self) -> "str | None":
         d = self.current()
         return None if d is None else os.path.join(self.root, d)
 
     def require_migrated(self, what: str) -> None:
-        if self.slot.get() is not None:
+        if self.latest()[0] is not None:
             return
         try:
             legacy = any(
@@ -432,34 +572,81 @@ class DataDirPointer:
                 '{"data_dir": "<that name>"} at log version 0.'
             )
 
-    def flip(self, write_fn) -> str:
+    _UNANCHORED = object()  # sentinel: snapshot latest inside flip
+
+    def flip(self, write_fn, expected=_UNANCHORED) -> str:
         """``write_fn(abs_path)`` materializes the new payload at the
-        given (not-yet-existing) directory path; then one record flip
-        publishes it."""
-        old = self.current()
+        given (not-yet-existing) directory path; then ONE CAS'd record
+        publish makes it current.
+
+        ``expected`` anchors the swap: the pointer version this
+        writer's read state came from (``latest()[0]``; ``None`` for
+        "no pointer yet"). Passing it is what makes read-modify-write
+        callers (the ledger's MERGE) serializable — a flip that lands
+        after an intervening publish raises :class:`PointerConflict`
+        instead of silently discarding the intervening writer's rows.
+        Left unanchored, the flip snapshots latest itself (correct
+        only for payloads that don't derive from the previous one).
+        """
+        if expected is self._UNANCHORED:
+            expected, _ = self.latest()
+        new_version = 0 if expected is None else expected + 1
         name = f"data-{uuid.uuid4().hex}"
         write_fn(os.path.join(self.root, name))
-        self.slot.set({"data_dir": name})
-        if old is not None:
-            import shutil
-
-            shutil.rmtree(
-                os.path.join(self.root, old), ignore_errors=True
-            )
+        try:
+            self.store.put_if_absent(new_version, {"data_dir": name})
+        except LogConflict:
+            # lost-ACK disambiguation: the data-dir name is this
+            # writer's token — if the record at the contested version
+            # is OURS, the put landed and only the ACK was lost
+            try:
+                landed = self.store.read(new_version)
+            except FileNotFoundError:
+                landed = None
+            if landed is None or landed.get("data_dir") != name:
+                raise PointerConflict(
+                    f"{self.root}: pointer moved past version "
+                    f"{expected} before this flip published — "
+                    "another writer won; re-read current state and "
+                    "re-derive (this writer's payload dir is an "
+                    "orphan clean_stale reclaims)"
+                ) from None
+        # winner trims superseded pointer records (metadata-only;
+        # readers racing a trim re-resolve in latest()); payload dirs
+        # are left for clean_stale's retention window so lazy readers
+        # of the superseded payload still materialize
+        for v in self.store.list_versions():
+            if v < new_version:
+                try:
+                    self.store.delete(v)
+                except (FileNotFoundError, OSError):
+                    pass
         return name
 
     def clean_stale(self, retention_seconds: float = 3600.0) -> list:
-        """Reclaim ``data-*`` orphans left by writers that died between
+        """Reclaim unreferenced ``data-*`` dirs: payloads SUPERSEDED
+        by later flips (left in place so lazy readers bound to them
+        still materialize) and orphans of writers that died between
         the payload write and the pointer flip — the same discipline
         as the versioned table's staging sweep: unreferenced dirs are
         deleted only past the retention window (judged on the NEWEST
         mtime inside, so an in-flight flip is never reclaimed), and
         the pointer is re-read right before each delete so a flip
-        landing mid-sweep keeps its payload. Returns removed paths."""
+        landing mid-sweep keeps its payload. Superseded pointer
+        RECORDS leaked by a crash between a winning put and its trim
+        are also dropped. Returns removed paths."""
         import shutil
         import time
 
         removed = []
+        latest_v, _ = self.latest()
+        if latest_v is not None:
+            for v in self.store.list_versions():
+                if v < latest_v:
+                    try:
+                        self.store.delete(v)
+                    except (FileNotFoundError, OSError):
+                        pass
         if not os.path.isdir(self.root):
             return removed
         cutoff = time.time() - retention_seconds

@@ -594,3 +594,81 @@ def test_select_refreshes_only_referenced_views(spark, tmp_path):
     # and the untouched table still reads correctly when asked
     assert lk.sql("SELECT s FROM b").first()["s"] == "b"
     assert reads["b"] >= 1
+
+
+def test_refresh_scan_lexes_backticked_identifiers(spark, tmp_path):
+    """Backtick-quoted identifiers are spans in the scrubber's lexer
+    (round-10 advisor): a ``--`` inside one must not open a phantom
+    line comment that swallows the real FROM reference (stale read),
+    and a backticked span that IS a table reference must still
+    refresh it."""
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    lk = LakeSQL(spark)
+    reads = {"a": 0, "b": 0}
+    for name in ("a", "b"):
+        t = VersionedTable(str(tmp_path / name))
+        t.commit(
+            spark.createDataFrame([(1, name)], ["k", "s"]), mode="overwrite"
+        )
+        real_read = t.read
+
+        def counting_read(*args, _n=name, _r=real_read, **kw):
+            reads[_n] += 1
+            return _r(*args, **kw)
+
+        t.read = counting_read
+        lk.register(name, t)
+
+    # `a--b` is one identifier, not "a" then a comment: FROM a must
+    # survive the scrub and refresh table a
+    row = lk.sql("SELECT s AS `x--y` FROM a").first()
+    assert row["x--y"] == "a"
+    assert reads["a"] >= 1 and reads["b"] == 0
+    # a backticked TABLE reference still counts as a reference
+    before_b = reads["b"]
+    assert lk.sql("SELECT s FROM `b`").first()["s"] == "b"
+    assert reads["b"] == before_b + 1
+    # an apostrophe inside a backticked identifier cannot open a
+    # phantom string literal that swallows a later real reference
+    before_a = reads["a"]
+    assert lk.sql("SELECT s AS `it's` FROM a").first()["it's"] == "a"
+    assert reads["a"] == before_a + 1
+    # a table name inside a backticked ALIAS over-approximates (spare
+    # refresh) but never under-approximates — and stays correct
+    before_b = reads["b"]
+    assert lk.sql("SELECT s AS `b` FROM a").first()["b"] == "a"
+    assert reads["b"] >= before_b  # may refresh b; must not break
+
+
+def test_refresh_scan_respects_double_quoted_identifiers_config(
+    spark, tmp_path
+):
+    """With spark.sql.ansi.doubleQuotedIdentifiers on, "..." spans are
+    identifiers: "a" AS a table reference must refresh table a instead
+    of being stripped as a string literal (stale read)."""
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    lk = LakeSQL(spark)
+    t = VersionedTable(str(tmp_path / "a"))
+    t.commit(spark.createDataFrame([(1, "a")], ["k", "s"]), mode="overwrite")
+    reads = {"a": 0}
+    real_read = t.read
+
+    def counting_read(*args, _r=real_read, **kw):
+        reads["a"] += 1
+        return _r(*args, **kw)
+
+    t.read = counting_read
+    lk.register("a", t)
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try:
+        assert lk.sql('SELECT s FROM "a"').first()["s"] == "a"
+        assert reads["a"] >= 1
+    finally:
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+        spark.conf.set("spark.sql.ansi.enabled", prev)

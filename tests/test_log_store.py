@@ -33,7 +33,14 @@ class FakeS3Client:
     412 PreconditionFailed when the key exists — the exact behavior
     of S3 conditional writes (GA Nov 2024). Listing paginates at 2
     keys per page so the adapter's ContinuationToken loop is
-    exercised, and is strongly consistent like real S3 (2020+)."""
+    exercised, and is strongly consistent like real S3 (2020+).
+
+    ``inject(op, code, times, after)`` queues transient faults the
+    way real S3 emits them: 409 ConditionalRequestConflict (racing
+    conditional PUTs — neither applied), 503 SlowDown (throttle;
+    ``after=True`` raises AFTER applying the write — the landed-but-
+    unACKed shape whose retry answers 412 from the caller's own
+    object)."""
 
     PAGE = 2
 
@@ -42,35 +49,67 @@ class FakeS3Client:
 
         self._objects: dict = {}  # (bucket, key) -> bytes
         self._lock = threading.Lock()
+        self._faults: list = []  # (op, code, after)
+        self.calls: dict = {}  # op -> count (retry-visibility)
+
+    def inject(self, op, code, times=1, after=False):
+        self._faults.extend((op, code, after) for _ in range(times))
+
+    def _enter(self, op, apply_fn):
+        """Count the call, pop one matching fault: before-faults raise
+        without applying; after-faults apply the mutation first."""
+        self.calls[op] = self.calls.get(op, 0) + 1
+        fault = next(
+            (f for f in self._faults if f[0] == op), None
+        )
+        if fault is None:
+            return apply_fn()
+        self._faults.remove(fault)
+        _, code, after = fault
+        if after:
+            apply_fn()
+        raise _FakeClientError(code)
 
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
-        with self._lock:
+        def apply():
             if IfNoneMatch == "*" and (Bucket, Key) in self._objects:
                 raise _FakeClientError("PreconditionFailed")
             self._objects[(Bucket, Key)] = bytes(Body)
+
+        with self._lock:
+            self._enter("put_object", apply)
         return {}
 
     def get_object(self, Bucket, Key):
         import io
 
         with self._lock:
-            try:
-                data = self._objects[(Bucket, Key)]
-            except KeyError:
-                raise _FakeClientError("NoSuchKey") from None
+            def apply():
+                try:
+                    return self._objects[(Bucket, Key)]
+                except KeyError:
+                    raise _FakeClientError("NoSuchKey") from None
+
+            data = self._enter("get_object", apply)
         return {"Body": io.BytesIO(data)}
 
     def delete_object(self, Bucket, Key):
         with self._lock:
-            self._objects.pop((Bucket, Key), None)  # S3: 204 either way
+            self._enter(
+                "delete_object",
+                lambda: self._objects.pop((Bucket, Key), None),
+            )  # S3: 204 either way
         return {}
 
     def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
         with self._lock:
-            keys = sorted(
-                k
-                for b, k in self._objects
-                if b == Bucket and k.startswith(Prefix)
+            keys = self._enter(
+                "list_objects_v2",
+                lambda: sorted(
+                    k
+                    for b, k in self._objects
+                    if b == Bucket and k.startswith(Prefix)
+                ),
             )
         start = int(ContinuationToken) if ContinuationToken else 0
         page = keys[start : start + self.PAGE]
@@ -206,7 +245,7 @@ def test_memory_store_shared_across_instances(tmp_path):
     InMemoryLogStore.reset(root)
 
 
-def test_pointer_slot_create_get_set(store):
+def test_pointer_slot_is_write_once(store):
     from jde_to_datalake_spark.sources.log_store import PointerSlot
 
     slot = PointerSlot(store)
@@ -215,8 +254,10 @@ def test_pointer_slot_create_get_set(store):
     assert slot.get() == {"data_dir": "a"}
     with pytest.raises(LogConflict):
         slot.create({"data_dir": "b"})  # write-once loser
-    slot.set({"data_dir": "c"})  # pointer flip
-    assert slot.get() == {"data_dir": "c"}
+    assert slot.get() == {"data_dir": "a"}  # loser changed nothing
+    # the slot deliberately has NO blind-overwrite primitive — mutable
+    # pointers must go through DataDirPointer's CAS'd flip
+    assert not hasattr(slot, "set")
 
 
 def test_lost_ack_store_lands_then_conflicts(store):
@@ -248,3 +289,275 @@ def test_lost_ack_fire_every_n(store):
     with pytest.raises(LogConflict):
         s.put_if_absent(1, {})  # 2nd: lands, ACK lost
     assert s.list_versions() == [0, 1]
+
+
+# -- real-S3 fault shapes the adapter must absorb -------------------------
+
+
+def _s3_store(client=None):
+    s = S3ObjectLogStore("bkt", "tables/t1", client or FakeS3Client())
+    s.RETRY_SLEEP = 0  # no backoff waits in tests
+    return s
+
+
+def test_s3_409_retry_then_win():
+    """ConditionalRequestConflict = racing conditional PUTs, neither
+    applied yet; AWS guidance is retry — the re-attempt must land and
+    the 409 must never escape as a raw ClientError."""
+    client = FakeS3Client()
+    s = _s3_store(client)
+    client.inject("put_object", "ConditionalRequestConflict", times=2)
+    s.put_if_absent(0, {"w": "me"})
+    assert s.read(0) == {"w": "me"}
+    assert client.calls["put_object"] == 3  # 2 conflicts + the win
+
+
+def test_s3_409_then_racer_landed_is_log_conflict():
+    """409 first, then the RACER's object exists: the retry answers
+    412 and the adapter surfaces LogConflict — through the same path
+    the writer-token read-back disambiguates."""
+    client = FakeS3Client()
+    s = _s3_store(client)
+    client.put_object(
+        Bucket="bkt",
+        Key="tables/t1/_log/00000000000.json",
+        Body=b'{"w": "racer"}',
+    )
+    client.inject("put_object", "ConditionalRequestConflict")
+    with pytest.raises(LogConflict):
+        s.put_if_absent(0, {"w": "me"})
+    assert s.read(0) == {"w": "racer"}  # loser never overwrote
+
+
+def test_s3_409_exhaustion_raises_raw():
+    client = FakeS3Client()
+    s = _s3_store(client)
+    client.inject(
+        "put_object", "ConditionalRequestConflict", times=s.MAX_RETRIES + 1
+    )
+    with pytest.raises(_FakeClientError):
+        s.put_if_absent(0, {})
+
+
+def test_s3_slowdown_retried_on_every_op():
+    client = FakeS3Client()
+    s = _s3_store(client)
+    for op in ("put_object", "get_object", "list_objects_v2",
+               "delete_object"):
+        client.inject(op, "SlowDown")
+    s.put_if_absent(0, {"k": 1})
+    assert s.read(0) == {"k": 1}
+    assert s.list_versions() == [0]
+    s.delete(0)
+    assert s.list_versions() == []
+    assert not client._faults  # every injected throttle was absorbed
+
+
+def test_s3_slowdown_after_landed_put_is_lost_ack_shape():
+    """A throttle whose first attempt actually applied: the retry gets
+    412 from the caller's OWN object — reported honestly as
+    LogConflict, which the pointer/commit writer-token read-back then
+    recognizes as a self-win."""
+    client = FakeS3Client()
+    s = _s3_store(client)
+    client.inject("put_object", "SlowDown", after=True)
+    with pytest.raises(LogConflict):
+        s.put_if_absent(0, {"w": "me"})
+    assert s.read(0) == {"w": "me"}  # it landed
+
+
+def test_s3_slowdown_exhaustion_raises_raw():
+    client = FakeS3Client()
+    s = _s3_store(client)
+    client.inject("get_object", "SlowDown", times=s.MAX_RETRIES + 1)
+    s.put_if_absent(0, {})
+    with pytest.raises(_FakeClientError):
+        s.read(0)
+
+
+def test_s3_list_interleaved_with_writes_stays_consistent():
+    """A key published between pagination calls may or may not appear
+    in the listing (each page is a point-in-time snapshot); the
+    listing must never crash or duplicate, and the CAS put — not the
+    listing — remains the authority."""
+
+    class InterleavingClient(FakeS3Client):
+        def __init__(self):
+            super().__init__()
+            self._interleaved = False
+
+        def list_objects_v2(self, **kw):
+            resp = super().list_objects_v2(**kw)
+            if not self._interleaved and resp.get("IsTruncated"):
+                self._interleaved = True
+                # a writer lands a NEW latest version mid-listing
+                self._objects[
+                    ("bkt", "tables/t1/_log/00000000009.json")
+                ] = b"{}"
+            return resp
+
+    client = InterleavingClient()
+    s = _s3_store(client)
+    for v in range(5):
+        s.put_if_absent(v, {})
+    got = s.list_versions()
+    assert got == sorted(set(got))  # no duplicates, sorted
+    assert set(range(5)) <= set(got)  # nothing pre-existing dropped
+    # the authority: a CAS put against the mid-listing arrival loses
+    with pytest.raises(LogConflict):
+        s.put_if_absent(9, {"w": "stale-lister"})
+
+
+# -- DataDirPointer: the CAS'd mutable-pointer primitive -------------------
+
+
+def _mkpayload(path):
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.parquet"), "w") as fh:
+        fh.write("payload")
+
+
+def test_pointer_flip_cas_and_record_trim(store, tmp_path):
+    from jde_to_datalake_spark.sources.log_store import DataDirPointer
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    ptr = DataDirPointer(root, store)
+    assert ptr.latest() == (None, None)
+    first = ptr.flip(_mkpayload)
+    assert ptr.current() == first
+    second = ptr.flip(_mkpayload)
+    assert ptr.current() == second
+    # the winner trims superseded pointer RECORDS (log stays O(1))...
+    assert len(store.list_versions()) == 1
+    # ...but the superseded PAYLOAD dir survives for lazy readers
+    assert os.path.isdir(os.path.join(root, first))
+    # until the retention-gated sweep reclaims it (current kept)
+    removed = ptr.clean_stale(retention_seconds=0)
+    assert removed == [os.path.join(root, first)]
+    assert os.path.isdir(os.path.join(root, second))
+
+
+def test_pointer_flip_stale_anchor_loses_loudly(store, tmp_path):
+    from jde_to_datalake_spark.sources.log_store import (
+        DataDirPointer,
+        PointerConflict,
+    )
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    ptr = DataDirPointer(root, store)
+    ptr.flip(_mkpayload)
+    base, _ = ptr.latest()
+    winner = ptr.flip(_mkpayload)  # intervening writer
+    with pytest.raises(PointerConflict):
+        ptr.flip(_mkpayload, expected=base)  # stale anchor: loud loss
+    assert ptr.current() == winner  # nothing of the winner's clobbered
+    # the loser's payload is an orphan the sweep reclaims
+    orphans = ptr.clean_stale(retention_seconds=0)
+    assert len(orphans) == 2  # superseded v0 payload + the loser's
+    assert os.path.isdir(os.path.join(root, winner))
+
+
+def test_pointer_flip_lost_ack_self_win(store, tmp_path):
+    from jde_to_datalake_spark.sources.log_store import (
+        DataDirPointer,
+        LostAckStore,
+    )
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    ptr = DataDirPointer(root, LostAckStore(store))
+    # every put reports a conflict despite landing: the data-dir name
+    # is the writer token, so flip recognizes its own record
+    first = ptr.flip(_mkpayload)
+    assert ptr.current() == first
+    second = ptr.flip(_mkpayload)
+    assert ptr.current() == second
+
+
+def test_pointer_concurrent_flips_single_winner(store, tmp_path):
+    from jde_to_datalake_spark.sources.log_store import (
+        DataDirPointer,
+        PointerConflict,
+    )
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    ptr = DataDirPointer(root, store)
+    ptr.flip(_mkpayload)
+    base, _ = ptr.latest()
+    outcomes = []
+    barrier = threading.Barrier(4)
+
+    def contender(i):
+        barrier.wait()
+        try:
+            name = DataDirPointer(root, store).flip(
+                _mkpayload, expected=base
+            )
+            outcomes.append(("won", name))
+        except PointerConflict:
+            outcomes.append(("lost", None))
+
+    ts = [threading.Thread(target=contender, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wins = [n for tag, n in outcomes if tag == "won"]
+    assert len(wins) == 1  # exactly one writer's flip is current
+    assert ptr.current() == wins[0]
+    assert sum(1 for tag, _ in outcomes if tag == "lost") == 3
+
+
+def test_pointer_round10_single_record_layout_reads_and_flips(
+    store, tmp_path
+):
+    """A round-10 pointer (one record at version 0, published by the
+    old replace-based slot) must read unchanged and CAS-append from
+    version 1 — no migration step."""
+    from jde_to_datalake_spark.sources.log_store import DataDirPointer
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    _mkpayload(os.path.join(root, "data-legacy"))
+    store.put_if_absent(0, {"data_dir": "data-legacy"})
+    ptr = DataDirPointer(root, store)
+    assert ptr.current() == "data-legacy"
+    new = ptr.flip(_mkpayload)
+    assert ptr.current() == new
+    assert store.list_versions() == [1]  # legacy record trimmed
+
+
+def test_pointer_reader_rereads_through_record_trim(store, tmp_path):
+    """A reader that listed the log just before a winner's record trim
+    must re-resolve to the new latest, not crash on the vanished
+    version — the bounded re-list in latest()."""
+    from jde_to_datalake_spark.sources.log_store import DataDirPointer
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    ptr = DataDirPointer(root, store)
+    ptr.flip(_mkpayload)
+    second = ptr.flip(_mkpayload)
+
+    class TrimRacingStore:
+        """Delegates to the real store but serves ONE stale listing —
+        the reader's window where version 0 was listed then trimmed."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self._stale_served = False
+
+        def list_versions(self):
+            if not self._stale_served:
+                self._stale_served = True
+                return [0]  # already-trimmed version
+            return self.inner.list_versions()
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+    racing = DataDirPointer(root, TrimRacingStore(store))
+    assert racing.current() == second

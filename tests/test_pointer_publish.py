@@ -66,10 +66,15 @@ def test_watermark_semantics_on_every_store(spark, tmp_path, make_store):
     # a SECOND handle (own store instance) resolves the same pointer
     wm2 = Watermark(root, store=make_store(root))
     assert wm2.get(spark) == 30
-    # superseded data dirs are reclaimed after the flip
+    # superseded data dirs survive the flip (lazy readers may still be
+    # bound to them) and age out through the retention-gated sweep
     assert wm.advance(spark, spark.createDataFrame([(3, 99)], ["k", "ts"]), "ts") == 99
     datas = [d for d in os.listdir(root) if d.startswith("data-")]
+    assert len(datas) == 2
+    assert len(wm.clean_stale(retention_seconds=0)) == 1
+    datas = [d for d in os.listdir(root) if d.startswith("data-")]
     assert len(datas) == 1
+    assert wm.get(spark) == 99  # current payload untouched by the sweep
 
 
 def test_ledger_semantics_on_every_store(spark, tmp_path, make_store):
@@ -95,9 +100,13 @@ def test_ledger_semantics_on_every_store(spark, tmp_path, make_store):
     led2 = IdempotencyLedger(root, key="k", store=make_store(root))
     assert led2.exists()
     assert {r["k"] for r in led2.pending_only(spark, batch).collect()} == {2}
-    # superseded ledger dirs reclaimed (merge + mark_done = 2 flips)
+    # superseded ledger dirs survive the flips for lazy readers and
+    # are reclaimed by the retention-gated sweep (2 flips = 1 stale)
     datas = [d for d in os.listdir(root) if d.startswith("data-")]
-    assert len(datas) == 1
+    assert len(datas) == 2
+    assert len(led.clean_stale(retention_seconds=0)) == 1
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "done", 2: "pending"}  # current ledger untouched
 
 
 def test_schema_registry_on_every_store(spark, tmp_path, make_store):
@@ -244,6 +253,364 @@ def test_nonce_legacy_file_migrates_identity(tmp_path):
     assert checkpoint_app_id(ckpt) == app
     os.remove(os.path.join(ckpt, "_ingest_app_nonce"))
     assert checkpoint_app_id(ckpt) == app  # slot now owns the identity
+
+
+def test_flip_defers_reap_for_lazy_readers(spark, tmp_path, make_store):
+    """A reader holding an UNMATERIALIZED DataFrame bound to the
+    pre-flip ledger must still be able to run its action after a flip
+    — the flip publishes the new pointer but never deletes the
+    superseded payload (that's clean_stale's retention-gated job)."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    root = str(tmp_path / "led")
+    led = IdempotencyLedger(root, key="k", store=make_store(root))
+    led.merge(
+        spark,
+        spark.createDataFrame([(1, "pending"), (2, "done")], ["k", "status"]),
+    )
+    lazy = led.load(spark).filter("status = 'done'")  # plan only, no action
+    led.mark_done(spark, spark.createDataFrame([(1,)], ["k"]))  # flip lands
+    # the pre-flip plan still materializes against the old payload
+    assert [r["k"] for r in lazy.collect()] == [2]
+    # and a fresh read sees the post-flip state
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "done", 2: "done"}
+
+
+def test_two_dispatcher_merge_loses_loudly_zero_rows_lost(
+    spark, tmp_path, make_store
+):
+    """TWO concurrent dispatchers merging the ledger: with the CAS'd
+    flip exactly one wins, the other raises PointerConflict — and the
+    ledger holds exactly the winner's rows (the old last-writer-wins
+    flip silently dropped one side's rows → duplicate side-effect
+    dispatch, the failure A12 exists to prevent). The loud loser then
+    re-merges with conflict_retries and BOTH sides' rows are present."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+    from jde_to_datalake_spark.sources.log_store import PointerConflict
+
+    root = str(tmp_path / "led")
+    handles = [
+        IdempotencyLedger(root, key="k", store=make_store(root))
+        for _ in range(2)
+    ]
+    batches = [
+        spark.createDataFrame([(1, "done"), (2, "done")], ["k", "status"]),
+        spark.createDataFrame([(3, "done"), (4, "done")], ["k", "status"]),
+    ]
+    outcomes: list = [None, None]
+    barrier = threading.Barrier(2)
+
+    def dispatch(i):
+        barrier.wait()
+        try:
+            handles[i].merge(spark, batches[i])
+            outcomes[i] = "won"
+        except PointerConflict:
+            outcomes[i] = "lost"
+
+    ts = [threading.Thread(target=dispatch, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(outcomes) == ["lost", "won"]
+    winner = outcomes.index("won")
+    loser = 1 - winner
+    keys = {r["k"] for r in handles[0].load(spark).collect()}
+    # exactly the winner's rows — nothing silently half-merged
+    assert keys == {1, 2} if winner == 0 else keys == {3, 4}
+    # the loud loser re-derives: both sides present, zero rows lost
+    handles[loser].merge(spark, batches[loser], conflict_retries=3)
+    keys = {r["k"] for r in handles[0].load(spark).collect()}
+    assert keys == {1, 2, 3, 4}
+
+
+def test_merge_conflict_retries_rederive_serialized_outcome(
+    spark, tmp_path, make_store
+):
+    """conflict_retries re-reads the NEW current ledger and re-applies
+    the updates on top — the serialized ON CONFLICT DO UPDATE outcome:
+    both writers' disjoint keys survive, and the retrying writer's
+    update wins on the contended key."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    root = str(tmp_path / "led")
+    led = IdempotencyLedger(root, key="k", store=make_store(root))
+    led.merge(spark, spark.createDataFrame([(1, "pending")], ["k", "status"]))
+
+    class StaleAnchorPtr:
+        """First flip attempt uses a deliberately stale anchor — the
+        deterministic stand-in for an intervening dispatcher."""
+
+        def __init__(self, ptr):
+            self._ptr = ptr
+            self._sabotaged = False
+
+        def flip(self, write_fn, expected):
+            if not self._sabotaged:
+                self._sabotaged = True
+                expected = None if expected is None else expected - 1
+            return self._ptr.flip(write_fn, expected=expected)
+
+        def __getattr__(self, name):
+            return getattr(self._ptr, name)
+
+    led._ptr = StaleAnchorPtr(led._ptr)
+    led.merge(
+        spark,
+        spark.createDataFrame([(1, "done"), (5, "pending")], ["k", "status"]),
+        conflict_retries=2,
+    )
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "done", 5: "pending"}
+
+
+def test_concurrent_watermark_advances_converge_on_global_max(
+    spark, tmp_path, make_store
+):
+    """Racing advances are CAS'd and retried (monotonic max is
+    commutative): the surviving watermark is the GLOBAL max — the old
+    last-writer-wins flip could rewind it to a slower writer's smaller
+    value (a silent re-backfill)."""
+    from jde_to_datalake_spark.sources.incremental import Watermark
+
+    root = str(tmp_path / "wm")
+    values = [10, 40, 20, 30]
+    handles = [
+        Watermark(root, store=make_store(root)) for _ in values
+    ]
+    barrier = threading.Barrier(len(values))
+    errors: list = []
+
+    def advance(i, v):
+        barrier.wait()
+        try:
+            handles[i].advance(
+                spark,
+                spark.createDataFrame([(1, v)], ["k", "ts"]),
+                "ts",
+                conflict_retries=10,
+            )
+        except Exception as e:  # noqa: BLE001 — collected for assert
+            errors.append(e)
+
+    ts = [
+        threading.Thread(target=advance, args=(i, v))
+        for i, v in enumerate(values)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errors == []
+    assert handles[0].get(spark) == 40
+
+
+def test_watermark_stale_anchor_conflict_is_loud(
+    spark, tmp_path, make_store
+):
+    """With retries exhausted (conflict_retries=0) a lost CAS raises
+    PointerConflict — detection, never a silent clobber."""
+    from jde_to_datalake_spark.sources.incremental import Watermark
+    from jde_to_datalake_spark.sources.log_store import PointerConflict
+
+    root = str(tmp_path / "wm")
+    wm = Watermark(root, store=make_store(root))
+    wm.advance(spark, spark.createDataFrame([(1, 10)], ["k", "ts"]), "ts")
+
+    class StaleAnchorPtr:
+        def __init__(self, ptr):
+            self._ptr = ptr
+
+        def flip(self, write_fn, expected):
+            return self._ptr.flip(
+                write_fn,
+                expected=None if expected is None else expected - 1,
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._ptr, name)
+
+    wm._ptr = StaleAnchorPtr(wm._ptr)
+    with pytest.raises(PointerConflict):
+        wm.advance(
+            spark,
+            spark.createDataFrame([(1, 99)], ["k", "ts"]),
+            "ts",
+            conflict_retries=0,
+        )
+
+
+def _vled(root, make_store, threshold):
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    return IdempotencyLedger(
+        root,
+        key="k",
+        store=make_store(root),
+        versioned_threshold_rows=threshold,
+        versioned_store=make_store(os.path.join(root, "_versioned")),
+    )
+
+
+def test_ledger_hands_off_to_versioned_above_threshold(
+    spark, tmp_path, make_store
+):
+    """Below the threshold the ledger is a pointer-flipped parquet
+    swap; the merge that carries it to >= threshold rows hands off to
+    the VersionedTable backend (file-level partial-rewrite MERGE), and
+    every ledger surface — load, pending_only, mark_done, exists —
+    behaves identically across the switch."""
+    root = str(tmp_path / "led")
+    led = _vled(root, make_store, threshold=3)
+    led.merge(
+        spark,
+        spark.createDataFrame([(1, "pending"), (2, "pending")], ["k", "status"]),
+    )
+    assert led.backend() == "pointer"
+    led.merge(
+        spark,
+        spark.createDataFrame([(3, "pending"), (4, "pending")], ["k", "status"]),
+    )
+    assert led.backend() == "versioned"
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "pending", 2: "pending", 3: "pending", 4: "pending"}
+    # post-handoff A13 + J6 semantics are unchanged
+    led.mark_done(spark, spark.createDataFrame([(1,), (3,)], ["k"]))
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "done", 2: "pending", 3: "done", 4: "pending"}
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (9, "x")], ["k", "status"]
+    )
+    assert {r["k"] for r in led.pending_only(spark, batch).collect()} == {2, 9}
+    # a second handle routes through the handoff record too
+    led2 = _vled(root, make_store, threshold=3)
+    assert led2.backend() == "versioned" and led2.exists()
+    assert {r["k"] for r in led2.pending_only(spark, batch).collect()} == {2, 9}
+    # superseded pointer payload dirs are now all unreferenced
+    led.clean_stale(retention_seconds=0)
+    assert [d for d in os.listdir(root) if d.startswith("data-")] == []
+    # ... and the versioned backend survived the sweep
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "done", 2: "pending", 3: "done", 4: "pending"}
+
+
+def test_ledger_explicit_migration_and_merge_cadence(
+    spark, tmp_path, make_store
+):
+    """migrate_to_versioned() is the threshold path minus the
+    threshold; post-handoff merges go through VersionedTable.merge
+    (partial rewrite), and the table's history records each merge."""
+    root = str(tmp_path / "led")
+    led = _vled(root, make_store, threshold=None)
+    led.merge(
+        spark,
+        spark.createDataFrame([(1, "pending"), (2, "done")], ["k", "status"]),
+    )
+    led.migrate_to_versioned(spark)
+    assert led.backend() == "versioned"
+    led.migrate_to_versioned(spark)  # idempotent no-op
+    led.merge(spark, spark.createDataFrame([(5, "pending")], ["k", "status"]))
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "pending", 2: "done", 5: "pending"}
+    # the versioned backend keeps history: handoff commit + merge
+    assert len(led._vt().versions()) >= 2
+
+
+def test_versioned_ledger_concurrent_merges_lose_loudly_or_serialize(
+    spark, tmp_path, make_store
+):
+    """Post-handoff, two concurrent dispatchers ride the versioned
+    table's optimistic concurrency: with conflict_retries=0 one may
+    lose LOUDLY (PointerConflict) and no rows are silently dropped;
+    with retries the loser re-derives and both land."""
+    from jde_to_datalake_spark.sources.log_store import PointerConflict
+
+    root = str(tmp_path / "led")
+    led = _vled(root, make_store, threshold=1)  # handoff on first merge
+    led.merge(spark, spark.createDataFrame([(0, "done")], ["k", "status"]))
+    assert led.backend() == "versioned"
+    handles = [_vled(root, make_store, threshold=1) for _ in range(2)]
+    batches = [
+        spark.createDataFrame([(1, "done")], ["k", "status"]),
+        spark.createDataFrame([(2, "done")], ["k", "status"]),
+    ]
+    outcomes: list = [None, None]
+    barrier = threading.Barrier(2)
+
+    def dispatch(i):
+        barrier.wait()
+        try:
+            handles[i].merge(spark, batches[i])
+            outcomes[i] = "won"
+        except PointerConflict:
+            outcomes[i] = "lost"
+
+    ts = [threading.Thread(target=dispatch, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    keys = {r["k"] for r in handles[0].load(spark).collect()}
+    # every winner's batch is present; a loser was told loudly
+    for i, out in enumerate(outcomes):
+        if out == "won":
+            assert i + 1 in keys
+        else:
+            handles[i].merge(spark, batches[i], conflict_retries=3)
+    keys = {r["k"] for r in handles[0].load(spark).collect()}
+    assert keys == {0, 1, 2}
+
+
+def test_handoff_races_pointer_flip_rederives(spark, tmp_path, make_store):
+    """A pointer flip landing between a migrator's read and its
+    handoff CAS must force re-derivation — the handoff retry upserts
+    the FRESHER merged state (including the intervening writer's
+    rows) before publishing."""
+    root = str(tmp_path / "led")
+    led = _vled(root, make_store, threshold=100)  # stays pointer-backed
+    led.merge(spark, spark.createDataFrame([(1, "done")], ["k", "status"]))
+    # drop the threshold so the next merge migrates — but sabotage its
+    # first CAS anchor to simulate an intervening dispatcher
+    led.versioned_threshold_rows = 1
+
+    class StaleAnchorOnce:
+        def __init__(self, store):
+            self._store = store
+            self._fired = False
+
+        def put_if_absent(self, version, record):
+            if not self._fired and record.get("backend") == "versioned":
+                self._fired = True
+                # an intervening pointer flip claimed this version
+                self._store.put_if_absent(
+                    version, {"data_dir": "data-intervener"}
+                )
+            return self._store.put_if_absent(version, record)
+
+        def __getattr__(self, name):
+            return getattr(self._store, name)
+
+    real_store = led._ptr.store
+    led._ptr.store = StaleAnchorOnce(real_store)
+    # the intervener's merged state carries the existing row forward
+    # (a real merge never drops keys) plus its own new row
+    spark.createDataFrame(
+        [(1, "done"), (7, "done")], ["k", "status"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "data-intervener")
+    )
+    led.merge(
+        spark,
+        spark.createDataFrame([(2, "pending")], ["k", "status"]),
+        conflict_retries=2,
+    )
+    assert led.backend() == "versioned"
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    # the intervener's row (7) AND the migrating writer's row (2) both
+    # survived the race — zero silent loss across the handoff
+    assert got == {1: "done", 7: "done", 2: "pending"}
 
 
 def test_data_dir_orphan_reclaim(spark, tmp_path, make_store):
