@@ -99,9 +99,18 @@ class IdempotencyLedger:
     def _vt(self):
         from jde_to_datalake_spark.sources.versioned import VersionedTable
 
+        store = self._versioned_store
+        if store is None:
+            # derive the backend's commit log in the SAME storage
+            # domain as the ledger's own pointer store — defaulting to
+            # local disk when the pointer lives in an object store
+            # would split the ledger across domains (another host's
+            # dispatcher would see the handoff record but an empty
+            # table)
+            store = self._ptr.store.for_child(self.VERSIONED_DIR)
         return VersionedTable(
             os.path.join(self.path, self.VERSIONED_DIR),
-            log_store=self._versioned_store,
+            log_store=store,
         )
 
     @staticmethod
@@ -199,9 +208,16 @@ class IdempotencyLedger:
                     allowMissingColumns=True,
                 )
             try:
+                # the threshold check reads the CURRENT payload's
+                # parquet footers (metadata-only, no Spark action) —
+                # so the handoff fires on the first merge AFTER the
+                # ledger has reached the threshold, costing zero extra
+                # passes over the data on every merge before it
                 if (
                     self.versioned_threshold_rows is not None
-                    and merged.count() >= self.versioned_threshold_rows
+                    and rec is not None
+                    and self._footer_row_count(rec["data_dir"])
+                    >= self.versioned_threshold_rows
                 ):
                     self._handoff(spark, merged, base)
                 else:
@@ -213,6 +229,22 @@ class IdempotencyLedger:
             except PointerConflict:
                 if attempt == conflict_retries:
                     raise
+
+    def _footer_row_count(self, data_dir: str) -> int:
+        """Row count of a pointer payload from parquet footers —
+        metadata-speed, no job."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        p = os.path.join(self.path, data_dir)
+        try:
+            names = os.listdir(p)
+        except OSError:
+            return 0
+        for f in names:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+        return total
 
     def _vt_merge(self, spark, updates: DataFrame, conflict_retries: int):
         """Post-handoff merge: the versioned table's file-level keyed
@@ -247,10 +279,7 @@ class IdempotencyLedger:
         superset-safe snapshot the next migration upsert refreshes —
         ledger keys are never deleted, so re-upserting the fresher
         merged state leaves the table exactly equal to it)."""
-        from jde_to_datalake_spark.sources.log_store import (
-            LogConflict,
-            PointerConflict,
-        )
+        from jde_to_datalake_spark.sources.log_store import PointerConflict
         from jde_to_datalake_spark.sources.versioned import (
             ConcurrentCommitError,
         )
@@ -263,28 +292,12 @@ class IdempotencyLedger:
                 f"{self.path}: ledger handoff upsert exhausted its "
                 "retries under contention"
             ) from e
-        new_version = 0 if base is None else base + 1
+        # the handoff record goes through the same audited CAS publish
+        # as every flip; ANY versioned record at the contested version
+        # counts as ours — a concurrent migrator's upsert serialized
+        # with ours in the shared table, so both writers' rows are in
         handoff = {"backend": "versioned", "table_dir": self.VERSIONED_DIR}
-        try:
-            self._ptr.store.put_if_absent(new_version, handoff)
-        except LogConflict:
-            try:
-                landed = self._ptr.store.read(new_version)
-            except FileNotFoundError:
-                landed = None
-            if not self._is_handoff(landed):
-                raise PointerConflict(
-                    f"{self.path}: a pointer flip intervened during "
-                    "the versioned handoff — re-deriving"
-                ) from None
-            # another migrator (or our own lost-ACK put) published the
-            # handoff; our upsert is already in the shared table
-        for v in self._ptr.store.list_versions():
-            if v < new_version:
-                try:
-                    self._ptr.store.delete(v)
-                except (FileNotFoundError, OSError):
-                    pass
+        self._ptr.publish_record(handoff, base, is_ours=self._is_handoff)
 
     def migrate_to_versioned(self, spark: SparkSession) -> None:
         """Operator-initiated handoff (the threshold path, minus the

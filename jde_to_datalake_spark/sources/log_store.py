@@ -132,6 +132,20 @@ class LogStore:
         publishes (e.g. POSIX temp files) older than ``cutoff_epoch``.
         No-op where the implementation leaves none."""
 
+    def for_child(self, name: str) -> "LogStore":
+        """A store of the same kind rooted at the child location
+        ``<this store's root>/<name>`` — how a composite artifact
+        (e.g. the ledger's versioned backend under its own root)
+        derives a log in the SAME storage domain as its parent
+        instead of silently defaulting to local disk. Implementations
+        that cannot derive (exotic injected stores) inherit this
+        loud default and the caller must inject the child store
+        explicitly."""
+        raise NotImplementedError(
+            f"{type(self).__name__} cannot derive a child store for "
+            f"{name!r}; inject one explicitly"
+        )
+
 
 def _record_name(version: int) -> str:
     return f"{version:011d}.json"
@@ -148,8 +162,12 @@ class PosixLogStore(LogStore):
     (atomic on POSIX)."""
 
     def __init__(self, root: str):
+        self.root = root
         self.dir = os.path.join(root, "_log")
         os.makedirs(self.dir, exist_ok=True)
+
+    def for_child(self, name: str) -> "PosixLogStore":
+        return PosixLogStore(os.path.join(self.root, name))
 
     def _path(self, version: int) -> str:
         return os.path.join(self.dir, _record_name(version))
@@ -220,6 +238,9 @@ class InMemoryLogStore(LogStore):
         self.key = os.path.abspath(root)
         with self._lock:
             self._registry.setdefault(self.key, {})
+
+    def for_child(self, name: str) -> "InMemoryLogStore":
+        return InMemoryLogStore(os.path.join(self.key, name))
 
     def _log(self) -> "dict[int, str]":
         return self._registry[self.key]
@@ -331,6 +352,11 @@ class S3ObjectLogStore(LogStore):
         self.bucket = bucket
         self.prefix = prefix.strip("/")
         self.client = client
+
+    def for_child(self, name: str) -> "S3ObjectLogStore":
+        return S3ObjectLogStore(
+            self.bucket, f"{self.prefix}/{name}", self.client
+        )
 
     def _call(self, op: str, **kw):
         """Invoke one client op, absorbing bounded throttle faults."""
@@ -499,9 +525,19 @@ class DataDirPointer:
     holding a lazy DataFrame bound to the old dir must be able to
     materialize it after the flip. They age out through
     ``clean_stale``'s retention window, the same discipline as the
-    versioned table's staging sweep; the winner trims superseded
-    POINTER RECORDS (metadata, nothing reads them once a newer
-    version exists) so the log stays O(1) records without a sweep.
+    versioned table's staging sweep; every successful flip runs that
+    sweep opportunistically (``auto_reclaim_seconds``, default 1 h —
+    set ``None`` to leave reclamation entirely to an external
+    schedule), so a steady-state pipeline's superseded dirs stay
+    bounded by flips-per-retention-window without any operator
+    action. The winner also trims superseded pointer RECORDS —
+    keeping its own CAS anchor (``new_version - 1``): a concurrent
+    writer whose put at that version landed but lost its ACK must
+    still find its record on read-back, so trimming the anchor would
+    widen the misclassification window to a single intervening flip.
+    Record trims are ADVISORY: a failed delete (object-store
+    throttle, missing permission) never fails a publish that already
+    landed — the next flip or sweep retries it.
 
     ``require_migrated`` raises on a PRE-seam layout (payload files
     directly under the root with no pointer record): silently
@@ -516,9 +552,15 @@ class DataDirPointer:
     #: per intervening flip suffices
     READ_RETRIES: int = 5
 
-    def __init__(self, root: str, store: LogStore):
+    def __init__(
+        self,
+        root: str,
+        store: LogStore,
+        auto_reclaim_seconds: "float | None" = 3600.0,
+    ):
         self.root = root
         self.store = store
+        self.auto_reclaim_seconds = auto_reclaim_seconds
 
     def latest(self) -> "tuple[int, dict] | tuple[None, None]":
         """(version, record) of the current pointer — the CAS anchor
@@ -590,38 +632,65 @@ class DataDirPointer:
         """
         if expected is self._UNANCHORED:
             expected, _ = self.latest()
-        new_version = 0 if expected is None else expected + 1
         name = f"data-{uuid.uuid4().hex}"
         write_fn(os.path.join(self.root, name))
+        self.publish_record(
+            {"data_dir": name},
+            expected,
+            is_ours=lambda rec: rec.get("data_dir") == name,
+        )
+        if self.auto_reclaim_seconds is not None:
+            try:
+                self.clean_stale(self.auto_reclaim_seconds)
+            except Exception:  # noqa: BLE001 — reclamation is advisory
+                pass  # a failed sweep never fails a landed publish
+        return name
+
+    def publish_record(self, record: dict, expected, is_ours) -> int:
+        """CAS-publish ``record`` at ``expected + 1`` — the one
+        audited publish path shared by ``flip`` and consumer-level
+        marker records (the ledger's versioned-backend handoff).
+        ``is_ours(landed)`` classifies the record found at the
+        contested version on a reported conflict: True = this
+        writer's own put landed and only the ACK was lost (success);
+        False = a competitor won (:class:`PointerConflict`).
+
+        The conflict may be SPURIOUS in one narrow interleaving: this
+        writer's put landed, then two or more subsequent flips
+        published AND trimmed it before the read-back (the trim below
+        keeps one superseded record — the CAS anchor — exactly so a
+        single intervening flip cannot cause this). Callers must
+        treat PointerConflict as "re-read and re-derive", which is
+        idempotent-safe even when the lost publish actually landed:
+        the re-derived state is computed from a successor of it.
+
+        Superseded records older than the kept anchor are trimmed
+        ADVISORILY — a failed delete never fails a publish that
+        already landed; the next publish or ``clean_stale`` retries.
+        """
+        new_version = 0 if expected is None else expected + 1
         try:
-            self.store.put_if_absent(new_version, {"data_dir": name})
+            self.store.put_if_absent(new_version, record)
         except LogConflict:
-            # lost-ACK disambiguation: the data-dir name is this
-            # writer's token — if the record at the contested version
-            # is OURS, the put landed and only the ACK was lost
             try:
                 landed = self.store.read(new_version)
             except FileNotFoundError:
                 landed = None
-            if landed is None or landed.get("data_dir") != name:
+            if landed is None or not is_ours(landed):
                 raise PointerConflict(
                     f"{self.root}: pointer moved past version "
-                    f"{expected} before this flip published — "
+                    f"{expected} before this publish landed — "
                     "another writer won; re-read current state and "
-                    "re-derive (this writer's payload dir is an "
-                    "orphan clean_stale reclaims)"
+                    "re-derive (idempotent-safe; any orphaned payload "
+                    "dir is reclaimed by clean_stale)"
                 ) from None
-        # winner trims superseded pointer records (metadata-only;
-        # readers racing a trim re-resolve in latest()); payload dirs
-        # are left for clean_stale's retention window so lazy readers
-        # of the superseded payload still materialize
         for v in self.store.list_versions():
-            if v < new_version:
+            if v < new_version - 1:  # keep the CAS anchor (see above)
                 try:
                     self.store.delete(v)
-                except (FileNotFoundError, OSError):
-                    pass
-        return name
+                except Exception:  # noqa: BLE001 — trim is advisory
+                    continue
+        return new_version
 
     def clean_stale(self, retention_seconds: float = 3600.0) -> list:
         """Reclaim unreferenced ``data-*`` dirs: payloads SUPERSEDED
@@ -642,11 +711,14 @@ class DataDirPointer:
         latest_v, _ = self.latest()
         if latest_v is not None:
             for v in self.store.list_versions():
-                if v < latest_v:
+                # keep the newest record's CAS anchor too — an
+                # in-flight writer's lost-ACK read-back at that
+                # version must still find its record
+                if v < latest_v - 1:
                     try:
                         self.store.delete(v)
-                    except (FileNotFoundError, OSError):
-                        pass
+                    except Exception:  # noqa: BLE001 — trim is advisory
+                        continue
         if not os.path.isdir(self.root):
             return removed
         cutoff = time.time() - retention_seconds
@@ -696,6 +768,10 @@ class LostAckStore(LogStore):
         self.inner = inner
         self.fire_every = fire_every
         self._puts = 0
+
+    def for_child(self, name: str) -> "LostAckStore":
+        # the child inherits the fault injection (fresh put counter)
+        return LostAckStore(self.inner.for_child(name), self.fire_every)
 
     def list_versions(self) -> "list[int]":
         return self.inner.list_versions()

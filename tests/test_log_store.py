@@ -408,6 +408,43 @@ def test_s3_list_interleaved_with_writes_stays_consistent():
         s.put_if_absent(9, {"w": "stale-lister"})
 
 
+def test_for_child_derives_same_domain_store(store, tmp_path):
+    """for_child roots a store of the same kind under the parent —
+    how the ledger's versioned backend gets a commit log in the SAME
+    storage domain instead of silently defaulting to local disk."""
+    child = store.for_child("_versioned")
+    assert type(child) is type(store)
+    child.put_if_absent(0, {"w": 1})
+    assert child.read(0) == {"w": 1}
+    # parent and child logs are independent namespaces
+    assert store.list_versions() == []
+    store.put_if_absent(0, {"p": 1})
+    assert child.read(0) == {"w": 1}
+
+
+def test_for_child_s3_prefix_and_lost_ack_wrap():
+    from jde_to_datalake_spark.sources.log_store import LostAckStore
+
+    s = _s3_store()
+    child = s.for_child("_versioned")
+    assert child.prefix == "tables/t1/_versioned"
+    assert child.client is s.client  # same bucket connection
+    wrapped = LostAckStore(s, fire_every=3).for_child("_versioned")
+    assert isinstance(wrapped, LostAckStore)
+    assert wrapped.fire_every == 3
+    assert wrapped.inner.prefix == "tables/t1/_versioned"
+
+
+def test_for_child_unknown_store_fails_loudly():
+    from jde_to_datalake_spark.sources.log_store import LogStore
+
+    class Exotic(LogStore):
+        pass
+
+    with pytest.raises(NotImplementedError, match="inject one explicitly"):
+        Exotic().for_child("_versioned")
+
+
 # -- DataDirPointer: the CAS'd mutable-pointer primitive -------------------
 
 
@@ -428,14 +465,21 @@ def test_pointer_flip_cas_and_record_trim(store, tmp_path):
     assert ptr.current() == first
     second = ptr.flip(_mkpayload)
     assert ptr.current() == second
-    # the winner trims superseded pointer RECORDS (log stays O(1))...
-    assert len(store.list_versions()) == 1
-    # ...but the superseded PAYLOAD dir survives for lazy readers
+    third = ptr.flip(_mkpayload)
+    assert ptr.current() == third
+    # the winner trims superseded pointer RECORDS but KEEPS its CAS
+    # anchor (a concurrent writer's lost-ACK read-back at that version
+    # must still find its record): log stays at <= 2 records
+    assert store.list_versions() == [1, 2]
+    # ...and the superseded PAYLOAD dirs survive for lazy readers
     assert os.path.isdir(os.path.join(root, first))
-    # until the retention-gated sweep reclaims it (current kept)
-    removed = ptr.clean_stale(retention_seconds=0)
-    assert removed == [os.path.join(root, first)]
     assert os.path.isdir(os.path.join(root, second))
+    # until the retention-gated sweep reclaims them (current kept)
+    removed = ptr.clean_stale(retention_seconds=0)
+    assert sorted(removed) == sorted(
+        [os.path.join(root, first), os.path.join(root, second)]
+    )
+    assert os.path.isdir(os.path.join(root, third))
 
 
 def test_pointer_flip_stale_anchor_loses_loudly(store, tmp_path):
@@ -527,7 +571,11 @@ def test_pointer_round10_single_record_layout_reads_and_flips(
     assert ptr.current() == "data-legacy"
     new = ptr.flip(_mkpayload)
     assert ptr.current() == new
-    assert store.list_versions() == [1]  # legacy record trimmed
+    # the legacy record survives as the CAS anchor; the next flip
+    # ages it out
+    assert store.list_versions() == [0, 1]
+    ptr.flip(_mkpayload)
+    assert store.list_versions() == [1, 2]
 
 
 def test_pointer_reader_rereads_through_record_trim(store, tmp_path):
@@ -540,7 +588,8 @@ def test_pointer_reader_rereads_through_record_trim(store, tmp_path):
     os.makedirs(root, exist_ok=True)
     ptr = DataDirPointer(root, store)
     ptr.flip(_mkpayload)
-    second = ptr.flip(_mkpayload)
+    ptr.flip(_mkpayload)
+    second = ptr.flip(_mkpayload)  # log now [1, 2]; version 0 trimmed
 
     class TrimRacingStore:
         """Delegates to the real store but serves ONE stale listing —

@@ -185,9 +185,13 @@ def test_lost_ack_handoff_crossing_pin(spark, tmp_path):
     led.merge(spark, spark.createDataFrame([(1, "pending")], "k bigint, status string"))
     assert led.backend() == "pointer"
     led.merge(spark, spark.createDataFrame([(2, "sent")], "k bigint, status string"))
-    assert led.backend() == "versioned"
+    # footer count pre-merge was 1 < 2: still pointer-backed
+    assert led.backend() == "pointer"
     assert _ledger_state(spark, led) == {1: "pending", 2: "sent"}
+    # this merge sees 2 >= 2 rows: the handoff CAS fires under the
+    # every-put lost-ACK injector
     led.mark_done(spark, spark.createDataFrame([(1,)], "k bigint"))
+    assert led.backend() == "versioned"
     assert _ledger_state(spark, led) == {1: "done", 2: "sent"}
     InMemoryLogStore.reset()
 

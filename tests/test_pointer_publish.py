@@ -473,11 +473,16 @@ def test_ledger_hands_off_to_versioned_above_threshold(
         spark,
         spark.createDataFrame([(3, "pending"), (4, "pending")], ["k", "status"]),
     )
-    assert led.backend() == "versioned"
+    # the threshold is read from the CURRENT payload's parquet footers
+    # (metadata-only, no extra Spark action), so the handoff fires on
+    # the first merge AFTER the ledger has reached the threshold
+    assert led.backend() == "pointer"
     got = {r["k"]: r["status"] for r in led.load(spark).collect()}
     assert got == {1: "pending", 2: "pending", 3: "pending", 4: "pending"}
-    # post-handoff A13 + J6 semantics are unchanged
+    # post-handoff A13 + J6 semantics are unchanged (this merge sees
+    # 4 >= 3 rows and migrates)
     led.mark_done(spark, spark.createDataFrame([(1,), (3,)], ["k"]))
+    assert led.backend() == "versioned"
     got = {r["k"]: r["status"] for r in led.load(spark).collect()}
     assert got == {1: "done", 2: "pending", 3: "done", 4: "pending"}
     batch = spark.createDataFrame(
@@ -528,9 +533,11 @@ def test_versioned_ledger_concurrent_merges_lose_loudly_or_serialize(
     from jde_to_datalake_spark.sources.log_store import PointerConflict
 
     root = str(tmp_path / "led")
-    led = _vled(root, make_store, threshold=1)  # handoff on first merge
+    led = _vled(root, make_store, threshold=1)
     led.merge(spark, spark.createDataFrame([(0, "done")], ["k", "status"]))
-    assert led.backend() == "versioned"
+    assert led.backend() == "pointer"  # footer count was 0 pre-merge
+    led.merge(spark, spark.createDataFrame([(0, "done")], ["k", "status"]))
+    assert led.backend() == "versioned"  # 1 >= threshold: handoff
     handles = [_vled(root, make_store, threshold=1) for _ in range(2)]
     batches = [
         spark.createDataFrame([(1, "done")], ["k", "status"]),
