@@ -684,6 +684,26 @@ class DataDirPointer:
                     "re-derive (idempotent-safe; any orphaned payload "
                     "dir is reclaimed by clean_stale)"
                 ) from None
+        # Staleness check AFTER the put: record trims leave HOLES
+        # below the max (the anchor-keeping trim deletes expected-1
+        # and older), so a writer stale by >= 3 intervening flips can
+        # put_if_absent into a reclaimed slot BELOW the current
+        # pointer — the put "succeeds" but readers resolve MAX, so the
+        # record never becomes current and its payload would be
+        # silently lost. Any version above ours at this point means
+        # either exactly that (stale publish into a hole), or a
+        # legitimate win already superseded by a writer that anchored
+        # on us — indistinguishable here, and re-deriving is correct
+        # for both (idempotent upsert over a state that either misses
+        # our rows or already incorporates them). Loud, never silent.
+        if any(v > new_version for v in self.store.list_versions()):
+            raise PointerConflict(
+                f"{self.root}: a newer pointer version exists above "
+                f"this publish at {new_version} — re-read and "
+                "re-derive (idempotent-safe; the conflict may be "
+                "spurious if a racing writer already anchored on this "
+                "publish, in which case re-deriving is a no-op)"
+            )
         for v in self.store.list_versions():
             if v < new_version - 1:  # keep the CAS anchor (see above)
                 try:

@@ -578,6 +578,37 @@ def test_pointer_round10_single_record_layout_reads_and_flips(
     assert store.list_versions() == [1, 2]
 
 
+def test_pointer_stale_publish_into_trimmed_hole_is_loud(store, tmp_path):
+    """Record trims leave HOLES below the max: a writer stale by >= 3
+    intervening flips can put_if_absent into a reclaimed slot BELOW
+    the current pointer — the put 'succeeds' but readers resolve MAX,
+    so without the post-publish staleness check its payload would be
+    SILENTLY lost. It must raise PointerConflict instead."""
+    from jde_to_datalake_spark.sources.log_store import (
+        DataDirPointer,
+        PointerConflict,
+    )
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    ptr = DataDirPointer(root, store)
+    ptr.flip(_mkpayload)  # v0
+    stale_base, _ = ptr.latest()  # a slow writer reads here
+    ptr.flip(_mkpayload)  # v1 (trims nothing)
+    ptr.flip(_mkpayload)  # v2 (trims v0)
+    winner = ptr.flip(_mkpayload)  # v3 (trims v1 -> hole at v1)
+    assert store.list_versions() == [2, 3]
+    with pytest.raises(PointerConflict, match="newer pointer version"):
+        ptr.flip(_mkpayload, expected=stale_base)  # lands in the hole
+    # the winner is still current; the stale record never surfaces
+    assert ptr.current() == winner
+    # the stale writer's debris (record below max + payload orphan)
+    # is reclaimed by the sweep
+    ptr.clean_stale(retention_seconds=0)
+    assert ptr.current() == winner
+    assert max(store.list_versions()) == 3
+
+
 def test_pointer_reader_rereads_through_record_trim(store, tmp_path):
     """A reader that listed the log just before a winner's record trim
     must re-resolve to the new latest, not crash on the vanished
