@@ -663,12 +663,18 @@ def test_refresh_scan_respects_double_quoted_identifiers_config(
 
     t.read = counting_read
     lk.register("a", t)
-    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # conf.get(key) with NO user default resolves the EFFECTIVE value;
+    # passing a default returns that default when the key was never
+    # explicitly set — restoring it would flip the session (ANSI off
+    # changes decimal->string casts to scientific notation and broke
+    # an unrelated property test downstream)
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    prev_dq = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     try:
         assert lk.sql('SELECT s FROM "a"').first()["s"] == "a"
         assert reads["a"] >= 1
     finally:
-        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "false")
-        spark.conf.set("spark.sql.ansi.enabled", prev)
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", prev_dq)
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
