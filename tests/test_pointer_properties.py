@@ -33,7 +33,9 @@ from jde_to_datalake_spark.sources.log_store import (
     InMemoryLogStore,
     LostAckStore,
     PosixLogStore,
+    S3ObjectLogStore,
 )
+from tests.test_log_store import FakeS3Client
 
 HS = settings(
     max_examples=5,
@@ -41,7 +43,9 @@ HS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-_LEGS = ["posix", "memory", "lost-ack"]
+_LEGS = ["posix", "memory", "lost-ack", "s3"]
+
+_S3_BUCKETS: dict = {}  # root -> shared FakeS3Client (one "bucket")
 
 
 def _make_store(leg, root):
@@ -51,6 +55,11 @@ def _make_store(leg, root):
         # fire on every second put: sequences interleave clean ACKs
         # with landed-but-conflicted ones
         return LostAckStore(InMemoryLogStore(root), fire_every=2)
+    if leg == "s3":
+        client = _S3_BUCKETS.setdefault(root, FakeS3Client())
+        s = S3ObjectLogStore("bkt", root, client)
+        s.RETRY_SLEEP = 0
+        return s
     return PosixLogStore(root)
 
 
@@ -161,6 +170,8 @@ def test_pointer_plane_matches_dict_model(
     assert wm.get(spark) == model_wm
     if leg in ("memory", "lost-ack"):
         InMemoryLogStore.reset()
+    elif leg == "s3":
+        _S3_BUCKETS.clear()
 
 
 # -- deterministic regression pins (shapes the net found interesting) -----
