@@ -28,8 +28,25 @@ def _flat_items(spark):
     return flatten_actions(synthesize_actions(orders, lineitem))
 
 
-def test_full_dispatch_pipeline_idempotent(spark, tmp_path):
-    ledger = IdempotencyLedger(str(tmp_path / "ledger"))
+import pytest
+
+
+@pytest.fixture(params=["pointer", "versioned"])
+def make_ledger(request):
+    """Both ledger backends drive the SAME dispatch e2e: the pointer
+    parquet-swap and — via a threshold of 1 row, so the handoff fires
+    mid-pipeline — the VersionedTable partial-rewrite backend."""
+
+    def make(path: str) -> IdempotencyLedger:
+        threshold = 1 if request.param == "versioned" else None
+        return IdempotencyLedger(path, versioned_threshold_rows=threshold)
+
+    make.expected = request.param
+    return make
+
+
+def test_full_dispatch_pipeline_idempotent(spark, tmp_path, make_ledger):
+    ledger = make_ledger(str(tmp_path / "ledger"))
     flat = _flat_items(spark).dropDuplicates(["unique_transaction_id"])
     total = flat.count()
     assert total > 0
@@ -69,13 +86,16 @@ def test_full_dispatch_pipeline_idempotent(spark, tmp_path):
         ),
     )
     assert ledger.load(spark).count() == total + 1
+    # the whole A12 order (anti-join -> dispatch -> MERGE) held across
+    # the backend the fixture selected — incl. the mid-run handoff
+    assert ledger.backend() == make_ledger.expected
 
 
-def test_failed_dispatch_retried_next_run(spark, tmp_path):
+def test_failed_dispatch_retried_next_run(spark, tmp_path, make_ledger):
     """status='failed' rows are NOT skipped by the dedup probe — the
     reference retries failures on the next poll (jde_helper.py ON
     CONFLICT DO UPDATE keeps the latest status)."""
-    ledger = IdempotencyLedger(str(tmp_path / "ledger"))
+    ledger = make_ledger(str(tmp_path / "ledger"))
     flat = _flat_items(spark).dropDuplicates(["unique_transaction_id"]).limit(10)
 
     first = flat.limit(3).select(
