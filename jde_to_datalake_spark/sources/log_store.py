@@ -723,7 +723,15 @@ class DataDirPointer:
         the pointer is re-read right before each delete so a flip
         landing mid-sweep keeps its payload. Superseded pointer
         RECORDS leaked by a crash between a winning put and its trim
-        are also dropped. Returns removed paths."""
+        are also dropped. Returns removed paths.
+
+        Object-store mapping: the payload walk is ``os``-based here
+        because payload dirs are local parquet in this deployment;
+        against a bucket the same sweep is ``ListObjectsV2`` under
+        the ``data-*`` prefixes with per-object ``LastModified`` as
+        the mtime and ``DeleteObject`` as the reap — identical to
+        vacuum's documented walk mapping (SCALE.md "Object-store
+        data plane")."""
         import shutil
         import time
 
