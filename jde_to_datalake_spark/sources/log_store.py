@@ -39,6 +39,9 @@ SCALE.md "Object-store commits"):
   ``PutItem`` with ``attribute_not_exists(version)`` as the
   ``put_if_absent``, the object body written after winning (Delta's
   S3DynamoDBLogStore). The interface is unchanged; only the impl is.
+  Such an adapter must set ``supports_consistent_listing = False``
+  (object listings lag the authoritative DynamoDB log), which makes
+  the pointer plane skip record trims — see :class:`LogStore`.
 
 The reference keeps its lake on S3 (s3_helper.py:29-75) with no
 transaction log at all; this seam is what makes the engine's commit
@@ -104,6 +107,20 @@ class LogStore:
     and ``replace`` reader-atomic (a concurrent ``read`` sees the old
     record or the new one, never a torn byte sequence).
 
+    ``supports_consistent_listing`` declares whether
+    ``list_versions`` reflects every already-landed put (true for
+    POSIX, the in-memory prover, S3 since 2020, GCS). The TABLE
+    commit protocol treats listings as advisory (the CAS put is the
+    authority), but the POINTER plane's record TRIMS are gated on
+    this flag: trimming opens holes below the max version that only a
+    complete listing can police (``DataDirPointer.publish_record``'s
+    staleness check), so a store that cannot promise it — e.g. the
+    legacy S3+DynamoDB arbiter, where the object body lands after the
+    conditional put and listings lag the authoritative log — sets
+    this False and the pointer log simply grows (no trims → a stale
+    CAS always finds the still-present record and conflicts loudly;
+    ``clean_stale`` leaves records alone too).
+
     Retry policy lives in the IMPLEMENTATION (an object-store adapter
     keeps its SDK's transient-error retries): retrying a timed-out
     ``put_if_absent`` is safe even when the first attempt actually
@@ -111,6 +128,8 @@ class LogStore:
     (``commit_id``) and the publisher recognizes its own record on
     ``LogConflict`` (versioned.py ambiguous-put recovery) — report the
     conflict honestly, never swallow it."""
+
+    supports_consistent_listing: bool = True
 
     def list_versions(self) -> "list[int]":
         raise NotImplementedError
@@ -684,6 +703,13 @@ class DataDirPointer:
                     "re-derive (idempotent-safe; any orphaned payload "
                     "dir is reclaimed by clean_stale)"
                 ) from None
+        # Trims and their policing are a PAIR gated on listing
+        # consistency: on a store whose listing may lag, we never
+        # trim, so a stale CAS always finds the still-present record
+        # and conflicts loudly — no holes, no reliance on listings.
+        if not getattr(self.store, "supports_consistent_listing", True):
+            return new_version
+        versions = self.store.list_versions()
         # Staleness check AFTER the put: record trims leave HOLES
         # below the max (the anchor-keeping trim deletes expected-1
         # and older), so a writer stale by >= 3 intervening flips can
@@ -696,7 +722,7 @@ class DataDirPointer:
         # on us — indistinguishable here, and re-deriving is correct
         # for both (idempotent upsert over a state that either misses
         # our rows or already incorporates them). Loud, never silent.
-        if any(v > new_version for v in self.store.list_versions()):
+        if any(v > new_version for v in versions):
             raise PointerConflict(
                 f"{self.root}: a newer pointer version exists above "
                 f"this publish at {new_version} — re-read and "
@@ -704,7 +730,7 @@ class DataDirPointer:
                 "spurious if a racing writer already anchored on this "
                 "publish, in which case re-deriving is a no-op)"
             )
-        for v in self.store.list_versions():
+        for v in versions:
             if v < new_version - 1:  # keep the CAS anchor (see above)
                 try:
                     self.store.delete(v)
@@ -737,11 +763,15 @@ class DataDirPointer:
 
         removed = []
         latest_v, _ = self.latest()
-        if latest_v is not None:
+        if latest_v is not None and getattr(
+            self.store, "supports_consistent_listing", True
+        ):
             for v in self.store.list_versions():
                 # keep the newest record's CAS anchor too — an
                 # in-flight writer's lost-ACK read-back at that
-                # version must still find its record
+                # version must still find its record. Gated on
+                # listing consistency like publish_record's trim:
+                # no trims -> no holes on lag-listing stores.
                 if v < latest_v - 1:
                     try:
                         self.store.delete(v)

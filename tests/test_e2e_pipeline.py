@@ -11,6 +11,7 @@ outside Catalyst exactly like the foreachBatch pattern).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.operators.flatten import (
@@ -26,9 +27,6 @@ def _flat_items(spark):
     orders = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderkey") < 200)
     lineitem = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_orderkey") < 200)
     return flatten_actions(synthesize_actions(orders, lineitem))
-
-
-import pytest
 
 
 @pytest.fixture(params=["pointer", "versioned"])

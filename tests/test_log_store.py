@@ -578,6 +578,46 @@ def test_pointer_round10_single_record_layout_reads_and_flips(
     assert store.list_versions() == [1, 2]
 
 
+def test_pointer_lag_listing_store_never_trims(store, tmp_path):
+    """A store that cannot promise list-after-write completeness
+    (supports_consistent_listing=False — the legacy S3+DynamoDB
+    arbiter shape) must NEVER have its pointer records trimmed:
+    without trims there are no holes, so a stale CAS always finds the
+    still-present record and conflicts loudly with zero reliance on
+    listings."""
+    from jde_to_datalake_spark.sources.log_store import (
+        DataDirPointer,
+        PointerConflict,
+    )
+
+    class LagListingStore:
+        supports_consistent_listing = False
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    ptr = DataDirPointer(root, LagListingStore(store))
+    ptr.flip(_mkpayload)
+    stale_base, _ = ptr.latest()
+    for _ in range(4):
+        winner = ptr.flip(_mkpayload)
+    # the log GREW — no record was ever trimmed
+    assert store.list_versions() == [0, 1, 2, 3, 4]
+    # a stale CAS conflicts on the still-present record, loudly
+    with pytest.raises(PointerConflict, match="pointer moved past"):
+        ptr.flip(_mkpayload, expected=stale_base)
+    assert ptr.current() == winner
+    # the sweep reclaims superseded PAYLOADS but leaves records alone
+    ptr.clean_stale(retention_seconds=0)
+    assert store.list_versions() == [0, 1, 2, 3, 4]
+    assert ptr.current() == winner
+
+
 def test_pointer_stale_publish_into_trimmed_hole_is_loud(store, tmp_path):
     """Record trims leave HOLES below the max: a writer stale by >= 3
     intervening flips can put_if_absent into a reclaimed slot BELOW
