@@ -366,6 +366,50 @@ def test_merge_conflict_retries_rederive_serialized_outcome(
     assert got == {1: "done", 5: "pending"}
 
 
+def test_many_dispatchers_with_retries_lose_no_rows(
+    spark, tmp_path, make_store
+):
+    """Four dispatchers, three merges each, all racing with retry
+    budget: every one of the 12 batches' keys must be present at the
+    end — the serialized ON-CONFLICT-DO-UPDATE outcome under REAL
+    thread interleavings (not just the pointwise two-writer shapes).
+    Runs on every store leg incl. the every-put lost-ACK injector."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    root = str(tmp_path / "led")
+    n_threads, n_merges = 4, 3
+    handles = [
+        IdempotencyLedger(root, key="k", store=make_store(root))
+        for _ in range(n_threads)
+    ]
+    errors: list = []
+    barrier = threading.Barrier(n_threads)
+
+    def dispatch(i):
+        barrier.wait()
+        for m in range(n_merges):
+            batch = spark.createDataFrame(
+                [(i * 100 + m, "done")], ["k", "status"]
+            )
+            try:
+                handles[i].merge(spark, batch, conflict_retries=30)
+            except Exception as e:  # noqa: BLE001 — collected for assert
+                errors.append((i, m, repr(e)))
+
+    ts = [
+        threading.Thread(target=dispatch, args=(i,))
+        for i in range(n_threads)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errors == []
+    keys = {r["k"] for r in handles[0].load(spark).collect()}
+    expected = {i * 100 + m for i in range(n_threads) for m in range(n_merges)}
+    assert keys == expected  # zero silently lost rows
+
+
 def test_concurrent_watermark_advances_converge_on_global_max(
     spark, tmp_path, make_store
 ):
