@@ -232,7 +232,16 @@ class IdempotencyLedger:
 
     def _footer_row_count(self, data_dir: str) -> int:
         """Row count of a pointer payload from parquet footers —
-        metadata-speed, no job."""
+        metadata-speed, no job.
+
+        The walk is ``os``-based because payload dirs are local
+        parquet in this deployment (like every DataDirPointer
+        payload; SCALE.md maps the plane to ListObjectsV2 for
+        buckets). A deployment whose payloads are NOT local-listable
+        returns 0 here — the automatic threshold handoff then never
+        fires; such deployments should call ``migrate_to_versioned``
+        explicitly (with ``versioned_store`` injected) instead of
+        relying on the threshold."""
         import pyarrow.parquet as pq
 
         total = 0
