@@ -61,6 +61,22 @@ def derive_batch_writer(
     :func:`~jde_to_datalake_spark.streaming.ingest.checkpoint_app_id`)
     — batch_id restarts at 0 on a fresh checkpoint, and a reused
     app_id would wrongly skip the new run's early batches.
+
+    Within-batch key collisions (one drained batch spanning several
+    source versions that each touched the key, or an
+    ``ignore_changes`` source re-emitting a rewritten file alongside
+    a fresh append) are RESOLVED HERE before the merge —
+    ``VersionedTable.merge`` rejects duplicate source keys, and
+    without this dedup such a batch would fail deterministically on
+    every re-delivery (a wedged stream). Resolution order: highest
+    ``_commit_version`` when the batch carries it (a change-feed
+    source — version order is the correct last-write-wins), else
+    newest ``updated_at`` when the transform provides one, else a
+    deterministic row-hash tie-break (stable across re-deliveries
+    and partitionings). Plain-append sources whose same-key rows
+    differ and carry neither column get the hash tie-break —
+    deterministic but not version-ordered; stream the change feed
+    when version-ordered resolution matters.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -70,8 +86,27 @@ def derive_batch_writer(
         out = transform(batch_df).persist()
         try:
             if key is not None:
+                from pyspark.sql import Window
+                from pyspark.sql import functions as F
+
+                order = [F.xxhash64(*out.columns).asc()]
+                if "updated_at" in out.columns:
+                    order.insert(0, F.col("updated_at").desc_nulls_last())
+                if "_commit_version" in out.columns:
+                    order.insert(0, F.col("_commit_version").desc_nulls_last())
+                w = Window.partitionBy(key).orderBy(*order)
+                # NULL-key rows are pure inserts under merge semantics
+                # (they match nothing and its duplicate guard exempts
+                # them) — they must not be collapsed into one row here
+                deduped = (
+                    out.filter(F.col(key).isNotNull())
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                    .unionByName(out.filter(F.col(key).isNull()))
+                )
                 target.merge(
-                    batch_df.sparkSession, out, key,
+                    batch_df.sparkSession, deduped, key,
                     txn=(app_id, int(batch_id)),
                 )
             elif out.limit(1).count() > 0:

@@ -232,11 +232,26 @@ def ingest_batch(
     bloom_k: int = 5,
     txn: "tuple[str, int] | None" = None,
     bloom_broadcast_max_bits: int = BLOOM_BROADCAST_MAX_BITS,
+    metrics: VersionedTable | None = None,
 ) -> dict:
     """Process one micro-batch; returns the verdict counts (the funnel
     row a monitoring sink would record). Usable directly for batch
     backfills — the streaming writer below is this exact function, so
     stream and backfill share one ingestion semantics.
+
+    With ``metrics``, the batch's funnel row is appended INSIDE the
+    crash matrix — after the corpus write, BEFORE the index append —
+    and txn-stamped on the metrics table itself. Position matters: a
+    re-delivery after any pre-index crash still sees the batch as
+    novel (the index lacks its fingerprints), so the recorded row
+    carries the TRUE counts; a re-delivery after the index append
+    skips the row via the txn stamp instead of appending a misleading
+    all-known row (the pre-round-11 trail wrote n_novel=0 for such
+    replays — and wrote NOTHING for the batch's real ingestion when
+    the crash landed between the index append and a trail kept
+    outside the matrix, permanently undercounting the funnel).
+    Backfills (``txn=None``) append a row per call with
+    ``batch_id=-1``.
 
     With ``bloom_filter`` (a versioned table holding the SHARDED
     operators/bloom.py word array — one row per hash-prefix shard,
@@ -313,13 +328,17 @@ def ingest_batch(
         batch_df, known_fingerprints(spark, index), text_col, id_col,
         bloom=pre_bloom,
     ).persist()
+    extra_persists: list = []
     try:
         return _ingest_batch_inner(
             spark, verdicts, pre_bloom, corpus, index, text_col, id_col,
             bands, num_hashes, band_size, shingle_n,
-            bloom_filter, bloom_bits, bloom_k, txn,
+            bloom_filter, bloom_bits, bloom_k, txn, metrics,
+            extra_persists,
         )
     finally:
+        for df in extra_persists:
+            df.unpersist()
         verdicts.unpersist()
         batch_df.unpersist()
 
@@ -340,6 +359,8 @@ def _ingest_batch_inner(
     bloom_bits: int = 1 << 20,
     bloom_k: int = 5,
     txn: "tuple[str, int] | None" = None,
+    metrics: VersionedTable | None = None,
+    to_unpersist: "list | None" = None,
 ) -> dict:
     counts = verdicts.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -350,16 +371,59 @@ def _ingest_batch_inner(
     ).collect()[0]
     novel = verdicts.filter(F.col("is_novel")).drop(*_VERDICT_COLS)
     n_near_flagged = 0
+    if to_unpersist is None:
+        to_unpersist = []  # caller-owned when passed (exception-safe)
+
+    def _append_metrics_row() -> None:
+        """The funnel-trail append, INSIDE the crash matrix (see
+        ingest_batch's docstring): txn-stamped on the metrics table
+        itself so a replayed batch never appends a second (all-known,
+        n_novel=0) row, and positioned before the index append so the
+        row recorded for any pre-index replay carries true counts."""
+        if metrics is None:
+            return
+        batch_id = int(txn[1]) if txn is not None else -1
+        if txn is not None:
+            rec = metrics.last_txn_version(txn[0])
+            if rec is not None and rec >= batch_id:
+                return  # replayed batch: its row already landed
+        row = spark.createDataFrame(
+            [(
+                batch_id,
+                counts["n_rows"],
+                counts["is_known"] or 0,
+                counts["is_batch_first"] or 0,
+                counts["is_novel"] or 0,
+                n_near_flagged,
+            )],
+            "batch_id bigint, n_rows bigint, n_known bigint, "
+            "n_batch_first bigint, n_novel bigint, n_near_flagged bigint",
+        )
+        if txn is not None:
+            metrics.commit(row, mode="append", txn=txn)
+        else:
+            metrics.commit(row, mode="append")
+
     if counts["is_novel"]:
         new_bands = None
         if bands is not None:
             # the batch's own band keys, computed ONCE (row-local
             # projection of the persisted verdict frame) and reused
-            # for the probe-value collect, the candidate join, and
-            # the guarded append below
+            # for the probe-value collect, the candidate join, the
+            # batch-ids collect, the seen anti-join, and the guarded
+            # append below — persisted so the MinHash banding CPU
+            # runs once per batch, not once per consumer
             new_bands = band_index(
                 novel, num_hashes, band_size, shingle_n, text_col, id_col
-            )
+            ).persist()
+            to_unpersist.append(new_bands)
+            # the probe side always includes the batch's OWN keys:
+            # two near-identical docs arriving in one micro-batch
+            # must flag each other (intra-batch near-dups were
+            # invisible when the probe ran only against the
+            # pre-batch index — and made n_near_flagged depend on
+            # where the batch boundary happened to fall)
+            intra_side = new_bands.select(id_col, "band", "band_hash")
             if bands.latest_version() is not None:
                 # O(probe) scan of the band artifact: collect the
                 # batch's distinct band hashes (bounded by |batch| x
@@ -377,33 +441,38 @@ def _ingest_batch_inner(
                     .distinct()
                     .collect()
                 ]
-                idx_bands = bands.read_where_in(
+                probe_side = bands.read_where_in(
                     spark, "band_hash", probe_vals
-                )
-                cand_counts = (
-                    incremental_lsh_candidates(
-                        novel, idx_bands,
-                        num_hashes=num_hashes, band_size=band_size,
-                        n=shingle_n, text_col=text_col, id_col=id_col,
-                        new_bands=new_bands,
-                    )
-                    .groupBy("new_id")
-                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_candidates"))
-                )
-                novel = (
-                    novel.join(
-                        cand_counts, novel[id_col] == cand_counts["new_id"], "left"
-                    )
-                    .drop("new_id")
-                    .withColumn(
-                        "n_near_candidates",
-                        F.coalesce(F.col("n_near_candidates"), F.lit(0).cast("bigint")),
-                    )
-                )
+                ).select(id_col, "band", "band_hash").unionByName(intra_side)
             else:
-                novel = novel.withColumn(
-                    "n_near_candidates", F.lit(0).cast("bigint")
+                # first batch / no persisted artifact yet: intra-batch
+                # pairs are still real near-dups
+                probe_side = intra_side
+            cand_counts = (
+                incremental_lsh_candidates(
+                    novel, probe_side,
+                    num_hashes=num_hashes, band_size=band_size,
+                    n=shingle_n, text_col=text_col, id_col=id_col,
+                    new_bands=new_bands,
                 )
+                .groupBy("new_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_candidates"))
+            )
+            novel = (
+                novel.join(
+                    cand_counts, novel[id_col] == cand_counts["new_id"], "left"
+                )
+                .drop("new_id")
+                .withColumn(
+                    "n_near_candidates",
+                    F.coalesce(F.col("n_near_candidates"), F.lit(0).cast("bigint")),
+                )
+            )
+            # the annotated novel frame feeds the flag count, the
+            # corpus write, the index append, and the bloom refresh —
+            # persist so the candidate join runs once per batch
+            novel = novel.persist()
+            to_unpersist.append(novel)
             n_near_flagged = novel.filter(
                 F.col("n_near_candidates") > 0
             ).count()
@@ -419,6 +488,7 @@ def _ingest_batch_inner(
                 corpus.commit(novel, mode="append", txn=txn)
         else:
             corpus.merge(spark, novel, key="fingerprint")
+        _append_metrics_row()  # after corpus, BEFORE the index append
         if bands is not None:
             if bands.latest_version() is not None:
                 # crash-replay guard (has this doc's bands already been
@@ -455,13 +525,15 @@ def _ingest_batch_inner(
                 spark, bloom_filter, index, pre_bloom,
                 novel.select("fingerprint"), bloom_bits, bloom_k,
             )
-    elif bloom_filter is not None and pre_bloom is None:
-        # nothing appended but the filter is stale/absent (e.g. after a
-        # crash between index append and filter commit) — rebuild now
-        # so the NEXT batch gets the prefilter back
-        _refresh_bloom(
-            spark, bloom_filter, index, None, None, bloom_bits, bloom_k
-        )
+    else:
+        _append_metrics_row()  # all-known/empty batches trail too
+        if bloom_filter is not None and pre_bloom is None:
+            # nothing appended but the filter is stale/absent (e.g.
+            # after a crash between index append and filter commit) —
+            # rebuild now so the NEXT batch gets the prefilter back
+            _refresh_bloom(
+                spark, bloom_filter, index, None, None, bloom_bits, bloom_k
+            )
     stats = {
         "n_rows": counts["n_rows"],
         "n_known": counts["is_known"] or 0,
@@ -482,6 +554,7 @@ def maintain_index_tables(
     retention_seconds: float = 3600.0,
     cluster_by: "dict[str, tuple[str, int]] | None" = None,
     small_file_bytes: "int | None" = None,
+    vacuum_only: "set[str] | None" = None,
 ) -> None:
     """Periodic maintenance for the loop's per-batch-commit tables:
     every commit adds files, so after N batches a table is N small
@@ -508,19 +581,27 @@ def maintain_index_tables(
     clustered rewrite (global clustering is what bounds MERGE cost);
     at true lake scale, schedule those as partition-scoped
     ``compact_files(files=..., cluster_by=...)`` sweeps instead.
+
+    ``vacuum_only`` names table ROOTS that must never be compacted,
+    only vacuumed — the bloom-filter table is the canonical case:
+    each refresh is a full OVERWRITE, so its live version is already
+    one coherent shard set (compaction would just rewrite it), but
+    every superseded version's shard files sit dead until vacuum —
+    ~filter-size bytes stranded per batch without this.
     """
     for t in tables:
         v = t.latest_version()
         if v is not None and v > 0 and v % compact_every == 0:
-            spec = (cluster_by or {}).get(t.root)
-            if spec is not None:
-                t.compact(
-                    spark, target_partitions=spec[1], cluster_by=spec[0]
-                )
-            elif small_file_bytes is not None:
-                t.compact_files(spark, max_file_bytes=small_file_bytes)
-            else:
-                t.compact(spark)
+            if t.root not in (vacuum_only or ()):
+                spec = (cluster_by or {}).get(t.root)
+                if spec is not None:
+                    t.compact(
+                        spark, target_partitions=spec[1], cluster_by=spec[0]
+                    )
+                elif small_file_bytes is not None:
+                    t.compact_files(spark, max_file_bytes=small_file_bytes)
+                else:
+                    t.compact(spark)
             t.vacuum(
                 keep_last=vacuum_keep_last,
                 retention_seconds=retention_seconds,
@@ -552,10 +633,17 @@ def ingest_batch_writer(
 
     With ``metrics``, each micro-batch appends its verdict counts as
     one row (batch_id + the funnel numbers) — the monitoring trail a
-    data team alerts on. Appends are NOT deduplicated on batch_id by
-    design: a re-delivered batch records a second attempt row (with
-    n_novel = 0), which is exactly the observability signal that a
-    recovery happened; dashboards aggregate per batch_id.
+    data team alerts on. Since round 11 the append happens INSIDE
+    :func:`ingest_batch`'s crash matrix (post-corpus, pre-index) and
+    is txn-stamped on the metrics table: exactly ONE row per batch,
+    carrying the true counts even when the first delivery crashed
+    mid-matrix. (The pre-round-11 trail appended per delivery attempt
+    from outside the matrix — a replay after a post-index crash
+    recorded a misleading n_novel=0 row, and a crash between the
+    index append and the trail append lost the batch's real counts
+    forever, silently desynchronizing funnel totals from corpus row
+    counts.) Recovery visibility now comes from the txn skip being
+    logged by the lake, not from duplicate trail rows.
 
     With ``compact_every``, the per-batch-commit tables (corpus,
     index, bands, metrics) are compacted + vacuumed whenever their
@@ -575,28 +663,26 @@ def ingest_batch_writer(
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        stats = ingest_batch(
+        ingest_batch(
             batch_df, corpus, index, text_col, id_col, bands=bands,
             bloom_filter=bloom_filter, txn=(app_id, int(batch_id)),
+            metrics=metrics,  # appended inside the crash matrix
         )
-        if metrics is not None:
-            row = batch_df.sparkSession.createDataFrame(
-                [(
-                    int(batch_id), stats["n_rows"], stats["n_known"],
-                    stats["n_batch_first"], stats["n_novel"],
-                    stats["n_near_flagged"],
-                )],
-                "batch_id bigint, n_rows bigint, n_known bigint, "
-                "n_batch_first bigint, n_novel bigint, n_near_flagged bigint",
-            )
-            metrics.commit(row, mode="append")
         if views:
             for view in views:
                 view.refresh(batch_df.sparkSession)
         if compact_every is not None:
             maintain_index_tables(
                 batch_df.sparkSession,
-                [t for t in (corpus, index, bands, metrics) if t is not None],
+                # bloom_filter included: its every-refresh OVERWRITE
+                # strands the prior filter's files until vacuum — at
+                # the documented 100 TB sizing that is ~1.5 GB of dead
+                # shards per batch without this (round-11 review)
+                [
+                    t
+                    for t in (corpus, index, bands, metrics, bloom_filter)
+                    if t is not None
+                ],
                 compact_every=compact_every,
                 # keep the corpus key-clustered so each batch's MERGE
                 # stays a partial rewrite (few files, narrow ranges),
@@ -614,6 +700,11 @@ def ingest_batch_writer(
                 # unclustered tables (index, metrics) take the partial
                 # small-file sweep instead of a full rewrite when set
                 small_file_bytes=small_file_bytes,
+                # the filter is overwritten whole each refresh: only
+                # its dead superseded versions need reclaiming
+                vacuum_only=(
+                    {bloom_filter.root} if bloom_filter is not None else None
+                ),
             )
 
     return write
@@ -676,6 +767,8 @@ def ingest_corpus_stream(
     metrics: VersionedTable | None = None,
     bloom_filter: VersionedTable | None = None,
     views: "list | None" = None,
+    compact_every: "int | None" = None,
+    small_file_bytes: "int | None" = None,
 ):
     """Start the ingestion loop over a streaming document frame
     (availableNow trigger: drain what exists, then stop — the
@@ -685,7 +778,14 @@ def ingest_corpus_stream(
     inside the checkpoint dir (:func:`checkpoint_app_id`): batch_id
     lineage and app identity then rotate together even when a
     checkpoint is deleted and recreated at the same path, which is
-    exactly the pairing the txn protocol needs."""
+    exactly the pairing the txn protocol needs.
+
+    ``compact_every`` / ``small_file_bytes`` reach
+    :func:`maintain_index_tables` — a long-lived service MUST set
+    ``compact_every`` (every micro-batch adds a commit per table, so
+    after N batches an unmaintained table is N small scans and the
+    bloom filter strands a superseded version per refresh); they were
+    previously reachable only by bypassing this entry point."""
     return (
         stream.writeStream.foreachBatch(
             ingest_batch_writer(
@@ -693,6 +793,8 @@ def ingest_corpus_stream(
                 metrics=metrics, bloom_filter=bloom_filter,
                 app_id=checkpoint_app_id(checkpoint_dir),
                 views=views,
+                compact_every=compact_every,
+                small_file_bytes=small_file_bytes,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -53,6 +53,8 @@ def run_monitored_ingestion(
     url_col: str | None = None,
     blocklist: "list[str] | DataFrame | None" = None,
     suffixes: DataFrame | None = None,
+    compact_every: "int | None" = None,
+    small_file_bytes: "int | None" = None,
 ) -> dict:
     """Drain ``stream`` through the ingestion loop (availableNow), then
     assemble the operations report. Returns lazy frames (callers sink
@@ -79,6 +81,7 @@ def run_monitored_ingestion(
         stream, corpus, index, checkpoint_dir,
         text_col=text_col, id_col=id_col,
         bands=bands, metrics=metrics, bloom_filter=bloom_filter,
+        compact_every=compact_every, small_file_bytes=small_file_bytes,
     )
     q.awaitTermination()
 
@@ -92,25 +95,59 @@ def run_monitored_ingestion(
     )
     report["batches"] = batch_trail
     if batch_trail is not None:
-        # run totals over only THIS run's batch rows: the trail is
-        # append-only across runs, so "this run" = current table MINUS
-        # the pre-drain snapshot (exceptAll — exact multiset
-        # difference via the metrics table's own time travel; batch_id
-        # alone can't distinguish runs when a fresh checkpoint resets
-        # it to 0)
-        this_run = batch_trail
+        # run totals over only THIS run's batch rows, derived from the
+        # metrics table's own CHANGE FEED since the pre-drain version
+        # (batch_id alone can't distinguish runs when a fresh
+        # checkpoint resets it to 0). Sign-folding (+insert / -delete)
+        # instead of exceptAll: exceptAll cancels a run's rows against
+        # BYTE-IDENTICAL rows appended by an earlier run (re-draining
+        # the same source under a fresh checkpoint produced funnel
+        # totals of zero for a run that processed data), while in the
+        # feed this run's appends are inserts and any compaction's
+        # re-emitted pre-run rows arrive as delete+insert pairs that
+        # cancel under the fold. Falls back to the exceptAll multiset
+        # difference only when vacuum has trimmed the feed span
+        # (read_changes raises its retention guidance).
         if base_metrics_version is not None:
-            this_run = batch_trail.exceptAll(
-                metrics.read(spark, base_metrics_version)
+            sign = F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1))
+            try:
+                # v_from is the BASE snapshot (changes are everything
+                # after it, exclusive of the snapshot itself)
+                ch = metrics.read_changes(
+                    spark, v_from=base_metrics_version
+                )
+                report["funnel"] = ch.agg(
+                    F.sum(sign).cast("bigint").alias("n_batches"),
+                    *[
+                        F.sum(F.col(c) * sign).cast("bigint").alias(c)
+                        for c in (
+                            "n_rows", "n_known", "n_batch_first",
+                            "n_novel", "n_near_flagged",
+                        )
+                    ],
+                )
+            except ValueError:
+                report["funnel"] = batch_trail.exceptAll(
+                    metrics.read(spark, base_metrics_version)
+                ).agg(
+                    F.count(F.lit(1)).alias("n_batches"),
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_known").alias("n_known"),
+                    F.sum("n_batch_first").alias("n_batch_first"),
+                    F.sum("n_novel").alias("n_novel"),
+                    F.sum("n_near_flagged").alias("n_near_flagged"),
+                )
+        else:
+            report["funnel"] = batch_trail.agg(
+                F.count(F.lit(1)).alias("n_batches"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_known").alias("n_known"),
+                F.sum("n_batch_first").alias("n_batch_first"),
+                F.sum("n_novel").alias("n_novel"),
+                F.sum("n_near_flagged").alias("n_near_flagged"),
             )
-        report["funnel"] = this_run.agg(
-            F.count(F.lit(1)).alias("n_batches"),
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("n_known").alias("n_known"),
-            F.sum("n_batch_first").alias("n_batch_first"),
-            F.sum("n_novel").alias("n_novel"),
-            F.sum("n_near_flagged").alias("n_near_flagged"),
-        )
     else:
         report["funnel"] = None
 

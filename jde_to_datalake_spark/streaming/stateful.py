@@ -91,6 +91,8 @@ def running_inventory_stream(
     movements: DataFrame,
     product_col: str = "product_id",
     qty_col: str = "__signed",
+    ts_col: str = "__ts",
+    id_col: str = "__id",
     timeout: str = GroupStateTimeout.NoTimeout,
 ) -> DataFrame:
     """Streaming form: per-product balance kept in GroupState.
@@ -98,7 +100,29 @@ def running_inventory_stream(
     Caveat (documented, SURVEY §7): cross-batch ordering is arrival
     order; within a batch rows are folded in (ts, id) order. State is
     one (float, long) pair per product — O(#products), not O(#events).
-    """
+
+    Unlike the batch twin (``running_inventory_ordered``), the stream
+    does NOT derive the signed quantity or the ordering columns — the
+    caller's upstream projection supplies them (the defaults match
+    the batch twin's internal names; pass real column names for raw
+    streams). Missing columns are rejected HERE with the mapping
+    spelled out: letting them through would surface as an opaque
+    KeyError inside the executor's Python worker at runtime."""
+    missing = [
+        c
+        for c in (product_col, qty_col, ts_col, id_col)
+        if c not in movements.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"running_inventory_stream: column(s) {missing} absent from "
+            f"the input ({movements.columns}). Project the signed "
+            f"quantity and ordering columns first, e.g. "
+            f".withColumn('{qty_col}', when(type.isin(usage), -qty)"
+            f".otherwise(qty)) with ts/id columns named via "
+            f"ts_col=/id_col= — the batch twin running_inventory_ordered "
+            f"derives these internally; the stream takes them as input."
+        )
     state_schema = StructType(
         [StructField("on_hand", DoubleType()), StructField("n", LongType())]
     )
@@ -111,7 +135,7 @@ def running_inventory_stream(
         else:
             bal, n = 0.0, 0
         for pdf in pdfs:
-            pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort")
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
             for q in pdf[qty_col]:
                 bal = max(0.0, bal + q)
             n += len(pdf)
@@ -175,7 +199,19 @@ class RunningInventoryProcessor:
 
 
 def running_inventory_tws(movements: DataFrame) -> DataFrame:
-    """A10 on transformWithStateInPandas (expects __signed/__ts/__id)."""
+    """A10 on transformWithStateInPandas (expects __signed/__ts/__id,
+    validated loudly like ``running_inventory_stream``)."""
+    missing = [
+        c
+        for c in ("product_id", "__signed", "__ts", "__id")
+        if c not in movements.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"running_inventory_tws: column(s) {missing} absent from the "
+            f"input ({movements.columns}); project product_id/__signed/"
+            "__ts/__id first (see running_inventory_stream)."
+        )
     return movements.groupBy("product_id").transformWithStateInPandas(
         statefulProcessor=RunningInventoryProcessor().processor,
         outputStructType=RESULT_SCHEMA,

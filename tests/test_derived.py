@@ -193,3 +193,42 @@ def test_chunked_cold_start_bounds_each_run(spark, tmp_path):
         == 1
     )
     assert (12, "12", 24) in {tuple(r) for r in dst.read(spark).collect()}
+
+
+def test_merge_mode_survives_same_key_twice_in_one_batch(spark, tmp_path):
+    """Two source versions touching ONE key drained in a single batch
+    (the first batch of a run is never paced) used to crash the merge
+    sink on VersionedTable.merge's duplicate-key guard — and every
+    re-delivery re-failed identically, wedging the stream (round-11
+    review). The sink now resolves within-batch key collisions
+    deterministically before merging."""
+    src = VersionedTable(str(tmp_path / "bronze"))
+    dst = VersionedTable(str(tmp_path / "silver"))
+    ckpt = str(tmp_path / "ckpt")
+    _commit(spark, src, 2, 3)   # k=2, v="2"
+    _commit(spark, src, 2, 3)   # k=2 again, one batch will carry both
+    _run(spark, src, dst, ckpt, key="k")
+    rows = dst.read(spark).collect()
+    assert len(rows) == 1  # exactly one row for the key — no wedge
+    assert rows[0]["k"] == 2 and rows[0]["k2"] == 4
+
+
+def test_merge_mode_prefers_newest_updated_at_in_batch(spark, tmp_path):
+    """Within-batch collision resolution honors updated_at when the
+    transform provides it (newest wins) — the documented ordering."""
+    src = VersionedTable(str(tmp_path / "bronze"))
+    dst = VersionedTable(str(tmp_path / "silver"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v string, updated_at bigint"
+    src.commit(
+        spark.createDataFrame([(2, "old", 1)], schema)
+    )
+    src.commit(
+        spark.createDataFrame([(2, "new", 2)], schema)
+    )
+    q = derive_table(
+        spark, src, dst, lambda df: df, ckpt, schema=schema, key="k"
+    )
+    q.awaitTermination(120)
+    rows = dst.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new"

@@ -129,3 +129,32 @@ def test_drift_counts_empty_text_as_zero_tokens(spark, tmp_path):
     # 3-token docs
     assert drift[0]["n_cur"] == 1 and drift[0]["n_base"] == 0
     assert drift[1]["n_base"] == 1 and drift[1]["n_cur"] == 2
+
+
+def test_identical_rerun_funnel_not_cancelled(spark, tmp_path):
+    """Re-draining the same source under fresh checkpoints appends
+    BYTE-IDENTICAL metrics rows (batch_id 0, all-known counts) — the
+    old exceptAll run-total subtracted a run's rows against an earlier
+    run's identical ones and reported a data-processing run as zero
+    batches (round-11 review). The change-feed fold counts exactly
+    this run's appends."""
+    docs = _docs(spark, [(1, "rerun alpha", "https://ok.site.com/a")])
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    corpus, index, metrics = _tables(tmp_path, "")
+
+    funnels = []
+    for i in range(3):
+        rep = run_monitored_ingestion(
+            _stream(spark, docs.schema, src), corpus, index, metrics,
+            str(tmp_path / f"ckpt{i}"),
+        )
+        funnels.append(rep["funnel"].collect()[0])
+    # run 1 ingests; runs 2 and 3 are all-known — with IDENTICAL
+    # metrics rows (batch_id 0, n_rows 1, n_known 1, n_novel 0)
+    assert (funnels[0]["n_rows"], funnels[0]["n_novel"]) == (1, 1)
+    for f in funnels[1:]:
+        # pre-fix: exceptAll cancelled these rows -> n_batches == 0
+        assert f["n_batches"] == 1
+        assert (f["n_rows"], f["n_known"], f["n_novel"]) == (1, 1, 0)
+    assert metrics.read(spark).count() == 3  # the full lifetime trail

@@ -404,3 +404,33 @@ def test_session_windows_stream_matches_batch(spark, events_dir):
         for r in exp_df.collect()
     }
     assert got == exp and got
+
+
+def test_running_inventory_stream_validates_columns(spark):
+    """Missing ordering/qty columns are rejected at plan time with the
+    projection mapping spelled out — not as an opaque KeyError inside
+    the executor's Python worker mid-query (round-11 review). Custom
+    column names are accepted."""
+    import pytest as _pytest
+
+    from jde_to_datalake_spark.streaming.stateful import (
+        running_inventory_stream,
+        running_inventory_tws,
+    )
+
+    raw = spark.readStream.format("rate").load()  # timestamp, value
+    with _pytest.raises(ValueError, match="running_inventory_stream"):
+        running_inventory_stream(raw, product_col="value")
+    # custom names resolve (plan builds; no KeyError at definition)
+    shaped = raw.selectExpr(
+        "value AS product_id",
+        "CAST(value AS DOUBLE) AS qty",
+        "timestamp AS event_ts",
+        "value AS event_id",
+    )
+    out = running_inventory_stream(
+        shaped, qty_col="qty", ts_col="event_ts", id_col="event_id"
+    )
+    assert set(out.columns) == {"product_id", "on_hand", "n_movements"}
+    with _pytest.raises(ValueError, match="running_inventory_tws"):
+        running_inventory_tws(shaped)

@@ -820,3 +820,118 @@ def test_maintenance_small_file_sweep_carries_settled_packs(
     assert settled <= set(m["files"])  # settled pack carried untouched
     assert len(m["files"]) < 9  # the 8 tiny files packed down
     assert t.read(spark).count() == 5008
+
+
+# -- round-11 streaming-tier review regressions ----------------------------
+
+
+def test_intra_batch_near_dups_flag_each_other(spark, tmp_path):
+    """Two near-identical docs arriving in the SAME micro-batch must
+    flag each other — the probe side includes the batch's own band
+    keys, so flagging no longer depends on where the batch boundary
+    happens to fall (round-11 review). Holds even on the FIRST batch,
+    when no persisted band artifact exists yet."""
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    bands = VersionedTable(str(tmp_path / "bands"))
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the eager "
+        "young cat watches from the tall green fence near the old barn"
+    )
+    near = base_text.replace("old barn", "red barn")
+    b = _docs(
+        spark,
+        [(1, base_text), (2, near), (3, "entirely unrelated material")],
+    )
+    stats = ingest_batch(b, corpus, index, bands=bands)
+    assert stats["n_novel"] == 3
+    assert stats["n_near_flagged"] == 2  # the pair, both directions
+    rows = {r["doc_id"]: r for r in corpus.read(spark).collect()}
+    assert rows[1]["n_near_candidates"] > 0
+    assert rows[2]["n_near_candidates"] > 0
+    assert rows[3]["n_near_candidates"] == 0
+    # a replay derives the SAME counts (the union of intra-batch and
+    # indexed candidates is distinct-deduped, so re-probing after the
+    # bands landed cannot change the verdicts)
+    s2 = ingest_batch(b, corpus, index, bands=bands)
+    assert s2["n_novel"] == 0
+
+
+def test_metrics_row_exactly_once_and_true_on_replay(spark, tmp_path):
+    """The funnel row is appended INSIDE the crash matrix (post-corpus,
+    pre-index) and txn-stamped: a crash between the index append and
+    anything later cannot lose the batch's true counts, and a replayed
+    batch appends no second all-known row (round-11 review)."""
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    metrics = VersionedTable(str(tmp_path / "metrics"))
+    b = _docs(spark, [(1, "metrics alpha"), (2, "metrics beta")])
+
+    # crash BEFORE the index append on the first delivery
+    real_commit = index.commit
+    fired = {"n": 0}
+
+    def exploding_commit(*a, **kw):
+        fired["n"] += 1
+        raise RuntimeError("injected crash before index append")
+
+    index.commit = exploding_commit
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_batch(b, corpus, index, txn=("app", 0), metrics=metrics)
+    index.commit = real_commit
+    assert fired["n"] == 1
+    # the TRUE funnel row already landed (post-corpus position)
+    rows = metrics.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["n_novel"] == 2
+
+    # re-delivery completes the matrix without a second metrics row
+    s = ingest_batch(b, corpus, index, txn=("app", 0), metrics=metrics)
+    rows = metrics.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["n_novel"] == 2
+    assert corpus.read(spark).count() == 2
+    # a THIRD delivery (post-index replay) appends nothing either —
+    # pre-round-11 this wrote a misleading n_novel=0 row
+    assert s["n_novel"] == 2  # replay after pre-index crash: true count
+    ingest_batch(b, corpus, index, txn=("app", 0), metrics=metrics)
+    assert metrics.read(spark).count() == 1
+
+
+def test_bloom_filter_versions_vacuumed_and_public_compaction(
+    spark, tmp_path
+):
+    """The bloom table's every-refresh overwrite strands a superseded
+    version per batch; with compact_every threaded through the PUBLIC
+    ingest_corpus_stream entry point (round-11 review: it was only
+    reachable by bypassing it) the maintenance pass vacuums them."""
+    all_docs = _docs(
+        spark, [(i, f"bloom content {i}") for i in range(8)]
+    )
+    src_dir = str(tmp_path / "src")
+    for i in range(8):
+        all_docs.filter(F.col("doc_id") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    corpus = VersionedTable(str(tmp_path / "corpus"))
+    index = VersionedTable(str(tmp_path / "index"))
+    bloom = VersionedTable(str(tmp_path / "bloom"))
+    stream = (
+        spark.readStream.schema(all_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = ingest_corpus_stream(
+        stream, corpus, index, str(tmp_path / "ckpt"),
+        bloom_filter=bloom, compact_every=2,
+    )
+    q.awaitTermination(180)
+    assert corpus.read(spark).count() == 8
+    # without maintenance the bloom table would hold one version per
+    # novel batch (8); the vacuum cadence bounds the retained history
+    assert bloom.latest_version() is not None
+    assert len(bloom.versions()) < 8
+    # and the filter still works: a replayed doc is known
+    s = ingest_batch(
+        _docs(spark, [(0, "bloom content 0")]), corpus, index,
+        bloom_filter=bloom,
+    )
+    assert s["n_novel"] == 0 and s["n_known"] == 1
