@@ -293,3 +293,39 @@ def nan_inf_to_null(c: Column) -> Column:
     return F.when(
         F.isnan(c) | (c == float("inf")) | (c == float("-inf")), F.lit(None)
     ).otherwise(c)
+
+
+def stable_row_hash(df) -> Column:
+    """``xxhash64`` over EVERY column of ``df`` — the deterministic
+    within-batch tie-break the ledger merge and the derived-table
+    merge sink order duplicates by (stable across re-deliveries and
+    partitionings, unlike ``dropDuplicates``' keep-whichever-arrives).
+
+    Spark refuses hash expressions on map-typed input (maps have no
+    canonical order; ``xxhash64`` on one is a plan-time
+    DATATYPE_MISMATCH.HASH_MAP_TYPE error unless a legacy conf is
+    set), so any column whose type CONTAINS a map — top-level, inside
+    a struct, or under an array — is folded through ``to_json`` first.
+    JSON serialization is deterministic for identical rows (the same
+    physical map renders the same byte sequence on every re-delivery),
+    which is exactly the property a tie-break needs; cross-row "equal
+    maps built in different key order" may hash apart, costing only a
+    different-but-still-deterministic pick."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def contains_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return contains_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(contains_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [
+        F.to_json(F.col(f.name))
+        if contains_map(f.dataType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return F.xxhash64(*cols)

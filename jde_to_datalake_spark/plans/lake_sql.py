@@ -374,7 +374,9 @@ class LakeSQL:
         under-approximate; residual fragments only ever
         over-approximate (a spare refresh). With
         ``spark.sql.ansi.doubleQuotedIdentifiers`` enabled on the
-        session, ``"..."`` spans are identifiers, not literals, and
+        session — which only takes effect when
+        ``spark.sql.ansi.enabled`` is also true, so both are checked —
+        ``"..."`` spans are identifiers, not literals, and
         their inner text is kept the same way. Backslash escapes and
         ``''``/``""``/`` `` `` doubling are consumed inside a span so
         an escaped closing quote cannot end it early. Any residual
@@ -383,12 +385,24 @@ class LakeSQL:
         if statement is None:
             refs = None
         else:
-            dq_idents = (
-                self.spark.conf.get(
-                    "spark.sql.ansi.doubleQuotedIdentifiers", "false"
-                ).lower()
-                == "true"
-            )
+            def _conf_true(key: str) -> bool:
+                # no-default get: a passed default would mask the
+                # session's EFFECTIVE value for registered confs
+                try:
+                    v = self.spark.conf.get(key)
+                except Exception:  # noqa: BLE001 — unknown conf: off
+                    return False
+                return (v or "").lower() == "true"
+
+            # doubleQuotedIdentifiers only takes effect under ANSI
+            # mode — with dq=true but ansi off, "..." spans are STILL
+            # string literals, so treating them as identifiers here
+            # would keep literal text in the scrub (over-approximation
+            # only: a table name inside such a literal costs a spare
+            # view refresh, never a stale read — but don't pay it)
+            dq_idents = _conf_true(
+                "spark.sql.ansi.doubleQuotedIdentifiers"
+            ) and _conf_true("spark.sql.ansi.enabled")
 
             def _strip(m: "re.Match") -> str:
                 s = m.group(0)

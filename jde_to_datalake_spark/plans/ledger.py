@@ -24,8 +24,6 @@ the updates side is one micro-batch — broadcast against the ledger.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,7 +33,10 @@ class IdempotencyLedger:
 
     The rewrite publish is a POINTER FLIP through the LogStore seam
     (``store`` injects an object-store impl; default POSIX under
-    ``<path>/_log``): each merge writes the new ledger parquet under a
+    ``<path>/_log``; ``payload_store`` injects the payload plane —
+    data-dir listing, retention mtimes, reaping, footer reads — the
+    same way, so the whole ledger lives on a bucket end-to-end): each
+    merge writes the new ledger parquet under a
     fresh unique dir — no rename on the data plane — then atomically
     publishes a pointer record at it, so readers see the old ledger or
     the new one, never a mix.
@@ -76,6 +77,12 @@ class IdempotencyLedger:
     #: underscore-prefixed so no data-dir sweep ever touches it
     VERSIONED_DIR = "_versioned"
 
+    #: pending_only collects at most this many distinct batch keys to
+    #: drive the versioned backend's file-pruned probe; a larger batch
+    #: falls back to the full-ledger anti-join (the probe's point is
+    #: micro-batch ≪ ledger, so past this size the full scan wins)
+    PROBE_MAX_KEYS = 10_000
+
     def __init__(
         self,
         path: str,
@@ -83,6 +90,7 @@ class IdempotencyLedger:
         store=None,
         versioned_threshold_rows: "int | None" = None,
         versioned_store=None,
+        payload_store=None,
     ):
         from jde_to_datalake_spark.sources.log_store import (
             DataDirPointer,
@@ -93,7 +101,9 @@ class IdempotencyLedger:
         self.key = key
         self.versioned_threshold_rows = versioned_threshold_rows
         self._versioned_store = versioned_store
-        self._ptr = DataDirPointer(path, store or PosixLogStore(path))
+        self._ptr = DataDirPointer(
+            path, store or PosixLogStore(path), payloads=payload_store
+        )
 
     # -- backend routing ---------------------------------------------------
     def _vt(self):
@@ -108,8 +118,11 @@ class IdempotencyLedger:
             # dispatcher would see the handoff record but an empty
             # table)
             store = self._ptr.store.for_child(self.VERSIONED_DIR)
+        # the table's data files live in the same storage domain as
+        # the ledger's payload plane (path_of resolves through the
+        # injected PayloadStore — an s3a:// URI on a bucket deployment)
         return VersionedTable(
-            os.path.join(self.path, self.VERSIONED_DIR),
+            self._ptr.path_of(self.VERSIONED_DIR),
             log_store=store,
         )
 
@@ -137,13 +150,40 @@ class IdempotencyLedger:
             # mark_done introducing status_text) and untouched files
             # keep their written schema until rewritten
             return self._vt().read(spark, merge_schema=True)
-        return spark.read.parquet(os.path.join(self.path, rec["data_dir"]))
+        return spark.read.parquet(self._ptr.path_of(rec["data_dir"]))
 
     def pending_only(self, spark: SparkSession, batch: DataFrame) -> DataFrame:
-        """J6: drop rows already marked done (MUST precede side effects)."""
-        ledger = self.load(spark)
-        if ledger is None:
+        """J6: drop rows already marked done (MUST precede side effects).
+
+        On the post-handoff versioned backend the done-probe is
+        FILE-PRUNED: the batch's distinct keys (bounded by
+        ``PROBE_MAX_KEYS`` — a micro-batch, not a table) drive
+        ``read_where_in``, which plans over only the ledger files
+        whose footer key-range can contain them — O(batch-intersecting
+        files) per probe on a key-clustered ledger instead of
+        O(ledger) scan. Batches past the bound fall back to the full
+        read + anti-join (at that size the full scan is the cheaper
+        plan anyway)."""
+        self._ptr.require_migrated("idempotency ledger")
+        _, rec = self._ptr.latest()
+        if rec is None:
             return batch
+        if self._is_handoff(rec):
+            keys = [
+                r[0]
+                for r in batch.select(self.key)
+                .distinct()
+                .limit(self.PROBE_MAX_KEYS + 1)
+                .collect()
+            ]
+            if len(keys) <= self.PROBE_MAX_KEYS:
+                ledger = self._vt().read_where_in(
+                    spark, self.key, keys, merge_schema=True
+                )
+            else:
+                ledger = self._vt().read(spark, merge_schema=True)
+        else:
+            ledger = spark.read.parquet(self._ptr.path_of(rec["data_dir"]))
         done = ledger.filter(F.col("status") == "done").select(self.key)
         return batch.join(done, self.key, "left_anti")
 
@@ -174,9 +214,10 @@ class IdempotencyLedger:
         """
         from pyspark.sql import Window
 
+        from jde_to_datalake_spark.functions.scalars import stable_row_hash
         from jde_to_datalake_spark.sources.log_store import PointerConflict
 
-        order = [F.xxhash64(*updates.columns).asc()]
+        order = [stable_row_hash(updates).asc()]
         if "updated_at" in updates.columns:
             order.insert(0, F.col("updated_at").desc_nulls_last())
         w = Window.partitionBy(self.key).orderBy(*order)
@@ -194,9 +235,7 @@ class IdempotencyLedger:
             current = (
                 None
                 if rec is None
-                else spark.read.parquet(
-                    os.path.join(self.path, rec["data_dir"])
-                )
+                else spark.read.parquet(self._ptr.path_of(rec["data_dir"]))
             )
             if current is None:
                 merged = updates
@@ -209,15 +248,26 @@ class IdempotencyLedger:
                 )
             try:
                 # the threshold check reads the CURRENT payload's
-                # parquet footers (metadata-only, no Spark action) —
-                # so the handoff fires on the first merge AFTER the
+                # parquet footers (metadata-only, no Spark action,
+                # served by the payload store on any deployment) — so
+                # the handoff fires on the first merge AFTER the
                 # ledger has reached the threshold, costing zero extra
-                # passes over the data on every merge before it
+                # passes over the data on every merge before it. A
+                # transient payload-store fault (throttle past its
+                # bounded retries) only DEFERS the handoff to the next
+                # merge — the threshold is an optimization trigger,
+                # never a correctness gate, and the flip right after
+                # would surface a genuinely broken store loudly.
+                if rec is None or self.versioned_threshold_rows is None:
+                    rows = -1
+                else:
+                    try:
+                        rows = self._ptr.payload_row_count(rec["data_dir"])
+                    except Exception:  # noqa: BLE001 — defer, see above
+                        rows = -1
                 if (
                     self.versioned_threshold_rows is not None
-                    and rec is not None
-                    and self._footer_row_count(rec["data_dir"])
-                    >= self.versioned_threshold_rows
+                    and rows >= self.versioned_threshold_rows
                 ):
                     self._handoff(spark, merged, base)
                 else:
@@ -229,31 +279,6 @@ class IdempotencyLedger:
             except PointerConflict:
                 if attempt == conflict_retries:
                     raise
-
-    def _footer_row_count(self, data_dir: str) -> int:
-        """Row count of a pointer payload from parquet footers —
-        metadata-speed, no job.
-
-        The walk is ``os``-based because payload dirs are local
-        parquet in this deployment (like every DataDirPointer
-        payload; SCALE.md maps the plane to ListObjectsV2 for
-        buckets). A deployment whose payloads are NOT local-listable
-        returns 0 here — the automatic threshold handoff then never
-        fires; such deployments should call ``migrate_to_versioned``
-        explicitly (with ``versioned_store`` injected) instead of
-        relying on the threshold."""
-        import pyarrow.parquet as pq
-
-        total = 0
-        p = os.path.join(self.path, data_dir)
-        try:
-            names = os.listdir(p)
-        except OSError:
-            return 0
-        for f in names:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
-        return total
 
     def _vt_merge(self, spark, updates: DataFrame, conflict_retries: int):
         """Post-handoff merge: the versioned table's file-level keyed

@@ -33,7 +33,6 @@ aggregation over the batch (map-side partial, one-row result).
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,7 +47,10 @@ class Watermark:
     type — timestamps, dates and integers all survive without a parse
     step. The publish is a POINTER FLIP through the LogStore seam
     (``store`` injects an object-store impl; default POSIX under
-    ``<path>/_log``): each advance writes the new single-row parquet
+    ``<path>/_log``; ``payload_store`` injects the payload plane the
+    same way — listing/retention/reaping of the data dirs — so the
+    watermark runs END-TO-END on a bucket): each advance writes the
+    new single-row parquet
     under a fresh unique dir — write-direct-to-final-name, no rename
     anywhere — then atomically publishes a pointer record at it,
     COMPARE-AND-SWAPPED on the pointer version this advance READ its
@@ -69,7 +71,9 @@ class Watermark:
     bound to one).
     """
 
-    def __init__(self, path: str, name: str = "hwm", store=None):
+    def __init__(
+        self, path: str, name: str = "hwm", store=None, payload_store=None
+    ):
         from jde_to_datalake_spark.sources.log_store import (
             DataDirPointer,
             PosixLogStore,
@@ -77,7 +81,9 @@ class Watermark:
 
         self.path = path
         self.name = name
-        self._ptr = DataDirPointer(path, store or PosixLogStore(path))
+        self._ptr = DataDirPointer(
+            path, store or PosixLogStore(path), payloads=payload_store
+        )
 
     def _read_at(self, spark: SparkSession, path: "str | None") -> Any | None:
         if path is None:
@@ -122,9 +128,7 @@ class Watermark:
             base, rec = self._ptr.latest()
             current = self._read_at(
                 spark,
-                None
-                if rec is None
-                else os.path.join(self.path, rec["data_dir"]),
+                None if rec is None else self._ptr.path_of(rec["data_dir"]),
             )
             if new is None or (current is not None and new <= current):
                 return current

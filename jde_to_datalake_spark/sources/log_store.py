@@ -73,6 +73,16 @@ answering 412/conditional-failure from its own earlier write). The
 conflict matrix runs once under this injection to prove the
 writer-token recovery composes with reconciliation, not just with a
 clean append.
+
+:class:`PayloadStore` (round 12) is the PAYLOAD-plane sibling of
+this record-plane seam: the pointer's directory-shaped payloads —
+listing with mtimes for retention, prefix reaping, legacy detection,
+parquet-footer reads — behind the same two implementations
+(:class:`PosixPayloadStore`, :class:`S3PayloadStore`). With both
+planes injected, the watermark and the idempotency ledger run
+end-to-end against an object store with no ``os.*`` in the control
+path; Spark moves the payload BYTES through whatever filesystem its
+connector mounts at the store's ``uri()`` (s3a on a cluster).
 """
 
 from __future__ import annotations
@@ -358,15 +368,6 @@ class S3ObjectLogStore(LogStore):
     #: tests set 0)
     RETRY_SLEEP: float = 0.05
 
-    #: codes AWS documents as retry-the-request transients
-    _THROTTLE_CODES = (
-        "SlowDown",
-        "503",
-        "RequestTimeout",
-        "InternalError",
-        "500",
-    )
-
     def __init__(self, bucket: str, prefix: str, client):
         self.bucket = bucket
         self.prefix = prefix.strip("/")
@@ -379,19 +380,9 @@ class S3ObjectLogStore(LogStore):
 
     def _call(self, op: str, **kw):
         """Invoke one client op, absorbing bounded throttle faults."""
-        import time
-
-        for attempt in range(self.MAX_RETRIES + 1):
-            try:
-                return getattr(self.client, op)(**kw)
-            except Exception as e:
-                if (
-                    _s3_error_code(e) not in self._THROTTLE_CODES
-                    or attempt == self.MAX_RETRIES
-                ):
-                    raise
-                if self.RETRY_SLEEP:
-                    time.sleep(self.RETRY_SLEEP * (2**attempt))
+        return _s3_retry_call(
+            self.client, op, self.MAX_RETRIES, self.RETRY_SLEEP, **kw
+        )
 
     def _key(self, version: int) -> str:
         return f"{self.prefix}/_log/{_record_name(version)}"
@@ -479,6 +470,290 @@ def _s3_error_code(e: Exception) -> str:
         err = resp.get("Error", {})
         return str(err.get("Code", ""))
     return ""
+
+
+#: codes AWS documents as retry-the-request transients
+_THROTTLE_CODES = (
+    "SlowDown",
+    "503",
+    "RequestTimeout",
+    "InternalError",
+    "500",
+)
+
+
+def _s3_retry_call(client, op: str, max_retries: int, sleep: float, **kw):
+    """One duck-typed S3 client call with bounded exponential-backoff
+    retries on the documented transient codes — shared by the record
+    adapter (:class:`S3ObjectLogStore`) and the payload adapter
+    (:class:`S3PayloadStore`) so both planes absorb throttling
+    identically."""
+    import time
+
+    for attempt in range(max_retries + 1):
+        try:
+            return getattr(client, op)(**kw)
+        except Exception as e:
+            if (
+                _s3_error_code(e) not in _THROTTLE_CODES
+                or attempt == max_retries
+            ):
+                raise
+            if sleep:
+                time.sleep(sleep * (2**attempt))
+
+
+class PayloadStore:
+    """The payload-plane contract beside :class:`LogStore`'s record
+    plane: what :class:`DataDirPointer` needs from wherever its
+    directory-shaped payloads (the watermark's single-row parquet, the
+    idempotency ledger's table) actually live. Exactly the surface
+    SCALE.md's "Object-store data plane" mapping describes —
+
+    - ``uri(name)`` — the location handed to Spark for reading or
+      writing one payload dir (a POSIX path, an ``s3a://`` URI, …).
+    - ``payload_dirs()`` — ``{dir_name: newest_mtime_epoch}`` of the
+      top-level payload dirs under the root (``ListObjectsV2`` grouped
+      by first key segment, newest ``LastModified`` per group), the
+      input to ``clean_stale``'s retention gate.
+    - ``root_files()`` — loose file names directly under the root
+      (the pre-pointer legacy-layout detection).
+    - ``delete_dir(name)`` — recursive reap of one payload dir.
+    - ``parquet_files(name)`` / ``open_file(name, f)`` — enumerate and
+      read a payload's parquet members, for footer-level metadata
+      (the ledger's threshold row count) without a Spark job.
+
+    With both planes behind seams, the ledger and the watermark run
+    end-to-end on an object store: records via :class:`LogStore`,
+    payload listing/retention/reaping/footers via this contract, and
+    the payload BYTES via whatever filesystem Spark's own connector
+    mounts at ``uri()`` (s3a on a real cluster)."""
+
+    def uri(self, name: str = "") -> str:
+        raise NotImplementedError
+
+    def payload_dirs(self) -> "dict[str, float]":
+        raise NotImplementedError
+
+    def root_files(self) -> "list[str]":
+        raise NotImplementedError
+
+    def delete_dir(self, name: str) -> None:
+        raise NotImplementedError
+
+    def parquet_files(self, name: str) -> "list[str]":
+        raise NotImplementedError
+
+    def open_file(self, name: str, filename: str):
+        raise NotImplementedError
+
+    def parquet_row_count(self, name: str) -> int:
+        """Row count of one payload dir from parquet FOOTERS —
+        metadata-speed, no Spark job. Shared across implementations:
+        each footer read is one ``open_file``."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in self.parquet_files(name):
+            with self.open_file(name, f) as fh:
+                total += pq.ParquetFile(fh).metadata.num_rows
+        return total
+
+
+class PosixPayloadStore(PayloadStore):
+    """Local-filesystem payload plane — the layout every existing
+    pointer artifact already has (payload dirs directly under the
+    pointer root). Directory mtimes participate in ``payload_dirs``
+    so even an EMPTY crashed-writer dir ages out (object stores have
+    no empty dirs, so only POSIX needs this)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def uri(self, name: str = "") -> str:
+        return self.root if not name else os.path.join(self.root, name)
+
+    def payload_dirs(self) -> "dict[str, float]":
+        out: "dict[str, float]" = {}
+        try:
+            names = os.listdir(self.root)
+        except OSError:
+            return out
+        for name in names:
+            p = os.path.join(self.root, name)
+            if not os.path.isdir(p):
+                continue
+            try:
+                newest = os.path.getmtime(p)
+                for dirpath, _dirs, files in os.walk(p):
+                    newest = max(
+                        newest,
+                        os.path.getmtime(dirpath),
+                        *(
+                            os.path.getmtime(os.path.join(dirpath, f))
+                            for f in files
+                        ),
+                    )
+            except OSError:
+                # entries moved mid-walk: an active writer — report it
+                # as fresh so no sweep can ever reclaim it this pass
+                newest = float("inf")
+            out[name] = newest
+        return out
+
+    def root_files(self) -> "list[str]":
+        try:
+            return [
+                f
+                for f in os.listdir(self.root)
+                if os.path.isfile(os.path.join(self.root, f))
+            ]
+        except OSError:
+            return []
+
+    def delete_dir(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+    def parquet_files(self, name: str) -> "list[str]":
+        try:
+            return sorted(
+                f
+                for f in os.listdir(os.path.join(self.root, name))
+                if f.endswith(".parquet")
+            )
+        except OSError:
+            return []
+
+    def open_file(self, name: str, filename: str):
+        return open(os.path.join(self.root, name, filename), "rb")
+
+
+class S3PayloadStore(PayloadStore):
+    """Object-store payload plane over the same duck-typed boto3
+    surface as :class:`S3ObjectLogStore` (``list_objects_v2`` with
+    ``LastModified``, ``delete_object``, ``get_object``), sharing its
+    bounded throttle-retry discipline. ``uri_base`` defaults to the
+    ``s3a://`` mount a Spark cluster reads/writes the same keys
+    through; tests pass the fake bucket's local backing path so Spark
+    writes land exactly where the (fault-injectable) client lists
+    them.
+
+    ``payload_dirs`` mtimes come from per-object ``LastModified``
+    (an object missing it is reported as fresh — never reclaimable);
+    there are no empty dirs on an object store, so a crashed writer
+    that created no objects left nothing to reclaim. ``delete_dir``
+    deletes every object under the prefix — partial failure leaves a
+    re-listable remainder the next sweep retries (the reap is
+    advisory by contract). ``parquet_row_count`` fetches whole
+    objects to read footers: it backs the ledger's handoff threshold,
+    which by definition only runs while the ledger is still BELOW the
+    threshold — bounded small reads, after which the versioned
+    backend's own footer stats take over."""
+
+    MAX_RETRIES: int = 5
+    RETRY_SLEEP: float = 0.05
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str,
+        client,
+        uri_base: "str | None" = None,
+    ):
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+        self.uri_base = (
+            uri_base or f"s3a://{bucket}/{self.prefix}"
+        ).rstrip("/")
+
+    def uri(self, name: str = "") -> str:
+        return self.uri_base if not name else f"{self.uri_base}/{name}"
+
+    def _list(self, prefix: str):
+        """Yield ``(key, mtime_epoch)`` for every object under
+        ``prefix`` (paginated)."""
+        token: "str | None" = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = _s3_retry_call(
+                self.client,
+                "list_objects_v2",
+                self.MAX_RETRIES,
+                self.RETRY_SLEEP,
+                **kw,
+            )
+            for obj in resp.get("Contents", []):
+                yield obj["Key"], _epoch(obj.get("LastModified"))
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+
+    def payload_dirs(self) -> "dict[str, float]":
+        out: "dict[str, float]" = {}
+        base = f"{self.prefix}/"
+        for key, mtime in self._list(base):
+            rel = key[len(base):]
+            if "/" not in rel:
+                continue
+            name = rel.split("/", 1)[0]
+            out[name] = max(out.get(name, 0.0), mtime)
+        return out
+
+    def root_files(self) -> "list[str]":
+        base = f"{self.prefix}/"
+        return [
+            key[len(base):]
+            for key, _ in self._list(base)
+            if "/" not in key[len(base):]
+        ]
+
+    def delete_dir(self, name: str) -> None:
+        keys = [key for key, _ in self._list(f"{self.prefix}/{name}/")]
+        for key in keys:
+            _s3_retry_call(
+                self.client,
+                "delete_object",
+                self.MAX_RETRIES,
+                self.RETRY_SLEEP,
+                Bucket=self.bucket,
+                Key=key,
+            )
+
+    def parquet_files(self, name: str) -> "list[str]":
+        base = f"{self.prefix}/{name}/"
+        return sorted(
+            key[len(base):]
+            for key, _ in self._list(base)
+            if key.endswith(".parquet") and "/" not in key[len(base):]
+        )
+
+    def open_file(self, name: str, filename: str):
+        import io
+
+        resp = _s3_retry_call(
+            self.client,
+            "get_object",
+            self.MAX_RETRIES,
+            self.RETRY_SLEEP,
+            Bucket=self.bucket,
+            Key=f"{self.prefix}/{name}/{filename}",
+        )
+        return io.BytesIO(resp["Body"].read())
+
+
+def _epoch(last_modified) -> float:
+    """LastModified (a datetime from boto3, an epoch float from a
+    fake) → epoch seconds; MISSING is reported as fresh (``inf``) so
+    retention can only ever under-reclaim, never wrongly delete."""
+    if last_modified is None:
+        return float("inf")
+    ts = getattr(last_modified, "timestamp", None)
+    return ts() if callable(ts) else float(last_modified)
 
 
 class PointerSlot:
@@ -576,9 +851,11 @@ class DataDirPointer:
         root: str,
         store: LogStore,
         auto_reclaim_seconds: "float | None" = 3600.0,
+        payloads: "PayloadStore | None" = None,
     ):
         self.root = root
         self.store = store
+        self.payloads = payloads or PosixPayloadStore(root)
         self.auto_reclaim_seconds = auto_reclaim_seconds
 
     def latest(self) -> "tuple[int, dict] | tuple[None, None]":
@@ -612,17 +889,23 @@ class DataDirPointer:
 
     def current_path(self) -> "str | None":
         d = self.current()
-        return None if d is None else os.path.join(self.root, d)
+        return None if d is None else self.payloads.uri(d)
+
+    def path_of(self, name: str) -> str:
+        """The Spark-readable/writable location of one payload dir."""
+        return self.payloads.uri(name)
+
+    def payload_row_count(self, name: str) -> int:
+        """Row count of one payload dir from parquet footers —
+        metadata-speed (no Spark job), on any payload store."""
+        return self.payloads.parquet_row_count(name)
 
     def require_migrated(self, what: str) -> None:
         if self.latest()[0] is not None:
             return
-        try:
-            legacy = any(
-                f.endswith(".parquet") for f in os.listdir(self.root)
-            )
-        except OSError:
-            return
+        legacy = any(
+            f.endswith(".parquet") for f in self.payloads.root_files()
+        )
         if legacy:
             raise RuntimeError(
                 f"{self.root}: found a pre-pointer {what} layout "
@@ -652,7 +935,7 @@ class DataDirPointer:
         if expected is self._UNANCHORED:
             expected, _ = self.latest()
         name = f"data-{uuid.uuid4().hex}"
-        write_fn(os.path.join(self.root, name))
+        write_fn(self.payloads.uri(name))
         self.publish_record(
             {"data_dir": name},
             expected,
@@ -749,16 +1032,15 @@ class DataDirPointer:
         the pointer is re-read right before each delete so a flip
         landing mid-sweep keeps its payload. Superseded pointer
         RECORDS leaked by a crash between a winning put and its trim
-        are also dropped. Returns removed paths.
+        are also dropped. Returns removed payload locations.
 
-        Object-store mapping: the payload walk is ``os``-based here
-        because payload dirs are local parquet in this deployment;
-        against a bucket the same sweep is ``ListObjectsV2`` under
-        the ``data-*`` prefixes with per-object ``LastModified`` as
-        the mtime and ``DeleteObject`` as the reap — identical to
-        vacuum's documented walk mapping (SCALE.md "Object-store
-        data plane")."""
-        import shutil
+        The payload walk goes through the :class:`PayloadStore` seam
+        (``payload_dirs`` = prefix listing with per-object mtimes,
+        ``delete_dir`` = prefix reap), so the same sweep runs against
+        a bucket exactly as against POSIX. Every payload-plane step
+        is ADVISORY: a throttled listing or a failed delete never
+        fails the sweep's caller (the next flip or sweep retries) —
+        a reclaim can only ever be deferred, never forced."""
         import time
 
         removed = []
@@ -777,34 +1059,23 @@ class DataDirPointer:
                         self.store.delete(v)
                     except Exception:  # noqa: BLE001 — trim is advisory
                         continue
-        if not os.path.isdir(self.root):
-            return removed
         cutoff = time.time() - retention_seconds
-        for name in sorted(os.listdir(self.root)):
+        try:
+            dirs = self.payloads.payload_dirs()
+        except Exception:  # noqa: BLE001 — the sweep is advisory
+            return removed  # throttled listing: reclaim next sweep
+        for name in sorted(dirs):
             if not name.startswith("data-"):
                 continue
-            p = os.path.join(self.root, name)
-            if not os.path.isdir(p):
-                continue
-            try:
-                newest = os.path.getmtime(p)
-                for dirpath, _dirs, files in os.walk(p):
-                    newest = max(
-                        newest,
-                        os.path.getmtime(dirpath),
-                        *(
-                            os.path.getmtime(os.path.join(dirpath, f))
-                            for f in files
-                        ),
-                    )
-            except OSError:
-                continue  # entries moved mid-walk: an active writer
-            if newest > cutoff:
+            if dirs[name] > cutoff:
                 continue
             if self.current() == name:  # re-read: authoritative
                 continue
-            shutil.rmtree(p, ignore_errors=True)
-            removed.append(p)
+            try:
+                self.payloads.delete_dir(name)
+            except Exception:  # noqa: BLE001 — the reap is advisory
+                continue  # partial deletes re-list and retry next sweep
+            removed.append(self.payloads.uri(name))
         return removed
 
 

@@ -89,7 +89,17 @@ def derive_batch_writer(
                 from pyspark.sql import Window
                 from pyspark.sql import functions as F
 
-                order = [F.xxhash64(*out.columns).asc()]
+                from jde_to_datalake_spark.functions.scalars import (
+                    stable_row_hash,
+                )
+
+                # stable_row_hash folds map-typed columns through
+                # to_json — a transform emitting a map payload (the
+                # reference's own `additions` shape, SURVEY §1.2)
+                # would otherwise fail the whole sink at plan time
+                # (Spark refuses xxhash64 on maps) even with no
+                # duplicate keys in the batch
+                order = [stable_row_hash(out).asc()]
                 if "updated_at" in out.columns:
                     order.insert(0, F.col("updated_at").desc_nulls_last())
                 if "_commit_version" in out.columns:

@@ -39,6 +39,83 @@ from jde_to_datalake_spark.sources.versioned import VersionedTable
 from jde_to_datalake_spark.streaming.ingest import ingest_corpus_stream
 
 
+_FUNNEL_COLS = (
+    "n_rows", "n_known", "n_batch_first", "n_novel", "n_near_flagged"
+)
+
+
+def _trail_totals(trail: DataFrame) -> DataFrame:
+    return trail.agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        *[F.sum(c).alias(c) for c in _FUNNEL_COLS],
+    )
+
+
+def _run_funnel(
+    spark: SparkSession,
+    metrics: VersionedTable,
+    batch_trail: DataFrame,
+    base_metrics_version: "int | None",
+) -> "tuple[DataFrame | None, str | None]":
+    """Run totals over only THIS run's batch rows, derived from the
+    metrics table's own CHANGE FEED since the pre-drain version
+    (batch_id alone can't distinguish runs when a fresh checkpoint
+    resets it to 0). Sign-folding (+insert / -delete) instead of
+    exceptAll: exceptAll cancels a run's rows against BYTE-IDENTICAL
+    rows appended by an earlier run (re-draining the same source
+    under a fresh checkpoint produced funnel totals of zero for a run
+    that processed data), while in the feed this run's appends are
+    inserts and any compaction's re-emitted pre-run rows arrive as
+    delete+insert pairs that cancel under the fold.
+
+    Degradation ladder when vacuum has trimmed history mid-drain (a
+    long drain with ``compact_every`` set — ``maintain_index_tables``
+    trims metrics manifests past ``vacuum_keep_last`` unconditionally,
+    so a run draining more than ~``keep_last * compact_every`` batches
+    outlives its own base version): the feed fold raises ValueError
+    (span trimmed — its retention guidance) or FileNotFoundError (a
+    manifest read under it hit a vacuumed record); then the exceptAll
+    multiset difference against the base SNAPSHOT is tried; if that
+    snapshot is itself unreadable (same vacuum), the funnel degrades
+    to ``(None, retention guidance)`` — the per-batch trail in
+    ``report['batches']`` remains complete either way, so a crashed
+    report assembly after a successful drain is never the outcome.
+    Returns ``(funnel_frame_or_None, note_or_None)``."""
+    if base_metrics_version is None:
+        return _trail_totals(batch_trail), None
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    try:
+        # v_from is the BASE snapshot (changes are everything after
+        # it, exclusive of the snapshot itself)
+        ch = metrics.read_changes(spark, v_from=base_metrics_version)
+        return (
+            ch.agg(
+                F.sum(sign).cast("bigint").alias("n_batches"),
+                *[
+                    F.sum(F.col(c) * sign).cast("bigint").alias(c)
+                    for c in _FUNNEL_COLS
+                ],
+            ),
+            None,
+        )
+    except (ValueError, FileNotFoundError):
+        pass
+    try:
+        base_snap = metrics.read(spark, base_metrics_version)
+    except (ValueError, FileNotFoundError):
+        return None, (
+            "funnel unavailable: vacuum trimmed the metrics history "
+            f"past this run's base version {base_metrics_version} "
+            "mid-drain; raise vacuum_keep_last (or compact_every) so "
+            "at least ceil(run_batches / compact_every) versions are "
+            "retained — the full per-batch trail is still in "
+            "report['batches']"
+        )
+    return _trail_totals(batch_trail.exceptAll(base_snap)), None
+
+
 def run_monitored_ingestion(
     stream: DataFrame,
     corpus: VersionedTable,
@@ -95,59 +172,12 @@ def run_monitored_ingestion(
     )
     report["batches"] = batch_trail
     if batch_trail is not None:
-        # run totals over only THIS run's batch rows, derived from the
-        # metrics table's own CHANGE FEED since the pre-drain version
-        # (batch_id alone can't distinguish runs when a fresh
-        # checkpoint resets it to 0). Sign-folding (+insert / -delete)
-        # instead of exceptAll: exceptAll cancels a run's rows against
-        # BYTE-IDENTICAL rows appended by an earlier run (re-draining
-        # the same source under a fresh checkpoint produced funnel
-        # totals of zero for a run that processed data), while in the
-        # feed this run's appends are inserts and any compaction's
-        # re-emitted pre-run rows arrive as delete+insert pairs that
-        # cancel under the fold. Falls back to the exceptAll multiset
-        # difference only when vacuum has trimmed the feed span
-        # (read_changes raises its retention guidance).
-        if base_metrics_version is not None:
-            sign = F.when(
-                F.col("_change_type") == "insert", F.lit(1)
-            ).otherwise(F.lit(-1))
-            try:
-                # v_from is the BASE snapshot (changes are everything
-                # after it, exclusive of the snapshot itself)
-                ch = metrics.read_changes(
-                    spark, v_from=base_metrics_version
-                )
-                report["funnel"] = ch.agg(
-                    F.sum(sign).cast("bigint").alias("n_batches"),
-                    *[
-                        F.sum(F.col(c) * sign).cast("bigint").alias(c)
-                        for c in (
-                            "n_rows", "n_known", "n_batch_first",
-                            "n_novel", "n_near_flagged",
-                        )
-                    ],
-                )
-            except ValueError:
-                report["funnel"] = batch_trail.exceptAll(
-                    metrics.read(spark, base_metrics_version)
-                ).agg(
-                    F.count(F.lit(1)).alias("n_batches"),
-                    F.sum("n_rows").alias("n_rows"),
-                    F.sum("n_known").alias("n_known"),
-                    F.sum("n_batch_first").alias("n_batch_first"),
-                    F.sum("n_novel").alias("n_novel"),
-                    F.sum("n_near_flagged").alias("n_near_flagged"),
-                )
-        else:
-            report["funnel"] = batch_trail.agg(
-                F.count(F.lit(1)).alias("n_batches"),
-                F.sum("n_rows").alias("n_rows"),
-                F.sum("n_known").alias("n_known"),
-                F.sum("n_batch_first").alias("n_batch_first"),
-                F.sum("n_novel").alias("n_novel"),
-                F.sum("n_near_flagged").alias("n_near_flagged"),
-            )
+        funnel, note = _run_funnel(
+            spark, metrics, batch_trail, base_metrics_version
+        )
+        report["funnel"] = funnel
+        if note is not None:
+            report["funnel_note"] = note
     else:
         report["funnel"] = None
 

@@ -232,3 +232,33 @@ def test_merge_mode_prefers_newest_updated_at_in_batch(spark, tmp_path):
     q.awaitTermination(120)
     rows = dst.read(spark).collect()
     assert len(rows) == 1 and rows[0]["v"] == "new"
+
+
+def test_merge_mode_handles_map_typed_payload(spark, tmp_path):
+    """A transform emitting a MAP column (the reference's own
+    `additions` map shape, SURVEY §1.2) used to fail the merge sink at
+    PLAN time even with zero duplicate keys: the within-batch
+    tie-break ordered by xxhash64 over ALL columns and Spark refuses
+    hash expressions on maps (round-11 advisor). The tie-break now
+    folds map-typed columns through to_json — the sink must both plan
+    AND still resolve a genuine within-batch collision on the map
+    payload deterministically."""
+    src = VersionedTable(str(tmp_path / "bronze"))
+    dst = VersionedTable(str(tmp_path / "silver"))
+    ckpt = str(tmp_path / "ckpt")
+    _commit(spark, src, 2, 4)   # k=2,3
+    _commit(spark, src, 2, 3)   # k=2 again: one batch carries both
+
+    def with_map(df):
+        return df.withColumn(
+            "attrs", F.create_map(F.lit("src_v"), F.col("v"))
+        )
+
+    q = derive_table(
+        spark, src, dst, with_map, ckpt, schema=SCHEMA, key="k"
+    )
+    q.awaitTermination(120)
+    rows = {r["k"]: r for r in dst.read(spark).collect()}
+    assert set(rows) == {2, 3}  # collision resolved, no wedge
+    assert rows[2]["attrs"] == {"src_v": "2"}
+    assert rows[3]["attrs"] == {"src_v": "3"}

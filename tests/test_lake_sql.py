@@ -678,3 +678,49 @@ def test_refresh_scan_respects_double_quoted_identifiers_config(
     finally:
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", prev_dq)
         spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+
+
+def test_dq_without_ansi_keeps_double_quotes_as_literals(spark, tmp_path):
+    """doubleQuotedIdentifiers=true only takes effect under ANSI mode
+    (round-11 advisor): with ansi OFF, "..." spans are still string
+    literals — a table name inside one must NOT force a spare view
+    refresh, and (the load-bearing half) an apostrophe inside such a
+    literal must not open a phantom span that swallows a REAL table
+    reference behind it (a stale read)."""
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    lk = LakeSQL(spark)
+    reads = {"a": 0, "b": 0}
+    for name in ("a", "b"):
+        t = VersionedTable(str(tmp_path / name))
+        t.commit(
+            spark.createDataFrame([(1, name)], ["k", "s"]), mode="overwrite"
+        )
+        real_read = t.read
+
+        def counting_read(*args, _n=name, _r=real_read, **kw):
+            reads[_n] += 1
+            return _r(*args, **kw)
+
+        t.read = counting_read
+        lk.register(name, t)
+
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    prev_dq = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try:
+        # "b" is a string LITERAL here (ansi off): only table a refreshes
+        row = lk.sql('SELECT s, "b" AS lit FROM a').first()
+        assert row["s"] == "a" and row["lit"] == "b"
+        assert reads["a"] >= 1 and reads["b"] == 0
+        # an apostrophe inside the "..." literal must not swallow the
+        # real FROM a behind it (under-approximation = stale read)
+        before_a = reads["a"]
+        row = lk.sql("SELECT s, \"it's\" AS lit FROM a").first()
+        assert row["s"] == "a"
+        assert reads["a"] == before_a + 1
+    finally:
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", prev_dq)
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)

@@ -28,12 +28,23 @@ class _FakeClientError(Exception):
 
 class FakeS3Client:
     """In-repo stand-in for the boto3 S3 client surface
-    S3ObjectLogStore uses, with REAL conditional-write semantics:
-    put_object(IfNoneMatch="*") is atomic under the lock and answers
-    412 PreconditionFailed when the key exists — the exact behavior
-    of S3 conditional writes (GA Nov 2024). Listing paginates at 2
-    keys per page so the adapter's ContinuationToken loop is
-    exercised, and is strongly consistent like real S3 (2020+).
+    S3ObjectLogStore/S3PayloadStore use, with REAL conditional-write
+    semantics: put_object(IfNoneMatch="*") is atomic under the lock
+    and answers 412 PreconditionFailed when the key exists — the
+    exact behavior of S3 conditional writes (GA Nov 2024). Listing
+    paginates at 2 keys per page so the adapters' ContinuationToken
+    loops are exercised, carries per-object LastModified like real
+    S3, and is strongly consistent (2020+).
+
+    ``backing`` (a local base dir) switches the bucket's storage
+    from an in-memory dict to REAL FILES at ``<backing>/<Key>``
+    (single-bucket fake; LastModified = file mtime; deleting the
+    last object under a "directory" prunes the now-empty local dirs,
+    like object stores having no empty dirs). This is what lets a
+    payload-plane test hand Spark a plain local path to WRITE while
+    every list/delete/get goes through this client's fault-injectable
+    API — the adapter code under test is byte-identical to what a
+    real boto3 client would drive; only the byte transport differs.
 
     ``inject(op, code, times, after)`` queues transient faults the
     way real S3 emits them: 409 ConditionalRequestConflict (racing
@@ -44,16 +55,21 @@ class FakeS3Client:
 
     PAGE = 2
 
-    def __init__(self):
+    def __init__(self, backing=None):
         import threading
 
+        self.backing = backing
         self._objects: dict = {}  # (bucket, key) -> bytes
+        self._mtimes: dict = {}  # (bucket, key) -> epoch
         self._lock = threading.Lock()
         self._faults: list = []  # (op, code, after)
         self.calls: dict = {}  # op -> count (retry-visibility)
 
     def inject(self, op, code, times=1, after=False):
         self._faults.extend((op, code, after) for _ in range(times))
+
+    def _bpath(self, key):
+        return os.path.join(self.backing, key)
 
     def _enter(self, op, apply_fn):
         """Count the call, pop one matching fault: before-faults raise
@@ -72,9 +88,20 @@ class FakeS3Client:
 
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
         def apply():
+            if self.backing is not None:
+                p = self._bpath(Key)
+                if IfNoneMatch == "*" and os.path.exists(p):
+                    raise _FakeClientError("PreconditionFailed")
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                with open(p, "wb") as fh:
+                    fh.write(bytes(Body))
+                return
             if IfNoneMatch == "*" and (Bucket, Key) in self._objects:
                 raise _FakeClientError("PreconditionFailed")
+            import time
+
             self._objects[(Bucket, Key)] = bytes(Body)
+            self._mtimes[(Bucket, Key)] = time.time()
 
         with self._lock:
             self._enter("put_object", apply)
@@ -85,6 +112,12 @@ class FakeS3Client:
 
         with self._lock:
             def apply():
+                if self.backing is not None:
+                    try:
+                        with open(self._bpath(Key), "rb") as fh:
+                            return fh.read()
+                    except (FileNotFoundError, IsADirectoryError):
+                        raise _FakeClientError("NoSuchKey") from None
                 try:
                     return self._objects[(Bucket, Key)]
                 except KeyError:
@@ -94,28 +127,65 @@ class FakeS3Client:
         return {"Body": io.BytesIO(data)}
 
     def delete_object(self, Bucket, Key):
+        def apply():
+            if self.backing is not None:
+                p = self._bpath(Key)
+                try:
+                    os.remove(p)
+                except OSError:
+                    return  # S3: 204 either way
+                # object stores have no empty dirs: prune local ones
+                d = os.path.dirname(p)
+                base = os.path.abspath(self.backing)
+                while os.path.abspath(d) != base:
+                    try:
+                        os.rmdir(d)
+                    except OSError:
+                        break
+                    d = os.path.dirname(d)
+                return
+            self._objects.pop((Bucket, Key), None)
+            self._mtimes.pop((Bucket, Key), None)
+
         with self._lock:
-            self._enter(
-                "delete_object",
-                lambda: self._objects.pop((Bucket, Key), None),
-            )  # S3: 204 either way
+            self._enter("delete_object", apply)  # S3: 204 either way
         return {}
+
+    def _listing(self, Bucket, Prefix):
+        """sorted [(key, mtime_epoch)] under the prefix."""
+        if self.backing is not None:
+            out = []
+            base = os.path.abspath(self.backing)
+            # walk only under the prefix's top dir to keep it cheap
+            top = os.path.dirname(self._bpath(Prefix))
+            for dirpath, _dirs, files in os.walk(top):
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    key = os.path.relpath(p, base)
+                    if key.startswith(Prefix):
+                        try:
+                            out.append((key, os.path.getmtime(p)))
+                        except OSError:
+                            continue  # deleted mid-walk
+            return sorted(out)
+        return sorted(
+            (k, self._mtimes.get((b, k), 0.0))
+            for b, k in self._objects
+            if b == Bucket and k.startswith(Prefix)
+        )
 
     def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
         with self._lock:
-            keys = self._enter(
-                "list_objects_v2",
-                lambda: sorted(
-                    k
-                    for b, k in self._objects
-                    if b == Bucket and k.startswith(Prefix)
-                ),
+            entries = self._enter(
+                "list_objects_v2", lambda: self._listing(Bucket, Prefix)
             )
         start = int(ContinuationToken) if ContinuationToken else 0
-        page = keys[start : start + self.PAGE]
-        truncated = start + self.PAGE < len(keys)
+        page = entries[start : start + self.PAGE]
+        truncated = start + self.PAGE < len(entries)
         resp = {
-            "Contents": [{"Key": k} for k in page],
+            "Contents": [
+                {"Key": k, "LastModified": m} for k, m in page
+            ],
             "IsTruncated": truncated,
         }
         if truncated:
@@ -681,3 +751,109 @@ def test_pointer_reader_rereads_through_record_trim(store, tmp_path):
 
     racing = DataDirPointer(root, TrimRacingStore(store))
     assert racing.current() == second
+
+
+# -- PayloadStore: the payload-plane contract beside the record plane ------
+
+
+def _write_parquet(path, n_rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.table({"k": list(range(n_rows))}), path)
+
+
+@pytest.fixture(params=["posix", "s3"])
+def payloads(request, tmp_path):
+    """Both payload-plane implementations over ONE local layout: the
+    S3 leg uses a backing-dir fake client (objects are real files), so
+    writing through uri() with plain file APIs — what Spark's writer
+    does — is visible to both."""
+    from jde_to_datalake_spark.sources.log_store import (
+        PosixPayloadStore,
+        S3PayloadStore,
+    )
+
+    root = str(tmp_path / "ptr")
+    os.makedirs(root, exist_ok=True)
+    if request.param == "s3":
+        client = FakeS3Client(backing="/")
+        s = S3PayloadStore("bkt", root, client, uri_base=root)
+        s.RETRY_SLEEP = 0
+        yield s
+    else:
+        yield PosixPayloadStore(root)
+
+
+def test_payload_uri_roundtrip_and_dirs(payloads):
+    root = payloads.uri()
+    assert payloads.payload_dirs() == {}
+    assert payloads.root_files() == []
+    _write_parquet(os.path.join(payloads.uri("data-a"), "p0.parquet"), 3)
+    _write_parquet(os.path.join(payloads.uri("data-a"), "p1.parquet"), 4)
+    _write_parquet(os.path.join(payloads.uri("data-b"), "p0.parquet"), 2)
+    with open(os.path.join(root, "loose.parquet"), "w") as fh:
+        fh.write("x")
+    dirs = payloads.payload_dirs()
+    assert set(dirs) == {"data-a", "data-b"}
+    # mtimes are fresh (just written)
+    import time
+
+    assert all(abs(time.time() - m) < 300 for m in dirs.values())
+    assert payloads.root_files() == ["loose.parquet"]
+    assert payloads.parquet_files("data-a") == ["p0.parquet", "p1.parquet"]
+    assert payloads.parquet_row_count("data-a") == 7
+    assert payloads.parquet_row_count("data-b") == 2
+    assert payloads.parquet_row_count("data-missing") == 0
+    payloads.delete_dir("data-a")
+    assert set(payloads.payload_dirs()) == {"data-b"}
+    assert payloads.parquet_files("data-a") == []
+
+
+def test_payload_listing_paginates(payloads):
+    # 5 files > PAGE=2: the S3 leg must walk ContinuationToken pages
+    for i in range(5):
+        _write_parquet(
+            os.path.join(payloads.uri("data-big"), f"p{i}.parquet"), 1
+        )
+    assert len(payloads.parquet_files("data-big")) == 5
+    assert payloads.parquet_row_count("data-big") == 5
+
+
+def test_payload_mtime_missing_is_never_reclaimable():
+    from jde_to_datalake_spark.sources.log_store import _epoch
+
+    assert _epoch(None) == float("inf")
+    assert _epoch(12.5) == 12.5
+
+    class DT:  # boto3 returns datetimes
+        def timestamp(self):
+            return 99.0
+
+    assert _epoch(DT()) == 99.0
+
+
+def test_payload_s3_throttle_absorbed(tmp_path):
+    from jde_to_datalake_spark.sources.log_store import S3PayloadStore
+
+    root = str(tmp_path / "ptr")
+    client = FakeS3Client(backing="/")
+    s = S3PayloadStore("bkt", root, client, uri_base=root)
+    s.RETRY_SLEEP = 0
+    _write_parquet(os.path.join(root, "data-a", "p0.parquet"), 3)
+    for op in ("list_objects_v2", "get_object", "delete_object"):
+        client.inject(op, "SlowDown")
+    assert set(s.payload_dirs()) == {"data-a"}
+    assert s.parquet_row_count("data-a") == 3
+    s.delete_dir("data-a")
+    assert s.payload_dirs() == {}
+    assert not client._faults  # every throttle retried, none escaped
+
+
+def test_payload_s3_default_uri_is_s3a():
+    from jde_to_datalake_spark.sources.log_store import S3PayloadStore
+
+    s = S3PayloadStore("bkt", "/tables/t1/", FakeS3Client())
+    assert s.uri() == "s3a://bkt/tables/t1"
+    assert s.uri("data-x") == "s3a://bkt/tables/t1/data-x"

@@ -158,3 +158,43 @@ def test_identical_rerun_funnel_not_cancelled(spark, tmp_path):
         assert f["n_batches"] == 1
         assert (f["n_rows"], f["n_known"], f["n_novel"]) == (1, 1, 0)
     assert metrics.read(spark).count() == 3  # the full lifetime trail
+
+
+def test_funnel_degrades_when_vacuum_trims_base_version(spark, tmp_path):
+    """Round-11 advisor (medium): a vacuumed base_metrics_version used
+    to CRASH report assembly after a successful drain — read_changes'
+    FileNotFoundError escaped the ValueError-only catch, and the
+    exceptAll fallback read the same vacuumed version. The funnel must
+    degrade to (None, retention guidance) instead; the sign-fold path
+    stays intact when history is retained."""
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+    from jde_to_datalake_spark.streaming.monitored import _run_funnel
+
+    schema = (
+        "batch_id bigint, n_rows bigint, n_known bigint, "
+        "n_batch_first bigint, n_novel bigint, n_near_flagged bigint"
+    )
+
+    def mrow(b):
+        return spark.createDataFrame([(b, 10, 2, 1, 7, 3)], schema)
+
+    m = VersionedTable(str(tmp_path / "metrics"))
+    m.commit(mrow(0))
+    base = m.latest_version()
+    m.commit(mrow(1))
+    m.commit(mrow(2))
+    trail = m.read(spark)
+    # intact history: the change-feed sign-fold counts this run's rows
+    funnel, note = _run_funnel(spark, m, trail, base)
+    assert note is None
+    row = funnel.collect()[0]
+    assert row["n_batches"] == 2 and row["n_rows"] == 20
+    # vacuum trims the base version's manifest mid-"drain"
+    m.vacuum(keep_last=1, retention_seconds=0)
+    funnel, note = _run_funnel(spark, m, trail, base)
+    assert funnel is None
+    assert "vacuum" in note and "report['batches']" in note
+    # a no-baseline first run still aggregates the whole trail
+    funnel, note = _run_funnel(spark, m, trail, None)
+    assert note is None
+    assert funnel.collect()[0]["n_batches"] == 3

@@ -7,11 +7,13 @@ ledger merges/mark_done, crash-orphan reclaim, the
 pointer→versioned-ledger handoff — had only pointwise tests. This
 net drives random op sequences against dict models of both
 artifacts, checking the FULL observable state after EVERY op (any
-drift localizes to the op shape that introduced it), across three
-store legs: POSIX, the in-memory object-store stand-in, and a
-lost-ACK injector firing on every second put (so sequences mix clean
-ACKs with landed-but-conflicted ones — the flip's writer-token
-read-back must absorb exactly the lost ones and never a real loss).
+drift localizes to the op shape that introduced it), across five
+store legs: POSIX, the in-memory object-store stand-in, a lost-ACK
+injector firing on every second put (so sequences mix clean ACKs
+with landed-but-conflicted ones — the flip's writer-token read-back
+must absorb exactly the lost ones and never a real loss), the S3
+fake (records), and ``s3-full`` (round 12: records AND payload
+dirs both through the fake bucket's client API).
 
 The ledger leg draws a random handoff threshold too, so sequences
 cross the pointer→VersionedTable migration MID-RUN and the model
@@ -37,15 +39,24 @@ from jde_to_datalake_spark.sources.log_store import (
 )
 from tests.test_log_store import FakeS3Client
 
+# CI default 5 examples/leg; POINTER_PROP_EXAMPLES=N soaks at depth
+# (round-12 soak sessions are recorded in NOTES.md)
 HS = settings(
-    max_examples=5,
+    max_examples=int(os.environ.get("POINTER_PROP_EXAMPLES", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-_LEGS = ["posix", "memory", "lost-ack", "s3"]
+_LEGS = ["posix", "memory", "lost-ack", "s3", "s3-full"]
 
-_S3_BUCKETS: dict = {}  # root -> shared FakeS3Client (one "bucket")
+_S3_BUCKETS: dict = {}  # (leg, root) -> shared FakeS3Client (one "bucket")
+
+
+def _client_for(leg, root):
+    return _S3_BUCKETS.setdefault(
+        (leg, root),
+        FakeS3Client(backing="/" if leg == "s3-full" else None),
+    )
 
 
 def _make_store(leg, root):
@@ -55,12 +66,24 @@ def _make_store(leg, root):
         # fire on every second put: sequences interleave clean ACKs
         # with landed-but-conflicted ones
         return LostAckStore(InMemoryLogStore(root), fire_every=2)
-    if leg == "s3":
-        client = _S3_BUCKETS.setdefault(root, FakeS3Client())
-        s = S3ObjectLogStore("bkt", root, client)
+    if leg in ("s3", "s3-full"):
+        s = S3ObjectLogStore("bkt", root, _client_for(leg, root))
         s.RETRY_SLEEP = 0
         return s
     return PosixLogStore(root)
+
+
+def _make_payloads(leg, root):
+    """s3-full: the payload plane rides the SAME backed fake bucket
+    as the records — listing/retention/reaping/footers through the
+    client API, bytes through the local backing path Spark writes."""
+    if leg != "s3-full":
+        return None  # artifact default: PosixPayloadStore
+    from jde_to_datalake_spark.sources.log_store import S3PayloadStore
+
+    s = S3PayloadStore("bkt", root, _client_for(leg, root), uri_base=root)
+    s.RETRY_SLEEP = 0
+    return s
 
 
 _LEDGER_OPS = st.one_of(
@@ -112,8 +135,13 @@ def test_pointer_plane_matches_dict_model(
         store=_make_store(leg, lroot),
         versioned_threshold_rows=threshold,
         versioned_store=_make_store(leg, os.path.join(lroot, "_versioned")),
+        payload_store=_make_payloads(leg, lroot),
     )
-    wm = Watermark(wroot, store=_make_store(leg, wroot))
+    wm = Watermark(
+        wroot,
+        store=_make_store(leg, wroot),
+        payload_store=_make_payloads(leg, wroot),
+    )
     model: dict = {}
     model_wm = None
     crossed = led.backend()
@@ -160,9 +188,14 @@ def test_pointer_plane_matches_dict_model(
         key="k",
         store=_make_store(leg, lroot),
         versioned_store=_make_store(leg, os.path.join(lroot, "_versioned")),
+        payload_store=_make_payloads(leg, lroot),
     )
     assert _ledger_state(spark, led2) == model
-    assert Watermark(wroot, store=_make_store(leg, wroot)).get(spark) == model_wm
+    assert Watermark(
+        wroot,
+        store=_make_store(leg, wroot),
+        payload_store=_make_payloads(leg, wroot),
+    ).get(spark) == model_wm
     # the maintenance sweep never disturbs live state
     led.clean_stale(retention_seconds=0)
     wm.clean_stale(retention_seconds=0)
@@ -170,7 +203,7 @@ def test_pointer_plane_matches_dict_model(
     assert wm.get(spark) == model_wm
     if leg in ("memory", "lost-ack"):
         InMemoryLogStore.reset()
-    elif leg == "s3":
+    elif leg in ("s3", "s3-full"):
         _S3_BUCKETS.clear()
 
 
@@ -222,3 +255,52 @@ def test_mark_done_inserts_unseen_keys_both_backends(spark, tmp_path):
         led.mark_done(spark, spark.createDataFrame([(9,)], "k bigint"))
         assert led.backend() == expect_backend
         assert _ledger_state(spark, led) == {1: "pending", 9: "done"}
+
+
+def test_handoff_crash_between_upsert_and_cas_redrives(spark, tmp_path):
+    """Pin for the handoff's crash window: a writer that dies AFTER
+    the versioned upsert landed but BEFORE the handoff CAS leaves the
+    pointer on the parquet payload (the crashed merge is invisible —
+    no torn state), and re-driving the same batch completes the
+    migration with zero duplicate rows (the keyed upsert is
+    idempotent over its own earlier landing)."""
+    root = str(tmp_path / "led")
+    led = IdempotencyLedger(root, key="k", versioned_threshold_rows=1)
+    led.merge(
+        spark, spark.createDataFrame([(1, "pending")], "k bigint, status string")
+    )
+
+    class CrashOnce:
+        """Dies exactly at the handoff CAS — the versioned upsert has
+        already landed in the shared table."""
+
+        def __init__(self, store):
+            self._s = store
+            self._fired = False
+
+        def put_if_absent(self, version, record):
+            if not self._fired and record.get("backend") == "versioned":
+                self._fired = True
+                raise RuntimeError("injected crash before handoff CAS")
+            return self._s.put_if_absent(version, record)
+
+        def __getattr__(self, name):
+            return getattr(self._s, name)
+
+    real = led._ptr.store
+    led._ptr.store = CrashOnce(real)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        led.merge(
+            spark,
+            spark.createDataFrame([(2, "sent")], "k bigint, status string"),
+        )
+    # the pointer never moved: the crashed merge is NOT visible
+    assert led.backend() == "pointer"
+    assert _ledger_state(spark, led) == {1: "pending"}
+    # crash-replay: re-drive the same batch; the handoff completes
+    led.merge(
+        spark, spark.createDataFrame([(2, "sent")], "k bigint, status string")
+    )
+    assert led.backend() == "versioned"
+    assert _ledger_state(spark, led) == {1: "pending", 2: "sent"}
+    assert led.load(spark).count() == 2  # the double upsert left no dupes

@@ -2,10 +2,14 @@
 ledger, schema registry, training-shard manifest, ingest nonce) run
 their semantics against EVERY LogStore implementation — POSIX, the
 in-memory object-store stand-in, the S3 adapter over the fake
-conditional-write client, and a lost-ACK wrapper (every successful
-put also reports a conflict). This is the proof that routing them
-through the seam (round 10) actually bought portability: the same
-behavior, byte for byte, on all four stores."""
+conditional-write client, a lost-ACK wrapper (every successful put
+also reports a conflict), and ``s3-full``: BOTH planes — pointer
+records AND payload dirs (listing, retention mtimes, reaping, footer
+reads) — on the fault-injectable S3 fake, the proof that the ledger
+and the watermark run END-TO-END against a bucket with zero ``os.*``
+in the control path. This is what routing them through the seams
+(records round 10, payloads round 12) actually bought: the same
+behavior, byte for byte, on every store."""
 
 from __future__ import annotations
 
@@ -19,28 +23,52 @@ from jde_to_datalake_spark.sources.log_store import (
     LostAckStore,
     PosixLogStore,
     S3ObjectLogStore,
+    S3PayloadStore,
 )
 from tests.test_log_store import FakeS3Client
 
-STORES = ["posix", "memory", "s3", "lost-ack"]
+STORES = ["posix", "memory", "s3", "lost-ack", "s3-full"]
 
 
 @pytest.fixture(params=STORES)
 def make_store(request, tmp_path):
     """Store factory: multiple calls with one root return handles on
-    the SAME underlying log (the separate-writer deployment shape)."""
+    the SAME underlying log (the separate-writer deployment shape).
+    ``make_store.payloads(root)`` is the matching payload-plane
+    factory (None = the artifact's default POSIX payload store); on
+    the ``s3-full`` leg it returns an :class:`S3PayloadStore` over
+    the SAME backing-dir fake client as the record store, with
+    ``uri_base`` mapped to the local backing path so Spark's writer
+    lands bytes exactly where the client lists them.
+    ``make_store.leg`` exposes the leg name for the one
+    POSIX-only expectation (empty dirs don't exist on a bucket)."""
     s3_buckets: dict = {}
+
+    def client_for(root: str, backing=None):
+        return s3_buckets.setdefault(root, FakeS3Client(backing=backing))
 
     def make(root: str):
         if request.param == "memory":
             return InMemoryLogStore(root)
         if request.param == "s3":
-            client = s3_buckets.setdefault(root, FakeS3Client())
-            return S3ObjectLogStore("bkt", root, client)
+            return S3ObjectLogStore("bkt", root, client_for(root))
+        if request.param == "s3-full":
+            return S3ObjectLogStore("bkt", root, client_for(root, "/"))
         if request.param == "lost-ack":
             return LostAckStore(InMemoryLogStore(root))
         return PosixLogStore(root)
 
+    def payloads(root: str):
+        if request.param == "s3-full":
+            s = S3PayloadStore(
+                "bkt", root, client_for(root, "/"), uri_base=root
+            )
+            s.RETRY_SLEEP = 0
+            return s
+        return None  # artifact default: PosixPayloadStore(root)
+
+    make.payloads = payloads
+    make.leg = request.param
     yield make
     if request.param in ("memory", "lost-ack"):
         InMemoryLogStore.reset()
@@ -52,7 +80,7 @@ def test_watermark_semantics_on_every_store(spark, tmp_path, make_store):
     from jde_to_datalake_spark.sources.incremental import Watermark
 
     root = str(tmp_path / "wm")
-    wm = Watermark(root, store=make_store(root))
+    wm = Watermark(root, store=make_store(root), payload_store=make_store.payloads(root))
     assert wm.get(spark) is None
     b1 = spark.createDataFrame([(1, 10), (2, 30)], ["k", "ts"])
     assert wm.advance(spark, b1, "ts") == 30
@@ -64,7 +92,7 @@ def test_watermark_semantics_on_every_store(spark, tmp_path, make_store):
     # empty batch is a no-op
     assert wm.advance(spark, b1.filter(F.lit(False)), "ts") == 30
     # a SECOND handle (own store instance) resolves the same pointer
-    wm2 = Watermark(root, store=make_store(root))
+    wm2 = Watermark(root, store=make_store(root), payload_store=make_store.payloads(root))
     assert wm2.get(spark) == 30
     # superseded data dirs survive the flip (lazy readers may still be
     # bound to them) and age out through the retention-gated sweep
@@ -83,7 +111,7 @@ def test_ledger_semantics_on_every_store(spark, tmp_path, make_store):
     from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
 
     root = str(tmp_path / "led")
-    led = IdempotencyLedger(root, key="k", store=make_store(root))
+    led = IdempotencyLedger(root, key="k", store=make_store(root), payload_store=make_store.payloads(root))
     assert not led.exists() and led.load(spark) is None
     batch = spark.createDataFrame(
         [(1, "pending"), (2, "pending")], ["k", "status"]
@@ -97,7 +125,7 @@ def test_ledger_semantics_on_every_store(spark, tmp_path, make_store):
     # the done key is filtered out of the next batch (J6 order)
     assert {r["k"] for r in led.pending_only(spark, batch).collect()} == {2}
     # a second handle sees the flipped pointer
-    led2 = IdempotencyLedger(root, key="k", store=make_store(root))
+    led2 = IdempotencyLedger(root, key="k", store=make_store(root), payload_store=make_store.payloads(root))
     assert led2.exists()
     assert {r["k"] for r in led2.pending_only(spark, batch).collect()} == {2}
     # superseded ledger dirs survive the flips for lazy readers and
@@ -263,7 +291,7 @@ def test_flip_defers_reap_for_lazy_readers(spark, tmp_path, make_store):
     from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
 
     root = str(tmp_path / "led")
-    led = IdempotencyLedger(root, key="k", store=make_store(root))
+    led = IdempotencyLedger(root, key="k", store=make_store(root), payload_store=make_store.payloads(root))
     led.merge(
         spark,
         spark.createDataFrame([(1, "pending"), (2, "done")], ["k", "status"]),
@@ -291,7 +319,7 @@ def test_two_dispatcher_merge_loses_loudly_zero_rows_lost(
 
     root = str(tmp_path / "led")
     handles = [
-        IdempotencyLedger(root, key="k", store=make_store(root))
+        IdempotencyLedger(root, key="k", store=make_store(root), payload_store=make_store.payloads(root))
         for _ in range(2)
     ]
     batches = [
@@ -336,7 +364,7 @@ def test_merge_conflict_retries_rederive_serialized_outcome(
     from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
 
     root = str(tmp_path / "led")
-    led = IdempotencyLedger(root, key="k", store=make_store(root))
+    led = IdempotencyLedger(root, key="k", store=make_store(root), payload_store=make_store.payloads(root))
     led.merge(spark, spark.createDataFrame([(1, "pending")], ["k", "status"]))
 
     class StaleAnchorPtr:
@@ -379,7 +407,7 @@ def test_many_dispatchers_with_retries_lose_no_rows(
     root = str(tmp_path / "led")
     n_threads, n_merges = 4, 3
     handles = [
-        IdempotencyLedger(root, key="k", store=make_store(root))
+        IdempotencyLedger(root, key="k", store=make_store(root), payload_store=make_store.payloads(root))
         for _ in range(n_threads)
     ]
     errors: list = []
@@ -422,7 +450,7 @@ def test_concurrent_watermark_advances_converge_on_global_max(
     root = str(tmp_path / "wm")
     values = [10, 40, 20, 30]
     handles = [
-        Watermark(root, store=make_store(root)) for _ in values
+        Watermark(root, store=make_store(root), payload_store=make_store.payloads(root)) for _ in values
     ]
     barrier = threading.Barrier(len(values))
     errors: list = []
@@ -460,7 +488,7 @@ def test_watermark_stale_anchor_conflict_is_loud(
     from jde_to_datalake_spark.sources.log_store import PointerConflict
 
     root = str(tmp_path / "wm")
-    wm = Watermark(root, store=make_store(root))
+    wm = Watermark(root, store=make_store(root), payload_store=make_store.payloads(root))
     wm.advance(spark, spark.createDataFrame([(1, 10)], ["k", "ts"]), "ts")
 
     class StaleAnchorPtr:
@@ -495,6 +523,7 @@ def _vled(root, make_store, threshold):
         store=make_store(root),
         versioned_threshold_rows=threshold,
         versioned_store=make_store(os.path.join(root, "_versioned")),
+        payload_store=make_store.payloads(root),
     )
 
 
@@ -675,7 +704,7 @@ def test_data_dir_orphan_reclaim(spark, tmp_path, make_store):
     from jde_to_datalake_spark.sources.incremental import Watermark
 
     root = str(tmp_path / "wm")
-    wm = Watermark(root, store=make_store(root))
+    wm = Watermark(root, store=make_store(root), payload_store=make_store.payloads(root))
     wm.advance(spark, spark.createDataFrame([(1, 10)], ["k", "ts"]), "ts")
     old = time.time() - 7200
     stale = os.path.join(root, "data-deadbeef")
@@ -701,5 +730,181 @@ def test_data_dir_orphan_reclaim(spark, tmp_path, make_store):
         for n in dirs + files:
             os.utime(os.path.join(dirpath, n), (old, old))
     os.utime(curp, (old, old))
-    assert wm.clean_stale(retention_seconds=0) == [fresh]
+    if make_store.leg == "s3-full":
+        # an empty dir is not an object: a crashed writer that wrote
+        # no bytes left nothing on the bucket to reclaim (the empty
+        # `fresh` dir exists only on the local fs, invisible to the
+        # payload store); the aged-out current payload still survives
+        # via the authoritative pointer re-read
+        assert wm.clean_stale(retention_seconds=0) == []
+    else:
+        assert wm.clean_stale(retention_seconds=0) == [fresh]
     assert wm.get(spark) == 10
+
+
+def _dual_plane(root):
+    """One artifact root with BOTH planes on backed fakes — separate
+    clients per plane (sharing state through the backing files, like
+    two boto3 connections to one bucket) so faults can target the
+    payload plane alone."""
+    log_client = FakeS3Client(backing="/")
+    pay_client = FakeS3Client(backing="/")
+    log = S3ObjectLogStore("bkt", root, log_client)
+    log.RETRY_SLEEP = 0
+    pay = S3PayloadStore("bkt", root, pay_client, uri_base=root)
+    pay.RETRY_SLEEP = 0
+    return log, pay, pay_client
+
+
+def test_payload_throttle_defers_threshold_handoff_not_merge(
+    spark, tmp_path
+):
+    """A payload-store fault during the handoff THRESHOLD read (footer
+    row count) must defer the handoff — never fail the merge, never
+    hand off on garbage — and the next clean merge hands off."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    root = str(tmp_path / "led")
+    log, pay, pay_client = _dual_plane(root)
+    led = IdempotencyLedger(
+        root, key="k", store=log, payload_store=pay,
+        versioned_threshold_rows=1,
+    )
+    led.merge(
+        spark, spark.createDataFrame([(1, "pending")], "k bigint, status string")
+    )
+    assert led.backend() == "pointer"
+    # exhaust the payload plane's bounded retries on the listing the
+    # threshold read needs — the record plane is untouched
+    pay_client.inject(
+        "list_objects_v2", "SlowDown", times=pay.MAX_RETRIES + 1
+    )
+    led.merge(
+        spark, spark.createDataFrame([(2, "sent")], "k bigint, status string")
+    )
+    # the merge LANDED (deferral, not failure) and no bogus handoff
+    assert led.backend() == "pointer"
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "pending", 2: "sent"}
+    # next merge reads the threshold cleanly and hands off
+    led.mark_done(spark, spark.createDataFrame([(1,)], "k bigint"))
+    assert led.backend() == "versioned"
+    got = {r["k"]: r["status"] for r in led.load(spark).collect()}
+    assert got == {1: "done", 2: "sent"}
+
+
+def test_payload_faults_never_fail_sweep_or_publish(spark, tmp_path):
+    """Throttle + landed-but-unACKed faults on the payload plane's
+    list/delete during clean_stale: the sweep DEFERS (never raises,
+    never fails the flip that triggered it) and converges on the next
+    clean sweep — the advisory-trim discipline under injected faults,
+    not just by code inspection."""
+    from jde_to_datalake_spark.sources.incremental import Watermark
+
+    root = str(tmp_path / "wm")
+    log, pay, pay_client = _dual_plane(root)
+    wm = Watermark(root, store=log, payload_store=pay)
+    wm.advance(spark, spark.createDataFrame([(1, 10)], ["k", "ts"]), "ts")
+    # a flip whose auto-reclaim sweep hits an exhausted-listing fault
+    # must still PUBLISH (the sweep is advisory)
+    pay_client.inject(
+        "list_objects_v2", "SlowDown", times=pay.MAX_RETRIES + 1
+    )
+    assert (
+        wm.advance(spark, spark.createDataFrame([(1, 20)], ["k", "ts"]), "ts")
+        == 20
+    )
+    assert wm.get(spark) == 20
+    # deletes that LAND but report failure (lost-ACK shape): the sweep
+    # DEFERS — reports nothing removed, fails nothing...
+    pay_client.inject(
+        "delete_object", "SlowDown", times=pay.MAX_RETRIES + 1, after=True
+    )
+    assert wm.clean_stale(retention_seconds=0) == []
+    assert wm.get(spark) == 20  # current payload untouched
+    # ...and the next clean sweep re-lists the partially-reaped dir
+    # and converges (the landed deletes are not repeated, the
+    # remainder is removed)
+    assert len(wm.clean_stale(retention_seconds=0)) == 1
+    assert wm.get(spark) == 20
+    datas = [d for d in os.listdir(root) if d.startswith("data-")]
+    assert len(datas) == 1  # exactly the current payload survives
+
+
+def test_ledger_merge_handles_map_typed_payload(spark, tmp_path):
+    """A ledger payload carrying a MAP column (the reference's
+    `additions` shape) used to fail merge at PLAN time — the
+    within-batch tie-break hashed all columns and Spark refuses
+    xxhash64 on maps (round-11 advisor). Now folded through to_json:
+    the merge plans, and a genuine duplicate key still collapses to
+    exactly one deterministic row."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    led = IdempotencyLedger(str(tmp_path / "led"), key="k")
+    batch = spark.createDataFrame(
+        [
+            (1, "pending", {"a": "x"}),
+            (1, "sent", {"a": "y"}),  # duplicate key, differing map
+            (2, "pending", {"b": "z"}),
+        ],
+        "k bigint, status string, attrs map<string,string>",
+    )
+    led.merge(spark, batch)
+    rows = {r["k"]: r for r in led.load(spark).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["attrs"] == {"b": "z"}
+    first_pick = rows[1]["status"]
+    assert first_pick in ("pending", "sent")
+    # deterministic across re-deliveries: the same batch re-merged
+    # picks the same row
+    led.merge(spark, batch)
+    rows = {r["k"]: r for r in led.load(spark).collect()}
+    assert rows[1]["status"] == first_pick
+
+
+def test_pending_only_probe_is_file_pruned_on_versioned_backend(
+    spark, tmp_path
+):
+    """Post-handoff, pending_only's done-probe must read only the
+    ledger files whose footer key-range can contain the batch's keys
+    (read_where_in) — O(batch-intersecting files), not O(ledger) —
+    while returning exactly the J6 anti-join result. Mirrors the
+    band-probe plan pin in test_plan_shapes."""
+    from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
+
+    root = str(tmp_path / "led")
+    led = IdempotencyLedger(root, key="k", versioned_threshold_rows=1)
+    led.merge(
+        spark,
+        spark.createDataFrame(
+            [(k, "done") for k in range(10)], "k bigint, status string"
+        ),
+    )
+    led.merge(  # crosses the threshold: handoff to the versioned table
+        spark,
+        spark.createDataFrame([(10, "pending")], "k bigint, status string"),
+    )
+    assert led.backend() == "versioned"
+    led.merge(  # disjoint key range lands in its own file(s)
+        spark,
+        spark.createDataFrame(
+            [(k, "done") for k in range(100, 110)], "k bigint, status string"
+        ),
+    )
+    batch = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (10, "x"), (500, "x")], "k bigint, payload string"
+    )
+    out = led.pending_only(spark, batch)
+    # correctness: done keys 0,1 drop; pending 10 and unseen 500 stay
+    assert {r["k"] for r in out.collect()} == {10, 500}
+    # the probe planned over a strict SUBSET of the ledger's files —
+    # the 100-109 file(s) can't contain keys {0,1,10,500}
+    all_files = set(led.load(spark).inputFiles())
+    probe_files = set(out.inputFiles())
+    assert probe_files < all_files
+    # past the key bound the probe falls back to the full read — same
+    # result, no collect of an unbounded key list
+    led.PROBE_MAX_KEYS = 2
+    out2 = led.pending_only(spark, batch)
+    assert {r["k"] for r in out2.collect()} == {10, 500}
+    assert set(out2.inputFiles()) == all_files
