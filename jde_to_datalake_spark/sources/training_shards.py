@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,13 +52,26 @@ from pyspark.sql import functions as F
 from jde_to_datalake_spark.sources.log_store import (
     LogConflict,
     LogStore,
+    PayloadStore,
     PointerSlot,
     PosixLogStore,
+    PosixPayloadStore,
 )
 
 
 def _slot(root: str, store: "LogStore | None") -> PointerSlot:
     return PointerSlot(store or PosixLogStore(root))
+
+
+def _payloads(
+    root: str, payload_store: "PayloadStore | None"
+) -> PayloadStore:
+    """The data-dir plane (where `shards-*` actually live): listing
+    with mtimes for the staging sweep, prefix reaping, and the URI
+    Spark reads/writes — injectable like the manifest's ``store``, so
+    the whole artifact deploys on an object store (default POSIX
+    under ``root``)."""
+    return payload_store or PosixPayloadStore(root)
 
 
 def _row_hash(id_col: str, tokens_col: str) -> F.Column:
@@ -87,13 +99,15 @@ def write_training_shards(
     id_col: str = "pack_id",
     tokens_col: str = "tokens",
     store: "LogStore | None" = None,
+    payload_store: "PayloadStore | None" = None,
 ) -> dict:
     """Export pack rows as size-bounded shards + manifest; returns the
     manifest dict. Raises ``FileExistsError`` if ``root`` already holds
     a manifest — the artifact is write-once (export to a fresh root,
     or version roots the way the versioned table versions manifests).
     ``store`` injects the manifest's publish primitive (default POSIX
-    under ``<root>/_log``).
+    under ``<root>/_log``); ``payload_store`` injects the data-dir
+    plane the same way.
 
     Cost: ONE shuffle (the repartition on the derived shard key); the
     stats aggregation reads back the written files (so the manifest
@@ -102,7 +116,12 @@ def write_training_shards(
     """
     if rows_per_shard <= 0:
         raise ValueError("rows_per_shard must be positive")
-    os.makedirs(root, exist_ok=True)
+    if payload_store is None:
+        # default-POSIX deployment: the root dir must exist before
+        # the slot store and Spark write under it (an object store
+        # has no dirs to create)
+        os.makedirs(root, exist_ok=True)
+    payloads = _payloads(root, payload_store)
     slot = _slot(root, store)
     if slot.get() is not None:
         raise FileExistsError(
@@ -121,7 +140,7 @@ def write_training_shards(
     # manifest's exclusive publish below decides which dir is current,
     # so a racing second export never touches the winner's files
     data_name = f"shards-{uuid.uuid4().hex}"
-    data_dir = os.path.join(root, data_name)
+    data_dir = payloads.uri(data_name)
     (
         sharded.repartition("shard")
         .write.mode("overwrite")
@@ -177,7 +196,10 @@ def write_training_shards(
         existing = slot.get()
         if existing is not None and existing.get("data_dir") == data_name:
             return manifest  # our own put landed; ACK was lost
-        shutil.rmtree(data_dir, ignore_errors=True)
+        try:
+            payloads.delete_dir(data_name)
+        except Exception:  # noqa: BLE001 — cleanup is advisory
+            pass  # clean_stale_stagings reclaims the orphan later
         raise FileExistsError(
             f"{root}: another export won the manifest race"
         ) from None
@@ -197,6 +219,7 @@ def read_training_shards(
     shards: list[int] | None = None,
     verify: bool = False,
     store: "LogStore | None" = None,
+    payload_store: "PayloadStore | None" = None,
 ) -> DataFrame:
     """Read exported packs through the manifest. ``shards`` selects a
     subset (the filter on the partition column prunes to those
@@ -209,7 +232,7 @@ def read_training_shards(
     manifest = read_manifest(root, store=store)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     df = spark.read.schema(schema).parquet(
-        os.path.join(root, manifest["data_dir"])
+        _payloads(root, payload_store).uri(manifest["data_dir"])
     )
     if shards is not None:
         unknown = set(shards) - {s["shard"] for s in manifest["shards"]}
@@ -247,6 +270,7 @@ def clean_stale_stagings(
     root: str,
     store: "LogStore | None" = None,
     retention_seconds: float = 3600.0,
+    payload_store: "PayloadStore | None" = None,
 ) -> list[str]:
     """Remove ``shards-*`` data directories that no manifest
     references — the debris of a crashed export (died between the
@@ -259,42 +283,35 @@ def clean_stale_stagings(
     data but not yet its manifest is mid-publish, not debris — pass 0
     only when no exporter can be active), and the manifest is
     re-read immediately before each delete so a publish that lands
-    mid-sweep keeps its data."""
+    mid-sweep keeps its data. The walk/reap go through the payload
+    store (listing with mtimes, prefix delete), and every step is
+    ADVISORY under faults — a throttled listing or failed delete
+    defers to the next sweep, never raises past it."""
     import time
 
     removed = []
-    if not os.path.isdir(root):
-        return removed
     slot = _slot(root, store)
+    payloads = _payloads(root, payload_store)
     cutoff = time.time() - retention_seconds
-    for name in sorted(os.listdir(root)):
+    try:
+        dirs = payloads.payload_dirs()
+    except Exception:  # noqa: BLE001 — the sweep is advisory
+        return removed  # throttled listing: reclaim next sweep
+    for name in sorted(dirs):
         if not name.startswith(("shards-", "_shards-")):
             continue
-        path = os.path.join(root, name)
-        if not os.path.isdir(path):
-            continue
-        try:
-            newest = os.path.getmtime(path)
-            for dirpath, _dirs, files in os.walk(path):
-                newest = max(
-                    newest,
-                    os.path.getmtime(dirpath),
-                    *(
-                        os.path.getmtime(os.path.join(dirpath, f))
-                        for f in files
-                    ),
-                )
-        except OSError:
-            continue  # entries moved mid-walk: an active writer
-        if newest > cutoff:
+        if dirs[name] > cutoff:
             continue
         # authoritative re-check right before the destructive step:
         # the winning manifest may have landed since the sweep began
         manifest = slot.get()
         if manifest is not None and manifest.get("data_dir") == name:
             continue
-        shutil.rmtree(path, ignore_errors=True)
-        removed.append(path)
+        try:
+            payloads.delete_dir(name)
+        except Exception:  # noqa: BLE001 — the reap is advisory
+            continue  # partial deletes re-list and retry next sweep
+        removed.append(payloads.uri(name))
     return removed
 
 
@@ -323,6 +340,7 @@ def read_shard_shuffled(
     shard: int,
     seed: int,
     store: "LogStore | None" = None,
+    payload_store: "PayloadStore | None" = None,
 ) -> DataFrame:
     """One shard's rows in a seeded deterministic order: sorted by
     xxhash64(seed, pack_id). The sort is a GLOBAL orderBy — a shard
@@ -336,7 +354,10 @@ def read_shard_shuffled(
     both replayable from (manifest, seed) alone.
     """
     manifest = read_manifest(root, store=store)
-    df = read_training_shards(spark, root, shards=[shard], store=store)
+    df = read_training_shards(
+        spark, root, shards=[shard], store=store,
+        payload_store=payload_store,
+    )
     return df.orderBy(
         F.xxhash64(F.lit(int(seed)), F.col(manifest["id_col"])),
         F.col(manifest["id_col"]),

@@ -202,21 +202,30 @@ def test_training_shards_on_every_store(spark, tmp_path, make_store):
         "pack_id bigint, tokens array<string>, n_toks bigint",
     )
     store = make_store(root)
+    os.makedirs(root, exist_ok=True)  # injected-payload legs skip it
     manifest = write_training_shards(
-        packs, root, rows_per_shard=5, store=store
+        packs, root, rows_per_shard=5, store=store,
+        payload_store=make_store.payloads(root),
     )
     assert manifest["n_shards"] == 2 and manifest["n_rows"] == 10
     assert read_manifest(root, store=make_store(root)) == manifest
     # write-once: a second export loses and leaves no orphan dir
     with pytest.raises(FileExistsError):
-        write_training_shards(packs, root, rows_per_shard=5, store=store)
+        write_training_shards(
+            packs, root, rows_per_shard=5, store=store,
+            payload_store=make_store.payloads(root),
+        )
     dirs = [d for d in os.listdir(root) if d.startswith("shards-")]
     assert dirs == [manifest["data_dir"]]
     # reads resolve the manifest's data dir through the SAME seam
     assert read_training_shards(
-        spark, root, verify=True, store=make_store(root)
+        spark, root, verify=True, store=make_store(root),
+        payload_store=make_store.payloads(root),
     ).count() == 10
-    assert clean_stale_stagings(root, store=make_store(root)) == []
+    assert clean_stale_stagings(
+        root, store=make_store(root),
+        payload_store=make_store.payloads(root),
+    ) == []
     if isinstance(store, PosixLogStore):
         # the no-injection default read path (POSIX deployments)
         assert read_training_shards(spark, root, verify=True).count() == 10
