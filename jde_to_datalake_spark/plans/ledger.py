@@ -119,11 +119,18 @@ class IdempotencyLedger:
             # table)
             store = self._ptr.store.for_child(self.VERSIONED_DIR)
         # the table's data files live in the same storage domain as
-        # the ledger's payload plane (path_of resolves through the
-        # injected PayloadStore — an s3a:// URI on a bucket deployment)
+        # the ledger's payload plane: path_of resolves through the
+        # injected PayloadStore (an s3a:// URI on a bucket deployment)
+        # and the table's driver-side data-file operations — staged
+        # adoption, footer reads, vacuum — go through the matching
+        # DataFileStore, so BOTH planes of the backend live on the
+        # bucket, not just its commit log
         return VersionedTable(
             self._ptr.path_of(self.VERSIONED_DIR),
             log_store=store,
+            data_store=self._ptr.payloads.data_file_store(
+                self.VERSIONED_DIR
+            ),
         )
 
     @staticmethod

@@ -83,6 +83,18 @@ planes injected, the watermark and the idempotency ledger run
 end-to-end against an object store with no ``os.*`` in the control
 path; Spark moves the payload BYTES through whatever filesystem its
 connector mounts at the store's ``uri()`` (s3a on a cluster).
+
+:class:`DataFileStore` (round 12) completes the triad for the table
+itself: every driver-side DATA-file operation of ``VersionedTable``
+— staged-part adoption, footer reads, restore's existence probe,
+compaction's size gate, vacuum's listing/retention/reaping — behind
+:class:`PosixDataFileStore` (today's layout, byte-for-byte) and
+:class:`S3DataFileStore` (ListObjectsV2 + LastModified/Size,
+server-side CopyObject, DeleteObject, GetObject footers). With all
+three seams injected a versioned table — and the idempotency
+ledger's post-handoff backend via
+:meth:`PayloadStore.data_file_store` — runs its full lifecycle on a
+bucket (tests/test_versioned_object_store.py).
 """
 
 from __future__ import annotations
@@ -559,6 +571,14 @@ class PayloadStore:
                 total += pq.ParquetFile(fh).metadata.num_rows
         return total
 
+    def data_file_store(self, name: str) -> "DataFileStore":
+        """A :class:`DataFileStore` rooted at one payload dir — what a
+        :class:`VersionedTable` living INSIDE the payload plane (the
+        idempotency ledger's post-handoff backend) injects so its
+        data-file operations stay in the same storage domain as the
+        pointer that references it."""
+        raise NotImplementedError
+
 
 class PosixPayloadStore(PayloadStore):
     """Local-filesystem payload plane — the layout every existing
@@ -628,6 +648,9 @@ class PosixPayloadStore(PayloadStore):
 
     def open_file(self, name: str, filename: str):
         return open(os.path.join(self.root, name, filename), "rb")
+
+    def data_file_store(self, name: str) -> "PosixDataFileStore":
+        return PosixDataFileStore(os.path.join(self.root, name))
 
 
 class S3PayloadStore(PayloadStore):
@@ -745,6 +768,14 @@ class S3PayloadStore(PayloadStore):
         )
         return io.BytesIO(resp["Body"].read())
 
+    def data_file_store(self, name: str) -> "S3DataFileStore":
+        return S3DataFileStore(
+            self.bucket,
+            f"{self.prefix}/{name}",
+            self.client,
+            uri_base=self.uri(name),
+        )
+
 
 def _epoch(last_modified) -> float:
     """LastModified (a datetime from boto3, an epoch float from a
@@ -754,6 +785,377 @@ def _epoch(last_modified) -> float:
         return float("inf")
     ts = getattr(last_modified, "timestamp", None)
     return ts() if callable(ts) else float(last_modified)
+
+
+class DataFileStore:
+    """The DATA-file plane contract of a :class:`VersionedTable` —
+    the third and last seam beside :class:`LogStore` (commit records)
+    and :class:`PayloadStore` (pointer payload dirs). Everything the
+    table does to data files OUTSIDE a Spark job goes through this
+    interface, so a table deploys onto an object store by injecting
+    one implementation: Spark moves the bytes through whatever
+    filesystem its connector mounts at ``uri()`` (s3a on a cluster),
+    and the driver-side metadata operations — staged-file adoption,
+    footer reads, vacuum's listing/retention/reaping — map exactly as
+    SCALE.md's "Data-plane mapping" describes. All paths are
+    RELATIVE to the table root (the manifest's own file-name space);
+    an entry that is already absolute (a shallow clone's cross-table
+    reference) passes through ``uri()`` unchanged.
+
+    No operation here requires atomicity: data files are immutable
+    and content-addressed (uuid names), the log's ``put_if_absent``
+    is the only commit point, and every delete is advisory (a failed
+    or partial sweep leaves re-listable remainders the next sweep
+    retries — losing a cleanup race is fine, failing a landed publish
+    is not)."""
+
+    def uri(self, rel: str = "") -> str:
+        """The Spark-readable/writable location of ``rel`` (a POSIX
+        path, an ``s3a://`` URI, …)."""
+        raise NotImplementedError
+
+    def parquet_mtimes(self, rel: str = "") -> "dict[str, float]":
+        """``{relpath: mtime_epoch}`` of every ``.parquet`` file under
+        ``rel`` (default: the table root), excluding files inside
+        ``_``/``.``-prefixed directories (the log, in-flight staging
+        dirs). One ``ListObjectsV2`` sweep on an object store — the
+        per-object ``LastModified`` rides along for free and feeds
+        vacuum's retention gate."""
+        raise NotImplementedError
+
+    def walk_parquet(self, rel: str = "") -> "list[str]":
+        """Sorted ``.parquet`` relpaths under ``rel`` — the listing
+        form of :meth:`parquet_mtimes` for callers that don't need
+        retention mtimes (legacy adoption, staged-output discovery)."""
+        return sorted(self.parquet_mtimes(rel))
+
+    def staging_dirs(self) -> "dict[str, float]":
+        """``{name: newest_mtime_epoch}`` of top-level ``_staging-*``
+        dirs — vacuum's crashed-writer reclamation input. The NEWEST
+        internal mtime (object store: max ``LastModified`` under the
+        prefix) is what ages, so an in-flight writer still producing
+        files is never reclaimed; a dir that cannot be walked reports
+        ``inf`` (alive — never reclaimable this sweep)."""
+        raise NotImplementedError
+
+    def move(self, src_rel: str, dst_rel: str) -> None:
+        """Adopt one staged file at its final name. POSIX: ``rename``
+        (metadata-speed). Object store: server-side ``CopyObject`` +
+        ``DeleteObject`` — never data through the driver; a real
+        cluster avoids even that by writing direct-to-final-name
+        through a cloud committer (uuid part names are already
+        collision-free), per SCALE.md."""
+        raise NotImplementedError
+
+    def adopt_copy(self, src_rel: str, dst_rel: str) -> None:
+        """Alias one existing file under a second name WITHOUT copying
+        bytes through the driver (CONVERT adoption of duplicate
+        basenames). POSIX: hard link. Object store: server-side
+        ``CopyObject``."""
+        raise NotImplementedError
+
+    def delete_file(self, rel: str) -> None:
+        """Remove one file; missing is success (S3 answers 204 either
+        way, and vacuum/discard races resolve in the deleter's favor)."""
+        raise NotImplementedError
+
+    def delete_tree(self, rel: str) -> None:
+        """Recursively reap one directory/prefix. Partial failure
+        leaves a re-listable remainder for the next sweep."""
+        raise NotImplementedError
+
+    def prune_empty_dirs(self, rel: str) -> None:
+        """Drop now-empty ancestor directories of a just-deleted file
+        (hive layouts). Object stores have no empty dirs — no-op."""
+        raise NotImplementedError
+
+    def exists(self, rel: str) -> bool:
+        raise NotImplementedError
+
+    def file_size(self, rel: str) -> int:
+        """One file's size in bytes (POSIX ``stat``; object store:
+        the ``Size`` the listing already carries)."""
+        raise NotImplementedError
+
+    def open_file(self, rel: str):
+        """Binary file-like for driver-side FOOTER reads (stats
+        harvest, row counts, DV reference lists) — metadata-sized."""
+        raise NotImplementedError
+
+    def parquet_row_count(self, rel: str) -> int:
+        """Row count from the parquet footer — a metadata read, no
+        scan, no Spark job. Unreadable files PROPAGATE (callers that
+        can tolerate absence guard themselves)."""
+        import pyarrow.parquet as pq
+
+        fh = self.open_file(rel)
+        try:
+            return pq.ParquetFile(fh).metadata.num_rows
+        finally:
+            fh.close()
+
+
+class PosixDataFileStore(DataFileStore):
+    """Local-filesystem data plane — byte-for-byte the layout and
+    semantics every existing table already has."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, rel: str) -> str:
+        # os.path.join passes absolute entries (shallow-clone refs)
+        # through unchanged — the POSIX form of uri() passthrough
+        return os.path.join(self.root, rel) if rel else self.root
+
+    def uri(self, rel: str = "") -> str:
+        return self._path(rel)
+
+    def parquet_mtimes(self, rel: str = "") -> "dict[str, float]":
+        base = self._path(rel)
+        out: "dict[str, float]" = {}
+        for dirpath, dirnames, filenames in os.walk(base):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for f in filenames:
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, f)
+                try:
+                    out[os.path.relpath(p, base)] = os.path.getmtime(p)
+                except OSError:
+                    continue  # deleted mid-walk: already gone
+        return out
+
+    def staging_dirs(self) -> "dict[str, float]":
+        out: "dict[str, float]" = {}
+        try:
+            names = sorted(os.listdir(self.root))
+        except OSError:
+            return out
+        for name in names:
+            p = os.path.join(self.root, name)
+            if not name.startswith("_staging-") or not os.path.isdir(p):
+                continue
+            try:
+                newest = os.path.getmtime(p)
+                for dirpath, _dirs, files in os.walk(p):
+                    newest = max(
+                        newest,
+                        os.path.getmtime(dirpath),
+                        *(
+                            os.path.getmtime(os.path.join(dirpath, f))
+                            for f in files
+                        ),
+                    )
+            except OSError:
+                # entries moved mid-walk: an active writer — alive
+                newest = float("inf")
+            out[name] = newest
+        return out
+
+    def move(self, src_rel: str, dst_rel: str) -> None:
+        src, dst = self._path(src_rel), self._path(dst_rel)
+        # a concurrent vacuum can rmdir a (momentarily empty) hive
+        # partition directory between makedirs and rename — re-create
+        # and retry once
+        for attempt in (0, 1):
+            os.makedirs(os.path.dirname(dst) or self.root, exist_ok=True)
+            try:
+                os.rename(src, dst)
+                return
+            except FileNotFoundError:
+                if attempt:
+                    raise
+
+    def adopt_copy(self, src_rel: str, dst_rel: str) -> None:
+        os.link(self._path(src_rel), self._path(dst_rel))
+
+    def delete_file(self, rel: str) -> None:
+        try:
+            os.remove(self._path(rel))
+        except FileNotFoundError:
+            pass
+
+    def delete_tree(self, rel: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._path(rel), ignore_errors=True)
+
+    def prune_empty_dirs(self, rel: str) -> None:
+        # a concurrent writer can repopulate a dir between the listdir
+        # check and the rmdir — losing the cleanup race is fine,
+        # crashing the sweep is not
+        d = os.path.dirname(self._path(rel))
+        try:
+            while d != self.root and not os.listdir(d):
+                os.rmdir(d)
+                d = os.path.dirname(d)
+        except OSError:
+            pass
+
+    def exists(self, rel: str) -> bool:
+        return os.path.exists(self._path(rel))
+
+    def file_size(self, rel: str) -> int:
+        return os.path.getsize(self._path(rel))
+
+    def open_file(self, rel: str):
+        return open(self._path(rel), "rb")
+
+
+class S3DataFileStore(DataFileStore):
+    """Object-store data plane over the same duck-typed boto3 surface
+    as the record and payload adapters (``list_objects_v2`` with
+    ``LastModified``/``Size``, ``get_object``, ``delete_object``,
+    ``copy_object``), sharing their bounded throttle-retry
+    discipline. ``uri_base`` defaults to the ``s3a://`` mount a Spark
+    cluster reads/writes the same keys through; tests pass the fake
+    bucket's local backing path so Spark writes land exactly where
+    the (fault-injectable) client lists them.
+
+    Shallow-clone cross-table references (absolute locations) pass
+    through ``uri()`` unchanged but have no key form — cloning
+    between stores stays a POSIX-deployment feature, exactly like
+    hive-partitioned clones are excluded everywhere."""
+
+    MAX_RETRIES: int = 5
+    RETRY_SLEEP: float = 0.05
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str,
+        client,
+        uri_base: "str | None" = None,
+    ):
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+        self.uri_base = (
+            uri_base or f"s3a://{bucket}/{self.prefix}"
+        ).rstrip("/")
+
+    def _call(self, op: str, **kw):
+        return _s3_retry_call(
+            self.client, op, self.MAX_RETRIES, self.RETRY_SLEEP, **kw
+        )
+
+    def _key(self, rel: str) -> str:
+        return f"{self.prefix}/{rel}" if rel else self.prefix
+
+    def uri(self, rel: str = "") -> str:
+        if rel and ("://" in rel or rel.startswith("/")):
+            return rel  # absolute cross-table reference
+        return self.uri_base if not rel else f"{self.uri_base}/{rel}"
+
+    def _list(self, rel: str = ""):
+        """Yield ``(relpath, mtime_epoch, size)`` for every object
+        under ``rel`` (paginated; relpaths relative to ``rel``)."""
+        base = f"{self._key(rel)}/"
+        token: "str | None" = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": base}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._call("list_objects_v2", **kw)
+            for obj in resp.get("Contents", []):
+                yield (
+                    obj["Key"][len(base):],
+                    _epoch(obj.get("LastModified")),
+                    int(obj.get("Size", 0)),
+                )
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+
+    def parquet_mtimes(self, rel: str = "") -> "dict[str, float]":
+        out: "dict[str, float]" = {}
+        for relpath, mtime, _size in self._list(rel):
+            parts = relpath.split("/")
+            if any(s.startswith(("_", ".")) for s in parts[:-1]):
+                continue
+            if parts[-1].endswith(".parquet"):
+                out[relpath] = mtime
+        return out
+
+    def staging_dirs(self) -> "dict[str, float]":
+        out: "dict[str, float]" = {}
+        for relpath, mtime, _size in self._list():
+            if "/" not in relpath:
+                continue
+            top = relpath.split("/", 1)[0]
+            if top.startswith("_staging-"):
+                out[top] = max(out.get(top, 0.0), mtime)
+        return out
+
+    def move(self, src_rel: str, dst_rel: str) -> None:
+        self.adopt_copy(src_rel, dst_rel)
+        self.delete_file(src_rel)
+
+    def adopt_copy(self, src_rel: str, dst_rel: str) -> None:
+        self._call(
+            "copy_object",
+            Bucket=self.bucket,
+            Key=self._key(dst_rel),
+            CopySource={"Bucket": self.bucket, "Key": self._key(src_rel)},
+        )
+
+    def delete_file(self, rel: str) -> None:
+        self._call(
+            "delete_object", Bucket=self.bucket, Key=self._key(rel)
+        )
+
+    def delete_tree(self, rel: str) -> None:
+        keys = [f"{self._key(rel)}/{r}" for r, _m, _s in self._list(rel)]
+        for key in keys:
+            self._call("delete_object", Bucket=self.bucket, Key=key)
+
+    def prune_empty_dirs(self, rel: str) -> None:
+        pass  # object stores have no empty dirs
+
+    def _stat(self, rel: str) -> "tuple[float, int] | None":
+        """Exact-key (mtime, size) via a prefix listing — the fake and
+        real S3 both answer exact prefixes cheaply; no head_object in
+        the duck-typed surface."""
+        key = self._key(rel)
+        token: "str | None" = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": key}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._call("list_objects_v2", **kw)
+            for obj in resp.get("Contents", []):
+                if obj["Key"] == key:
+                    return (
+                        _epoch(obj.get("LastModified")),
+                        int(obj.get("Size", 0)),
+                    )
+            if not resp.get("IsTruncated"):
+                return None
+            token = resp.get("NextContinuationToken")
+
+    def exists(self, rel: str) -> bool:
+        return self._stat(rel) is not None
+
+    def file_size(self, rel: str) -> int:
+        st = self._stat(rel)
+        if st is None:
+            raise FileNotFoundError(self._key(rel))
+        return st[1]
+
+    def open_file(self, rel: str):
+        import io
+
+        try:
+            resp = self._call(
+                "get_object", Bucket=self.bucket, Key=self._key(rel)
+            )
+        except Exception as e:
+            if _s3_error_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(self._key(rel)) from None
+            raise
+        return io.BytesIO(resp["Body"].read())
 
 
 class PointerSlot:

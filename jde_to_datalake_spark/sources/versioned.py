@@ -73,8 +73,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jde_to_datalake_spark.sources.log_store import (
+    DataFileStore,
     LogConflict,
     LogStore,
+    PosixDataFileStore,
     PosixLogStore,
 )
 
@@ -114,18 +116,24 @@ class AuditFailure(RuntimeError):
         self.failures = failures
 
 
-def _footer_stats(path: str) -> dict:
+def _footer_stats(source) -> dict:
     """Per-column [min, max] for one parquet file, from row-group
     footer statistics — JSON-storable types only (int/float/str; byte
     stats are decoded as UTF-8 when possible). Columns with missing or
     non-storable stats are omitted, which readers treat as
-    "cannot prune" — always conservative."""
+    "cannot prune" — always conservative. ``source`` is a path or a
+    binary file-like from ``DataFileStore.open_file`` (closed here;
+    the footer thrift is fully parsed before the close)."""
     try:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
+        md = pq.ParquetFile(source).metadata
     except Exception:
         return {}
+    finally:
+        close = getattr(source, "close", None)
+        if close is not None:
+            close()
     out: dict = {}
     poisoned: set = set()
     for rg in range(md.num_row_groups):
@@ -282,21 +290,26 @@ def _stat_probe_value(v):
     return v
 
 
-def _dv_referenced_files(path: str) -> "list[str] | None":
+def _dv_referenced_files(source) -> "list[str] | None":
     """Distinct data-file basenames a deletion-vector sidecar
     tombstones — one metadata-sized column read (the sidecar holds
     (file, pos) rows and is tiny relative to the table). None when the
-    sidecar cannot be read, which readers treat as "keep it"."""
+    sidecar cannot be read, which readers treat as "keep it".
+    ``source`` is a path or a file-like (closed here)."""
     try:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=["file"])
+        t = pq.read_table(source, columns=["file"])
         return sorted(set(t.column("file").to_pylist()))
     except Exception:
         return None
+    finally:
+        close = getattr(source, "close", None)
+        if close is not None:
+            close()
 
 
-def _dv_live_rows(path: str, live_bases: set) -> int:
+def _dv_live_rows(source, live_bases: set) -> int:
     """How many tombstone rows of a deletion-vector sidecar aim at a
     file in ``live_bases`` — one metadata-sized column read.
 
@@ -306,7 +319,12 @@ def _dv_live_rows(path: str, live_bases: set) -> int:
     (``read()`` would fail on the same sidecar anyway)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["file"])
+    try:
+        t = pq.read_table(source, columns=["file"])
+    finally:
+        close = getattr(source, "close", None)
+        if close is not None:
+            close()
     return sum(1 for f in t.column("file").to_pylist() if f in live_bases)
 
 
@@ -320,13 +338,6 @@ def _txn_pairs(txn) -> "list[tuple[str, int]]":
     ):
         return [txn]
     return list(txn)
-
-
-def _parquet_num_rows(path: str) -> int:
-    """Row count from the parquet footer — a metadata read, no scan."""
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _to_epoch_seconds(v) -> float:
@@ -403,6 +414,7 @@ class VersionedTable:
         root: str,
         txn_retention_seconds: float | None = None,
         log_store: "LogStore | None" = None,
+        data_store: "DataFileStore | None" = None,
     ):
         self.root = root
         self.txn_retention_seconds = (
@@ -419,6 +431,14 @@ class VersionedTable:
         self.log: LogStore = (
             PosixLogStore(root) if log_store is None else log_store
         )
+        # ... and ALL driver-side DATA-file I/O goes through the
+        # sibling seam (DataFileStore): staged-file adoption, footer
+        # reads, vacuum's listing/retention/reaping. Spark itself
+        # reads/writes through data.uri(); with both seams injected
+        # the table runs end-to-end on an object store.
+        self.data: "DataFileStore" = (
+            PosixDataFileStore(root) if data_store is None else data_store
+        )
 
     # -- log ------------------------------------------------------------
     def versions(self) -> list[int]:
@@ -428,17 +448,26 @@ class VersionedTable:
         """Every ``.parquet`` relpath under the table root, including
         hive partition subdirectories; ``_``/``.``-prefixed dirs
         (the log, in-flight staging dirs) are skipped."""
-        out = []
-        for dirpath, dirnames, filenames in os.walk(self.root):
-            dirnames[:] = [
-                d for d in dirnames if not d.startswith(("_", "."))
-            ]
-            for f in filenames:
-                if f.endswith(".parquet"):
-                    out.append(
-                        os.path.relpath(os.path.join(dirpath, f), self.root)
-                    )
-        return sorted(out)
+        return self.data.walk_parquet()
+
+    def _stats_of(self, f: str) -> dict:
+        """One file's footer stats through the data seam — {} when the
+        file (or its footer) cannot be read: readers treat missing
+        stats as "cannot prune", always conservative."""
+        try:
+            fh = self.data.open_file(f)
+        except Exception:
+            return {}
+        return _footer_stats(fh)
+
+    def _dv_refs(self, d: str) -> "list[str] | None":
+        """One DV sidecar's referenced-basename list through the data
+        seam — None when unreadable (callers keep the sidecar whole)."""
+        try:
+            fh = self.data.open_file(d)
+        except Exception:
+            return None
+        return _dv_referenced_files(fh)
 
     def latest_version(self) -> int | None:
         vs = self.versions()
@@ -744,12 +773,8 @@ class VersionedTable:
         m = self._manifest(version)
         files = m["files"]
         dv_files = m.get("dv_files", [])
-        size = sum(
-            os.path.getsize(os.path.join(self.root, f)) for f in files
-        )
-        n_physical = sum(
-            _parquet_num_rows(os.path.join(self.root, f)) for f in files
-        )
+        size = sum(self.data.file_size(f) for f in files)
+        n_physical = sum(self.data.parquet_row_count(f) for f in files)
         # count only tombstones aimed at LIVE files: a sidecar survives
         # as long as ANY of its referenced files is live, but rows
         # aimed at already-rewritten files were materialized by that
@@ -758,7 +783,7 @@ class VersionedTable:
         n_tombstones = 0
         for f in dv_files:
             n_tombstones += _dv_live_rows(
-                os.path.join(self.root, f), live_bases
+                self.data.open_file(f), live_bases
             )
         return {
             "location": os.path.abspath(self.root),
@@ -784,6 +809,7 @@ class VersionedTable:
         txn_retention_seconds: "float | None" = None,
         partitioned_by: "list[str] | None" = None,
         log_store: "LogStore | None" = None,
+        data_store: "DataFileStore | None" = None,
     ) -> "VersionedTable":
         """Delta's CONVERT TO DELTA: adopt an existing directory of
         plain parquet files as version 0 of a versioned table WITHOUT
@@ -816,22 +842,14 @@ class VersionedTable:
             root,
             txn_retention_seconds=txn_retention_seconds,
             log_store=log_store,
+            data_store=data_store,
         )
         if t.latest_version() is not None:
             raise ValueError(
                 f"{root}: already a versioned table "
                 f"(latest version {t.latest_version()})"
             )
-        files = []
-        for dirpath, dirnames, filenames in os.walk(root):
-            dirnames[:] = [
-                d for d in dirnames if not d.startswith(("_", "."))
-            ]
-            for f in sorted(filenames):
-                if f.endswith(".parquet"):
-                    files.append(
-                        os.path.relpath(os.path.join(dirpath, f), root)
-                    )
+        files = t.data.walk_parquet()
         if not files:
             raise FileNotFoundError(f"{root}: no parquet files to convert")
         parted = [f for f in files if "=" in os.path.dirname(f)]
@@ -863,20 +881,18 @@ class VersionedTable:
                 )
             # Spark-written hive layouts reuse part file names across
             # partition directories. Deletion vectors address rows by
-            # BASENAME, so adopt each file through a HARD LINK to a
-            # unique name inside its own partition directory — still
-            # metadata-only (one link syscall per file, zero bytes
-            # copied; the original names stay valid for any readers
-            # outside the table until vacuum reclaims them as
-            # unreferenced).
+            # BASENAME, so adopt each file under a unique name inside
+            # its own partition directory WITHOUT moving bytes through
+            # the driver — a hard link locally, a server-side
+            # CopyObject on an object store (the original names stay
+            # valid for any readers outside the table until vacuum
+            # reclaims them as unreferenced).
             linked = []
             for f in sorted(files):
                 dst = os.path.join(
                     os.path.dirname(f), f"part-{uuid.uuid4().hex}.parquet"
                 )
-                os.link(
-                    os.path.join(root, f), os.path.join(root, dst)
-                )
+                t.data.adopt_copy(f, dst)
                 linked.append(dst)
             files = linked
         t.publish(
@@ -917,7 +933,7 @@ class VersionedTable:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         if self.partitioned_by(version):
-            reader = reader.option("basePath", self.root)
+            reader = reader.option("basePath", self.data.uri())
         return reader
 
     def partition_types(self, version: int | None = None) -> dict:
@@ -988,7 +1004,7 @@ class VersionedTable:
         (mergeSchema / basePath), partition columns cast to their
         pinned types."""
         df = self._data_reader(spark, merge_schema, version).parquet(
-            *[os.path.join(self.root, f) for f in files]
+            *[self.data.uri(f) for f in files]
         )
         return self._cast_partition_types(df, version)
 
@@ -1038,9 +1054,8 @@ class VersionedTable:
             try:
                 import pyarrow.parquet as pq
 
-                cols.update(
-                    pq.read_schema(os.path.join(self.root, f)).names
-                )
+                with self.data.open_file(f) as fh:
+                    cols.update(pq.read_schema(fh).names)
             except Exception:
                 pass
         return cols - set(self.dropped_columns(version))
@@ -1442,7 +1457,7 @@ class VersionedTable:
         "may match anything" forever. When EVERY part is empty one is
         kept — an intentionally-empty commit (overwrite-to-empty)
         must stay readable with its schema."""
-        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        staging = f"_staging-{uuid.uuid4().hex}"
         # write TIMESTAMP (ltz) as INT64 micros, not Spark's legacy
         # INT96: INT96 columns carry NO parquet statistics, which would
         # silently exclude every ltz timestamp from manifest-level data
@@ -1469,76 +1484,40 @@ class VersionedTable:
                         f"column(s) {missing} in every written frame"
                     )
                 writer = writer.partitionBy(*pby)
-            writer.parquet(staging)
+            writer.parquet(self.data.uri(staging))
         finally:
             if prev_ts is None:
                 spark.conf.unset(_TS_CONF)
             else:
                 spark.conf.set(_TS_CONF, prev_ts)
+        # adopt each staged part at its final uuid name, PRESERVING
+        # its k=v directory path for partitioned layouts (hive layout
+        # is the on-disk contract; partition values live only there).
+        # The move is metadata-speed through the data seam (POSIX
+        # rename / server-side CopyObject); staging leftovers
+        # (_SUCCESS etc.) go with the staging dir.
         new_files = []
-        if pby:
-            # partitioned layout: move each part file to the root
-            # PRESERVING its k=v directory path (hive layout is the
-            # on-disk contract; partition values live only there)
-            for dirpath, dirnames, filenames in os.walk(staging):
-                dirnames[:] = [
-                    d for d in dirnames if not d.startswith(("_", "."))
-                ]
-                for f in filenames:
-                    if not f.endswith(".parquet"):
-                        continue
-                    rel_dir = os.path.relpath(dirpath, staging)
-                    rel_dir = "" if rel_dir == "." else rel_dir
-                    dst_rel = os.path.join(
-                        rel_dir, f"part-{uuid.uuid4().hex}.parquet"
-                    )
-                    dest = os.path.join(self.root, dst_rel)
-                    # a concurrent vacuum can rmdir an (momentarily
-                    # empty) partition directory between makedirs and
-                    # rename — re-create and retry once
-                    for attempt in (0, 1):
-                        os.makedirs(
-                            os.path.dirname(dest) or self.root,
-                            exist_ok=True,
-                        )
-                        try:
-                            os.rename(os.path.join(dirpath, f), dest)
-                            break
-                        except FileNotFoundError:
-                            if attempt:
-                                raise
-                    new_files.append(dst_rel)
-            import shutil
-
-            shutil.rmtree(staging)
-            if not new_files:
-                # Spark writes NO part files for an empty partitionBy
-                # write; keep the overwrite-to-empty contract (one
-                # readable schema-carrying part) by staging a flat
-                # empty part — partition columns ride as data columns
-                # there, which readers resolve identically at 0 rows
-                return self.stage(df.limit(0), partitioned_by=[])
-            return self._drop_empty_parts(sorted(new_files))
-        for f in os.listdir(staging):
-            if f.endswith(".parquet"):
-                dst = f"part-{uuid.uuid4().hex}.parquet"
-                os.rename(
-                    os.path.join(staging, f), os.path.join(self.root, dst)
-                )
-                new_files.append(dst)
-        # remove staging leftovers (_SUCCESS etc.)
-        for f in os.listdir(staging):
-            os.remove(os.path.join(staging, f))
-        os.rmdir(staging)
-        return self._drop_empty_parts(new_files)
+        for f in self.data.walk_parquet(staging):
+            dst_rel = os.path.join(
+                os.path.dirname(f), f"part-{uuid.uuid4().hex}.parquet"
+            )
+            self.data.move(os.path.join(staging, f), dst_rel)
+            new_files.append(dst_rel)
+        self.data.delete_tree(staging)
+        if pby and not new_files:
+            # Spark writes NO part files for an empty partitionBy
+            # write; keep the overwrite-to-empty contract (one
+            # readable schema-carrying part) by staging a flat
+            # empty part — partition columns ride as data columns
+            # there, which readers resolve identically at 0 rows
+            return self.stage(df.limit(0), partitioned_by=[])
+        return self._drop_empty_parts(sorted(new_files))
 
     def _drop_empty_parts(self, staged: list[str]) -> list[str]:
         """Discard zero-row staged parts (keep one if ALL are empty —
         see ``stage``). Footer num_rows is a metadata read."""
         nonempty = [
-            f
-            for f in staged
-            if _parquet_num_rows(os.path.join(self.root, f)) > 0
+            f for f in staged if self.data.parquet_row_count(f) > 0
         ]
         if not nonempty:
             keep = staged[:1]
@@ -1563,8 +1542,8 @@ class VersionedTable:
         reader = spark.read
         parted = [f for f in staged if "=" in os.path.dirname(f)]
         if parted or self.partitioned_by():
-            reader = reader.option("basePath", self.root)
-        df = reader.parquet(*[os.path.join(self.root, f) for f in staged])
+            reader = reader.option("basePath", self.data.uri())
+        df = reader.parquet(*[self.data.uri(f) for f in staged])
         if self.latest_version() is not None:
             return self._cast_partition_types(df)
         if parted:
@@ -1587,9 +1566,7 @@ class VersionedTable:
     def discard(self, staged: list[str]) -> None:
         """Drop never-published staged files immediately."""
         for f in staged:
-            p = os.path.join(self.root, f)
-            if os.path.exists(p):
-                os.remove(p)
+            self.data.delete_file(f)
 
     def commit(
         self,
@@ -2118,19 +2095,13 @@ class VersionedTable:
 
             with ThreadPoolExecutor(max_workers=16) as pool:
                 for f, fs in zip(
-                    need_stats,
-                    pool.map(
-                        lambda f: _footer_stats(
-                            os.path.join(self.root, f)
-                        ),
-                        need_stats,
-                    ),
+                    need_stats, pool.map(self._stats_of, need_stats)
                 ):
                     if fs:
                         stats[f] = fs
         else:
             for f in need_stats:
-                fs = _footer_stats(os.path.join(self.root, f))
+                fs = self._stats_of(f)
                 if fs:
                     stats[f] = fs
         # hive-partitioned tables: partition values live in directory
@@ -2239,9 +2210,7 @@ class VersionedTable:
             for d in dv_files:
                 refs = prev_refs.get(d)
                 if refs is None:
-                    refs = _dv_referenced_files(
-                        os.path.join(self.root, d)
-                    )
+                    refs = self._dv_refs(d)
                 if refs is None:
                     kept_dvs.append(d)  # unreadable refs: keep whole
                     continue
@@ -2523,9 +2492,7 @@ class VersionedTable:
         dvs = self.dv_files(version)
         if not dvs:
             return None
-        return spark.read.parquet(
-            *[os.path.join(self.root, f) for f in dvs]
-        )
+        return spark.read.parquet(*[self.data.uri(f) for f in dvs])
 
     def _live_scan(
         self, spark: SparkSession, files: "list[str]", version: int
@@ -2558,12 +2525,13 @@ class VersionedTable:
         dvs = self.dv_files(version)
         if not dvs:
             return df
-        paths = [os.path.join(self.root, f) for f in dvs]
-        dvr = spark.read.parquet(*paths).select(
+        dvr = spark.read.parquet(
+            *[self.data.uri(f) for f in dvs]
+        ).select(
             F.col("file").alias("__dvr_file"),
             F.col("pos").alias("__dvr_pos"),
         )
-        total = sum(_parquet_num_rows(p) for p in paths)
+        total = sum(self.data.parquet_row_count(f) for f in dvs)
         if total <= self.DV_BROADCAST_MAX_ROWS:
             dvr = F.broadcast(dvr)
         return (
@@ -2654,31 +2622,28 @@ class VersionedTable:
                 F.col("_metadata.row_index").alias("pos"),
             )
         )
-        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        staging = f"_staging-{uuid.uuid4().hex}"
         # tombstones are (string, long) rows — tiny relative to the
         # scan. coalesce (narrow, no shuffle) keeps the sidecar count
         # bounded per delete so the manifest DV list stays metadata-
         # sized; a delete so large that 8 writers bottleneck is one
         # you should express as a rewrite instead.
-        hits.coalesce(8).write.mode("overwrite").parquet(staging)
+        hits.coalesce(8).write.mode("overwrite").parquet(
+            self.data.uri(staging)
+        )
         new_dvs = []
-        for f in os.listdir(staging):
-            if f.endswith(".parquet"):
-                dst = f"dv-{uuid.uuid4().hex}.parquet"
-                os.rename(
-                    os.path.join(staging, f), os.path.join(self.root, dst)
-                )
-                new_dvs.append(dst)
-        for f in os.listdir(staging):
-            os.remove(os.path.join(staging, f))
-        os.rmdir(staging)
+        for f in self.data.walk_parquet(staging):
+            dst = f"dv-{uuid.uuid4().hex}.parquet"
+            self.data.move(os.path.join(staging, f), dst)
+            new_dvs.append(dst)
+        self.data.delete_tree(staging)
         live = []
         for f in new_dvs:
-            p = os.path.join(self.root, f)
-            if _parquet_num_rows(p) > 0:
+            if self.data.parquet_row_count(f) > 0:
                 live.append(f)
             else:
-                os.remove(p)  # empty part file: no tombstones from it
+                # empty part file: no tombstones from it
+                self.data.delete_file(f)
         if not live:
             return prev
         return self.publish(
@@ -3894,8 +3859,7 @@ class VersionedTable:
 
         def _publish_staged(staged, carry, read_files):
             if not staged or all(
-                _parquet_num_rows(os.path.join(self.root, f)) == 0
-                for f in staged
+                self.data.parquet_row_count(f) == 0 for f in staged
             ):
                 # nothing changed: drop the empty commit entirely
                 self.discard(staged)
@@ -4087,9 +4051,7 @@ class VersionedTable:
         # dropped; publish([]) + carry is the legitimate all-deleted
         # outcome — the probe above already ruled out the no-op case)
         keep = [
-            f
-            for f in staged
-            if _parquet_num_rows(os.path.join(self.root, f)) > 0
+            f for f in staged if self.data.parquet_row_count(f) > 0
         ]
         self.discard([f for f in staged if f not in keep])
         return self.publish(
@@ -4151,10 +4113,7 @@ class VersionedTable:
                 "never committed, or vacuumed past keep_last"
             ) from None
         needed = list(m["files"]) + list(m.get("dv_files", []))
-        missing = [
-            f for f in needed
-            if not os.path.exists(os.path.join(self.root, f))
-        ]
+        missing = [f for f in needed if not self.data.exists(f)]
         if missing:
             raise FileNotFoundError(
                 f"{self.root}: cannot restore to version {to_version} — "
@@ -4229,7 +4188,10 @@ class VersionedTable:
             )
 
         def _abs(f: str) -> str:
-            return os.path.abspath(os.path.join(self.root, f))
+            # cross-table references are ABSOLUTE locations; on an
+            # object store the data seam's uri() is already absolute
+            p = self.data.uri(f)
+            return p if "://" in p else os.path.abspath(p)
 
         stats = {_abs(f): s for f, s in m.get("stats", {}).items()}
         clone.publish(
@@ -4389,8 +4351,7 @@ class VersionedTable:
             files = [
                 f
                 for f in all_files
-                if os.path.getsize(os.path.join(self.root, f))
-                < max_file_bytes
+                if self.data.file_size(f) < max_file_bytes
             ]
         sel = set(files)
         missing = sorted(sel - set(all_files))
@@ -4482,9 +4443,8 @@ class VersionedTable:
             cutoff = time.time() - retention_seconds
             return [
                 f
-                for f in self._walk_parquet()
-                if f not in referenced
-                and os.path.getmtime(os.path.join(self.root, f)) <= cutoff
+                for f, mt in sorted(self.data.parquet_mtimes().items())
+                if f not in referenced and mt <= cutoff
             ] + self._stale_staging_dirs(cutoff)
         if retained and vs[:-keep_last]:
             oldest = retained[0]
@@ -4500,33 +4460,26 @@ class VersionedTable:
         removed = []
         for v in vs[:-keep_last]:
             self.log.delete(v)
-        for f in self._walk_parquet():
-            p = os.path.join(self.root, f)
-            if f not in referenced and os.path.getmtime(p) <= cutoff:
-                os.remove(p)
+        # one data-plane listing feeds both the unreferenced check and
+        # the retention gate (object store: a single ListObjectsV2
+        # sweep whose LastModified rides along for free)
+        for f, mt in sorted(self.data.parquet_mtimes().items()):
+            if f not in referenced and mt <= cutoff:
+                self.data.delete_file(f)
                 removed.append(f)
-                d = os.path.dirname(p)
                 # drop now-empty partition directories (hive layouts);
                 # a concurrent writer can repopulate one between the
                 # listdir check and the rmdir — losing the cleanup race
-                # is fine, crashing the sweep is not
-                try:
-                    while d != self.root and not os.listdir(d):
-                        os.rmdir(d)
-                        d = os.path.dirname(d)
-                except OSError:
-                    pass
+                # is fine, crashing the sweep is not (no-op on object
+                # stores: they have no empty dirs)
+                self.data.prune_empty_dirs(f)
         self.log.clean_stale(cutoff)
         # reclaim crashed staging dirs: a writer that died between
         # Spark's staging write and the move-into-place loop leaves a
         # `_staging-*` dir that `_walk_parquet` (correctly) never
         # surfaces — without this sweep it would leak forever.
-        import shutil as _shutil
-
         for name in self._stale_staging_dirs(cutoff):
-            _shutil.rmtree(
-                os.path.join(self.root, name), ignore_errors=True
-            )
+            self.data.delete_tree(name)
             removed.append(name)
         return removed
 
@@ -4536,29 +4489,11 @@ class VersionedTable:
         newest mtime (not the dir's) means an in-flight write still
         producing files is never reclaimed even if it started long
         ago; entries moving mid-walk mark the owner as alive."""
-        stale = []
-        for name in sorted(os.listdir(self.root)):
-            if not name.startswith("_staging-"):
-                continue
-            p = os.path.join(self.root, name)
-            if not os.path.isdir(p):
-                continue
-            try:
-                newest = os.path.getmtime(p)
-                for dirpath, _dirs, files in os.walk(p):
-                    newest = max(
-                        newest,
-                        os.path.getmtime(dirpath),
-                        *(
-                            os.path.getmtime(os.path.join(dirpath, f))
-                            for f in files
-                        ),
-                    )
-            except OSError:
-                continue
-            if newest <= cutoff:
-                stale.append(name)
-        return stale
+        return [
+            name
+            for name, newest in sorted(self.data.staging_dirs().items())
+            if newest <= cutoff
+        ]
 
 
 def commit_drift_checked(

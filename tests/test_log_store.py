@@ -151,8 +151,38 @@ class FakeS3Client:
             self._enter("delete_object", apply)  # S3: 204 either way
         return {}
 
+    def copy_object(self, Bucket, Key, CopySource):
+        """Server-side copy like real S3: fresh bytes at the new key,
+        fresh LastModified, source untouched; NoSuchKey when the
+        source is missing."""
+        src_bucket, src_key = CopySource["Bucket"], CopySource["Key"]
+
+        def apply():
+            if self.backing is not None:
+                import shutil
+
+                sp, dp = self._bpath(src_key), self._bpath(Key)
+                os.makedirs(os.path.dirname(dp), exist_ok=True)
+                try:
+                    shutil.copyfile(sp, dp)
+                except (FileNotFoundError, IsADirectoryError):
+                    raise _FakeClientError("NoSuchKey") from None
+                return
+            if (src_bucket, src_key) not in self._objects:
+                raise _FakeClientError("NoSuchKey")
+            import time
+
+            self._objects[(Bucket, Key)] = self._objects[
+                (src_bucket, src_key)
+            ]
+            self._mtimes[(Bucket, Key)] = time.time()
+
+        with self._lock:
+            self._enter("copy_object", apply)
+        return {}
+
     def _listing(self, Bucket, Prefix):
-        """sorted [(key, mtime_epoch)] under the prefix."""
+        """sorted [(key, mtime_epoch, size)] under the prefix."""
         if self.backing is not None:
             out = []
             base = os.path.abspath(self.backing)
@@ -164,13 +194,19 @@ class FakeS3Client:
                     key = os.path.relpath(p, base)
                     if key.startswith(Prefix):
                         try:
-                            out.append((key, os.path.getmtime(p)))
+                            out.append(
+                                (
+                                    key,
+                                    os.path.getmtime(p),
+                                    os.path.getsize(p),
+                                )
+                            )
                         except OSError:
                             continue  # deleted mid-walk
             return sorted(out)
         return sorted(
-            (k, self._mtimes.get((b, k), 0.0))
-            for b, k in self._objects
+            (k, self._mtimes.get((b, k), 0.0), len(body))
+            for (b, k), body in self._objects.items()
             if b == Bucket and k.startswith(Prefix)
         )
 
@@ -184,7 +220,8 @@ class FakeS3Client:
         truncated = start + self.PAGE < len(entries)
         resp = {
             "Contents": [
-                {"Key": k, "LastModified": m} for k, m in page
+                {"Key": k, "LastModified": m, "Size": s}
+                for k, m, s in page
             ],
             "IsTruncated": truncated,
         }
