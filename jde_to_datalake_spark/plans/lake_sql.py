@@ -290,11 +290,24 @@ def _infer_prune_ranges(pred: str) -> "dict | None":
 
 
 class LakeSQL:
-    """SQL statement dispatcher over registered versioned tables."""
+    """SQL statement dispatcher over registered versioned tables.
 
-    def __init__(self, spark: SparkSession):
+    ``store_factory`` (optional) makes the STATEMENT surface
+    object-store-capable: a callable ``path -> {"log_store": ...,
+    "data_store": ...}`` (any subset) whose results are injected into
+    every table this session constructs from a ``LOCATION`` path
+    (``CREATE TABLE``, ``CONVERT TO VERSIONED``). Pre-built tables
+    arrive with their seams already bound via :meth:`register`;
+    without a factory, path construction keeps the POSIX default —
+    exactly :class:`VersionedTable`'s own behavior."""
+
+    def __init__(self, spark: SparkSession, store_factory=None):
         self.spark = spark
         self.tables: "dict[str, VersionedTable]" = {}
+        self.store_factory = store_factory
+
+    def _stores(self, path: str) -> dict:
+        return dict(self.store_factory(path)) if self.store_factory else {}
 
     def register(self, name: str, table: VersionedTable) -> None:
         if not re.fullmatch(_IDENT, name):
@@ -833,7 +846,7 @@ class LakeSQL:
         )
         if name in self.tables:
             raise ValueError(f"table {name!r} already registered")
-        t = VersionedTable(path)
+        t = VersionedTable(path, **self._stores(path))
         if pby and not query:
             raise ValueError(
                 "CREATE TABLE ... PARTITIONED BY requires AS SELECT "
@@ -875,6 +888,7 @@ class LakeSQL:
                 if pby
                 else None
             ),
+            **self._stores(path),
         )
         self.register(name, t)
         return self._version_df(t.latest_version())

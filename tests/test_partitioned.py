@@ -640,7 +640,10 @@ _POPS = st.lists(
 
 
 @settings(
-    max_examples=6,
+    # CI default 6; LAKE_PROP_EXAMPLES=N soaks at depth (pair with
+    # LAKE_PROP_STORE=s3 for the object-store leg — see
+    # test_versioned._prop_table)
+    max_examples=int(os.environ.get("LAKE_PROP_EXAMPLES", "6")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -650,7 +653,9 @@ def test_partitioned_op_sequences_match_dict_model(
 ):
     from collections import Counter as _C
 
-    table = VersionedTable(str(tmp_path_factory.mktemp("pvt") / "t"))
+    from tests.test_versioned import _prop_table
+
+    table = _prop_table(str(tmp_path_factory.mktemp("pvt") / "t"))
     model: "_C" = _C()  # MULTISET of (k, p, v): appends duplicate
     name = "v"  # current LOGICAL name of the value column
     snaps: dict[int, tuple] = {}  # version -> (model items, logical name)
@@ -739,7 +744,7 @@ def test_partitioned_op_sequences_match_dict_model(
             # lands exactly once
             if empty:
                 continue
-            other = VersionedTable(table.root)
+            other = _prop_table(table.root)
             ik = 100 + stamp
             fired = {"done": False}
             real_once = table._publish_once

@@ -166,6 +166,35 @@ from hypothesis import strategies as st
 
 from jde_to_datalake_spark.sources.versioned import VersionedTable as VT
 
+
+def _prop_table(path: str) -> VT:
+    """Table handle for the op-sequence net. ``LAKE_PROP_STORE=s3``
+    runs the SAME net with both planes — commit records and data
+    files — through the object-store adapters over the backing-mode
+    S3 fake (each call builds a fresh client: separate handles on one
+    root = separate boto3 connections to one bucket). CI default is
+    the POSIX leg; soak sessions are recorded in NOTES.md."""
+    if os.environ.get("LAKE_PROP_STORE") == "s3":
+        from jde_to_datalake_spark.sources.log_store import (
+            S3DataFileStore,
+            S3ObjectLogStore,
+        )
+        from tests.test_log_store import FakeS3Client
+
+        client = FakeS3Client(backing="/")
+        log = S3ObjectLogStore("bkt", path, client)
+        log.RETRY_SLEEP = 0
+        data = S3DataFileStore("bkt", path, client, uri_base=path)
+        data.RETRY_SLEEP = 0
+        os.makedirs(path, exist_ok=True)
+        return VT(path, log_store=log, data_store=data)
+    return VT(path)
+
+
+#: CI default 8; LAKE_PROP_EXAMPLES=N soaks the op-sequence net at
+#: depth (pair with LAKE_PROP_STORE=s3 for the object-store leg)
+_PROP_EXAMPLES = int(os.environ.get("LAKE_PROP_EXAMPLES", "8"))
+
 _OPS = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
@@ -190,7 +219,7 @@ _OPS = st.lists(
 
 
 @settings(
-    max_examples=8,
+    max_examples=_PROP_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -215,7 +244,7 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
     physical one."""
     import collections as _c
 
-    table = VT(str(tmp_path_factory.mktemp("vt") / "t"))
+    table = _prop_table(str(tmp_path_factory.mktemp("vt") / "t"))
     model: "_c.Counter" = _c.Counter()  # multiset of (k, v)
     name = "v"  # current LOGICAL name of the value column
     # (model state, logical name) at each still-restorable version
@@ -297,7 +326,7 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             # let BOTH land (key ranges disjoint -> they commute)
             if empty:
                 continue
-            other = VT(table.root)
+            other = _prop_table(table.root)
             ik = 100 + stamp
             fired = {"done": False}
             real_once = table._publish_once
@@ -335,7 +364,7 @@ def test_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
             # retries, the merge must land EXACTLY ONCE either way.
             if empty:
                 continue
-            other = VT(table.root)
+            other = _prop_table(table.root)
             ik = 100 + stamp
             fired = {"done": False}
             real_once = table._publish_once

@@ -265,6 +265,47 @@ def test_vacuum_sweep_faults_defer_not_fail(spark, tmp_path, make_table):
     assert set(make_table.data(root).walk_parquet()) == live
 
 
+def test_lake_sql_statements_on_object_store(spark, tmp_path, make_table):
+    """The LakeSQL statement surface constructs its LOCATION tables
+    through ``store_factory``, so CREATE/INSERT/DELETE/SELECT/VACUUM
+    drive the object-store adapters end-to-end."""
+    if make_table.leg != "s3":
+        pytest.skip("statement-surface store injection is the s3 leg")
+    from jde_to_datalake_spark.plans.lake_sql import LakeSQL
+
+    root = str(tmp_path / "sqltbl")
+
+    def factory(path):
+        log = S3ObjectLogStore(
+            "bkt", path, make_table.client_for(path, "log")
+        )
+        log.RETRY_SLEEP = 0
+        return {"log_store": log, "data_store": make_table.data(path)}
+
+    lake = LakeSQL(spark, store_factory=factory)
+    spark.createDataFrame(
+        [Row(k=i, v=f"v{i}") for i in range(8)]
+    ).createOrReplaceTempView("src8")
+    lake.sql(f"CREATE TABLE t LOCATION '{root}' AS SELECT * FROM src8")
+    assert lake.tables["t"].data is not None
+    data_client = make_table.client_for(root)
+    assert data_client.calls.get("copy_object", 0) >= 1, (
+        "CTAS staging adoption should go through CopyObject"
+    )
+    lake.sql("INSERT INTO t SELECT k + 100 AS k, v FROM src8")
+    assert lake.sql("SELECT * FROM t").count() == 16
+    lake.sql("DELETE FROM t WHERE k >= 104")
+    assert lake.sql("SELECT * FROM t").count() == 12
+    lake.sql("VACUUM t RETAIN 0 HOURS")
+    live = set(
+        lake.tables["t"]._manifest(lake.tables["t"].latest_version())[
+            "files"
+        ]
+    ) | set(lake.tables["t"].dv_files())
+    assert set(make_table.data(root).walk_parquet()) <= live
+    assert data_client.calls.get("list_objects_v2", 0) >= 1
+
+
 # -- DataFileStore contract ---------------------------------------------
 
 
