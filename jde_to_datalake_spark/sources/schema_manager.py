@@ -120,25 +120,28 @@ class SchemaRegistry:
         "schema_definition string, created_at string"
     )
 
-    def __init__(self, path: str, store=None):
-        from jde_to_datalake_spark.sources.log_store import PosixLogStore
+    def __init__(self, path: str, store=None, payloads=None):
+        from jde_to_datalake_spark.sources.log_store import (
+            PosixLogStore,
+            PosixPayloadStore,
+        )
 
         self.path = path
         self.store = store or PosixLogStore(path)
+        # payload plane only for legacy-layout detection (loose
+        # parquet files at the root) — inject beside ``store`` on an
+        # object-store deployment
+        self.payloads = payloads or PosixPayloadStore(path)
 
     def _records(self) -> list[dict]:
         versions = self.store.list_versions()
         if not versions:
             # refuse to silently treat a PRE-log parquet registry as
             # empty (next save would re-claim version 1)
-            import os
-
-            try:
-                legacy = any(
-                    f.endswith(".parquet") for f in os.listdir(self.path)
-                )
-            except OSError:
-                legacy = False
+            legacy = any(
+                f.endswith(".parquet")
+                for f in self.payloads.root_files()
+            )
             if legacy:
                 raise RuntimeError(
                     f"{self.path}: found a pre-log schema-registry "

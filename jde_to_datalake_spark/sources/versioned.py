@@ -4436,9 +4436,9 @@ class VersionedTable:
         # its predecessors (possibly including the checkpoint it
         # reconstructs from) are about to be deleted. Augmenting a
         # delta record with its own checkpoint adds no new meaning
-        # (the state is derived from the log being trimmed), and
-        # os.replace keeps readers atomic — they see the old record or
-        # the augmented one, never a torn file.
+        # (the state is derived from the log being trimmed), and the
+        # store's replace() is reader-atomic — they see the old record
+        # or the augmented one, never a torn file.
         if dry_run:
             cutoff = time.time() - retention_seconds
             return [

@@ -901,7 +901,15 @@ def checkpoint_covered_version(checkpoint_dir: str) -> "int | None":
     This is the catch-up loop's cursor: it reads Structured Streaming's
     documented checkpoint layout (``offsets/<batchId>`` /
     ``commits/<batchId>``), and the offset payload is this source's own
-    ``{"version": N}`` dict."""
+    ``{"version": N}`` dict.
+
+    Deployment note: the checkpoint is read through LOCAL filesystem
+    APIs — run the catch-up driver where the checkpoint location is
+    mounted (the normal arrangement: the catch-up loop and the stream
+    it hands off to share one checkpoint dir). A checkpoint on a
+    remote Hadoop filesystem is Spark-managed state this helper does
+    not reach; there, drive ``catch_up_chunked`` with an explicit
+    cursor instead."""
     import json as _json
 
     commits = os.path.join(checkpoint_dir, "commits")
