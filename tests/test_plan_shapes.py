@@ -158,6 +158,28 @@ def test_exchange_budget(spark, name, max_exchanges):
     assert got <= max_exchanges, f"{name}: {got} exchanges > {max_exchanges}"
 
 
+def test_sketch_suite_percentiles_not_rekeyed_by_distinct(spark):
+    """Round 12: the exact count-distinct runs as its own aggregation
+    joined back on the group key. Mixed into the main agg, Spark's
+    single-distinct rewrite re-keys the WHOLE first aggregation level
+    by (l_returnflag, l_suppkey) — the exact-percentile accumulators
+    get built per (group x suppkey) micro-group and pairwise-merged,
+    roughly doubling the ObjectHashAggregate update+merge work
+    (measured 2.58s -> 1.40s at sf0.1 when split). This pins that no
+    percentile function is evaluated under a (returnflag, suppkey)
+    grouping, and that the distinct side attaches as a broadcast
+    join rather than re-entering the percentile pipeline."""
+    import re
+
+    plan = _executed(spark, "sketch_suite")
+    assert not re.search(
+        r"keys=\[l_returnflag[^\]]*l_suppkey[^\]]*\],\s*functions=\[[^\]]*percentile",
+        plan,
+    ), plan
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_corpus_pipeline_op_shapes(spark):
     """The non-registry training-pipeline ops keep their scale shapes:
     no cartesian/BNLJ anywhere, and bounded exchanges — sequence_pack's
