@@ -65,6 +65,14 @@ def get_spark(
         # 2.176s -> 2.067s total, every query <= baseline.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # everything the engine WRITES (lake commits, training shards,
+        # exports) compresses with zstd: A/B at sf0.1 (lineitem) -20%
+        # bytes vs snappy (8.64 vs 10.76 MB) for +6% warm write time,
+        # warm read-back at parity or better (0.262 vs 0.291 s). At
+        # lake scale the byte saving compounds across every scan of
+        # every written file (guide: I/O and file layout). Inputs are
+        # whatever codec they arrived in; this only picks the output.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         # the default 100-entry compiled-class cache thrashes when a
         # long-lived session serves a many-query registry (each big
