@@ -634,8 +634,8 @@ def exact_substring_dedup(
        intervals — one row-local projection over the sorted interval
        array.
 
-    The shuffled payload is (id, pos, 32-hex md5) per window — never
-    the window text. Output: (id, text, n_tokens, n_dup_tokens); a
+    The shuffled payload is (id, pos, 16-byte binary md5) per window —
+    never the window text. Output: (id, text, n_tokens, n_dup_tokens); a
     fully duplicated doc keeps its row with text='' (callers see the
     cut). Documents with NOTHING to cut keep their ORIGINAL text
     byte-for-byte (including shorter-than-``min_len`` docs and
@@ -680,10 +680,16 @@ def exact_substring_dedup(
         .select(
             F.col(id_col),
             F.col("start"),
-            F.md5(
-                F.array_join(
-                    F.slice(F.col("__toks"), F.col("start"), F.lit(L)), " "
-                ).cast("binary")
+            # unhex: 16-byte binary key instead of the 32-char hex
+            # string — same grouping/join decisions, half the key
+            # bytes on this operator's dominant shuffle (the window
+            # relation is ~1 row per corpus token)
+            F.unhex(
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("__toks"), F.col("start"), F.lit(L)), " "
+                    ).cast("binary")
+                )
             ).alias("__h"),
         )
     )
