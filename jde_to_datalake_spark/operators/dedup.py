@@ -55,13 +55,28 @@ def exact_dedup(
 
     Returns one row per distinct content: (fingerprint, keeper_id,
     n_dups). Scale: single shuffle on the hash; map-side partial agg.
+    The shuffle key is the 32-byte BINARY digest (unhex of the hex
+    fingerprint — injective, so grouping is unchanged); the public
+    lowercase-hex ``fingerprint`` column is reconstructed after the
+    aggregation (lower(hex(unhex(x))) == x for sha2's lowercase hex,
+    NULL rides through every step), so only half the key bytes cross
+    the operator's single exchange — the dominant relation is one row
+    per document at any scale.
     """
     return (
-        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
-        .groupBy("fingerprint")
+        docs.select(
+            F.col(id_col),
+            F.unhex(fingerprint(F.col(text_col))).alias("__fpb"),
+        )
+        .groupBy("__fpb")
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(
+            F.lower(F.hex("__fpb")).alias("fingerprint"),
+            "keeper_id",
+            "n_dups",
         )
     )
 
@@ -375,7 +390,14 @@ def minhash_lsh_pairs(
     ).select(
         id_col,
         F.col("bb.band").alias("band"),
-        F.col("bb.band_hash").alias("band_hash"),
+        # 16-byte binary bucket key instead of the 32-char md5 hex
+        # string: unhex is injective on md5 output, the key never
+        # reaches the output, so bucket membership — and the verified
+        # pair set — is unchanged while the bucket exchange carries
+        # half the key bytes. (The PERSISTED band-index artifact keeps
+        # hex via _bands_arr — this narrows only the batch-LSH
+        # bucket shuffle.)
+        F.unhex(F.col("bb.band_hash")).alias("band_hash"),
     )
     # Candidate pairs WITHOUT a self-join: group ids per (band, bucket)
     # and enumerate in-bucket pairs from the sorted id list. One
