@@ -146,12 +146,20 @@ def sequence_pack(
         )
     )
     if shuffle_salt is not None:
+        # 32-byte BINARY order key instead of the 64-char sha2 hex
+        # string: unsigned byte order of the digest equals the hex
+        # string's lexicographic order (the nibble -> hex-char map is
+        # monotone), so the induced stream order — and the packing —
+        # is identical, while the range exchange, the checkpoint
+        # blocks, and the window sort carry half the key bytes.
         counts = counts.withColumn(
             "__ord",
-            F.sha2(
-                F.concat_ws("\x1f", F.col(id_col).cast("string"),
-                            F.lit(shuffle_salt)),
-                256,
+            F.unhex(
+                F.sha2(
+                    F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                                F.lit(shuffle_salt)),
+                    256,
+                )
             ),
         )
         order_cols = [F.col("__ord"), F.col(id_col)]
