@@ -1009,6 +1009,9 @@ _PLAN_CACHE_SKIP = {
     "sequence_pack",
     "passage_dedup",
     "fuzzy_join",
+    # round 13: corpus_filters localCheckpoints its shared tokenized
+    # base (one scan + split feeding all seven metric branches)
+    "corpus_filters",
     # substring_dedup left OUT of the skip set: its default plan
     # recomputes the window relation instead of checkpointing it
     # (see exact_substring_dedup(materialize_windows=False)), so the

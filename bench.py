@@ -61,6 +61,12 @@ for _name in (
     "substring_dedup",      # round 4: exact-substring dedup
     "text_quality",
     "ann_suite",
+    # round 13 additions (additions-only; existing entries unchanged):
+    # the two most expensive all-registry queries were previously
+    # driver-invisible — sketch_suite carried round 12's -46% distinct
+    # split and corpus_filters is the largest never-benched path.
+    "sketch_suite",
+    "corpus_filters",
 ):
     HEADLINE.append(_name)
 
@@ -193,6 +199,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # self-evidence that $SPARK_GRAFT_CPUS reached the session
+        # (additions-only; the round-12 scaling probe could not verify
+        # the core-count contract from the output alone): the effective
+        # master, scheduler parallelism and shuffle sizing as the JVM
+        # actually runs them, not as the env var requested them.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
     }
 
     sec_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SECONDARY", "/root/testdata/sf0.01")

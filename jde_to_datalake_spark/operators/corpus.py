@@ -449,6 +449,8 @@ def decontamination_hits(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    doc_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document count of distinct n-gram shingles shared with a
     held-out benchmark set: (id, n_eval_hits).
@@ -458,11 +460,23 @@ def decontamination_hits(
     side never shuffles: scan → row-local shingle explode → broadcast
     hash join → partial-agg count. Docs with no hit are absent (join
     is inner); callers left-join and coalesce to 0.
+
+    ``doc_shingles`` / ``eval_shingles``: prebuilt ``(id, shingle)`` /
+    ``(shingle,)``-compatible relations for the same inputs — callers
+    that already hold a shared tokenized base (filter_report with
+    ``toked``) pass both so the tokenize+gram pipeline is not
+    re-derived per side.
     """
-    eval_sh = shingles(eval_docs, n=n, text_col=text_col, id_col=id_col).select(
-        "shingle"
-    ).distinct()
-    doc_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    eval_sh = (
+        eval_shingles
+        if eval_shingles is not None
+        else shingles(eval_docs, n=n, text_col=text_col, id_col=id_col)
+    ).select("shingle").distinct()
+    doc_sh = (
+        doc_shingles
+        if doc_shingles is not None
+        else shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    )
     return (
         doc_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy(id_col)
@@ -523,6 +537,7 @@ def filter_report(
     shingle_n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toked: DataFrame | None = None,
 ) -> DataFrame:
     """The full corpus-filter report: repetition + PII + avg-token-len
     metrics in ONE zero-shuffle projection over the documents scan,
@@ -533,11 +548,22 @@ def filter_report(
     ``is_eval_col`` is the membership predicate Column that defines
     ``eval_docs`` (evaluated per-row, so no join is needed for the
     flag itself).
+
+    ``toked``: a prebuilt — ideally checkpointed — ``(id, text,
+    __toks)`` tokenization of ``docs``. When given, EVERY branch
+    (metrics projection, corpus-side shingles, eval-side shingles)
+    derives from it instead of re-scanning + re-splitting the corpus;
+    the eval shingle set is then ``is_eval_col``-filtered from the
+    corpus-side shingles, which is exactly the membership relation
+    ``eval_docs`` encodes (same rows, one gram pipeline instead of
+    two).
     """
     t = F.col(text_col)
-    toked = spread(docs).select(
-        F.col(id_col), t, tokens(t).alias("__toks")
-    )
+    shared = toked is not None
+    if not shared:
+        toked = spread(docs).select(
+            F.col(id_col), t, tokens(t).alias("__toks")
+        )
     tk = F.col("__toks")
     n = F.size(tk)
     bg = _bigrams(tk)
@@ -560,9 +586,18 @@ def filter_report(
         F.length(redact(t)).cast("bigint").alias("redacted_len"),
         (tok_len_sum / n).alias("avg_token_len"),
     )
-    hits = decontamination_hits(
-        docs, eval_docs, n=shingle_n, text_col=text_col, id_col=id_col
-    ).withColumnRenamed(id_col, "__hit_id")
+    if shared:
+        doc_sh = shingles(
+            docs, n=shingle_n, text_col=text_col, id_col=id_col, toked=toked
+        )
+        hits = decontamination_hits(
+            docs, eval_docs, n=shingle_n, text_col=text_col, id_col=id_col,
+            doc_shingles=doc_sh, eval_shingles=doc_sh.filter(is_eval_col),
+        ).withColumnRenamed(id_col, "__hit_id")
+    else:
+        hits = decontamination_hits(
+            docs, eval_docs, n=shingle_n, text_col=text_col, id_col=id_col
+        ).withColumnRenamed(id_col, "__hit_id")
     out = metrics.join(
         hits, F.col(id_col) == F.col("__hit_id"), "left"
     ).drop("__hit_id")
@@ -583,7 +618,10 @@ def filter_report(
 
 
 def token_df_counts(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toked: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus document frequency per token: (tok, df) where df = the
     number of documents containing the token at least once.
@@ -595,14 +633,19 @@ def token_df_counts(
     token; the result is vocabulary-scale (millions of rows at 100 TB,
     metadata next to the corpus).
     """
-    return (
-        spread(docs)
-        .select(
+    src = (
+        toked.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col("__toks"))).alias("tok"),
+        )
+        if toked is not None
+        else spread(docs).select(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
         )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    return src.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
 
 
@@ -612,6 +655,7 @@ def rarity_metrics(
     rare_df_threshold: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toked: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style per-document rarity signals from corpus document
     frequencies: over the document's token OCCURRENCES,
@@ -633,13 +677,21 @@ def rarity_metrics(
     back to doc grain.
     """
     if df_counts is None:
-        df_counts = token_df_counts(docs, text_col=text_col, id_col=id_col)
+        df_counts = token_df_counts(
+            docs, text_col=text_col, id_col=id_col, toked=toked
+        )
     # explode_OUTER keeps a NULL-token row for token-less (NULL-text)
     # docs, so every document reaches the aggregation in ONE scan —
     # no second docs scan, no extra doc-keyed join (review finding)
-    occ = spread(docs).select(
-        F.col(id_col),
-        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    occ = (
+        toked.select(
+            F.col(id_col), F.explode_outer(F.col("__toks")).alias("tok")
+        )
+        if toked is not None
+        else spread(docs).select(
+            F.col(id_col),
+            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+        )
     )
     # LEFT join with missing df -> 0: with a PRECOMPUTED frequency
     # table, tokens the index has never seen are exactly the maximally

@@ -82,7 +82,11 @@ def exact_dedup(
 
 
 def with_shingle_col(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toked: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sh_arr): distinct token n-gram shingles per doc, row-local.
 
@@ -105,12 +109,23 @@ def with_shingle_col(
     Docs with < n tokens are dropped by the CHEAP pre-filter (not a
     filter on sh_arr, which pushdown would inline below the spread()
     exchange, serializing the work onto the scan partition).
+
+    ``toked``: a prebuilt (ideally checkpointed) ``(id, __toks)``
+    tokenization of the SAME docs — callers sharing one tokenize pass
+    across several consumers (the corpus_filters shape) pass it so the
+    scan + split run once, not once per branch. The < n filter then
+    runs on the materialized array, which is cheaper than re-splitting.
     """
-    toked = (
-        spread(docs)
-        .filter(F.size(tokens(F.col(text_col))) >= n)
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    )
+    if toked is not None:
+        toked = toked.filter(F.size(F.col("__toks")) >= n).select(
+            F.col(id_col), "__toks"
+        )
+    else:
+        toked = (
+            spread(docs)
+            .filter(F.size(tokens(F.col(text_col))) >= n)
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        )
     return toked.select(
         F.col(id_col), _gram_col(n).alias("sh_arr")
     )
@@ -135,7 +150,11 @@ def _gram_col(n: int):
 
 
 def shingles(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toked: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct token n-gram shingles per doc: (id, shingle).
 
@@ -150,7 +169,7 @@ def shingles(
     themselves are concat_ws results, never null).
     """
     return (
-        with_shingle_col(docs, n, text_col, id_col)
+        with_shingle_col(docs, n, text_col, id_col, toked=toked)
         .select(F.col(id_col), F.explode_outer("sh_arr").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )

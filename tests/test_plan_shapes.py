@@ -180,6 +180,28 @@ def test_sketch_suite_percentiles_not_rekeyed_by_distinct(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_corpus_filters_single_scan_shared_base(spark):
+    """Round 13: every corpus_filters branch (metrics, corpus/eval
+    shingles, occurrences, token-df, bloom probe + bench keys) reads
+    the ONE lazily-checkpointed (doc_id, text, __toks) base instead of
+    re-scanning + re-splitting documents.parquet per branch (the
+    pre-r13 plan had SEVEN parquet scans, six of them re-tokenizing).
+    The parquet scan happens exactly once, inside the checkpoint
+    materialization — so the query plan itself must contain no parquet
+    scan at all, only ExistingRDD reads of the base."""
+    plan = _executed(spark, "corpus_filters")
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "Scan ExistingRDD" in plan
+    # tokenization must not be re-derived from text in any branch:
+    # split() may appear only where text itself is the operand of a
+    # row-local quality feature, never as a shingle/token source
+    # (those read the materialized __toks column). The gram transform
+    # references __toks; assert no branch re-splits for exploding.
+    for frag in plan.split("Generate ")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "split(" not in head, head
+
+
 def test_corpus_pipeline_op_shapes(spark):
     """The non-registry training-pipeline ops keep their scale shapes:
     no cartesian/BNLJ anywhere, and bounded exchanges — sequence_pack's
