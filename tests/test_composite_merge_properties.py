@@ -66,6 +66,7 @@ def merge_ops(draw):
     return ops
 
 
+@pytest.mark.soak
 @HS
 @given(ops=merge_ops())
 def test_composite_merges_match_dict_model(spark, tmp_path_factory, ops):

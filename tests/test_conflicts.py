@@ -330,6 +330,7 @@ def test_reconciled_merge_inherits_interloper_dv_state(
     assert len(got) == 99
 
 
+@pytest.mark.soak
 def test_threaded_disjoint_writers_never_lose_an_update(spark, table, make_table):
     """Two REAL concurrent writer threads hammer disjoint key ranges
     of one clustered table (plus a third appending). With retries as

@@ -145,6 +145,7 @@ def test_two_hop_chain_bronze_silver_gold(spark, tmp_path):
     }
 
 
+@pytest.mark.soak
 def test_chunked_cold_start_bounds_each_run(spark, tmp_path):
     """Round-6 judge item #3: a cold start over a long history must
     process in <= N-file availableNow runs (the Python source API has

@@ -23,7 +23,10 @@ SWEEP = [
     "collect_group_array",
     "text_neardup_suite",
     "embedding_dedup_suite",
-    "snapshot_diff",
+    # snapshot_diff runs the full cached-lake DML workout (~15 s even
+    # with the fixture warm): partitioning-invariance on it is a sweep
+    # leg, soak-tiered; the other 16 sweep queries stay default
+    pytest.param("snapshot_diff", marks=pytest.mark.soak),
     "ann_suite",
     "sampling_suite",
     "substring_dedup",

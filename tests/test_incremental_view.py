@@ -224,6 +224,7 @@ def _mm_maintained(spark, iv):
     }
 
 
+@pytest.mark.soak
 def test_minmax_maintained_across_every_mutation_kind(spark, tmp_path):
     """Inserts fold (can only improve the extreme); a delete of the
     extreme forces the touched-group recompute; a delete of a
@@ -317,6 +318,7 @@ def test_minmax_init_from_slice_with_internal_deletes(spark, tmp_path):
     assert iv.refresh(spark)["mode"] == "noop"
 
 
+@pytest.mark.soak
 def test_minmax_streamed_maintenance(spark, tmp_path):
     from jde_to_datalake_spark.plans.incremental_view import (
         maintain_view_stream,
@@ -412,6 +414,7 @@ def test_old_state_prune_cap_falls_back_to_full_read(spark, tmp_path):
     assert _maintained(spark, iv) == _recompute(spark, base)
 
 
+@pytest.mark.soak
 def test_chunked_view_cold_start_matches_recompute(spark, tmp_path):
     """maintain_view_stream(max_files_per_run=N): a from-scratch view
     build over a long change-feed history runs as several bounded

@@ -202,6 +202,50 @@ def test_corpus_filters_single_scan_shared_base(spark):
         assert "split(" not in head, head
 
 
+def test_shuffled_hash_join_still_splits_skew(spark):
+    """Round 13 guard for the round-12 session conf
+    ``spark.sql.join.preferSortMergeJoin=false``: the argued safety of
+    preferring shuffled-hash joins was that AQE's skew-join splitting
+    applies to SHJ exactly as to sort-merge, so a hot key cannot pin
+    one build-side partition. This turns that argument into evidence:
+    a deliberately skewed join (92% of the big side on one key) that
+    the planner executes as ShuffledHashJoin must come out of AQE with
+    the skewed partition split (skew=true on the join node and a
+    skewed AQEShuffleRead on the big side)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        # keep the skew detectable at test scale: the 256 MB default
+        # threshold is a production constant, not part of the claim
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # no broadcast escape hatch: the join must shuffle both sides
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+        big = spark.range(0, 300000).select(
+            F.when(F.col("id") % 13 == 0, F.col("id") % 97)
+            .otherwise(F.lit(0)).alias("k"),
+            F.lpad(F.col("id").cast("string"), 48, "x").alias("pad"),
+        )
+        small = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(small.hint("SHUFFLE_HASH"), "k").select("k")
+        assert len(j.collect()) == 300000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin(skew=true)" in plan, plan[:1500]
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_corpus_pipeline_op_shapes(spark):
     """The non-registry training-pipeline ops keep their scale shapes:
     no cartesian/BNLJ anywhere, and bounded exchanges — sequence_pack's

@@ -29,6 +29,11 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# op-sequence property net over the whole pointer plane: a soak
+# tool meant for repeated opt-in runs after ledger/watermark/
+# log_store edits (fresh examples each run), not the default gate
+pytestmark = pytest.mark.soak
+
 from jde_to_datalake_spark.plans.ledger import IdempotencyLedger
 from jde_to_datalake_spark.sources.incremental import Watermark
 from jde_to_datalake_spark.sources.log_store import (

@@ -403,6 +403,7 @@ def test_merge_conflict_retries_rederive_serialized_outcome(
     assert got == {1: "done", 5: "pending"}
 
 
+@pytest.mark.soak
 def test_many_dispatchers_with_retries_lose_no_rows(
     spark, tmp_path, make_store
 ):

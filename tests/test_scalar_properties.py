@@ -271,6 +271,7 @@ def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
         max_size=25,
     )
 )
+@pytest.mark.soak
 def test_duplicate_clusters_matches_union_find(spark, edges):
     from jde_to_datalake_spark.operators.dedup import duplicate_clusters
 

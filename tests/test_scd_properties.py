@@ -13,6 +13,7 @@ comparison exact."""
 
 from __future__ import annotations
 
+import pytest
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -71,6 +72,7 @@ def _model_apply(rows: list, batch: dict) -> None:
                 rows.append([k, attr, ts, None, True])
 
 
+@pytest.mark.soak
 @HS
 @given(batches=_BATCHES)
 def test_scd2_sequences_match_dict_model(spark, tmp_path_factory, batches):

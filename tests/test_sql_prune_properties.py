@@ -101,6 +101,7 @@ def predicate(draw):
     return out
 
 
+@pytest.mark.soak
 @HS
 @given(pred=predicate())
 def test_delete_matches_spark_filter_exactly(spark, tmp_path_factory, pred):
@@ -124,6 +125,7 @@ def test_delete_matches_spark_filter_exactly(spark, tmp_path_factory, pred):
     )
 
 
+@pytest.mark.soak
 @HS
 @given(pred=predicate())
 def test_update_restamps_spark_filter_exactly(spark, tmp_path_factory, pred):

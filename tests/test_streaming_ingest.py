@@ -550,6 +550,7 @@ def test_checkpoint_recreation_rotates_app_id(spark, tmp_path):
     }
 
 
+@pytest.mark.soak
 def test_sharded_bloom_beyond_broadcast_ceiling(spark, tmp_path):
     """Round-5 judge item #1: a filter LARGER than the broadcast
     ceiling must never collect to the driver — the loop switches to
@@ -896,6 +897,7 @@ def test_metrics_row_exactly_once_and_true_on_replay(spark, tmp_path):
     assert metrics.read(spark).count() == 1
 
 
+@pytest.mark.soak
 def test_bloom_filter_versions_vacuumed_and_public_compaction(
     spark, tmp_path
 ):

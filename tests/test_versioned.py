@@ -1510,6 +1510,7 @@ def test_delete_where_retries_rematch_on_the_fresh_snapshot(spark, tmp_path):
     assert {r.k for r in t2.read(spark).collect()} == {1}
 
 
+@pytest.mark.soak
 def test_commit_record_size_is_o_changed_not_o_table(spark, tmp_path):
     """Round-7 lead item: the log stores per-commit DELTA records, so
     commit metadata is O(changed files) — after 100 one-file appends a

@@ -13,6 +13,7 @@ generated too (count vs count(col) vs sum skip-null semantics)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -89,6 +90,7 @@ def _recompute(spark, base):
     }
 
 
+@pytest.mark.soak
 @HS
 @given(ops=_OPS)
 def test_view_refresh_equals_recompute_after_every_op(
