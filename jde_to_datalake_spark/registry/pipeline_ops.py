@@ -596,6 +596,67 @@ FROM ({ORACLE_TOP_NGRAMS})
 """
 
 
+def _exact_percentile_by_group(
+    df: DataFrame, group_col: str, value_expr: str, p: float, alias: str
+) -> DataFrame:
+    """Exact ``percentile(value, p)`` per group via a window sort —
+    bit-for-bit the value Spark's Percentile aggregate produces
+    (verified empirically: interpolation is
+    ``(hi - pos) * v[lo] + (pos - lo) * v[hi]`` with
+    ``pos = p * (n - 1)`` over the sorted non-null values, early-out
+    to ``v[lo]`` when ``hi == lo`` or the two values are equal; NULLs
+    are ignored; an empty/all-null group emits no row, so a left join
+    reproduces the aggregate's NULL).
+
+    Why not the ``percentile`` aggregate: its state is a per-group
+    value->count OpenHashMap updated row-at-a-time in
+    ObjectHashAggregate. For a near-distinct value column that map is
+    data-sized — measured at sf0.1, ``percentile(l_extendedprice,
+    0.25)`` alone costs 1.12 s while the whole-relation codegen
+    window sort + two-row pick costs 0.73 s (guide §1.2 per-task
+    work). For LOW-cardinality values (l_quantity: 50 distinct) the
+    counts map is tiny and the aggregate wins (0.18 s vs 0.52 s) —
+    callers keep those in the main agg and route only the
+    near-distinct columns here.
+    """
+    from pyspark.sql import Window
+
+    v = F.expr(value_expr)
+    vals = df.select(group_col, v.alias("__v")).where(F.col("__v").isNotNull())
+    w = Window.partitionBy(group_col).orderBy("__v")
+    wn = Window.partitionBy(group_col)
+    pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+    picked = (
+        vals.select(
+            group_col,
+            "__v",
+            (F.row_number().over(w) - 1).alias("__rn"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        .withColumn("__pos", pos)
+        .withColumn("__lo", F.floor(F.col("__pos")).cast("long"))
+        .withColumn("__hi", F.ceil(F.col("__pos")).cast("long"))
+        .where(
+            (F.col("__rn") == F.col("__lo")) | (F.col("__rn") == F.col("__hi"))
+        )
+    )
+    aggd = picked.groupBy(group_col).agg(
+        F.min(F.when(F.col("__rn") == F.col("__lo"), F.col("__v"))).alias("__lov"),
+        F.min(F.when(F.col("__rn") == F.col("__hi"), F.col("__v"))).alias("__hiv"),
+        F.first("__pos").alias("__p"),
+        F.first("__lo").alias("__l"),
+        F.first("__hi").alias("__h"),
+    )
+    res = F.when(
+        (F.col("__h") == F.col("__l")) | (F.col("__lov") == F.col("__hiv")),
+        F.col("__lov"),
+    ).otherwise(
+        (F.col("__h").cast("double") - F.col("__p")) * F.col("__lov")
+        + (F.col("__p") - F.col("__l").cast("double")) * F.col("__hiv")
+    )
+    return aggd.select(group_col, res.alias(alias))
+
+
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 sketch tier, oracled the honest way (round-4 judge
     directive): each `approx_count_distinct` (HyperLogLog++) and
@@ -630,6 +691,20 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count is the same dedup computation, just not dragging
     the percentile pipeline through the distinct rewrite (null-filter
     + coalesce keep COUNT(DISTINCT)'s null semantics).
+
+    Round 13 (optimization): the near-distinct exact percentile
+    (l_extendedprice p25 — ~1 distinct value per row) moves out of
+    the ObjectHashAggregate into :func:`_exact_percentile_by_group`
+    (codegen window sort + two-row pick), attached by the same
+    null-safe broadcast-join pattern as the distinct count. The
+    LOW-cardinality percentile (l_quantity p50 — 50 distinct values,
+    tiny counts map) stays in the main agg where the aggregate is
+    cheaper than a sort. Values are bit-identical (the helper
+    reproduces Percentile's interpolation exactly; verified at
+    sf0.001/0.01/0.1 plus adversarial doubles). Measured interleaved
+    at sf0.1: 1.654 s -> 1.200 s min-of-5 (-27%); the isolated agg
+    A/B is 1.12 s (percentile) vs 0.73 s (window) for the price
+    column, 0.18 s vs 0.52 s for the qty column — hence the split.
     """
     li = load_table(spark, sf_dir, "lineitem")
     g = li.groupBy("l_returnflag").agg(
@@ -637,14 +712,15 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").alias(
             "qty_p50_exact"
         ),
-        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)").alias(
-            "price_p25_exact"
-        ),
         F.approx_count_distinct("l_suppkey", 0.02).alias("__acd"),
         F.expr(
             "approx_percentile(CAST(l_quantity AS DOUBLE), 0.5, 10000)"
         ).alias("__ap50"),
     )
+    p25 = _exact_percentile_by_group(
+        li, "l_returnflag", "CAST(l_extendedprice AS DOUBLE)", 0.25,
+        "price_p25_exact",
+    ).withColumnRenamed("l_returnflag", "__rf2")
     # COUNT(DISTINCT x) semantics exactly: nulls don't count, and a
     # group whose x is all-null counts 0 (hence the filter + coalesce)
     cd = (
@@ -655,10 +731,16 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n_supp"))
         .withColumnRenamed("l_returnflag", "__rf")
     )
-    g = g.join(
-        F.broadcast(cd), g.l_returnflag.eqNullSafe(F.col("__rf")), "left"
-    ).withColumn(
-        "n_supp_exact", F.coalesce(F.col("__n_supp"), F.lit(0).cast("long"))
+    g = (
+        g.join(
+            F.broadcast(cd), g.l_returnflag.eqNullSafe(F.col("__rf")), "left"
+        )
+        .join(
+            F.broadcast(p25), g.l_returnflag.eqNullSafe(F.col("__rf2")), "left"
+        )
+        .withColumn(
+            "n_supp_exact", F.coalesce(F.col("__n_supp"), F.lit(0).cast("long"))
+        )
     )
     return g.select(
         "l_returnflag",

@@ -180,6 +180,24 @@ def test_sketch_suite_percentiles_not_rekeyed_by_distinct(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_sketch_suite_near_distinct_percentile_runs_as_window(spark):
+    """Round 13: the near-distinct exact percentile (l_extendedprice
+    p25) runs as a codegen window sort + two-row pick, NOT as a
+    Percentile aggregate — its ObjectHashAggregate counts-map is
+    data-sized for a ~1-distinct-value-per-row column (isolated A/B at
+    sf0.1: 1.12 s aggregate vs 0.73 s window; full query 1.65 ->
+    1.20 s). The low-cardinality qty percentile deliberately STAYS in
+    the main agg (50 distinct values: tiny map, 0.18 s vs 0.52 s)."""
+    import re
+
+    plan = _executed(spark, "sketch_suite")
+    # no percentile aggregate over the near-distinct price column
+    assert not re.search(r"percentile\(l_extendedprice", plan), plan
+    # the qty percentile stays an aggregate; the price p25 is a window
+    assert re.search(r"percentile\(l_quantity", plan), plan
+    assert "row_number()" in plan, plan
+
+
 def test_corpus_filters_single_scan_shared_base(spark):
     """Round 13: every corpus_filters branch (metrics, corpus/eval
     shingles, occurrences, token-df, bloom probe + bench keys) reads
