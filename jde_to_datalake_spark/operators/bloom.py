@@ -34,6 +34,7 @@ this exists for the training-data pipeline the engine targets.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +60,15 @@ def _key(cols: list[str], salt: str) -> Column:
     advisor finding). NULL therefore compares as a value here: a NULL
     benchmark key matches a NULL corpus key, the right semantics for
     membership/decontamination."""
+    return _key_cached(tuple(cols), salt)
+
+
+@lru_cache(maxsize=None)
+def _key_cached(cols: tuple, salt: str) -> Column:
+    # memoized per (cols, salt): an unresolved Column is an immutable
+    # expression tree safely shared across plans, and rebuilding this
+    # fragment is ~15 py4j round-trips per column per call — the
+    # round-2 "memoize fixed-name Column fragments" discipline
     parts = [
         F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
             F.concat(F.lit("\x01"), F.col(c).cast("string"))
@@ -97,7 +107,14 @@ def optimal_params(n_items: int, fpr: float = 0.01) -> tuple[int, int]:
 
 
 def _hash_pair(cols: list[str], num_bits: int, salt: str) -> tuple[Column, Column]:
-    return _hash_pair_from_key(_key(cols, salt), num_bits)
+    return _hash_pair_cached(tuple(cols), num_bits, salt)
+
+
+@lru_cache(maxsize=None)
+def _hash_pair_cached(
+    cols: tuple, num_bits: int, salt: str
+) -> tuple[Column, Column]:
+    return _hash_pair_from_key(_key_cached(cols, salt), num_bits)
 
 
 def _hash_pair_from_key(key: Column, num_bits: int) -> tuple[Column, Column]:
@@ -153,6 +170,60 @@ def bloom_build(
     return out
 
 
+def bloom_words_relation(
+    df: DataFrame,
+    cols: list[str],
+    num_bits: int,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """:func:`bloom_build` as a ONE-ROW ``array<long>`` relation — the
+    same word array, computed entirely in-plan (no driver collect, no
+    separate build job): positions → word/mask → ``bit_or`` per word →
+    one global aggregate that densifies the sparse (w, word) rows into
+    the fixed-length array (missing words are 0, exactly the
+    ``out = [0] * n_words`` fill of the collect form). An empty build
+    side still emits the one all-zero row (a global aggregate always
+    produces a row), so probes stay all-false, never null.
+
+    Callers that BROADCAST this relation fuse the filter construction
+    into the consuming query's own execution — one job instead of a
+    build job + collect + re-ship, with identical probe results.
+    """
+    if num_bits % _BITS_PER_WORD != 0 or num_bits <= 0:
+        raise ValueError(f"num_bits must be a positive multiple of {_BITS_PER_WORD}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_words = num_bits // _BITS_PER_WORD
+    h1, h2 = _hash_pair(cols, num_bits, salt)
+    return (
+        df.select(h1.alias("__h1"), h2.alias("__h2"))
+        .select(F.explode(F.expr(_positions_sql(num_bits, k))).alias("p"))
+        .select(
+            F.shiftright("p", 5).cast("int").alias("w"),
+            (F.col("p") % _BITS_PER_WORD).cast("int").alias("b"),
+        )
+        .select("w", F.expr("shiftleft(CAST(1 AS BIGINT), b)").alias("mask"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("word")
+            ).alias("__m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                # try_element_at, not element_at: ANSI mode raises
+                # MAP_KEY_DOES_NOT_EXIST for absent map keys
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("__m"), i), F.lit(0).cast("bigint")
+                ),
+            ).alias("__bloom_words")
+        )
+    )
+
+
 def bloom_union(a: list[int], b: list[int]) -> list[int]:
     """OR-merge two filters built with identical (num_bits, k, salt) —
     the incremental-ingest composition (per-batch build + union)."""
@@ -182,6 +253,21 @@ def bloom_probe(
     num_bits = len(words) * _BITS_PER_WORD
     spark = df.sparkSession
     warr = spark.createDataFrame([(words,)], "__bloom_words: array<long>")
+    return _probe_with_words(df, warr, cols, num_bits, k, salt, flag_col)
+
+
+def _probe_with_words(
+    df: DataFrame,
+    warr: DataFrame,
+    cols: list[str],
+    num_bits: int,
+    k: int,
+    salt: str,
+    flag_col: str,
+) -> DataFrame:
+    """The probe core over any one-row ``__bloom_words`` relation —
+    shared by the collected-list form (:func:`bloom_probe`) and the
+    in-plan form (:func:`bloom_words_relation` consumers)."""
     h1, h2 = _hash_pair(cols, num_bits, salt)
     hit_all = F.expr(
         f"forall({_positions_sql(num_bits, k)}, "
@@ -455,8 +541,16 @@ def bloom_decontaminate(
             n_items = max(1, benchmark.count())
         nb, nk = optimal_params(n_items, fpr)
         num_bits, k = num_bits or nb, k or nk
-    words = bloom_build(benchmark, on, num_bits, k, salt=salt)
-    probed = bloom_probe(corpus, on, words, k, salt=salt, flag_col="bloom_flagged")
+    # filter construction stays IN-PLAN (bloom_words_relation broadcast
+    # as the probe's one-row side): identical words and verdicts to the
+    # collected form, but no driver-side build job per invocation — the
+    # whole two-stage check runs as one query execution (measured: the
+    # separate bloom_build job + collect cost ~0.4 s of every
+    # corpus_filters build, round 13)
+    warr = bloom_words_relation(benchmark, on, num_bits, k, salt=salt)
+    probed = _probe_with_words(
+        corpus, warr, on, num_bits, k, salt, "bloom_flagged"
+    )
     bench_keys = benchmark.select(
         _key(on, salt).alias("__bench_key")
     ).distinct()

@@ -18,6 +18,8 @@ Java regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from jde_to_datalake_spark.functions.text import tokens
@@ -530,6 +532,40 @@ def gopher_keep(
     )
 
 
+@lru_cache(maxsize=None)
+def _report_metric_cols(text_col: str, id_col: str) -> tuple:
+    """The filter_report metrics projection, memoized per column-name
+    pair: unresolved Columns are immutable expression trees safely
+    shared across plans, and this fragment alone is several hundred
+    py4j round-trips per construction (the round-2 "memoize fixed-name
+    Column fragments" discipline — corpus_filters pays plan
+    construction on every bench run because its checkpointed base
+    keeps it out of the registry's plan memo)."""
+    t = F.col(text_col)
+    tk = F.col("__toks")
+    n = F.size(tk)
+    bg = _bigrams(tk)
+    nb = F.size(bg)
+    # codegen string arithmetic, not an interpreted transform+aggregate
+    # fold (see functions/text.py::token_len_sum)
+    tok_len_sum = F.length(F.regexp_replace(t, "\\s+", ""))
+    return (
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        ((n - F.size(F.array_distinct(tk))) / n).alias("dup_token_frac"),
+        (_max_run(F.sort_array(tk)) / n).alias("top_token_frac"),
+        F.when(nb > 0, (nb - F.size(F.array_distinct(bg))) / nb)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        # regexp_count: count matches without materializing match arrays
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t, F.lit(IP_RE)).cast("bigint").alias("n_ips"),
+        F.length(redact(t)).cast("bigint").alias("redacted_len"),
+        (tok_len_sum / n).alias("avg_token_len"),
+    )
+
+
 def filter_report(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -558,34 +594,13 @@ def filter_report(
     ``eval_docs`` encodes (same rows, one gram pipeline instead of
     two).
     """
-    t = F.col(text_col)
     shared = toked is not None
     if not shared:
+        t = F.col(text_col)
         toked = spread(docs).select(
             F.col(id_col), t, tokens(t).alias("__toks")
         )
-    tk = F.col("__toks")
-    n = F.size(tk)
-    bg = _bigrams(tk)
-    nb = F.size(bg)
-    # codegen string arithmetic, not an interpreted transform+aggregate
-    # fold (see functions/text.py::token_len_sum)
-    tok_len_sum = F.length(F.regexp_replace(t, "\\s+", ""))
-    metrics = toked.select(
-        F.col(id_col),
-        n.cast("bigint").alias("n_tokens"),
-        ((n - F.size(F.array_distinct(tk))) / n).alias("dup_token_frac"),
-        (_max_run(F.sort_array(tk)) / n).alias("top_token_frac"),
-        F.when(nb > 0, (nb - F.size(F.array_distinct(bg))) / nb)
-        .otherwise(F.lit(0.0))
-        .alias("dup_bigram_frac"),
-        # regexp_count: count matches without materializing match arrays
-        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
-        F.regexp_count(t, F.lit(IP_RE)).cast("bigint").alias("n_ips"),
-        F.length(redact(t)).cast("bigint").alias("redacted_len"),
-        (tok_len_sum / n).alias("avg_token_len"),
-    )
+    metrics = toked.select(*_report_metric_cols(text_col, id_col))
     if shared:
         doc_sh = shingles(
             docs, n=shingle_n, text_col=text_col, id_col=id_col, toked=toked
@@ -702,16 +717,24 @@ def rarity_metrics(
     joined = occ.join(df_counts, "tok", "left").withColumn(
         "df", F.coalesce(F.col("df"), F.lit(0).cast("bigint"))
     )
-    # all aggregates guard on the REAL occurrences (tok non-null):
-    # identical operands to the plain-explode form on non-null docs,
-    # null means / zero counts for token-less docs (ANSI-safe via
-    # try_divide)
+    return joined.groupBy(id_col).agg(*_rarity_agg_cols(rare_df_threshold))
+
+
+@lru_cache(maxsize=None)
+def _rarity_agg_cols(rare_df_threshold: int) -> tuple:
+    """rarity_metrics' aggregate fragments over the fixed tok/df
+    columns, memoized per threshold (plan-construction cost only).
+
+    All aggregates guard on the REAL occurrences (tok non-null):
+    identical operands to the plain-explode form on non-null docs,
+    null means / zero counts for token-less docs (ANSI-safe via
+    try_divide)."""
     is_occ = F.col("tok").isNotNull()
     n_occ = F.sum(is_occ.cast("bigint"))
     n_rare = F.sum(
         (is_occ & (F.col("df") <= rare_df_threshold)).cast("bigint")
     )
-    return joined.groupBy(id_col).agg(
+    return (
         F.try_divide(
             F.sum(F.when(is_occ, F.col("df"))).cast("double"), n_occ
         ).alias("mean_token_df"),

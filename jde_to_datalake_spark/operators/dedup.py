@@ -208,11 +208,19 @@ def ngram_jaccard_pairs(
         if shingle_base is not None
         else with_shingle_col(docs, n, text_col, id_col)
     )
-    sh = (
-        src.select(F.col(id_col), F.explode_outer("sh_arr").alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .localCheckpoint(eager=False)
-    )
+    sh = src.select(
+        F.col(id_col), F.explode_outer("sh_arr").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    if shingle_base is None:
+        # standalone path: the exploded relation feeds the rare-filter
+        # agg AND the join input — checkpoint so the full
+        # tokenize+shingle pipeline below it runs once. With a PREBUILT
+        # (checkpointed) shingle_base the arrays are already
+        # materialized blocks and the explode is a cheap narrow op per
+        # consumer — a checkpoint here would only add a third
+        # materialization of the same rows plus an analysis pass per
+        # build (round 13).
+        sh = sh.localCheckpoint(eager=False)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -286,9 +294,28 @@ def _build_pair_enumeration(arr_col):
     )
 
 
+def shingle_hash_base(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    toked: DataFrame | None = None,
+) -> DataFrame:
+    """(id, sh_arr, h0) where h0[j] = int64(md5(shingle_j)) mod p —
+    the shared pre-LSH projection. Callers running BOTH a shingle-set
+    algorithm and MinHash over one corpus (the text_neardup_suite
+    shape) checkpoint THIS frame once and pass it to both: the
+    shingle-only consumer ignores h0, and minhash_lsh_pairs skips its
+    own re-checkpoint (one materialization of the shingle arrays
+    instead of two, one driver-side analysis pass less per build)."""
+    return with_shingle_col(
+        docs, n, text_col, id_col, toked=toked
+    ).withColumn("h0", _h0_col())
+
+
 def _with_shingle_hashes(docs, n, text_col, id_col):
     """(id, sh_arr, h0) where h0[j] = int64(md5(shingle_j)) mod p."""
-    return with_shingle_col(docs, n, text_col, id_col).withColumn("h0", _h0_col())
+    return shingle_hash_base(docs, n, text_col, id_col)
 
 
 @lru_cache(maxsize=None)
@@ -398,11 +425,19 @@ def minhash_lsh_pairs(
     # blocks — the standard "persist the signature projection" move for
     # MinHash at scale. Deliberate trade: on executor loss those blocks
     # recompute from the truncated lineage's source scan.
-    base = (
-        shingle_base.withColumn("h0", _h0_col())
-        if shingle_base is not None
-        else _with_shingle_hashes(docs, n, text_col, id_col)
-    ).localCheckpoint(eager=False)
+    if shingle_base is not None and "h0" in shingle_base.columns:
+        # a prebuilt shingle_hash_base (ideally already checkpointed):
+        # use it as-is — re-checkpointing here would materialize the
+        # shingle arrays a second time and pay a second driver-side
+        # analysis/planning pass per build (round 13: the suite's 4
+        # localCheckpoint calls were 1.1 s of every bench-run build)
+        base = shingle_base
+    else:
+        base = (
+            shingle_base.withColumn("h0", _h0_col())
+            if shingle_base is not None
+            else _with_shingle_hashes(docs, n, text_col, id_col)
+        ).localCheckpoint(eager=False)
     sig = base.select(F.col(id_col), F.col("sh_arr"), *_min_cols(num_hashes))
     band_keys = sig.select(
         F.col(id_col), F.explode(_bands_arr(num_hashes, band_size)).alias("bb")

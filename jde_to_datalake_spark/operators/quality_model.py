@@ -37,6 +37,8 @@ so the scorer is total over crawl data.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,6 +74,14 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``docs`` + the FEATURE_NAMES columns — one row-local projection,
     shared verbatim by training and scoring so the two can never skew.
     """
+    return docs.select("*", *_feature_cols(text_col))
+
+
+@lru_cache(maxsize=None)
+def _feature_cols(text_col: str) -> tuple:
+    """The feature projection fragments, memoized per text column name
+    (unresolved Columns are immutable and safely shared across plans —
+    rebuilding this is ~400 py4j round-trips per call)."""
     t = F.col(text_col)
     nonempty = t.isNotNull() & (F.length(F.trim(t)) > 0)
     feats = {
@@ -85,9 +95,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             nonempty, F.regexp_count(t, F.lit("[0-9]")) / F.length(t)
         ),
     }
-    return docs.select(
-        "*", *[_safe(feats[n]).alias(n) for n in FEATURE_NAMES]
-    )
+    return tuple(_safe(feats[n]).alias(n) for n in FEATURE_NAMES)
 
 
 def train_quality_classifier(
@@ -145,9 +153,17 @@ def quality_model_linear(model: dict) -> Column:
             f"model has {len(model['weights'])} weights for "
             f"{len(FEATURE_NAMES)} features — corrupted artifact"
         )
-    z = F.lit(float(model["intercept"]))
-    for name, w in zip(FEATURE_NAMES, model["weights"]):
-        z = z + F.col(name) * F.lit(float(w))
+    return _linear_col(
+        float(model["intercept"]),
+        tuple(float(w) for w in model["weights"]),
+    )
+
+
+@lru_cache(maxsize=None)
+def _linear_col(intercept: float, weights: tuple) -> Column:
+    z = F.lit(intercept)
+    for name, w in zip(FEATURE_NAMES, weights):
+        z = z + F.col(name) * F.lit(w)
     return z
 
 

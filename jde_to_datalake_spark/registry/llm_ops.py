@@ -343,7 +343,13 @@ def q_text_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x the corpus scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = D.with_shingle_col(docs, n=3).localCheckpoint(eager=False)
+    # ONE checkpointed base carrying BOTH branch prefixes (sh_arr for
+    # the exact-Jaccard branch, h0 for MinHash): round 13 — the prior
+    # shape checkpointed with_shingle_col here and minhash_lsh_pairs
+    # re-checkpointed base+h0 on top, materializing the shingle arrays
+    # twice and paying 2 extra driver-side analysis passes per build
+    # (the suite rebuilds its plan every bench run: _PLAN_CACHE_SKIP).
+    base = D.shingle_hash_base(docs, n=3).localCheckpoint(eager=False)
     ng = D.ngram_jaccard_pairs(
         docs, n=3, threshold=0.2, max_df=1000, shingle_base=base
     ).select(F.lit("ngram").alias("op"), "id_a", "id_b", "jaccard")
