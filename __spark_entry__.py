@@ -753,14 +753,18 @@ def q_transaction_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from jde_to_datalake_spark.session import spread
 
-    # sha-256 per row is the dominant cost: spread the narrow raw
-    # columns so the hash pipeline runs at cluster width (no-op when
-    # the scan is already wide — see session.spread).
+    # the per-row decimal/regex pipeline is the dominant cost: spread
+    # the narrow raw columns so it runs at cluster width (no-op when
+    # the scan is already wide — see session.spread). Keyed on the
+    # primary key: round-robin spread pays a local binary row sort
+    # (sortBeforeRepartition) that hash distribution skips — measured
+    # 1.24 -> 0.70 s at sf0.1 for the identical result (round 13).
     li = spread(
         _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
             "l_quantity", "l_discount",
-        )
+        ),
+        keys=("l_orderkey", "l_linenumber"),
     )
     base = li.select(
         "l_orderkey", "l_linenumber",

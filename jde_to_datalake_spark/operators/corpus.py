@@ -63,7 +63,7 @@ def chunk_plan(
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     stride = chunk_size - overlap
-    toked = spread(docs).select(
+    toked = spread(docs, keys=(id_col,)).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     n = F.size(F.col("__toks"))
@@ -140,7 +140,7 @@ def sequence_pack(
     if budget <= 0:
         raise ValueError("budget must be positive")
     counts = (
-        spread(docs)
+        spread(docs, keys=(id_col,))
         .filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col),
@@ -236,7 +236,7 @@ def assemble_packs(
     equi-join on the doc id — broadcast-eligible when the pack plan is
     small, shuffle otherwise.
     """
-    toked = spread(docs).select(
+    toked = spread(docs, keys=(id_col,)).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     slices = packs.join(toked, id_col).select(
@@ -292,7 +292,7 @@ def passage_dedup(
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    toked = spread(docs).select(
+    toked = spread(docs, keys=(id_col,)).select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
         tokens(F.col(text_col)).alias("__toks"),
@@ -400,7 +400,7 @@ def repetition_metrics(
     bigram fraction. (The corpus is single-line text, so the line-level
     variants of these rules degenerate; token/bigram level carries the
     same semantics.)"""
-    toked = spread(docs).select(
+    toked = spread(docs, keys=(id_col,)).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     tk = F.col("__toks")
@@ -597,7 +597,7 @@ def filter_report(
     shared = toked is not None
     if not shared:
         t = F.col(text_col)
-        toked = spread(docs).select(
+        toked = spread(docs, keys=(id_col,)).select(
             F.col(id_col), t, tokens(t).alias("__toks")
         )
     metrics = toked.select(*_report_metric_cols(text_col, id_col))
@@ -654,7 +654,7 @@ def token_df_counts(
             F.explode(F.array_distinct(F.col("__toks"))).alias("tok"),
         )
         if toked is not None
-        else spread(docs).select(
+        else spread(docs, keys=(id_col,)).select(
             F.col(id_col),
             F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
         )
@@ -703,7 +703,7 @@ def rarity_metrics(
             F.col(id_col), F.explode_outer(F.col("__toks")).alias("tok")
         )
         if toked is not None
-        else spread(docs).select(
+        else spread(docs, keys=(id_col,)).select(
             F.col(id_col),
             F.explode_outer(tokens(F.col(text_col))).alias("tok"),
         )
@@ -764,7 +764,7 @@ def top_ngrams(
     documents via the per-doc-distinct trick (no count-distinct
     shuffle — same design as ``token_df_counts``).
     """
-    toked = spread(docs).select(
+    toked = spread(docs, keys=(id_col,)).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     tk = F.col("__toks")

@@ -122,7 +122,7 @@ def with_shingle_col(
         )
     else:
         toked = (
-            spread(docs)
+            spread(docs, keys=(id_col,))
             .filter(F.size(tokens(F.col(text_col))) >= n)
             .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         )
@@ -646,7 +646,7 @@ def simhash(
     votes +1/-1 weighted by occurrence; simhash bit j = majority > 0.
     One explode + one groupBy with 32 conditional sums — no UDF.
     """
-    tok = spread(docs).select(
+    tok = spread(docs, keys=(id_col,)).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
@@ -735,7 +735,7 @@ def exact_substring_dedup(
     if min_len <= 0:
         raise ValueError("min_len must be positive")
     L = min_len
-    toked = spread(docs).select(
+    toked = spread(docs, keys=(id_col,)).select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
         tokens(F.col(text_col)).alias("__toks"),

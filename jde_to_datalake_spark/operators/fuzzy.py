@@ -83,12 +83,14 @@ def fuzzy_join(
     # explode pipeline (same multi-consumer hazard as the shingle path
     # in operators/dedup.py, same localCheckpoint cure)
     ga = spread(
-        left.select(_norm(F.col(left_col)).alias("__a")).distinct()
+        left.select(_norm(F.col(left_col)).alias("__a")).distinct(),
+        keys=("__a",),
     ).select(
         "__a", F.explode(_qgrams(F.col("__a"), q)).alias("__g")
     ).localCheckpoint(eager=False)
     gb = spread(
-        right.select(_norm(F.col(right_col)).alias("__b")).distinct()
+        right.select(_norm(F.col(right_col)).alias("__b")).distinct(),
+        keys=("__b",),
     ).select(
         "__b", F.explode(_qgrams(F.col("__b"), q)).alias("__g")
     ).localCheckpoint(eager=False)

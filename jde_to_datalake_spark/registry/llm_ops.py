@@ -70,7 +70,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-token fold expressions are the dominant per-row CPU:
     # spread the (unsplittable single-row-group) local scan so they
     # run at cluster width — no-op on a wide scan
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = spread(load_table(spark, sf_dir, "documents"), keys=("doc_id",))
     t = F.col("text")
     stage1 = d.select(
         "doc_id", "lang",
@@ -844,7 +844,7 @@ def q_corpus_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus_filters is in __spark_entry__._PLAN_CACHE_SKIP so repeat
     # bench runs re-materialize instead of reusing blocks.
     base = (
-        spread(docs)
+        spread(docs, keys=("doc_id",))
         .select("doc_id", "text", tokens(F.col("text")).alias("__toks"))
         .localCheckpoint(eager=False)
     )

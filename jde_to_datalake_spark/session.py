@@ -142,6 +142,14 @@ def spread(df, min_partitions: int | None = None, keys: tuple[str, ...] = ()):
     row-group sizes instead of leaning on this helper.)
 
     With ``keys``, hash-distributes on them (see ``spread_by``).
+    Callers should pass the frame's PRIMARY KEY here whenever one
+    exists: a keyless ``repartition(n)`` is round-robin, which first
+    pays a local binary sort of every input row
+    (``spark.sql.execution.sortBeforeRepartition``, required for
+    deterministic retries — guide §2.5), while hash partitioning on a
+    unique key is deterministic per row with no sort and spreads just
+    as evenly. Measured at sf0.1 on transaction_ids: keyed 0.70 s vs
+    round-robin 1.24 s for the identical result set (round 13).
     Streaming frames pass through — micro-batch width is the source's
     business (and ``df.rdd`` is illegal on them).
     """
