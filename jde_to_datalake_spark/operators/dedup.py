@@ -976,7 +976,16 @@ def band_index(
     the batch twin of ``streaming.corpus.minhash_band_stream`` (same
     banding expressions, so streamed and indexed keys equi-join).
     Row-local projection; persist it beside the corpus as the
-    near-dup index artifact."""
+    near-dup index artifact.
+
+    ``band_hash`` is the 16-byte BINARY md5 digest (round 13): unhex
+    is injective on md5 hex, so bucket membership — and every
+    candidate join — is unchanged, while the persisted artifact, its
+    probe scans, and the candidate-join exchange all carry half the
+    key bytes (the r12 batch-LSH key narrowing, extended to the
+    STORED format now that the versioned table's footer stats handle
+    BINARY min/max order-preservingly — see versioned._footer_stats).
+    """
     base = _with_shingle_hashes(docs, n, text_col, id_col)
     sig = base.select(F.col(id_col), *_min_cols(num_hashes))
     return sig.select(
@@ -984,7 +993,7 @@ def band_index(
     ).select(
         id_col,
         F.col("bb.band").alias("band"),
-        F.col("bb.band_hash").alias("band_hash"),
+        F.unhex(F.col("bb.band_hash")).alias("band_hash"),
     )
 
 

@@ -116,14 +116,18 @@ class AuditFailure(RuntimeError):
         self.failures = failures
 
 
+_B16 = "b16:"  # tag for hex-encoded BINARY stats (order-preserving)
+
+
 def _footer_stats(source) -> dict:
     """Per-column [min, max] for one parquet file, from row-group
     footer statistics — JSON-storable types only (int/float/str; byte
-    stats are decoded as UTF-8 when possible). Columns with missing or
-    non-storable stats are omitted, which readers treat as
-    "cannot prune" — always conservative. ``source`` is a path or a
-    binary file-like from ``DataFileStore.open_file`` (closed here;
-    the footer thrift is fully parsed before the close)."""
+    stats are stored as tagged order-preserving hex, see below).
+    Columns with missing or non-storable stats are omitted, which
+    readers treat as "cannot prune" — always conservative. ``source``
+    is a path or a binary file-like from ``DataFileStore.open_file``
+    (closed here; the footer thrift is fully parsed before the
+    close)."""
     try:
         import pyarrow.parquet as pq
 
@@ -156,12 +160,18 @@ def _footer_stats(source) -> dict:
                 out.pop(name, None)
                 continue
             if isinstance(mn, bytes):
-                try:
-                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
-                except UnicodeDecodeError:
-                    poisoned.add(name)
-                    out.pop(name, None)
-                    continue
+                # BINARY column (pyarrow yields str for String-logical
+                # columns, bytes only for true binary — verified on
+                # Spark-written files): store an ORDER-PRESERVING hex
+                # encoding with a format tag. Hex is order-isomorphic
+                # to unsigned byte order (the nibble -> hex-char map is
+                # monotone and prefix semantics match), so range/point
+                # probes compare correctly after the same encoding in
+                # _stat_probe_value. Round 13: this is what lets the
+                # binary band/fingerprint index artifacts keep min/max
+                # file pruning (the previous decode-as-UTF-8 fallback
+                # poisoned the column for any real digest bytes).
+                mn, mx = _B16 + mn.hex(), _B16 + mx.hex()
             if isinstance(mn, (_dt.date, _dt.datetime)):
                 # DATE/TIMESTAMP stats stored as CANONICAL ISO-8601
                 # strings (aware values -> UTC, tz stripped):
@@ -283,10 +293,13 @@ def _widest_partition_ddl(values) -> str:
 def _stat_probe_value(v):
     """Normalize a skipping probe bound/value to the form footer
     stats are stored in: DATE/TIMESTAMP become canonical ISO-8601
-    strings (see _footer_stats) so comparisons stay chronological;
+    strings, BINARY values the tagged order-preserving hex form (see
+    _footer_stats) so comparisons stay chronological / bytewise;
     everything else passes through."""
     if isinstance(v, (_dt.date, _dt.datetime)):
         return _iso_naive_utc(v)
+    if isinstance(v, (bytes, bytearray)):
+        return _B16 + bytes(v).hex()
     return v
 
 
@@ -3198,7 +3211,15 @@ class VersionedTable:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"{self.root}: no commits yet")
-        vals = sorted({v for v in values if v is not None})
+        # normalize bytearray -> bytes: Spark collects BinaryType as
+        # bytearray, which is unhashable/unsortable against bytes
+        vals = sorted(
+            {
+                bytes(v) if isinstance(v, bytearray) else v
+                for v in values
+                if v is not None
+            }
+        )
         files = self.files_for_values(column, vals, version)
         if not files:
             return self.read(spark, version, merge_schema).filter(

@@ -481,3 +481,40 @@ def test_shj_session_conf_keeps_aqe_skew_split(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_binary_column_stats_prune_files(spark, tmp_path):
+    """Round 13 (VERDICT r12 #6): BINARY key columns get order-
+    preserving footer stats (tagged hex — versioned._footer_stats) so
+    min/max file pruning fires on them exactly as on strings. The band
+    artifact stores its 16-byte md5 bucket key as BINARY now; without
+    this the stats were poisoned (bytes rarely decode as UTF-8) and
+    every probe scanned the whole artifact."""
+    from pyspark.sql import functions as F
+
+    from jde_to_datalake_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "bt"))
+    # 8 commits, each a narrow contiguous slice of the key space:
+    # key = unhex(md5-like fixed-width hex) built from a zero-padded
+    # counter so file ranges are disjoint by construction
+    for lo in range(0, 800, 100):
+        t.commit(
+            spark.range(lo, lo + 100)
+            .selectExpr(
+                "unhex(lpad(hex(id), 32, '0')) AS bkey", "id AS doc_id"
+            )
+            .coalesce(1)
+        )
+    probe = bytes.fromhex("0" * 29 + "2a0")  # id 672 = 0x2a0
+    assert len(t.files_for_values("bkey", [probe])) == 1
+    assert len(t.files_for_values("bkey", [bytearray(probe)])) == 1
+    pruned = t.read_where_in(spark, "bkey", [probe])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count(".parquet") <= 1 or "1 paths" in plan
+    rows = pruned.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 672
+    # range probe over binary bounds prunes too
+    lo_b = bytes.fromhex("0" * 29 + "190")  # 400
+    hi_b = bytes.fromhex("0" * 29 + "1f3")  # 499
+    assert len(t.files_for_range("bkey", lo_b, hi_b)) == 1
