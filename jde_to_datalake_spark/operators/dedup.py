@@ -208,9 +208,9 @@ def ngram_jaccard_pairs(
         if shingle_base is not None
         else with_shingle_col(docs, n, text_col, id_col)
     )
-    sh = src.select(
-        F.col(id_col), F.explode_outer("sh_arr").alias("shingle")
-    ).filter(F.col("shingle").isNotNull())
+    sh = src.select(*_sh_explode_cols(id_col)).filter(
+        _frag("sh_notnull")
+    )
     if shingle_base is None:
         # standalone path: the exploded relation feeds the rare-filter
         # agg AND the join input — checkpoint so the full
@@ -223,33 +223,139 @@ def ngram_jaccard_pairs(
         sh = sh.localCheckpoint(eager=False)
     rare = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
+        .agg(_frag("df_agg"))
+        .filter(_rare_pred(max_df))
         .select("shingle")
     )
     sh = sh.join(rare, "shingle").localCheckpoint(eager=False)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sh.groupBy(id_col).agg(_frag("sz_agg"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(_alias_id(id_col, "id_a"), "shingle")
+    b = sh.select(_alias_id(id_col, "id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_frag("pair_ordered"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(_frag("ncommon_agg"))
     )
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        inter.join(sizes.select(_alias_id(id_col, "id_a"), _frag("sz_a")), "id_a")
+        .join(sizes.select(_alias_id(id_col, "id_b"), _frag("sz_b")), "id_b")
+        .withColumn("jaccard", _frag("jaccard"))
+        .filter(_jac_thresh(threshold))
         .select("id_a", "id_b", "n_common", "jaccard")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# memoized fixed-name fragments for the near-dup pipelines (round 13):
+# these two operators rebuild their plans on EVERY bench run (their
+# checkpointed bases keep the suite out of the registry's plan memo),
+# and each fragment below is a handful of py4j round-trips per
+# construction — the round-2 "memoize fixed-name Column fragments"
+# discipline, same as _gram_col/_bands_arr above. Unresolved Columns
+# are immutable and safely shared across plans.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _sh_explode_cols(id_col: str) -> tuple:
+    return (F.col(id_col), F.explode_outer("sh_arr").alias("shingle"))
+
+
+@lru_cache(maxsize=None)
+def _alias_id(id_col: str, alias: str):
+    return F.col(id_col).alias(alias)
+
+
+@lru_cache(maxsize=None)
+def _rare_pred(max_df: int):
+    return F.col("df") <= max_df
+
+
+@lru_cache(maxsize=None)
+def _jac_thresh(threshold: float):
+    return F.col("jaccard") >= threshold
+
+
+@lru_cache(maxsize=None)
+def _band_unhex_cols() -> tuple:
+    # 16-byte binary bucket key instead of the 32-char md5 hex string:
+    # unhex is injective on md5 output, so bucket membership — and the
+    # verified pair set — is unchanged while the bucket exchange
+    # carries half the key bytes (r12; r13 extends binary to the
+    # persisted band artifact via band_index).
+    return (
+        F.col("bb.band").alias("band"),
+        F.unhex(F.col("bb.band_hash")).alias("band_hash"),
+    )
+
+
+@lru_cache(maxsize=None)
+def _ids_agg(id_col: str):
+    return F.sort_array(F.collect_list(id_col)).alias("ids")
+
+
+@lru_cache(maxsize=None)
+def _sets_cols() -> tuple:
+    return (
+        F.col("sh_arr").alias("sh_set"),
+        F.size("sh_arr").cast("long").alias("sz"),
+    )
+
+
+@lru_cache(maxsize=None)
+def _melt_col(id_col: str):
+    return F.explode(F.array("id_a", "id_b")).alias(id_col)
+
+
+@lru_cache(maxsize=None)
+def _side_expr(id_col: str):
+    return F.when(F.col(id_col) == F.col("id_a"), F.lit("a")).otherwise(
+        F.lit("b")
+    )
+
+
+@lru_cache(maxsize=None)
+def _lsh_verify_aggs() -> tuple:
+    return (
+        F.min(F.when(F.col("side") == "a", F.col("sz"))).alias("sz_a"),
+        F.min(F.when(F.col("side") == "b", F.col("sz"))).alias("sz_b"),
+        F.first(
+            F.when(F.col("side") == "a", F.col("sh_set")), ignorenulls=True
+        ).alias("sh_a"),
+        F.first(
+            F.when(F.col("side") == "b", F.col("sh_set")), ignorenulls=True
+        ).alias("sh_b"),
+    )
+
+
+# thunks, not module constants: building a Column needs the py4j
+# gateway, which does not exist at import time in a driver that
+# imports the entry module before creating its session
+@lru_cache(maxsize=None)
+def _frag(name: str):
+    return {
+        "sh_notnull": lambda: F.col("shingle").isNotNull(),
+        "bucket_multi": lambda: F.size("ids") > 1,
+        "pair_explode": lambda: F.explode(
+            pair_enumeration("ids")
+        ).alias("p"),
+        "pair_a": lambda: F.col("p.a").alias("id_a"),
+        "pair_b": lambda: F.col("p.b").alias("id_b"),
+        "ncommon_set": lambda: F.size(
+            F.array_intersect("sh_a", "sh_b")
+        ).cast("long"),
+        "df_agg": lambda: F.count(F.lit(1)).alias("df"),
+        "sz_agg": lambda: F.count(F.lit(1)).alias("sz"),
+        "sz_a": lambda: F.col("sz").alias("sz_a"),
+        "sz_b": lambda: F.col("sz").alias("sz_b"),
+        "pair_ordered": lambda: F.col("id_a") < F.col("id_b"),
+        "ncommon_agg": lambda: F.count(F.lit(1)).alias("n_common"),
+        "jaccard": lambda: F.col("n_common")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+    }[name]()
 
 
 def pair_enumeration(arr_col):
@@ -441,18 +547,7 @@ def minhash_lsh_pairs(
     sig = base.select(F.col(id_col), F.col("sh_arr"), *_min_cols(num_hashes))
     band_keys = sig.select(
         F.col(id_col), F.explode(_bands_arr(num_hashes, band_size)).alias("bb")
-    ).select(
-        id_col,
-        F.col("bb.band").alias("band"),
-        # 16-byte binary bucket key instead of the 32-char md5 hex
-        # string: unhex is injective on md5 output, the key never
-        # reaches the output, so bucket membership — and the verified
-        # pair set — is unchanged while the bucket exchange carries
-        # half the key bytes. (The PERSISTED band-index artifact keeps
-        # hex via _bands_arr — this narrows only the batch-LSH
-        # bucket shuffle.)
-        F.unhex(F.col("bb.band_hash")).alias("band_hash"),
-    )
+    ).select(id_col, *_band_unhex_cols())
     # Candidate pairs WITHOUT a self-join: group ids per (band, bucket)
     # and enumerate in-bucket pairs from the sorted id list. One
     # evaluation of the signature pipeline and one shuffle — a
@@ -460,15 +555,14 @@ def minhash_lsh_pairs(
     # each side. Bucket sizes bound the pair blowup exactly as the
     # self-join would (a giant bucket is quadratic either way; the
     # exact-Jaccard gate keeps only true near-dups).
-    ids = F.sort_array(F.collect_list(id_col))
     buckets = (
         band_keys.groupBy("band", "band_hash")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(_ids_agg(id_col))
+        .filter(_frag("bucket_multi"))
     )
     candidates = (
-        buckets.select(F.explode(pair_enumeration("ids")).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        buckets.select(_frag("pair_explode"))
+        .select(_frag("pair_a"), _frag("pair_b"))
         .distinct()
     )
     # Exact-Jaccard verification on CANDIDATES ONLY — the whole point of
@@ -476,33 +570,16 @@ def minhash_lsh_pairs(
     # joined to the per-doc shingle sets ONCE (not once per side), then
     # folded back — each candidate pair intersects two bounded arrays.
     # Work is O(docs x k) + O(candidate pairs), never all-pairs.
-    sets = base.select(
-        F.col(id_col),
-        F.col("sh_arr").alias("sh_set"),
-        F.size("sh_arr").cast("long").alias("sz"),
-    )
-    melted = candidates.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
-    )
-    side = F.when(F.col(id_col) == F.col("id_a"), F.lit("a")).otherwise(F.lit("b"))
+    sets = base.select(F.col(id_col), *_sets_cols())
+    melted = candidates.select("id_a", "id_b", _melt_col(id_col))
     return (
         melted.join(sets, id_col)
-        .withColumn("side", side)
+        .withColumn("side", _side_expr(id_col))
         .groupBy("id_a", "id_b")
-        .agg(
-            F.min(F.when(F.col("side") == "a", F.col("sz"))).alias("sz_a"),
-            F.min(F.when(F.col("side") == "b", F.col("sz"))).alias("sz_b"),
-            F.first(F.when(F.col("side") == "a", F.col("sh_set")), ignorenulls=True)
-            .alias("sh_a"),
-            F.first(F.when(F.col("side") == "b", F.col("sh_set")), ignorenulls=True)
-            .alias("sh_b"),
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .agg(*_lsh_verify_aggs())
+        .withColumn("n_common", _frag("ncommon_set"))
+        .withColumn("jaccard", _frag("jaccard"))
+        .filter(_jac_thresh(threshold))
         .select("id_a", "id_b", "jaccard")
     )
 
